@@ -1,0 +1,79 @@
+"""Shared machinery for the record-oriented text scans (S1/S2/S5).
+
+Design: one input file = one row via ``spark.read.text(..., wholetext=True)``
+→ ``mapInPandas`` parses records out of each file (Arrow-batched; the
+parsing is pure per-file logic, so it parallelizes across files).  The
+reference caps uploads at 16 MB/file (``app.py:42``), so per-file
+parallelism is the right grain: a 100 TB corpus is millions of small files,
+not one giant one, and this scan needs no record-boundary splitting logic.
+For genuinely huge single files, ``pubmed.py`` also offers a
+record-delimiter reader (``lineSep="\\n\\n"``) that splits within files.
+
+Parsers emit the fixed RECORD_SCHEMA (SURVEY §1.2: dynamic→fixed is a
+deliberate upgrade); ``record_id`` is attached afterwards.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scholarmind_spark.schemas import ARRAY_COLUMNS, RECORD_COLUMNS, RECORD_SCHEMA
+
+PARSE_COLUMNS = [c for c in RECORD_COLUMNS if c != "record_id"]
+
+# mapInPandas output schema = RECORD_SCHEMA minus record_id
+_PARSE_SCHEMA = RECORD_SCHEMA.simpleString().replace("record_id:bigint,", "")
+
+
+def empty_record() -> dict[str, Any]:
+    return {c: None for c in PARSE_COLUMNS}
+
+
+def records_to_pdf(records: list[dict[str, Any]]) -> pd.DataFrame:
+    """Normalize parsed record dicts into the fixed parse schema."""
+    out: dict[str, list] = {c: [] for c in PARSE_COLUMNS}
+    for rec in records:
+        for c in PARSE_COLUMNS:
+            v = rec.get(c)
+            if c in ARRAY_COLUMNS:
+                if v is None:
+                    out[c].append(None)
+                elif isinstance(v, list):
+                    out[c].append([str(x) for x in v])
+                else:
+                    out[c].append([str(v)])
+            else:
+                if isinstance(v, list):  # D4 policy: scalar column ← first element
+                    v = v[0] if v else None
+                out[c].append(None if v is None else str(v))
+    return pd.DataFrame(out, columns=PARSE_COLUMNS)
+
+
+def scan_files(
+    spark: SparkSession,
+    path: str,
+    parse_file: Callable[[str], list[dict[str, Any]]],
+    source_type: str,
+) -> DataFrame:
+    """wholetext read → per-file record parse → fixed schema + source tag +
+    abstract filter (P4, base_parser.py:49-53) + record_id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["value"]:
+                yield records_to_pdf(parse_file(content))
+
+    raw = spark.read.text(path, wholetext=True)
+    parsed = raw.mapInPandas(run, schema=_PARSE_SCHEMA)
+    parsed = parsed.withColumn("source_type", F.lit(source_type))
+    # P4 guard: under the fixed schema the abstract column always exists;
+    # the any-non-null probe of base_parser.py:49-53 degenerates to a plain
+    # notnull filter (documented semantic simplification).
+    parsed = parsed.filter(F.col("abstract").isNotNull())
+    parsed = parsed.withColumn("record_id", F.monotonically_increasing_id())
+    return parsed.select(*RECORD_COLUMNS)

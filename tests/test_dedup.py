@@ -1,0 +1,101 @@
+"""A1 priority dedup: priority survival, null/empty exemption, DOI variants
+normalizing equal, same-priority tiebreak determinism (SURVEY §5 item 1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.dedup import dedup_exact, priority_dedup
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "record_id long, source_type string, doi string, title string"
+    )
+
+
+def surviving_ids(df):
+    return sorted(r.record_id for r in df.select("record_id").collect())
+
+
+def test_priority_wins(spark):
+    df = mk(
+        spark,
+        [
+            (1, "sciencedirect", "10.1/x", "sd"),
+            (2, "pubmed", "10.1/x", "pm"),
+            (3, "wos", "10.1/x", "wos"),
+        ],
+    )
+    assert surviving_ids(priority_dedup(df)) == [3]
+
+
+def test_doi_variants_normalize_equal(spark):
+    df = mk(
+        spark,
+        [
+            (1, "wos", "10.1/x", "a"),
+            (2, "pubmed", "https://doi.org/10.1/X", "b"),
+            (3, "pubmed", "doi:10.1/x ", "c"),
+            (4, "sciencedirect", "10.1/x [doi]", "d"),
+            (5, "sciencedirect", "somepii, 10.1/x", "e"),
+        ],
+    )
+    assert surviving_ids(priority_dedup(df)) == [1]
+
+
+def test_null_and_empty_doi_all_kept(spark):
+    df = mk(
+        spark,
+        [
+            (1, "wos", None, "a"),
+            (2, "wos", None, "b"),
+            (3, "pubmed", "", "c"),
+            (4, "pubmed", "", "d"),
+            (5, "pubmed", "10.9/z", "e"),
+            (6, "sciencedirect", "10.9/z", "f"),
+        ],
+    )
+    assert surviving_ids(priority_dedup(df)) == [1, 2, 3, 4, 5]
+
+
+def test_same_priority_tiebreak_is_min_record_id(spark):
+    df = mk(
+        spark,
+        [
+            (9, "pubmed", "10.1/t", "later"),
+            (2, "pubmed", "10.1/t", "earlier"),
+        ],
+    )
+    assert surviving_ids(priority_dedup(df)) == [2]
+
+
+def test_unknown_source_gets_priority_zero(spark):
+    df = mk(
+        spark,
+        [
+            (1, "mystery", "10.1/q", "m"),
+            (2, "sciencedirect", "10.1/q", "sd"),
+        ],
+    )
+    assert surviving_ids(priority_dedup(df)) == [2]
+
+
+def test_keep_key_exposes_doi_norm(spark):
+    df = mk(spark, [(1, "wos", "DOI:10.1/A", "a"), (2, "wos", None, "b")])
+    out = priority_dedup(df, keep_key=True)
+    got = {r.record_id: r.doi_norm for r in out.collect()}
+    assert got == {1: "doi:10.1/a", 2: ""}
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same after whitespace/case normalization
+            (3, "different"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_exact(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
