@@ -29,6 +29,17 @@ def get_spark(
     - Session timezone pinned to UTC so timestamp semantics match the
       DuckDB oracle (duckdb timestamps are UTC-naive).
     """
+    # Python workers unpickle mapInPandas closures by module reference; make
+    # sure they can import this package even when the driver only put it on
+    # sys.path (local-mode workers inherit PYTHONPATH from the driver env).
+    # On a real cluster, ship the package with --py-files / a wheel instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{py_path}" if py_path else pkg_root
+        )
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = (

@@ -51,7 +51,10 @@ def records_to_pdf(records: list[dict[str, Any]]) -> pd.DataFrame:
                 if isinstance(v, list):  # D4 policy: scalar column ← first element
                     v = v[0] if v else None
                 out[c].append(None if v is None else str(v))
-    return pd.DataFrame(out, columns=PARSE_COLUMNS)
+    # dtype=object even when empty: pd.DataFrame({'c': []}) defaults to
+    # float64, which Arrow refuses to cast to list<string> for the array
+    # columns (observed on zero-record files).
+    return pd.DataFrame(out, columns=PARSE_COLUMNS, dtype=object)
 
 
 def scan_files(

@@ -1,0 +1,138 @@
+"""PubMed tagged-text scan (reference S1, ``src/parsers/pubmed_parser.py``).
+
+Format: records separated by blank lines; field lines
+``^([A-Z0-9]+)\\s*-\\s*(.*)``; continuation lines append to the previous
+field; tags in MULTI_FIELDS accumulate as arrays (``pubmed_parser.py:32``);
+``AID`` values suffixed ``[doi]``/``[pii]`` route to DOI/PII
+(``pubmed_parser.py:56-64``); duplicated scalar tags become lists, later
+flattened first-element (D4 policy).
+
+Two readers:
+- :func:`scan_pubmed` — one file per task (``wholetext``), the default.
+- :func:`scan_pubmed_records` — record-delimiter read (``lineSep="\\n\\n"``)
+  that splits WITHIN files, for corpora stored as few huge files; each
+  record parses independently so this parallelizes to any scale.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scholarmind_spark.schemas import RECORD_COLUMNS
+from scholarmind_spark.sources.base import empty_record, records_to_pdf, scan_files
+
+MULTI_FIELDS = {"IS", "LID", "FAU", "AU", "AD", "OT", "PHST"}  # pubmed_parser.py:32
+
+TAG_RE = re.compile(r"^([A-Z0-9]+)\s*-\s*(.*)")
+AID_RE = re.compile(r"^(.*?)\s+\[(doi|pii)\]$", re.IGNORECASE)
+
+# native tag → standard column (pubmed_parser.py:118-145)
+TAG_MAP = {
+    "PMID": "pmid",
+    "TI": "title",
+    "AB": "abstract",
+    "DP": "publication_date",
+    "AU": "authors",
+    "JT": "journal_full",
+    "TA": "journal",
+    "MH": "mesh_terms",
+    "FAU": "full_authors",
+    "AD": "affiliation",
+    "LID": "doi",
+    "IS": "issn",
+    "VI": "volume",
+    "IP": "issue",
+    "PG": "pages",
+    "LA": "language",
+    "PT": "publication_type",
+    "OT": "keywords",
+    "EDAT": "entry_date",
+    "CI": "copyright_info",
+}
+
+
+def parse_pubmed_tags(text: str) -> list[dict[str, list[str]]]:
+    """Tag-level parse: one dict of tag → list-of-values per record."""
+    records: list[dict[str, list[str]]] = []
+    record: dict[str, list[str]] = {}
+    current: str | None = None
+    for line in text.split("\n"):
+        if line.strip() == "":
+            if record:
+                records.append(record)
+                record, current = {}, None
+            continue
+        m = TAG_RE.match(line)
+        if m:
+            tag, value = m.group(1), m.group(2).strip()
+            if tag == "AID":
+                am = AID_RE.match(value)
+                if am:
+                    tag, value = am.group(2).upper(), am.group(1).strip()
+            record.setdefault(tag, []).append(value)
+            current = tag
+        elif current and current in record:
+            # continuation line → append to the last value
+            record[current][-1] += " " + line.strip()
+    if record:
+        records.append(record)
+    return records
+
+
+def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
+    rec = empty_record()
+    for tag, values in tags.items():
+        col = TAG_MAP.get(tag)
+        if col is None:
+            continue
+        if tag in MULTI_FIELDS and col in ("authors", "full_authors", "affiliation",
+                                           "issn", "keywords"):
+            rec[col] = values
+        elif col == "mesh_terms":
+            rec[col] = values
+        elif col == "doi":
+            # LID list → first element (D4), trailing marker stripped (the
+            # reference intends this in preprocess, pubmed_parser.py:179-184,
+            # but misses it because the value is a list at that point)
+            rec[col] = re.sub(r"\s*\[(doi|pii)\]$", "", values[0])
+        else:
+            rec[col] = values  # scalar columns flatten to first in records_to_pdf
+    # journal = TA coalesced with JT (D8, pubmed_parser.py:147-151)
+    if rec.get("journal") is None and rec.get("journal_full") is not None:
+        rec["journal"] = rec["journal_full"]
+    return rec
+
+
+def parse_pubmed_file(text: str) -> list[dict[str, Any]]:
+    return [_to_record(t) for t in parse_pubmed_tags(text)]
+
+
+def scan_pubmed(spark: SparkSession, path: str) -> DataFrame:
+    return scan_files(spark, path, parse_pubmed_file, "pubmed")
+
+
+def scan_pubmed_records(spark: SparkSession, path: str) -> DataFrame:
+    """Record-delimiter variant: one row per blank-line-separated record,
+    splittable within files."""
+    from scholarmind_spark.sources.base import _PARSE_SCHEMA
+
+    def run(batches):
+        for pdf in batches:
+            records = []
+            for chunk in pdf["value"]:
+                records.extend(parse_pubmed_file(chunk))
+            yield records_to_pdf(records)
+
+    raw = spark.read.option("lineSep", "\n\n").text(path)
+    parsed = raw.mapInPandas(run, schema=_PARSE_SCHEMA)
+    parsed = (
+        parsed.withColumn("source_type", F.lit("pubmed"))
+        .filter(F.col("abstract").isNotNull())
+        .withColumn("record_id", F.monotonically_increasing_id())
+    )
+    return parsed.select(*RECORD_COLUMNS)

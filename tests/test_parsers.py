@@ -1,0 +1,126 @@
+"""Parser golden tests (SURVEY §5 item 2): continuation lines, multi-value
+tags, AID routing, WOS header/EF handling, SD entry rejection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def pubmed_rows(spark):
+    from scholarmind_spark.sources import scan_pubmed
+
+    df = scan_pubmed(spark, os.path.join(FIXTURES, "pubmed.txt"))
+    return {r.pmid: r for r in df.collect()}
+
+
+def test_pubmed_record_count_and_filter(pubmed_rows):
+    # record 99999999 has no AB → filtered (P4)
+    assert set(pubmed_rows) == {"12345678", "11111111"}
+
+
+def test_pubmed_continuation_and_fields(pubmed_rows):
+    r = pubmed_rows["12345678"]
+    assert r.title == "A study of example things in continued title text"
+    assert r.abstract == "Background: something. Methods: something else."
+    assert r.full_authors == ["Smith, John A", "Doe, Jane B"]
+    assert r.authors == ["Smith JA", "Doe JB"]
+    assert r.journal == "J Example Res"  # TA wins over JT
+    assert r.journal_full == "Journal of Example Research"
+    assert r.doi == "10.1000/jer.2023.001"  # first LID, [doi] stripped by AID/LID routing at norm time
+    assert r.issn == ["1234-5678 (Print)", "8765-4321 (Electronic)"]
+    assert r.mesh_terms == ["Humans"]
+    assert r.keywords == ["example keyword"]
+    assert (r.volume, r.issue, r.pages, r.language) == ("42", "3", "100-110", "eng")
+    assert r.publication_date == "2023 Mar 15"
+    assert r.source_type == "pubmed"
+
+
+def test_pubmed_duplicated_scalar_tag_takes_first(pubmed_rows):
+    r = pubmed_rows["11111111"]
+    assert r.title == "First title"  # D4: scalar column ← first element
+    assert r.abstract == "Second record abstract with a continuation line."
+
+
+@pytest.fixture(scope="module")
+def wos_rows(spark):
+    from scholarmind_spark.sources import scan_wos
+
+    df = scan_wos(spark, os.path.join(FIXTURES, "wos.txt"))
+    return {r.wos_id: r for r in df.collect()}
+
+
+def test_wos_header_ef_and_filter(wos_rows):
+    # header skipped, EF honored, no-abstract record filtered
+    assert set(wos_rows) == {"WOS:000123456700001"}
+
+
+def test_wos_fields(wos_rows):
+    r = wos_rows["WOS:000123456700001"]
+    assert r.title == "A study of example things"
+    assert r.authors == ["Smith, JA", "Doe, JB"]  # continuation = extra author
+    assert r.full_authors == ["Smith, John A.", "Doe, Jane B."]
+    assert r.abstract.endswith("a continuation line for testing.")
+    assert r.journal == "JOURNAL OF EXAMPLE RESEARCH"
+    assert r.doi == "10.1000/jer.2023.001"
+    assert r.publication_year == "2023"
+    assert r.keywords == ["machine learning", "information retrieval"]
+    assert r.keywords_plus == ["EXAMPLES", "RESEARCH"]
+    assert r.times_cited == "12"
+    assert r.issn == ["1234-5678"]
+    assert r.source_type == "wos"
+
+
+@pytest.fixture(scope="module")
+def sd_rows(spark):
+    from scholarmind_spark.sources import scan_sciencedirect
+
+    df = scan_sciencedirect(spark, os.path.join(FIXTURES, "sciencedirect.txt"))
+    return {r.title: r for r in df.collect()}
+
+
+def test_sd_entry_rejection(sd_rows):
+    # middle entry lacks Volume/Abstract/Keywords → rejected (P5)
+    assert set(sd_rows) == {"A study of example things,", "Article-id paged entry,"}
+
+
+def test_sd_full_entry(sd_rows):
+    r = sd_rows["A study of example things,"]
+    assert r.authors == ["Smith, J.", "Doe, J."]
+    assert r.journal == "Journal of Example Research"
+    assert (r.volume, r.issue) == ("42", "3")
+    assert r.publication_year == "2023"
+    assert r.pages == "100-110"
+    assert r.doi == "10.1000/jer.2023.001"
+    assert r.url == "https://www.sciencedirect.com/science/article/pii/S0000000023000011"
+    assert r.abstract == "Background: something. Methods: something else."
+    assert r.keywords == ["example", "keywords", "here"]
+    assert r.source_type == "sciencedirect"
+
+
+def test_sd_article_id_pages_and_bare_markers(sd_rows):
+    r = sd_rows["Article-id paged entry,"]
+    assert r.pages == "e25469"
+    assert r.volume == "7"
+    assert r.doi == "10.1000/jer.2024.777"
+    assert r.abstract == "Multi-line abstract first line. Second line of the abstract."
+    assert r.keywords == ["comma", "separated", "keywords"]
+
+
+def test_wos_csv(spark):
+    from scholarmind_spark.sources import scan_wos_csv
+
+    df = scan_wos_csv(spark, os.path.join(FIXTURES, "wos.csv"))
+    rows = {r.wos_id: r for r in df.collect()}
+    assert set(rows) == {"WOS:000111111100001", "WOS:000111111100002"}
+    r = rows["WOS:000111111100001"]
+    assert r.title == "CSV record one"
+    assert r.authors == ["Smith, JA", "Doe, JB"]
+    assert r.keywords == ["kw1", "kw2"]
+    assert r.times_cited == "5"
+    assert r.publication_year == "2021"
+    assert r.source_type == "wos"
