@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship literature pipeline at sf0.001.
+- ``queries()``      — every declared operator from SURVEY.md §2 plus the
+                       training-data-pipeline extensions.
+- ``oracle_sql()``   — DuckDB twins, same column names/types/rounding.
+
+Implementation lives in ``scholarmind_spark`` (see README.md); this module
+only adapts it to the driver's calling convention.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's end-to-end pipeline shape over the
+    sf0.001 corpus — synthesize literature-shaped records from documents,
+    priority-dedup by normalized DOI (A1), enrich via broadcast lookup
+    (J1), attach link columns (D6/D7/A2) and text-quality metrics, and
+    return per-source corpus statistics."""
+    from scholarmind_spark.operators.textstats import quality_score, token_count
+    from scholarmind_spark.queries import _lit_records, lit_enrich_join, lit_priority_dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    kept = lit_priority_dedup(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(
+        F.col("doc_id").alias("record_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality_score"),
+    )
+    enriched = lit_enrich_join(spark, sf_dir).select("record_id", "impact_factor")
+    out = (
+        kept.join(stats, "record_id")
+        .join(enriched, "record_id")
+        .groupBy("source_type")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(F.when(F.col("doi_norm") != "", 1).otherwise(0)).alias("n_with_doi"),
+        )
+        .orderBy("source_type")
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from scholarmind_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from scholarmind_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

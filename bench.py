@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed as Spark would in production — full plan to a
+count/collect action — and timed wall-clock.  A warmup pass on a trivial
+query absorbs one-time JVM/codegen costs so numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "top_customers_per_nation",
+    "rollup_order_stats",
+    "lit_priority_dedup",
+    "lit_enrich_join",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_stats",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "events_tumbling",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.queries import SPARK_QUERIES
+
+    spark = get_spark(app_name="scholarmind-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM, parquet footer reads, codegen
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall-clock total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

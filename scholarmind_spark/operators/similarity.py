@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (engine extension).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+set, compute dot/norms with built-in higher-order functions (JVM-side,
+no Python), rank with one window per query.  Cost is |queries| × N — at
+100 TB you bound |queries| per job and partition N; the scale path is the
+LSH-bucketed variant (random-hyperplane signs over the same portable
+md5-derived planes) which joins on bucket instead of cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns ``query_id, neighbor_id, cosine (rounded 6), rank``; excludes
+    self-matches when ids coincide.  Ties broken by neighbor id for
+    determinism."""
+    joined = df.crossJoin(F.broadcast(queries_df))
+    scored = joined.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        (
+            _dot(F.col(vec_col), F.col(query_vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+        ).alias("cos_raw"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def cosine_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+) -> str:
+    """DuckDB twin: same double-precision sequential dot/norm (explicit
+    list_sum over products rather than list_cosine_similarity, so both
+    engines accumulate in the same order and round identically)."""
+    ids = ", ".join(str(i) for i in (query_ids or []))
+    dot = (
+        f"list_sum(list_transform(list_zip(e.{vec_col}, q.{vec_col}),"
+        f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    norm_e = f"sqrt(list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    norm_q = f"sqrt(list_sum(list_transform(q.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col} FROM {table} WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, e.{id_col} AS neighbor_id,
+         {dot} / ({norm_e} * {norm_q}) AS cos_raw
+  FROM {table} e, q
+  WHERE e.{id_col} <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_bucket(vec_col, planes: int = 8, dim: int = 64):
+    """Random-hyperplane LSH bucket id from sign patterns.
+
+    Planes are pseudo-random ±1 vectors derived from md5 of (plane, dim
+    index) — fully deterministic and portable to the SQL oracle.  Bucketed
+    ANN joins on this id instead of cross-producting the corpus."""
+    import hashlib
+
+    def sign(p: int, i: int) -> int:
+        return 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else -1
+
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        coeffs = [sign(p, i) for i in range(dim)]
+        arr = F.array(*[F.lit(float(c)) for c in coeffs])
+        proj = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine rank within candidates.  Trades recall for a bucket-join
+    instead of a cross-product (the 100 TB path)."""
+    d = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes, dim))
+    q = queries_df.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), planes, dim))
+    joined = d.join(F.broadcast(q), on="__bucket")
+    scored = joined.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        (
+            _dot(F.col(vec_col), F.col(query_vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+        ).alias("cos_raw"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,182 @@
+"""Text-analysis operators for training-data pipelines (engine extension,
+BASELINE.json north star): language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything is built-in Column expressions (JVM, whole-stage codegen) — no
+Python in the hot path.  Each helper has a ``*_sql`` twin emitting the
+identical computation as DuckDB SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/symbol pre-tokenizer (public GPT-2 style, simplified)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^\w\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "和", "在"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break order
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish pre-tokenizer count (regexp, JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.round(
+        F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), F.lit(0)))
+        / F.greatest(F.length(col), F.lit(1)),
+        6,
+    )
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return F.round(stopword_count(col, lang) / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic doc-quality score in [0,1]: rewards reasonable length and
+    stopword presence, penalizes punctuation soup.  Deterministic, rounded."""
+    n_tok = token_count(col)
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(
+        stopword_count(col, "en") / F.greatest(n_tok, F.lit(1)) * F.lit(5.0),
+        F.lit(1.0),
+    )
+    punct_term = F.lit(1.0) - F.least(
+        F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), F.lit(0)))
+        / F.greatest(F.length(col), F.lit(1)) * F.lit(4.0),
+        F.lit(1.0),
+    )
+    return F.round((length_term + stop_term + punct_term) / F.lit(3.0), 6)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    out = {}
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-overlap language heuristic; first language (LANG_ORDER) with
+    the maximal score wins; all-zero scores → 'und'."""
+    scores = lang_scores(col)
+    mx = F.greatest(*scores.values())
+    expr: Column = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == mx, F.lit(lang)).otherwise(expr)
+    return F.when(mx == 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token multiset — catches shuffled near-identical docs cheaply."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_bpe_tokens": bpe_token_count(c),
+            "punct_ratio": punct_ratio(c),
+            "stopword_ratio": stopword_ratio(c),
+            "quality_score": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )
+
+
+# ---------------------------------------------------------------- SQL twins
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split_regex({expr}, '\\s+')"
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+def punct_ratio_sql(expr: str) -> str:
+    return (
+        f"round(len(regexp_extract_all({expr}, '[^\\w\\s]'))::DOUBLE"
+        f" / greatest(length({expr}), 1), 6)"
+    )
+
+
+def stopword_count_sql(expr: str, lang: str = "en") -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({tokens_sql(expr)},"
+        f" t -> list_contains([{words}], lower(t))))"
+    )
+
+
+def stopword_ratio_sql(expr: str, lang: str = "en") -> str:
+    return (
+        f"round({stopword_count_sql(expr, lang)}::DOUBLE"
+        f" / greatest({token_count_sql(expr)}, 1), 6)"
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n_tok = token_count_sql(expr)
+    punct = f"len(regexp_extract_all({expr}, '[^\\w\\s]'))"
+    return (
+        "round(("
+        f"least({n_tok} / 100.0, 1.0)"
+        f" + least({stopword_count_sql(expr)}::DOUBLE / greatest({n_tok}, 1) * 5.0, 1.0)"
+        f" + (1.0 - least({punct}::DOUBLE / greatest(length({expr}), 1) * 4.0, 1.0))"
+        ") / 3.0, 6)"
+    )
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    score = {}
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score[lang] = f"len(list_filter({toks}, t -> list_contains([{words}], lower(t))))"
+    mx = f"greatest({', '.join(score.values())})"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"CASE WHEN {mx} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(array_to_string(list_sort(list_distinct({tokens_sql(expr)})), ' '))"

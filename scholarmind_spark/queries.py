@@ -1,0 +1,743 @@
+"""Declared query battery: every operator from SURVEY.md §2 plus the
+training-data-pipeline extensions, each as a (Spark callable, DuckDB oracle
+SQL) pair over the driver's testdata tables.
+
+Cross-engine determinism rules used throughout:
+- money/value sums go through ``DECIMAL(18,2)`` so both engines sum exactly,
+  then cast to DOUBLE and round — no FP-accumulation-order drift;
+- ratios/averages are rounded (4-6 dp) far above the 1e-12 FP noise floor;
+- timestamps are returned as epoch seconds (BIGINT) or 'yyyy-MM-dd' strings;
+- every window/top-k has a total-order tiebreak;
+- aggregate/computed columns carry identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scholarmind_spark.functions.doi import doi_norm, doi_norm_sql
+from scholarmind_spark.functions.links import first_non_empty
+from scholarmind_spark.operators.dedup import dedup_exact, priority_dedup
+from scholarmind_spark.operators.enrich import enrich_with_metrics
+from scholarmind_spark.operators.neardup import (
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_sql,
+    simhash_pairs,
+    simhash_pairs_sql,
+)
+from scholarmind_spark.operators.similarity import cosine_topk, cosine_topk_sql
+from scholarmind_spark.operators.textstats import (
+    bpe_token_count,
+    bpe_token_count_sql,
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    lang_id_sql,
+    punct_ratio,
+    punct_ratio_sql,
+    quality_score,
+    quality_score_sql,
+    stopword_ratio,
+    stopword_ratio_sql,
+    token_count,
+    token_count_sql,
+)
+from scholarmind_spark.operators.union import union_sources
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with a real TimestampType ``ts``.
+
+    The driver writes ``ts`` as parquet TIMESTAMP(NANOS); Spark reads it as
+    LongType nanos under ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+    the session factory).  Convert with integer division — going through a
+    DOUBLE would lose precision at 2^63-scale nanos.
+    """
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def _dec(c):
+    return c.cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------- TPC-H-ish
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (SURVEY §2.4 —
+    grouped aggregations Spark provides natively)."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    # (1-d)*(1+t) collapsed to ONE decimal(18,4) factor: a decimal*decimal*
+    # decimal chain overflows 38 digits and the engines' precision-loss
+    # rules differ — this keeps both sides exact.
+    charge = _dec(F.col("l_extendedprice")) * (
+        (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))
+    ).cast("decimal(18,4)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1999-12-31")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 2) AS sum_disc_price,
+       round(sum(l_extendedprice::DECIMAL(18,2) * ((1 - l_discount) * (1 + l_tax))::DECIMAL(18,4))::DOUBLE, 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-01-01"))
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, fact shuffles once."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single agg (predicate pushdown showcase)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24
+"""
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (SURVEY §2.5 — Spark Window covers natively)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rank")
+    )
+
+
+Q_TOPCUST_SQL = """
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, rank::INT AS rank
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rank <= 3
+"""
+
+
+def q_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ------------------------------------------------- literature-semantics (§2)
+
+_LIT_BASE_SQL = (
+    "'10.' || ((doc_id % 50) + 1000)::VARCHAR || '/x' || (doc_id % 50)::VARCHAR"
+)
+
+_LIT_REC_SQL = f"""
+  SELECT doc_id AS record_id,
+         CASE doc_id % 4 WHEN 0 THEN 'wos' WHEN 1 THEN 'pubmed'
+              WHEN 2 THEN 'sciencedirect' ELSE 'other' END AS source_type,
+         CASE WHEN doc_id % 13 = 0 THEN ''
+              WHEN doc_id % 17 = 0 THEN NULL
+              WHEN doc_id % 5 = 1 THEN 'https://doi.org/' || upper({_LIT_BASE_SQL})
+              WHEN doc_id % 5 = 2 THEN 'doi:' || {_LIT_BASE_SQL} || ' '
+              WHEN doc_id % 5 = 3 THEN {_LIT_BASE_SQL} || ' [doi]'
+              WHEN doc_id % 5 = 4 THEN 'pii0, ' || {_LIT_BASE_SQL}
+              ELSE {_LIT_BASE_SQL} END AS doi
+  FROM documents
+"""
+
+
+def _lit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized literature-shaped records over the documents table:
+    deterministic DOI variants exercising every D1 branch, 4 source types,
+    null/empty DOIs — the reference's dedup input shape (FIXTURES.md §1)."""
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    base = F.concat(
+        F.lit("10."),
+        ((doc_id % 50) + 1000).cast("string"),
+        F.lit("/x"),
+        (doc_id % 50).cast("string"),
+    )
+    source_type = (
+        F.when(doc_id % 4 == 0, F.lit("wos"))
+        .when(doc_id % 4 == 1, F.lit("pubmed"))
+        .when(doc_id % 4 == 2, F.lit("sciencedirect"))
+        .otherwise(F.lit("other"))
+    )
+    doi = (
+        F.when(doc_id % 13 == 0, F.lit(""))
+        .when(doc_id % 17 == 0, F.lit(None).cast("string"))
+        .when(doc_id % 5 == 1, F.concat(F.lit("https://doi.org/"), F.upper(base)))
+        .when(doc_id % 5 == 2, F.concat(F.lit("doi:"), base, F.lit(" ")))
+        .when(doc_id % 5 == 3, F.concat(base, F.lit(" [doi]")))
+        .when(doc_id % 5 == 4, F.concat(F.lit("pii0, "), base))
+        .otherwise(base)
+    )
+    return d.select(
+        doc_id.alias("record_id"),
+        source_type.alias("source_type"),
+        doi.alias("doi"),
+    )
+
+
+def lit_doi_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 DOI normalization over every synthesized variant."""
+    return _lit_records(spark, sf_dir).select(
+        "record_id", doi_norm(F.col("doi")).alias("doi_norm")
+    )
+
+
+LIT_DOI_NORM_SQL = f"""
+WITH rec AS ({_LIT_REC_SQL})
+SELECT record_id, {doi_norm_sql('doi')} AS doi_norm FROM rec
+"""
+
+
+def lit_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 priority dedup: survivors by source priority with null/empty-DOI
+    exemption and record_id tiebreak."""
+    rec = _lit_records(spark, sf_dir)
+    return priority_dedup(rec, tiebreak="record_id", keep_key=True).select(
+        "record_id", "source_type", "doi_norm"
+    )
+
+
+LIT_DEDUP_SQL = f"""
+WITH rec AS ({_LIT_REC_SQL}),
+norm AS (
+  SELECT record_id, source_type, {doi_norm_sql('doi')} AS doi_norm,
+         CASE source_type WHEN 'wos' THEN 3 WHEN 'pubmed' THEN 2
+              WHEN 'sciencedirect' THEN 1 ELSE 0 END AS prio
+  FROM rec
+),
+ranked AS (
+  SELECT record_id, source_type, doi_norm,
+         CASE WHEN doi_norm IS NULL OR doi_norm = '' THEN 1
+              ELSE row_number() OVER (PARTITION BY doi_norm
+                                      ORDER BY prio DESC, record_id ASC)
+         END AS rn
+  FROM norm
+)
+SELECT record_id, source_type, coalesce(doi_norm, '') AS doi_norm
+FROM ranked WHERE rn = 1
+"""
+
+
+def lit_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/D7/A2: per-source link builders + first-non-empty title_link."""
+    rec = _lit_records(spark, sf_dir)
+    doc_id = F.col("record_id")
+    pmid = F.when(F.col("source_type") == "pubmed", doc_id.cast("string"))
+    wos_id = F.when(
+        F.col("source_type") == "wos", F.concat(F.lit("WOS:"), doc_id.cast("string"))
+    )
+    url = F.when(
+        F.col("source_type") == "sciencedirect",
+        F.concat(F.lit("https://www.sciencedirect.com/science/article/pii/S"), doc_id.cast("string")),
+    )
+    nrm = doi_norm(F.col("doi"))
+    doi_link_c = F.when(
+        nrm.isNotNull() & (nrm != ""), F.concat(F.lit("https://doi.org/"), nrm)
+    ).otherwise(F.lit(""))
+    pubmed_link = F.when(
+        pmid.isNotNull(), F.concat(F.lit("https://pubmed.ncbi.nlm.nih.gov/"), pmid, F.lit("/"))
+    ).otherwise(F.lit(""))
+    wos_link = F.when(
+        wos_id.isNotNull(),
+        F.concat(F.lit("https://www.webofscience.com/wos/woscc/full-record/"), wos_id),
+    ).otherwise(F.lit(""))
+    sd_link = F.coalesce(url, F.lit(""))
+    return rec.select(
+        "record_id",
+        pubmed_link.alias("pubmed_link"),
+        wos_link.alias("wos_link"),
+        sd_link.alias("sciencedirect_link"),
+        doi_link_c.alias("doi_link"),
+        first_non_empty(wos_link, pubmed_link, sd_link, doi_link_c).alias("title_link"),
+    )
+
+
+_LIT_LINKS_INNER = f"""
+  SELECT record_id,
+         CASE WHEN source_type = 'pubmed'
+              THEN 'https://pubmed.ncbi.nlm.nih.gov/' || record_id::VARCHAR || '/'
+              ELSE '' END AS pubmed_link,
+         CASE WHEN source_type = 'wos'
+              THEN 'https://www.webofscience.com/wos/woscc/full-record/WOS:' || record_id::VARCHAR
+              ELSE '' END AS wos_link,
+         CASE WHEN source_type = 'sciencedirect'
+              THEN 'https://www.sciencedirect.com/science/article/pii/S' || record_id::VARCHAR
+              ELSE '' END AS sciencedirect_link,
+         CASE WHEN {doi_norm_sql('doi')} IS NOT NULL AND {doi_norm_sql('doi')} <> ''
+              THEN 'https://doi.org/' || {doi_norm_sql('doi')}
+              ELSE '' END AS doi_link
+  FROM rec
+"""
+
+LIT_LINKS_SQL = f"""
+WITH rec AS ({_LIT_REC_SQL}),
+links AS ({_LIT_LINKS_INNER})
+SELECT record_id, pubmed_link, wos_link, sciencedirect_link, doi_link,
+       coalesce(nullif(wos_link, ''), nullif(pubmed_link, ''),
+                nullif(sciencedirect_link, ''), nullif(doi_link, ''), '') AS title_link
+FROM links
+"""
+
+
+def lit_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 publication-year extraction over mixed date formats."""
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    pub_date = (
+        F.when(doc_id % 3 == 0, F.lit("2023 Mar 15"))
+        .when(doc_id % 3 == 1, (F.lit(1990) + doc_id % 30).cast("string"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    year = F.nullif(
+        F.trim(F.regexp_extract(F.coalesce(pub_date, F.lit("")), r"(\d{4})", 1)), F.lit("")
+    )
+    return d.select(doc_id.alias("record_id"), year.alias("publication_year"))
+
+
+LIT_YEAR_SQL = r"""
+WITH rec AS (
+  SELECT doc_id AS record_id,
+         CASE WHEN doc_id % 3 = 0 THEN '2023 Mar 15'
+              WHEN doc_id % 3 = 1 THEN (1990 + doc_id % 30)::VARCHAR
+              ELSE NULL END AS pub_date
+  FROM documents
+)
+SELECT record_id,
+       nullif(trim(regexp_extract(coalesce(pub_date, ''), '(\d{4})', 1)), '') AS publication_year
+FROM rec
+"""
+
+
+def lit_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U0 ragged multi-source union (unionByName allowMissingColumns)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("record_id"),
+        F.col("text").alias("abstract"),
+        F.lit("pubmed").alias("source_type"),
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("record_id"),
+        F.col("lang").alias("language"),
+        F.lit("wos").alias("source_type"),
+    )
+    return union_sources([a, b]).select("record_id", "abstract", "language", "source_type")
+
+
+LIT_UNION_SQL = """
+SELECT doc_id AS record_id, text AS abstract, NULL AS language, 'pubmed' AS source_type
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id AS record_id, NULL AS abstract, lang AS language, 'wos' AS source_type
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def lit_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 broadcast enrichment join with ''-fill for unmatched keys."""
+    d = _t(spark, sf_dir, "documents")
+    rec = d.select(
+        F.col("doc_id").alias("record_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.upper(F.col("lang")))
+        .alias("journal"),
+    )
+    metrics = (
+        d.select(F.col("lang").alias("journal_norm"))
+        .filter(F.col("journal_norm") != "zh")
+        .distinct()
+        .select(
+            "journal_norm",
+            F.concat(F.lit("IF-"), F.col("journal_norm")).alias("impact_factor"),
+            F.concat(F.lit("Q-"), F.col("journal_norm")).alias("sci"),
+            F.concat(F.lit("Z-"), F.col("journal_norm")).alias("CAS_Zone"),
+        )
+    )
+    return enrich_with_metrics(rec, metrics).select(
+        "record_id", "journal", "impact_factor", "sci", "CAS_Zone"
+    )
+
+
+LIT_ENRICH_SQL = """
+WITH rec AS (
+  SELECT doc_id AS record_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE upper(lang) END AS journal
+  FROM documents
+),
+metrics AS (
+  SELECT DISTINCT lang AS journal_norm,
+         'IF-' || lang AS impact_factor,
+         'Q-' || lang AS sci,
+         'Z-' || lang AS "CAS_Zone"
+  FROM documents WHERE lang <> 'zh'
+)
+SELECT record_id, journal,
+       coalesce(impact_factor, '') AS impact_factor,
+       coalesce(sci, '') AS sci,
+       coalesce("CAS_Zone", '') AS "CAS_Zone"
+FROM rec LEFT JOIN metrics ON lower(trim(journal)) = journal_norm
+"""
+
+
+# ----------------------------------------------- training-data pipeline ops
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (hash-groupBy, min-id survivor)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def dedup_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=3)
+
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       {token_count_sql('text')}::INT AS n_tokens,
+       {bpe_token_count_sql('text')}::INT AS n_bpe_tokens,
+       {punct_ratio_sql('text')} AS punct_ratio,
+       {stopword_ratio_sql('text')} AS stopword_ratio,
+       {quality_score_sql('text')} AS quality_score
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang, {lang_id_sql('text')} AS lang_pred FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents
+"""
+
+
+def ann_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(e, q, k=10)
+
+
+ANN_SQL = cosine_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10)
+
+
+# ------------------------------------------------------------------- events
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window aggregation (batch analogue of the
+    Structured Streaming window pipeline in scholarmind_spark.streaming)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.window("ts", "5 minutes").start).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("total_value"),
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS total_value
+FROM events
+GROUP BY bucket_start, event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + running sum of gap breaks (30 min gap)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn("session_id", F.sum(is_new).over(w))
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+SPARK_QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_unshipped": q3_top_unshipped,
+    "q5_regional_revenue": q5_regional_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "rollup_order_stats": q_rollup_order_stats,
+    "lit_doi_norm": lit_doi_norm,
+    "lit_priority_dedup": lit_priority_dedup,
+    "lit_links": lit_links,
+    "lit_year_extract": lit_year_extract,
+    "lit_union_sources": lit_union_sources,
+    "lit_enrich_join": lit_enrich_join,
+    "dedup_exact": dedup_exact_docs,
+    "dedup_ngram_jaccard": dedup_ngram_docs,
+    "dedup_minhash_lsh": dedup_minhash_docs,
+    "dedup_simhash": dedup_simhash_docs,
+    "text_quality_stats": text_quality_stats,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprints,
+    "ann_cosine_topk": ann_cosine_docs,
+    "events_tumbling": events_tumbling,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_unshipped": Q3_SQL,
+    "q5_regional_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "top_customers_per_nation": Q_TOPCUST_SQL,
+    "rollup_order_stats": Q_ROLLUP_SQL,
+    "lit_doi_norm": LIT_DOI_NORM_SQL,
+    "lit_priority_dedup": LIT_DEDUP_SQL,
+    "lit_links": LIT_LINKS_SQL,
+    "lit_year_extract": LIT_YEAR_SQL,
+    "lit_union_sources": LIT_UNION_SQL,
+    "lit_enrich_join": LIT_ENRICH_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", threshold=0.6),
+    "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", threshold=0.6),
+    "dedup_simhash": simhash_pairs_sql("documents", max_distance=3),
+    "text_quality_stats": TEXT_QUALITY_SQL,
+    "text_lang_id": LANG_ID_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_sessionize": EVENTS_SESSION_SQL,
+}

@@ -58,6 +58,10 @@ def get_spark(
         # in the ASCII range the oracle compares.
         .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # The driver's events.parquet carries TIMESTAMP(NANOS) (pandas ns
+        # precision), which Spark's vectorized reader rejects outright.
+        # Read nanos as LongType and convert explicitly (see load_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
