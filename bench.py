@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "doc_fingerprint",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "media_byte_stats",
+    "media_features",
     "events_tumbling",
     "events_sessionize",
 ]

@@ -108,21 +108,30 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _plane_signs(planes: int, dim: int) -> list[list[float]]:
+    """±1 random-hyperplane coefficients, md5-derived — deterministic and
+    portable, so the DuckDB oracle uses the SAME constants (generated once
+    here, inlined as literals on both sides)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
 def lsh_bucket(vec_col, planes: int = 8, dim: int = 64):
     """Random-hyperplane LSH bucket id from sign patterns.
 
     Planes are pseudo-random ±1 vectors derived from md5 of (plane, dim
     index) — fully deterministic and portable to the SQL oracle.  Bucketed
     ANN joins on this id instead of cross-producting the corpus."""
-    import hashlib
-
-    def sign(p: int, i: int) -> int:
-        return 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else -1
-
     bucket = F.lit(0).cast("bigint")
-    for p in range(planes):
-        coeffs = [sign(p, i) for i in range(dim)]
-        arr = F.array(*[F.lit(float(c)) for c in coeffs])
+    for p, coeffs in enumerate(_plane_signs(planes, dim)):
+        arr = F.array(*[F.lit(c) for c in coeffs])
         proj = F.aggregate(
             F.zip_with(vec_col, arr, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
@@ -130,6 +139,18 @@ def lsh_bucket(vec_col, planes: int = 8, dim: int = 64):
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`lsh_bucket` — identical plane constants,
+    identical sign convention (strictly-positive projection sets the bit)."""
+    parts = []
+    for p, coeffs in enumerate(_plane_signs(planes, dim)):
+        terms = " + ".join(
+            f"{vec_expr}[{i + 1}]::DOUBLE * ({c:.1f})" for i, c in enumerate(coeffs)
+        )
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")::BIGINT"
 
 
 def ann_lsh_topk(
@@ -163,3 +184,111 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share an LSH
+    bucket (one shuffle on the bucket id — never an O(n²) cross-product),
+    then exact cosine ≥ threshold within the bucket.
+
+    At 100 TB the bucket join is the only viable shape: candidate volume
+    scales with Σ bucket_size², tunable via ``planes``.  Recall < 1 by
+    construction (a near-dup pair split across buckets is missed) — the
+    oracle mirrors the identical bucketing, so results stay exact.
+    Returns ``id_a, id_b, cosine`` (rounded 6)."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), on="bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                _dot(F.col("l.vec"), F.col("r.vec"))
+                / (_norm(F.col("l.vec")) * _norm(F.col("r.vec")))
+            ).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+    return pairs
+
+
+def embedding_neardup_pairs_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 8,
+    dim: int = 64,
+) -> str:
+    bucket = lsh_bucket_sql(vec_col, planes, dim)
+    dot = (
+        f"list_sum(list_transform(list_zip(l.{vec_col}, r.{vec_col}),"
+        f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    norm_l = f"sqrt(list_sum(list_transform(l.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    norm_r = f"sqrt(list_sum(list_transform(r.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+WITH b AS (
+  SELECT {id_col}, {vec_col}, {bucket} AS bucket FROM {table}
+)
+SELECT l.{id_col} AS id_a, r.{id_col} AS id_b,
+       round({dot} / ({norm_l} * {norm_r}), 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.{id_col} < r.{id_col}
+WHERE {dot} / ({norm_l} * {norm_r}) >= {threshold}
+"""
+
+
+def ann_lsh_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    planes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ann_lsh_topk` (same buckets, same ranking)."""
+    ids = ", ".join(str(i) for i in (query_ids or []))
+    bucket = lsh_bucket_sql(vec_col, planes, dim)
+    dot = (
+        f"list_sum(list_transform(list_zip(e.{vec_col}, q.{vec_col}),"
+        f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    norm_e = f"sqrt(list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    norm_q = f"sqrt(list_sum(list_transform(q.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+WITH b AS (
+  SELECT {id_col}, {vec_col}, {bucket} AS bucket FROM {table}
+),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col}, bucket FROM b WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, e.{id_col} AS neighbor_id,
+         {dot} / ({norm_e} * {norm_q}) AS cos_raw
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.{id_col} <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -30,7 +30,12 @@ from scholarmind_spark.operators.neardup import (
     simhash_pairs,
     simhash_pairs_sql,
 )
-from scholarmind_spark.operators.similarity import cosine_topk, cosine_topk_sql
+from scholarmind_spark.operators.similarity import (
+    ann_lsh_topk_sql,
+    cosine_topk,
+    cosine_topk_sql,
+    embedding_neardup_pairs_sql,
+)
 from scholarmind_spark.operators.textstats import (
     bpe_token_count,
     bpe_token_count_sql,
@@ -629,6 +634,98 @@ def ann_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_SQL = cosine_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10)
 
 
+def ann_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB ANN path)."""
+    from scholarmind_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_lsh_topk(e, q, k=10)
+
+
+def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket join + exact verify."""
+    from scholarmind_spark.operators.similarity import embedding_neardup_pairs
+
+    # threshold 0.25: the synthetic embeddings are near-orthogonal (max
+    # pairwise cosine ~0.49), so a production-style 0.9 returns nothing —
+    # 0.25 exercises bucket-join + verify with a non-trivial result set
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
+
+
+# --------------------------------------------------------------- multimodal
+
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal byte-stats: binary payload + typed metadata, built-in
+    expressions only (no Python touches the blob)."""
+    from scholarmind_spark.multimodal import media_byte_stats, synth_media
+
+    return media_byte_stats(synth_media(spark, sf_dir))
+
+
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode stage (mapInPandas; deterministic stub decoder in this
+    container — see multimodal.media.decode_images)."""
+    from scholarmind_spark.multimodal import decode_images, synth_media
+
+    return decode_images(synth_media(spark, sf_dir))
+
+
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling (1→N mapInPandas): frame index, even-spaced
+    timestamp, and sliced-payload size per frame."""
+    from scholarmind_spark.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(spark, sf_dir), n_frames=4).select(
+        "media_id", "frame_no", "frame_ts_ms", F.length("frame").alias("n_frame_bytes")
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction (Arrow-batched mapInPandas) —
+    rows-only check (histogram not practically SQL-expressible)."""
+    from scholarmind_spark.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("l1"),
+        F.size("feature").alias("dim"),
+    )
+
+
+from scholarmind_spark.multimodal.media import MEDIA_BYTE_STATS_SQL  # noqa: E402
+
+MEDIA_DECODE_SQL = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       ((doc_id % 16 + 1) * 64)::INT AS width,
+       ((doc_id % 9 + 1) * 64)::INT AS height,
+       3 AS n_channels, TRUE AS decode_ok, 'stub' AS decoder
+FROM documents
+WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+"""
+
+MEDIA_FRAMES_SQL = """
+WITH vid AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         (doc_id % 100 + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT media_id, unnest([0, 1, 2, 3]) AS frame_no, n_bytes, duration_ms
+  FROM vid
+)
+SELECT media_id, frame_no::INT AS frame_no,
+       (duration_ms * frame_no // 4)::BIGINT AS frame_ts_ms,
+       greatest(0, least(greatest(1, n_bytes // 4),
+                         n_bytes - frame_no * greatest(1, n_bytes // 4)))::INT AS n_frame_bytes
+FROM frames
+"""
+
+
 # ------------------------------------------------------------------- events
 
 def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,6 +810,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprints,
     "ann_cosine_topk": ann_cosine_docs,
+    "ann_lsh_topk": ann_lsh_docs,
+    "dedup_embedding_cosine": dedup_embedding_docs,
+    "media_byte_stats": media_stats,
+    "media_decode": media_decode,
+    "media_frame_sample": media_frames,
+    "media_features": media_features,
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
 }
@@ -738,6 +841,12 @@ ORACLE_SQL: dict[str, str] = {
     "text_lang_id": LANG_ID_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "ann_lsh_topk": ann_lsh_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
+    "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
+    "media_byte_stats": MEDIA_BYTE_STATS_SQL,
+    "media_decode": MEDIA_DECODE_SQL,
+    "media_frame_sample": MEDIA_FRAMES_SQL,
+    # media_features: rows-only (byte histogram not SQL-expressible)
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
 }

@@ -1,0 +1,17 @@
+from scholarmind_spark.streaming.pipeline import (
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "session_agg",
+    "sliding_agg",
+    "stream_dedup",
+    "tumbling_agg",
+]

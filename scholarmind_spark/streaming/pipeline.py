@@ -1,0 +1,156 @@
+"""Structured Streaming over the events stream (engine extension).
+
+The reference is strictly batch (SURVEY §2.9) — these operators are the
+Spark-native streaming surface a production deployment of the same pipeline
+needs: windowed aggregation with watermarked late-data handling,
+sessionization, and the streaming analogue of the A1 dedup
+(``dropDuplicatesWithinWatermark``).
+
+Scale posture:
+- File source with ``maxFilesPerTrigger`` caps per-microbatch work; on a
+  real deployment the source is Kafka with the same downstream plan.
+- Watermarks bound state: tumbling/sliding windows evict closed windows,
+  session state evicts after gap+watermark, dedup state evicts keys older
+  than the watermark.  Without them, 100 TB/day of events grows state
+  unboundedly.
+- All aggregations are built-in (JVM, partial-agg before shuffle); keys are
+  (window, event_type) or (user_id) — skew on hot users is handled by AQE
+  in batch backfills and by state-store partitioning (``shuffle.partitions``)
+  in streaming.
+
+Every transformation here takes/returns DataFrames and works identically on
+a batch frame (Spark's unified semantics), which is how the tests prove the
+streaming results equal the batch oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Events arrive with ns-precision epoch ts (see queries._events); streaming
+# reads the same parquet with an explicit schema (required for streams).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos under nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream over events parquet; ``ts`` normalized to a real
+    timestamp. Swap for Kafka in production — downstream plans unchanged."""
+    import os
+
+    # FileStreamSource requires a directory; wrap a lone file in a temp dir
+    # of symlinks (testdata is read-only, so no copy).
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="evstream_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (streaming analogue of the lag+running-sum batch
+    sessionization in queries.events_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming A1 analogue: first-seen-wins per key within the watermark
+    horizon (``dropDuplicatesWithinWatermark`` — state evicts keys older
+    than the watermark, so memory is bounded no matter the stream size)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drain a stream with availableNow into an in-memory table and return
+    it as a batch DataFrame (test/verification harness)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="smck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,65 @@
+"""Streaming pipeline: availableNow drain equals the batch computation
+(Spark's unified batch/stream semantics make the batch frame the oracle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scholarmind_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    from scholarmind_spark.queries import _events
+
+    df = _events(spark, SF_DIR)
+    df.cache().count()
+    return df
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events):
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(tumbling_agg(stream), mode="complete")
+    want = tumbling_agg(batch_events)  # same fn on a batch frame
+    cols = ["bucket_start", "event_type", "n_events", "total_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_session_stream_runs(spark, batch_events):
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(session_agg(stream, gap="30 minutes"), mode="complete")
+    assert got.count() > 0
+    # every (user, session) has >= 1 event and start <= end
+    bad = got.filter(
+        (F.col("n_events") < 1) | (F.col("session_start") > F.col("session_end"))
+    ).count()
+    assert bad == 0
+    # session count per user matches the batch lag+running-sum sessionizer
+    from scholarmind_spark.queries import events_sessionize
+
+    want = {r["user_id"]: r["n_sessions"] for r in events_sessionize(spark, SF_DIR).collect()}
+    have = {
+        r["user_id"]: r["cnt"]
+        for r in got.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert have == want
+
+
+def test_stream_dedup_bounds_state(spark, batch_events):
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(stream_dedup(stream, keys=["user_id", "event_type"]), mode="append")
+    # at most one surviving row per (user_id, event_type) within watermark;
+    # with a single file the whole input is one microbatch, so exactly one
+    n_pairs = batch_events.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_pairs
