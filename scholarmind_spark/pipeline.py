@@ -1,0 +1,93 @@
+"""End-to-end literature pipeline — the engine equivalent of the reference's
+CLI lifecycle (``main.py:439-597``, SURVEY §3.1):
+
+    parse+normalize+union → priority dedup (A1) → metrics join (J1)
+    → link columns (D6/D7/A2) → publication-year (D2) → LLM map (U1) → sink
+
+Everything up to the sink is ONE lazy logical plan; Catalyst sees the whole
+pipeline and pushes filters/prunes columns into the scans.  Actions happen
+only at the sink plus the two driver-side materializations the reference
+also has (distinct-journal collect for the metrics fetch; SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scholarmind_spark.functions.links import with_link_columns
+from scholarmind_spark.functions.text import with_publication_year
+from scholarmind_spark.llm.extract import llm_extract
+from scholarmind_spark.llm.templates import PromptTemplate
+from scholarmind_spark.operators.dedup import priority_dedup
+from scholarmind_spark.operators.enrich import enrich_with_metrics
+from scholarmind_spark.operators.union import union_sources
+from scholarmind_spark.sources import read_source
+
+
+@dataclass
+class PipelineConfig:
+    """Driver-side configuration (the engine analogue of the reference's
+    YAML config, ``src/config/config_manager.py``)."""
+
+    sources: dict[str, str] = field(default_factory=dict)  # source_type → path
+    metrics_df: DataFrame | None = None  # offline journal-metrics lookup
+    llm_template: PromptTemplate | None = None
+    llm_client: object | None = None  # ChatClient; None disables U1
+    llm_max_workers: int = 4  # reference config.yaml:78
+
+
+def build_corpus(spark: SparkSession, sources: dict[str, str]) -> DataFrame:
+    """Parse + normalize each enabled source, union by name (U0).
+
+    Mirrors ``ParsersManager.parse_all_sources`` (parsers_manager.py:25-72)
+    as a single lazy plan.
+
+    ``record_id`` is unique only WITHIN a source scan; the corpus re-keys
+    it to ``(source_index << 40) | local_id`` so it is globally unique and
+    deterministic — every downstream keyed join (the LLM map's key-attach,
+    the dedup tiebreak) depends on this.  Positional alignment (reference
+    J2, main.py:331-335) is never used."""
+    if not sources:
+        raise ValueError("no sources configured")
+    dfs = []
+    for idx, (stype, path) in enumerate(sorted(sources.items())):
+        df = read_source(spark, stype, path)
+        dfs.append(
+            df.withColumn(
+                "record_id",
+                F.lit(idx + 1).cast("long") * F.lit(1 << 40).cast("long")
+                + F.col("record_id"),
+            )
+        )
+    return union_sources(dfs)
+
+
+def process(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The combined-processing stage (reference ``CombinedProcessor
+    .process_data``, main.py:52-352): dedup → enrich → links → year → LLM.
+
+    Dedup runs FIRST so the expensive enrichment/LLM stages see the shrunk
+    row set (the reference's one deliberate physical tactic, SURVEY §4 —
+    preserved here by authoring order; Catalyst cannot reorder through the
+    non-deterministic LLM stage anyway)."""
+    out = priority_dedup(df)
+    if cfg.metrics_df is not None:
+        out = enrich_with_metrics(out, cfg.metrics_df)
+    out = with_link_columns(out)
+    out = with_publication_year(out)
+    if cfg.llm_template is not None and cfg.llm_client is not None:
+        out = llm_extract(
+            out,
+            cfg.llm_template,
+            cfg.llm_client,
+            max_workers=cfg.llm_max_workers,
+        )
+    return out
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Full lifecycle; returns the final DataFrame (call a sink on it)."""
+    return process(build_corpus(spark, cfg.sources), cfg)

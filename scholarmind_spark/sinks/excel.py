@@ -1,0 +1,90 @@
+"""Excel presentation sink (reference K1/K2, ``src/utils/excel_formatter.py``).
+
+The workbook layout mirrors the reference: a ``Results`` sheet with the
+common+metric+AI columns over ALL rows, then one sheet per source filtered
+by ``source_type`` with per-source column subsets
+(``excel_formatter.py:83-154``).  ``title_link`` is computed ONCE upstream
+with the main.py:280-306 priority (wos > pubmed > sciencedirect > doi) and
+the sink only renders it — resolving the reference's internal inconsistency
+with ``excel_formatter.py:326-338`` (SURVEY §2.1 K2 note).
+
+This is presentation, not data plane: rows are collected to the driver, so
+it is for human-sized outputs (the reference caps uploads at 16 MB).  The
+engine-native sink for pipeline output is ``sinks.parquet``.  openpyxl is
+not in this container — ``write_excel`` raises ImportError cleanly and
+``write_sheets_csv`` provides the same sheet layout as CSV files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scholarmind_spark.sinks.parquet import flatten_for_presentation
+
+# Per-sheet column subsets (excel_formatter.py:49-99,109-117,127-135,145-153);
+# intersected with existing columns at write time (reference P7).
+COMMON_COLUMNS = [
+    "title", "authors", "journal", "publication_year", "doi", "doi_link",
+    "title_link", "source_type", "abstract", "keywords",
+]
+SHEET_SPECS: dict[str, tuple[str | None, list[str]]] = {
+    "Results": (None, COMMON_COLUMNS),
+    "WOS": ("wos", COMMON_COLUMNS + ["wos_id", "times_cited", "keywords_plus"]),
+    "PubMed": ("pubmed", COMMON_COLUMNS + ["pmid", "mesh_terms", "journal_full"]),
+    "ScienceDirect": ("sciencedirect", COMMON_COLUMNS + ["url", "volume", "pages"]),
+}
+
+
+def _sheet_frames(df: DataFrame) -> dict[str, DataFrame]:
+    flat = flatten_for_presentation(df)
+    out = {}
+    for sheet, (stype, wanted) in SHEET_SPECS.items():
+        d = flat if stype is None else flat.filter(F.col("source_type") == stype)
+        cols = [c for c in wanted if c in flat.columns]  # P7 intersect
+        out[sheet] = d.select(cols)
+    return out
+
+
+def write_excel(df: DataFrame, path: str) -> None:
+    """Styled multi-sheet workbook via openpyxl (driver-side)."""
+    try:
+        from openpyxl import Workbook
+        from openpyxl.styles import Font, PatternFill
+        from openpyxl.utils import get_column_letter
+    except ImportError as e:  # container has no openpyxl
+        raise ImportError(
+            "openpyxl not available — use write_sheets_csv for the same "
+            "sheet layout, or install openpyxl for styled workbooks"
+        ) from e
+
+    wb = Workbook()
+    wb.remove(wb.active)
+    for sheet, frame in _sheet_frames(df).items():
+        ws = wb.create_sheet(sheet)
+        cols = frame.columns
+        ws.append(cols)
+        header_fill = PatternFill("solid", fgColor="4472C4")
+        for i, _ in enumerate(cols, 1):
+            c = ws.cell(row=1, column=i)
+            c.font = Font(bold=True, color="FFFFFF")
+            c.fill = header_fill
+            ws.column_dimensions[get_column_letter(i)].width = 24
+        for row in frame.toLocalIterator():
+            ws.append([row[c] for c in cols])
+        ws.freeze_panes = "A2"  # frozen header row (excel_formatter.py)
+    wb.save(path)
+
+
+def write_sheets_csv(df: DataFrame, out_dir: str) -> dict[str, str]:
+    """Same sheet layout as one CSV per sheet (openpyxl-free fallback).
+    Returns sheet → file path."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for sheet, frame in _sheet_frames(df).items():
+        p = os.path.join(out_dir, f"{sheet}.csv")
+        frame.toPandas().to_csv(p, index=False)
+        paths[sheet] = p
+    return paths
