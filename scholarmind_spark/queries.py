@@ -547,6 +547,169 @@ FROM rec LEFT JOIN metrics ON lower(trim(journal)) = journal_norm
 """
 
 
+# ------------------------------------------- parser round-trips (S1/S2/S5)
+# Synthesize tagged-text records from `documents` INSIDE Spark, run the real
+# record parsers (mapInPandas), and have DuckDB recompute the expected
+# fields directly — proving tag routing, multi-value accumulation,
+# continuation folding, and marker stripping against an oracle.
+
+def _s(c) -> object:
+    return c.cast("string")
+
+
+def lit_parse_pubmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 round-trip: PMID/TI/AB(+continuation)/DP/AU×2/TA/AID[doi]."""
+    from scholarmind_spark.sources.base import parse_records_df
+    from scholarmind_spark.sources.pubmed import parse_pubmed_file
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    rec_text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("PMID- "), _s(doc_id)),
+        F.concat(F.lit("TI  - Title "), _s(doc_id)),
+        F.concat(F.lit("AB  - "), F.col("text")),
+        F.lit("      (cont)"),
+        F.concat(F.lit("DP  - "), _s(F.lit(1990) + doc_id % 30), F.lit(" Mar 15")),
+        F.concat(F.lit("AU  - Smith "), _s(doc_id % 5)),
+        F.concat(F.lit("AU  - Doe "), _s(doc_id % 7)),
+        F.concat(F.lit("TA  - J"), _s(doc_id % 7)),
+        F.concat(
+            F.lit("AID - 10."), _s(F.lit(1000) + doc_id % 50),
+            F.lit("/x"), _s(doc_id % 50), F.lit(" [doi]"),
+        ),
+    )
+    parsed = parse_records_df(d.select(rec_text.alias("record_text")), parse_pubmed_file)
+    return parsed.select(
+        F.col("pmid").cast("bigint").alias("pmid"),
+        "title",
+        "abstract",
+        F.array_join("authors", ", ").alias("authors"),
+        "journal",
+        "doi",
+        "publication_date",
+    )
+
+
+LIT_PARSE_PUBMED_SQL = """
+SELECT doc_id AS pmid,
+       'Title ' || doc_id::VARCHAR AS title,
+       text || ' (cont)' AS abstract,
+       'Smith ' || (doc_id % 5)::VARCHAR || ', Doe ' || (doc_id % 7)::VARCHAR AS authors,
+       'J' || (doc_id % 7)::VARCHAR AS journal,
+       '10.' || (1000 + doc_id % 50)::VARCHAR || '/x' || (doc_id % 50)::VARCHAR AS doi,
+       (1990 + doc_id % 30)::VARCHAR || ' Mar 15' AS publication_date
+FROM documents
+"""
+
+
+def lit_parse_wos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 round-trip: PT record start, UT/TI(+3-space continuation)/AB/SO/
+    DI/PY, AU multi-tag, DE '; '-split, ER record end."""
+    from scholarmind_spark.sources.base import parse_records_df
+    from scholarmind_spark.sources.wos import parse_wos_file
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    rec_text = F.concat_ws(
+        "\n",
+        F.lit("PT J"),
+        F.concat(F.lit("UT WOS:"), _s(doc_id)),
+        F.concat(F.lit("TI Title "), _s(doc_id)),
+        F.lit("   part two"),
+        F.concat(F.lit("AB "), F.col("text")),
+        F.concat(F.lit("SO JOURNAL "), _s(doc_id % 7)),
+        F.concat(F.lit("DI 10."), _s(F.lit(1000) + doc_id % 50), F.lit("/x"), _s(doc_id % 50)),
+        F.concat(F.lit("PY "), _s(F.lit(1990) + doc_id % 30)),
+        F.concat(F.lit("AU Smith "), _s(doc_id % 5)),
+        F.concat(F.lit("AU Doe "), _s(doc_id % 7)),
+        F.concat(F.lit("DE kw"), _s(doc_id % 3), F.lit("; kw"), _s(doc_id % 5)),
+        F.lit("ER"),
+    )
+    parsed = parse_records_df(d.select(rec_text.alias("record_text")), parse_wos_file)
+    return parsed.select(
+        F.regexp_replace("wos_id", "^WOS:", "").cast("bigint").alias("wid"),
+        "title",
+        "abstract",
+        F.array_join("authors", ", ").alias("authors"),
+        "journal",
+        "doi",
+        "publication_year",
+        F.array_join("keywords", ", ").alias("keywords"),
+    )
+
+
+LIT_PARSE_WOS_SQL = """
+SELECT doc_id AS wid,
+       'Title ' || doc_id::VARCHAR || ' part two' AS title,
+       text AS abstract,
+       'Smith ' || (doc_id % 5)::VARCHAR || ', Doe ' || (doc_id % 7)::VARCHAR AS authors,
+       'JOURNAL ' || (doc_id % 7)::VARCHAR AS journal,
+       '10.' || (1000 + doc_id % 50)::VARCHAR || '/x' || (doc_id % 50)::VARCHAR AS doi,
+       (1990 + doc_id % 30)::VARCHAR AS publication_year,
+       'kw' || (doc_id % 3)::VARCHAR || ', kw' || (doc_id % 5)::VARCHAR AS keywords
+FROM documents
+"""
+
+
+def lit_parse_sciencedirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 round-trip: positional authors/title/journal, Volume/Issue/year/
+    Pages line, DOI+URL extraction, Abstract..Keywords window, ';' split."""
+    from scholarmind_spark.sources.base import parse_records_df
+    from scholarmind_spark.sources.sciencedirect import parse_sd_file
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    rec_text = F.concat_ws(
+        "\n",
+        F.lit("Smith, A., Doe, B."),
+        F.concat(F.lit("Study "), _s(doc_id % 7)),
+        F.concat(F.lit("Journal "), _s(doc_id % 7)),
+        F.concat(
+            F.lit("Volume "), _s(doc_id % 9 + 1),
+            F.lit(", Issue "), _s(doc_id % 4 + 1),
+            F.lit(", "), _s(F.lit(1990) + doc_id % 30),
+            F.lit(", Pages 10-20"),
+        ),
+        F.concat(F.lit("https://doi.org/10."), _s(F.lit(1000) + doc_id % 50), F.lit("/x"), _s(doc_id % 50)),
+        F.concat(F.lit("https://www.sciencedirect.com/science/article/pii/S"), _s(doc_id)),
+        F.lit("Abstract"),
+        F.col("text"),
+        F.lit("Keywords"),
+        F.concat(F.lit("kw"), _s(doc_id % 3), F.lit("; kw"), _s(doc_id % 5)),
+    )
+    parsed = parse_records_df(d.select(rec_text.alias("record_text")), parse_sd_file)
+    return parsed.select(
+        F.regexp_extract("url", r"S(\d+)$", 1).cast("bigint").alias("sid"),
+        "title",
+        "abstract",
+        F.array_join("authors", " | ").alias("authors"),
+        "journal",
+        "doi",
+        "publication_year",
+        "volume",
+        "issue",
+        "pages",
+        F.array_join("keywords", ", ").alias("keywords"),
+    )
+
+
+LIT_PARSE_SD_SQL = """
+SELECT doc_id AS sid,
+       'Study ' || (doc_id % 7)::VARCHAR AS title,
+       text AS abstract,
+       'Smith, A. | Doe, B.' AS authors,
+       'Journal ' || (doc_id % 7)::VARCHAR AS journal,
+       '10.' || (1000 + doc_id % 50)::VARCHAR || '/x' || (doc_id % 50)::VARCHAR AS doi,
+       (1990 + doc_id % 30)::VARCHAR AS publication_year,
+       (doc_id % 9 + 1)::VARCHAR AS volume,
+       (doc_id % 4 + 1)::VARCHAR AS issue,
+       '10-20' AS pages,
+       'kw' || (doc_id % 3)::VARCHAR || ', kw' || (doc_id % 5)::VARCHAR AS keywords
+FROM documents
+"""
+
+
 # ----------------------------------------------- training-data pipeline ops
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,6 +965,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "lit_year_extract": lit_year_extract,
     "lit_union_sources": lit_union_sources,
     "lit_enrich_join": lit_enrich_join,
+    "lit_parse_pubmed": lit_parse_pubmed,
+    "lit_parse_wos": lit_parse_wos,
+    "lit_parse_sciencedirect": lit_parse_sciencedirect,
     "dedup_exact": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_docs,
     "dedup_minhash_lsh": dedup_minhash_docs,
@@ -833,6 +999,9 @@ ORACLE_SQL: dict[str, str] = {
     "lit_year_extract": LIT_YEAR_SQL,
     "lit_union_sources": LIT_UNION_SQL,
     "lit_enrich_join": LIT_ENRICH_SQL,
+    "lit_parse_pubmed": LIT_PARSE_PUBMED_SQL,
+    "lit_parse_wos": LIT_PARSE_WOS_SQL,
+    "lit_parse_sciencedirect": LIT_PARSE_SD_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", threshold=0.6),
     "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", threshold=0.6),

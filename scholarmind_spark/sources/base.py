@@ -80,3 +80,23 @@ def scan_files(
     parsed = parsed.filter(F.col("abstract").isNotNull())
     parsed = parsed.withColumn("record_id", F.monotonically_increasing_id())
     return parsed.select(*RECORD_COLUMNS)
+
+
+def parse_records_df(
+    df: DataFrame,
+    parse_file: Callable[[str], list[dict[str, Any]]],
+    text_col: str = "record_text",
+) -> DataFrame:
+    """Parse a DataFrame of record strings (one record per row) with the
+    given per-file parser — the scan machinery minus the file read, used by
+    the correctness gate to prove parser parity against a SQL oracle on
+    synthesized records."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records: list[dict[str, Any]] = []
+            for content in pdf[text_col]:
+                records.extend(parse_file(content))
+            yield records_to_pdf(records)
+
+    return df.select(text_col).mapInPandas(run, schema=_PARSE_SCHEMA)

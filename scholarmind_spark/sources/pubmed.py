@@ -86,6 +86,10 @@ def parse_pubmed_tags(text: str) -> list[dict[str, list[str]]]:
 
 def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
     rec = empty_record()
+    # DOI precedence: LID (the reference's rename-map source of the ``doi``
+    # column, pubmed_parser.py:131) wins over AID-routed ``[doi]`` values
+    # (``:56-64`` routes those to a side field); AID fills in when no LID.
+    aid_doi = tags.get("DOI")
     for tag, values in tags.items():
         col = TAG_MAP.get(tag)
         if col is None:
@@ -102,6 +106,8 @@ def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
             rec[col] = re.sub(r"\s*\[(doi|pii)\]$", "", values[0])
         else:
             rec[col] = values  # scalar columns flatten to first in records_to_pdf
+    if rec.get("doi") is None and aid_doi:
+        rec["doi"] = aid_doi[0]  # already marker-stripped by AID_RE
     # journal = TA coalesced with JT (D8, pubmed_parser.py:147-151)
     if rec.get("journal") is None and rec.get("journal_full") is not None:
         rec["journal"] = rec["journal_full"]

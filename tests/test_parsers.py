@@ -124,3 +124,17 @@ def test_wos_csv(spark):
     assert r.times_cited == "5"
     assert r.publication_year == "2021"
     assert r.source_type == "wos"
+
+
+def test_pubmed_aid_only_doi():
+    """AID '... [doi]' must populate doi when no LID tag exists; LID wins
+    when both are present (reference pubmed_parser.py:56-64,131)."""
+    from scholarmind_spark.sources.pubmed import parse_pubmed_file
+
+    aid_only = "PMID- 1\nTI  - T\nAB  - A\nAID - 10.1/abc [doi]"
+    rec = parse_pubmed_file(aid_only)[0]
+    assert rec["doi"] == "10.1/abc"
+
+    both = "PMID- 2\nTI  - T\nAB  - A\nLID - 10.2/lid [doi]\nAID - 10.1/abc [doi]"
+    rec = parse_pubmed_file(both)[0]
+    assert rec["doi"] == "10.2/lid"
