@@ -24,6 +24,10 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "top_customers_per_nation",
     "rollup_order_stats",
+    "q4_returned_orders",
+    "q14_promo_revenue",
+    "distinct_users_per_type",
+    "lit_parse_pubmed",
     "lit_priority_dedup",
     "lit_enrich_join",
     "dedup_exact",
@@ -61,6 +65,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # Steady-state isolation: drop cached relations and nudge the JVM
+        # to release accumulated broadcast/shuffle state.  Without this,
+        # heap pressure from ~20 prior queries throttles the tail of the
+        # run ~10x (observed: 282s -> 73s total at sf0.1).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -547,6 +547,112 @@ FROM rec LEFT JOIN metrics ON lower(trim(journal)) = journal_norm
 """
 
 
+def q4_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery → LEFT SEMI join (no row
+    multiplication, the probe side short-circuits per key)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → LEFT ANTI join, counted per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+Q_ANTI_SQL = """
+SELECT n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim broadcast join + conditional aggregation."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.round(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
+                * 100
+                / F.sum(rev)
+            ).cast("double"),
+            4,
+        ).alias("promo_pct"),
+        F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT round((sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)
+                       ELSE 0::DECIMAL(18,2) END) * 100
+              / sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)))::DOUBLE, 4) AS promo_pct,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (exact — the oracle-comparable form; the
+    100 TB variant swaps in approx_count_distinct, same plan shape with a
+    sketch instead of a distinct shuffle)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ------------------------------------------- parser round-trips (S1/S2/S5)
 # Synthesize tagged-text records from `documents` INSIDE Spark, run the real
 # record parsers (mapInPandas), and have DuckDB recompute the expected
@@ -959,6 +1065,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "top_customers_per_nation": q_top_customers_per_nation,
     "rollup_order_stats": q_rollup_order_stats,
+    "q4_returned_orders": q4_returned_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "q14_promo_revenue": q14_promo_revenue,
+    "distinct_users_per_type": q_distinct_users,
     "lit_doi_norm": lit_doi_norm,
     "lit_priority_dedup": lit_priority_dedup,
     "lit_links": lit_links,
@@ -993,6 +1103,10 @@ ORACLE_SQL: dict[str, str] = {
     "q6_forecast_revenue": Q6_SQL,
     "top_customers_per_nation": Q_TOPCUST_SQL,
     "rollup_order_stats": Q_ROLLUP_SQL,
+    "q4_returned_orders": Q4_SQL,
+    "customers_without_orders": Q_ANTI_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "distinct_users_per_type": Q_DISTINCT_SQL,
     "lit_doi_norm": LIT_DOI_NORM_SQL,
     "lit_priority_dedup": LIT_DEDUP_SQL,
     "lit_links": LIT_LINKS_SQL,
