@@ -1,0 +1,101 @@
+"""CLI entry mirroring the reference's ``python main.py --config X``
+lifecycle (SURVEY §3.1) on the Spark engine.
+
+Usage:
+    python -m scholarmind_spark.cli \
+        --pubmed data/pubmed.txt --wos data/wos.txt --sciencedirect data/sd.txt \
+        --metrics-parquet metrics.parquet \
+        --template prompts/medical.yaml --llm-endpoint http://host/v1 \
+        --output out/corpus --sheets out/sheets
+
+Stages (each optional except sources): parse+union → dedup → metrics join
+→ links/year → LLM map → parquet sink (+ CSV sheet sink).  With no LLM
+endpoint the LLM stage is skipped (reference: llm disabled in config);
+``--mock-llm`` uses the deterministic mock for dry runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ScholarMind-Spark literature pipeline")
+    p.add_argument("--pubmed", help="PubMed tagged-text export path")
+    p.add_argument("--wos", help="WOS tagged-text export path")
+    p.add_argument("--wos-csv", help="WOS CSV export path")
+    p.add_argument("--sciencedirect", help="ScienceDirect citation export path")
+    p.add_argument("--metrics-parquet", help="offline journal-metrics lookup (parquet)")
+    p.add_argument("--template", help="prompt template YAML path")
+    p.add_argument("--llm-endpoint", help="OpenAI-compatible chat endpoint")
+    p.add_argument("--llm-model", default="default", help="model name for the endpoint")
+    p.add_argument("--mock-llm", action="store_true", help="deterministic mock LLM")
+    p.add_argument("--max-workers", type=int, default=4, help="in-partition LLM fan-out")
+    p.add_argument("--output", required=True, help="parquet output dir")
+    p.add_argument("--sheets", help="also write per-sheet CSVs here")
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.pipeline import PipelineConfig, run_pipeline
+    from scholarmind_spark.sinks import write_parquet, write_sheets_csv
+
+    sources = {
+        k: v
+        for k, v in {
+            "pubmed": args.pubmed,
+            "wos": args.wos,
+            "wos_csv": args.wos_csv,
+            "sciencedirect": args.sciencedirect,
+        }.items()
+        if v
+    }
+    if not sources:
+        print("error: at least one source path required", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="scholarmind-cli", master=args.master)
+
+    metrics_df = (
+        spark.read.parquet(args.metrics_parquet) if args.metrics_parquet else None
+    )
+
+    template = client = None
+    if args.template:
+        from scholarmind_spark.llm.templates import load_template_yaml
+
+        with open(args.template) as f:
+            template = load_template_yaml(f.read())
+        if args.mock_llm:
+            from scholarmind_spark.llm.client import MockLLMClient
+
+            client = MockLLMClient(fields=tuple(template.fields), mode="json")
+        elif args.llm_endpoint:
+            from scholarmind_spark.llm.client import HTTPChatClient
+
+            client = HTTPChatClient(base_url=args.llm_endpoint, model=args.llm_model)
+
+    cfg = PipelineConfig(
+        sources=sources,
+        metrics_df=metrics_df,
+        llm_template=template,
+        llm_client=client,
+        llm_max_workers=args.max_workers,
+    )
+    result = run_pipeline(spark, cfg)
+    write_parquet(result, args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} records to {args.output}")
+    if args.sheets:
+        paths = write_sheets_csv(result, args.sheets)
+        print(f"wrote sheets: {', '.join(sorted(paths))}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

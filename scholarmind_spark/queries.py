@@ -924,6 +924,47 @@ def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
+def lit_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 LLM abstract-understanding map under the oracle: mapInPandas +
+    keyed attach + D12 parse, with the deterministic mock client (reply =
+    md5-derived JSON of the prompt) that DuckDB reproduces field-by-field."""
+    from scholarmind_spark.llm.client import MockLLMClient
+    from scholarmind_spark.llm.extract import llm_extract
+    from scholarmind_spark.llm.templates import PromptTemplate
+
+    tpl = PromptTemplate(
+        type="gate",
+        name="gate",
+        system="s",
+        user_template="{abstract}",  # prompt == raw text → oracle can hash it
+        fields=["summary", "method"],
+        default_values={"summary": "-", "method": "-"},
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"), F.col("text").alias("abstract")
+    )
+    out = llm_extract(d, tpl, MockLLMClient(fields=tuple(tpl.fields), mode="json"))
+    return out.select("record_id", "summary", "method")
+
+
+LIT_LLM_SQL = """
+SELECT doc_id AS record_id,
+       'summary-' || substring(md5('summary' || text), 1, 8) AS summary,
+       'method-'  || substring(md5('method'  || text), 1, 8) AS method
+FROM documents
+"""
+
+
+def events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming pipeline (readStream → watermark →
+    tumbling window → availableNow drain), checked against the same SQL
+    oracle as the batch events_tumbling — stream/batch parity in the gate."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory, tumbling_agg
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(tumbling_agg(stream), mode="complete")
+
+
 # --------------------------------------------------------------- multimodal
 
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,7 +1134,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "media_frame_sample": media_frames,
     "media_features": media_features,
     "events_tumbling": events_tumbling,
+    "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
+    "lit_llm_extract": lit_llm_extract,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1131,5 +1174,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_frame_sample": MEDIA_FRAMES_SQL,
     # media_features: rows-only (byte histogram not SQL-expressible)
     "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
+    "lit_llm_extract": LIT_LLM_SQL,
 }

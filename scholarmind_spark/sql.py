@@ -1,0 +1,38 @@
+"""SQL surface: every engine table and the literature corpus as views.
+
+The reference has no SQL layer (SURVEY §3); this is the Spark-native
+upgrade — register the testdata star schema and/or a processed corpus as
+temp views and run arbitrary ``spark.sql``.  Views are lazy: registering
+costs nothing, and Catalyst sees straight through them to the parquet
+scans (pushdown/pruning work identically to the DataFrame API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register the driver's parquet tables as temp views (events with the
+    ns→timestamp normalization applied)."""
+    from scholarmind_spark.queries import _events, _t
+
+    for name in TESTDATA_TABLES:
+        df = _events(spark, sf_dir) if name == "events" else _t(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+    return list(TESTDATA_TABLES)
+
+
+def register_corpus(spark: SparkSession, corpus: DataFrame, name: str = "corpus") -> str:
+    """Expose a processed literature corpus to SQL."""
+    corpus.createOrReplaceTempView(name)
+    return name
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    return spark.sql(query)

@@ -1,0 +1,49 @@
+"""CLI lifecycle (§3.1 mirror) and SQL surface."""
+
+import os
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from scholarmind_spark.cli import main
+
+    out = str(tmp_path / "corpus")
+    sheets = str(tmp_path / "sheets")
+    rc = main(
+        [
+            "--pubmed", f"{FIX}/pubmed.txt",
+            "--wos", f"{FIX}/wos.txt",
+            "--sciencedirect", f"{FIX}/sciencedirect.txt",
+            "--template", f"{FIX}/template.yaml",
+            "--mock-llm",
+            "--output", out,
+            "--sheets", sheets,
+        ]
+    )
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 3  # 5 parsed, 2 removed by A1 priority dedup
+    assert {"summary", "method"} <= set(df.columns)
+    assert sorted(os.listdir(sheets)) == [
+        "PubMed.csv", "Results.csv", "ScienceDirect.csv", "WOS.csv",
+    ]
+
+
+def test_cli_requires_sources(capsys):
+    from scholarmind_spark.cli import main
+
+    assert main(["--output", "/tmp/x"]) == 2
+
+
+def test_sql_surface(spark):
+    from scholarmind_spark.sql import register_tables, sql
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    row = sql(
+        spark,
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    ).collect()[0]
+    assert row["n"] > 0
+    # events view got the ns→timestamp normalization
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
