@@ -292,3 +292,142 @@ ranked AS (
 SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank::INT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+IVF_CENTROID_IDS = list(range(10, 26))  # 16 deterministic centroids
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    centroid_ids: list[int] | None = None,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+    centroid cell, probe the query's ``nprobe`` nearest cells, exact-rank
+    within the probed candidates.
+
+    The centroid set here is a deterministic subset of the corpus (fixed
+    ids) so the DuckDB oracle reproduces the identical cells — a production
+    deployment would k-means them; the plan shape is unchanged.
+
+    Scale: centroids broadcast (K rows); assignment is one map-side
+    cross-product with K + a groupBy(id) lexicographic max (partial agg —
+    the shuffle carries one row per vector); the probe join shuffles on
+    cell id, never O(n²).  Assignment ties break to the HIGHER centroid id
+    (struct max), mirrored exactly in the SQL twin."""
+    centroid_ids = centroid_ids or IVF_CENTROID_IDS
+    cents = queries_df.sparkSession.createDataFrame(
+        [(i,) for i in centroid_ids], ["cid"]
+    )
+    centroids = F.broadcast(
+        df.join(F.broadcast(cents), F.col(id_col) == F.col("cid"))
+        .select("cid", F.col(vec_col).alias("cvec"))
+    )
+
+    def assign(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
+        scored = side.crossJoin(centroids).select(
+            F.col(sid),
+            F.col(svec),
+            F.col("cid"),
+            (
+                _dot(F.col(svec), F.col("cvec"))
+                / (_norm(F.col(svec)) * _norm(F.col("cvec")))
+            ).alias("ccos"),
+        )
+        if n == 1:
+            return scored.groupBy(sid).agg(
+                F.max(F.struct("ccos", "cid"))["cid"].alias("cell"),
+                F.first(svec).alias(svec),
+            )
+        w = Window.partitionBy(sid).orderBy(F.desc("ccos"), F.desc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(F.col(sid), F.col(svec), F.col("cid").alias("cell"))
+        )
+
+    data = assign(df.select(id_col, vec_col), id_col, vec_col, 1)
+    probes = assign(
+        queries_df.select(query_id_col, query_vec_col), query_id_col, query_vec_col, nprobe
+    )
+    joined = data.join(F.broadcast(probes), on="cell")
+    scored = joined.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        (
+            _dot(F.col(vec_col), F.col(query_vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+        ).alias("cos_raw"),
+    ).filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    centroid_ids: list[int] | None = None,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` — same centroids, same (cos, cid)
+    lexicographic assignment tiebreak (ORDER BY ccos DESC, cid DESC)."""
+    qids = ", ".join(str(i) for i in (query_ids or []))
+    cids = ", ".join(str(i) for i in (centroid_ids or IVF_CENTROID_IDS))
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table} WHERE {id_col} IN ({cids})
+),
+data_assign AS (
+  SELECT {id_col}, {vec_col}, cid AS cell,
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY {cos(vec_col, 'cvec')} DESC, cid DESC) AS rn
+  FROM {table}, cents
+),
+data_cells AS (SELECT {id_col}, {vec_col}, cell FROM data_assign WHERE rn = 1),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table} WHERE {id_col} IN ({qids})
+),
+probe_assign AS (
+  SELECT query_id, qvec, cid AS cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos('qvec', 'cvec')} DESC, cid DESC) AS rn
+  FROM q, cents
+),
+probes AS (SELECT query_id, qvec, cell FROM probe_assign WHERE rn <= {nprobe}),
+scored AS (
+  SELECT DISTINCT p.query_id, d.{id_col} AS neighbor_id,
+         {cos(f'd.{vec_col}', 'p.qvec')} AS cos_raw
+  FROM data_cells d JOIN probes p ON d.cell = p.cell
+  WHERE d.{id_col} <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""

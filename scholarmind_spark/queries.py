@@ -32,6 +32,7 @@ from scholarmind_spark.operators.neardup import (
 )
 from scholarmind_spark.operators.similarity import (
     ann_lsh_topk_sql,
+    ivf_topk_sql,
     cosine_topk,
     cosine_topk_sql,
     embedding_neardup_pairs_sql,
@@ -914,6 +915,17 @@ def ann_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, q, k=10)
 
 
+def ann_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (the other 100 TB path besides LSH)."""
+    from scholarmind_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, q, k=10)
+
+
 def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket join + exact verify."""
     from scholarmind_spark.operators.similarity import embedding_neardup_pairs
@@ -1128,6 +1140,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": doc_fingerprints,
     "ann_cosine_topk": ann_cosine_docs,
     "ann_lsh_topk": ann_lsh_docs,
+    "ann_ivf_topk": ann_ivf_docs,
     "dedup_embedding_cosine": dedup_embedding_docs,
     "media_byte_stats": media_stats,
     "media_decode": media_decode,
@@ -1168,6 +1181,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_SQL,
     "ann_lsh_topk": ann_lsh_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
+    "ann_ivf_topk": ivf_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
     "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,

@@ -1,11 +1,12 @@
 from scholarmind_spark.sources.pubmed import scan_pubmed, scan_pubmed_records
 from scholarmind_spark.sources.sciencedirect import scan_sciencedirect
-from scholarmind_spark.sources.wos import scan_wos, scan_wos_csv
+from scholarmind_spark.sources.wos import scan_wos, scan_wos_csv, scan_wos_excel
 
 SOURCE_READERS = {
     "pubmed": scan_pubmed,
     "wos": scan_wos,
     "wos_csv": scan_wos_csv,
+    "wos_excel": scan_wos_excel,
     "sciencedirect": scan_sciencedirect,
 }
 
@@ -29,4 +30,5 @@ __all__ = [
     "scan_sciencedirect",
     "scan_wos",
     "scan_wos_csv",
+    "scan_wos_excel",
 ]

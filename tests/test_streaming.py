@@ -63,3 +63,27 @@ def test_stream_dedup_bounds_state(spark, batch_events):
     # with a single file the whole input is one microbatch, so exactly one
     n_pairs = batch_events.select("user_id", "event_type").distinct().count()
     assert got.count() == n_pairs
+
+
+def test_stateful_user_stats_equals_batch(spark, batch_events):
+    """applyInPandasWithState running totals: final emitted state per user
+    equals the batch groupBy aggregate."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory
+    from scholarmind_spark.streaming.stateful import stateful_user_stats
+
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(stateful_user_stats(stream), mode="update")
+    # update mode may emit once per microbatch; keep the last row per user
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in got.orderBy("user_id", "n_events").collect()
+    }  # dict keeps the max-n_events row per user (ordered ascending)
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 4))
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert final == want
