@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis): engine expressions vs independent
+Python reference implementations, whole generated batches per Spark job."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from scholarmind_spark.functions.doi import doi_norm
+from scholarmind_spark.operators.dedup import priority_dedup
+
+# printable-ish text incl. the DOI grammar's special tokens
+doi_text = st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40),
+    st.builds(
+        lambda core, pre, suf: f"{pre}{core}{suf}",
+        core=st.from_regex(r"10\.[0-9]{2,6}/[A-Za-z0-9._-]{1,20}", fullmatch=True),
+        pre=st.sampled_from(["", "https://doi.org/", "doi:", "DOI:", "junk, "]),
+        suf=st.sampled_from(["", " [doi]", " [pii]", "  "]),
+    ),
+)
+
+
+def doi_norm_reference(v: str | None) -> str | None:
+    """Independent reimplementation of D1 (main.py:79-99 semantics)."""
+    if v is None:
+        return None
+    s = v.replace(" [doi]", "").replace(" [pii]", "")
+    if "," in s:
+        parts = [p.strip() for p in s.split(",")]
+        # a "10." part wins; otherwise the WHOLE string is kept (main.py:87-96)
+        s = next((p for p in parts if p.startswith("10.")), s)
+    # prefix strip is case-sensitive and pre-trim, like main.py:140-143
+    if s.startswith("https://doi.org/"):
+        s = s[16:]
+    elif s.startswith("doi:"):
+        s = s[4:]
+    return s.strip().lower()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(doi_text, min_size=1, max_size=30))
+def test_doi_norm_matches_reference(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "doi string")
+    got = [r["n"] for r in df.select(doi_norm(F.col("doi")).alias("n")).collect()]
+    want = [doi_norm_reference(v) for v in vals]
+    assert got == want
+
+
+records = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),  # record_id (unique-ified below)
+        st.sampled_from(["wos", "pubmed", "sciencedirect", "other"]),
+        st.one_of(st.none(), st.sampled_from(["", "10.1/a", "10.1/b", "10.2/c"])),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(records)
+def test_priority_dedup_invariants(spark, rows):
+    rows = [(i, s, d) for i, (_, s, d) in enumerate(rows)]  # unique record_id
+    df = spark.createDataFrame(rows, "record_id long, source_type string, doi string")
+    out = priority_dedup(df, keep_key=True).collect()
+
+    prio = {"wos": 3, "pubmed": 2, "sciencedirect": 1}
+    keyed = {}
+    empties = 0
+    for i, s, d in rows:
+        k = d.strip().lower() if d else ""
+        if k == "":
+            empties += 1
+        else:
+            keyed.setdefault(k, []).append((prio.get(s, 0), -i, i, s))
+    # survivor count: every empty-key row + one per distinct key
+    assert len(out) == empties + len(keyed)
+    # survivor identity: max priority, then smallest record_id
+    survivors = {r["doi_norm"]: r for r in out if r["doi_norm"] != ""}
+    for k, cands in keyed.items():
+        want = max(cands)
+        assert survivors[k]["record_id"] == want[2], k
+        assert survivors[k]["source_type"] == want[3], k
