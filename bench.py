@@ -38,7 +38,11 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "events_asof_join",
+    "order_price_quantiles",
+    "lit_llm_extract",
     "media_byte_stats",
     "media_features",
     "events_tumbling",

@@ -1076,6 +1076,71 @@ GROUP BY bucket_start, event_type
 """
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest prior purchase per user
+    (operators/asof.py — single-shuffle sort-merge shape; oracle uses
+    DuckDB's native ASOF JOIN)."""
+    from scholarmind_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # unique per (key, ts) for determinism
+        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_ts"),
+        F.unix_timestamp("asof_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, round(max(value), 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       floor(epoch(c.ts))::BIGINT AS click_ts,
+       floor(epoch(p.ts))::BIGINT AS purchase_ts,
+       p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; the 100 TB variant swaps in
+    ``approx_percentile`` with the same plan shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_QUANTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag + running sum of gap breaks (30 min gap)."""
     e = _events(spark, sf_dir)
@@ -1149,6 +1214,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_tumbling": events_tumbling,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
+    "order_price_quantiles": q_order_price_quantiles,
     "lit_llm_extract": lit_llm_extract,
 }
 
@@ -1190,5 +1257,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "order_price_quantiles": Q_QUANTILES_SQL,
     "lit_llm_extract": LIT_LLM_SQL,
 }

@@ -30,3 +30,19 @@ def test_two_phase_distinct_count(spark):
         e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_distinct"))
     )
     assert got == want
+
+
+def test_plan_digest_counts(spark):
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.plans import plan_digest
+
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    j = l.filter(F.col("l_quantity") > 10).join(
+        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    d = plan_digest(j)
+    assert d["joins"] == ["BroadcastHashJoin"]
+    assert d["pushed_filters"] >= 1
+    assert d["python_stages"] == 0
