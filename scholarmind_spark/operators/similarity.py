@@ -46,13 +46,19 @@ def cosine_topk(
     Returns ``query_id, neighbor_id, cosine (rounded 6), rank``; excludes
     self-matches when ids coincide.  Ties broken by neighbor id for
     determinism."""
-    joined = df.crossJoin(F.broadcast(queries_df))
+    # Norms are per-row/per-query quantities: compute each ONCE before the
+    # join instead of once per (row × query) pair.  sqrt(Σx²) is evaluated
+    # with identical float ops either way, so results are bit-equal — this
+    # only removes |queries|-fold redundant interpreted HOF work.
+    d = df.withColumn("__nv", _norm(F.col(vec_col)))
+    q = queries_df.withColumn("__nq", _norm(F.col(query_vec_col)))
+    joined = d.crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         (
             _dot(F.col(vec_col), F.col(query_vec_col))
-            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+            / (F.col("__nv") * F.col("__nq"))
         ).alias("cos_raw"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -167,15 +173,19 @@ def ann_lsh_topk(
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine rank within candidates.  Trades recall for a bucket-join
     instead of a cross-product (the 100 TB path)."""
-    d = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes, dim))
-    q = queries_df.withColumn("__bucket", lsh_bucket(F.col(query_vec_col), planes, dim))
+    d = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes, dim)).withColumn(
+        "__nv", _norm(F.col(vec_col))
+    )
+    q = queries_df.withColumn(
+        "__bucket", lsh_bucket(F.col(query_vec_col), planes, dim)
+    ).withColumn("__nq", _norm(F.col(query_vec_col)))
     joined = d.join(F.broadcast(q), on="__bucket")
     scored = joined.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         (
             _dot(F.col(vec_col), F.col(query_vec_col))
-            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+            / (F.col("__nv") * F.col("__nq"))
         ).alias("cos_raw"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
@@ -207,6 +217,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nv"),  # once per row, not per pair
     )
     pairs = (
         b.alias("l")
@@ -217,7 +228,7 @@ def embedding_neardup_pairs(
             F.col("r.id").alias("id_b"),
             (
                 _dot(F.col("l.vec"), F.col("r.vec"))
-                / (_norm(F.col("l.vec")) * _norm(F.col("r.vec")))
+                / (F.col("l.nv") * F.col("r.nv"))
             ).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
@@ -326,36 +337,49 @@ def ivf_topk(
     cents = queries_df.sparkSession.createDataFrame(
         [(i,) for i in centroid_ids], ["cid"]
     )
+    # Precompute every vector/centroid norm once (a per-row quantity) so
+    # the K-way assignment cross-product and the final scoring evaluate
+    # only the dot-product HOF per pair.  Same float ops in the same order
+    # → bit-identical cosines; the norms just stop being recomputed K×.
     centroids = F.broadcast(
         df.join(F.broadcast(cents), F.col(id_col) == F.col("cid"))
-        .select("cid", F.col(vec_col).alias("cvec"))
+        .select(
+            "cid",
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("__nc"),
+        )
     )
 
-    def assign(side: DataFrame, sid: str, svec: str, n: int) -> DataFrame:
-        scored = side.crossJoin(centroids).select(
+    def assign(side: DataFrame, sid: str, svec: str, n: int, nrm: str) -> DataFrame:
+        scored = side.withColumn(nrm, _norm(F.col(svec))).crossJoin(centroids).select(
             F.col(sid),
             F.col(svec),
+            F.col(nrm),
             F.col("cid"),
             (
-                _dot(F.col(svec), F.col("cvec"))
-                / (_norm(F.col(svec)) * _norm(F.col("cvec")))
+                _dot(F.col(svec), F.col("cvec")) / (F.col(nrm) * F.col("__nc"))
             ).alias("ccos"),
         )
         if n == 1:
             return scored.groupBy(sid).agg(
                 F.max(F.struct("ccos", "cid"))["cid"].alias("cell"),
                 F.first(svec).alias(svec),
+                F.first(nrm).alias(nrm),
             )
         w = Window.partitionBy(sid).orderBy(F.desc("ccos"), F.desc("cid"))
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= n)
-            .select(F.col(sid), F.col(svec), F.col("cid").alias("cell"))
+            .select(F.col(sid), F.col(svec), F.col(nrm), F.col("cid").alias("cell"))
         )
 
-    data = assign(df.select(id_col, vec_col), id_col, vec_col, 1)
+    data = assign(df.select(id_col, vec_col), id_col, vec_col, 1, "__nv")
     probes = assign(
-        queries_df.select(query_id_col, query_vec_col), query_id_col, query_vec_col, nprobe
+        queries_df.select(query_id_col, query_vec_col),
+        query_id_col,
+        query_vec_col,
+        nprobe,
+        "__nq",
     )
     joined = data.join(F.broadcast(probes), on="cell")
     scored = joined.select(
@@ -363,7 +387,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         (
             _dot(F.col(vec_col), F.col(query_vec_col))
-            / (_norm(F.col(vec_col)) * _norm(F.col(query_vec_col)))
+            / (F.col("__nv") * F.col("__nq"))
         ).alias("cos_raw"),
     ).filter(F.col("query_id") != F.col("neighbor_id")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
