@@ -68,10 +68,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with a real TimestampType ``ts``.
 
     The driver writes ``ts`` as parquet TIMESTAMP(NANOS); Spark reads it as
-    LongType nanos under ``spark.sql.legacy.parquet.nanosAsLong`` (set in
-    the session factory).  Convert with integer division — going through a
-    DOUBLE would lose precision at 2^63-scale nanos.
+    LongType nanos under ``spark.sql.legacy.parquet.nanosAsLong``.  Convert
+    with integer division — going through a DOUBLE would lose precision at
+    2^63-scale nanos.
+
+    The conf is set HERE at runtime (it is runtime-settable) rather than
+    relying on the session factory, so the read works on any caller-supplied
+    vanilla SparkSession (e.g. the driver's correctness harness).
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = _t(spark, sf_dir, "events")
     if dict(e.dtypes).get("ts") == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -5,6 +5,14 @@ DuckDB at the given scale factor, comparing row count, sorted column names,
 and an order-insensitive value hash (rows canonicalized: columns sorted by
 name, values stringified, rows sorted).
 
+By default the gate builds a BARE ``SparkSession.builder`` session (mirroring
+the driver's harness) so that any query depending on a factory-only session
+conf fails here too — round 1 shipped 4 such failures that the factory-built
+gate could not see.  Set ``GATE_FACTORY_SESSION=1`` to use the tuned factory
+session instead, or ``GATE_FAST=1`` to keep the bare session but apply the
+JVM-case-mapping perf conf (first ``lower()`` costs ~70s otherwise on
+Spark 4.1 — perf-only, skips nothing).
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -58,12 +66,21 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
-    from scholarmind_spark import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="check-correctness")
+    if os.environ.get("GATE_FACTORY_SESSION"):
+        from scholarmind_spark import get_spark
+
+        spark = get_spark(app_name="check-correctness")
+    else:
+        from pyspark.sql import SparkSession
+
+        b = SparkSession.builder.master("local[32]").appName("check-correctness")
+        if os.environ.get("GATE_FAST"):
+            b = b.config("spark.sql.icu.caseMappings.enabled", "false")
+        spark = b.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
