@@ -1011,14 +1011,26 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature extraction (Arrow-batched mapInPandas) —
-    rows-only check (histogram not practically SQL-expressible)."""
+    """Byte-histogram feature extraction (Arrow-batched mapInPandas), checked
+    EXACTLY against SQL: the integer bin counts are recovered from the
+    L1-normalized float32 feature via ``round(f * n_bytes)`` (payloads are
+    <2KB so the float32 quantization error is << 0.5), and DuckDB recomputes
+    the same counts from the hex dump — odd-position hex chars ARE the high
+    nibbles the histogram bins on."""
     from scholarmind_spark.multimodal import extract_features, synth_media
 
-    feats = extract_features(synth_media(spark, sf_dir))
-    return feats.select(
+    m = synth_media(spark, sf_dir)
+    feats = extract_features(m)
+    n_bytes = m.select("media_id", F.length("content").alias("n_bytes"))
+    return feats.join(F.broadcast(n_bytes), "media_id").select(
         "media_id",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v.cast("double")), 4).alias("l1"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda v: F.round(v.cast("double") * F.col("n_bytes")).cast("int").cast("string"),
+            ),
+        ).alias("hist"),
         F.size("feature").alias("dim"),
     )
 
@@ -1051,6 +1063,19 @@ SELECT media_id, frame_no::INT AS frame_no,
                          n_bytes - frame_no * greatest(1, n_bytes // 4)))::INT AS n_frame_bytes
 FROM frames
 """
+
+# hex() dumps the payload as 2 uppercase hex chars per byte; dropping the
+# even-position chars leaves exactly the per-byte HIGH nibbles — the bin
+# index (byte >> 4) the Spark-side histogram uses.
+_NIB = "regexp_replace(hex(encode(text)), '(.).', '\\1', 'g')"
+MEDIA_FEATURES_SQL = (
+    "WITH b AS (SELECT doc_id AS media_id, " + _NIB + " AS nib FROM documents)\n"
+    "SELECT media_id, concat_ws(','"
+    + "".join(
+        f", length(nib) - length(replace(nib, '{d}', ''))" for d in "0123456789ABCDEF"
+    )
+    + ") AS hist, 16 AS dim FROM b"
+)
 
 
 # ------------------------------------------------------------------- events
@@ -1258,7 +1283,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,
     "media_frame_sample": MEDIA_FRAMES_SQL,
-    # media_features: rows-only (byte histogram not SQL-expressible)
+    "media_features": MEDIA_FEATURES_SQL,
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
