@@ -6,14 +6,44 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan is under-partitioned.
+    """Round-robin repartition when a LOCAL scan is under-partitioned.
 
     A small local parquet file arrives as ONE input split, which serializes
     CPU-heavy per-row work (shingling, hashing, Python UDF stages) onto a
-    single core.  On a real cluster a 100 TB scan already has thousands of
-    splits and this is a no-op — the guard never touches an adequately
-    partitioned input."""
-    p = df.sparkSession.sparkContext.defaultParallelism
+    single core.  Off local mode this returns the input untouched — a
+    100 TB scan already has thousands of splits, and skipping the check
+    entirely also skips the ``df.rdd`` plan conversion it needs (a
+    driver-side cost with no cluster-side benefit)."""
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
+    p = sc.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
+
+
+def attach_caches(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Tag ``out`` with the intermediate ``persist()``-ed relations its plan
+    reads, so the consumer can release them after its final action:
+
+        pairs = minhash_lsh_pairs(df)
+        rows = pairs.collect()
+        release_caches(pairs)
+
+    The operators return LAZY plans (actions belong to the caller), so they
+    cannot unpersist internally without either forfeiting the cache before
+    the caller's action or paying a second eager materialization.  Callers
+    that skip release fall back to Spark's LRU block eviction + the
+    ContextCleaner unpersisting caches once the DataFrames are
+    garbage-collected."""
+    out._sm_caches = list(caches)  # type: ignore[attr-defined]
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every intermediate cache attached to ``df`` (no-op for
+    DataFrames without attached caches)."""
+    for c in getattr(df, "_sm_caches", ()):
+        c.unpersist()
+    df._sm_caches = []  # type: ignore[attr-defined]

@@ -1,0 +1,82 @@
+"""Near-dup operator tests: shingle df-cap and cache hygiene.
+
+The value-level correctness of all three near-dup operators is covered by
+the DuckDB oracle gate (tools/check_correctness.py); these tests cover the
+scale guards the oracle can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.neardup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from scholarmind_spark.util import release_caches
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_ngram_df_cap_bounds_common_shingle_blowup(spark):
+    """10⁴ docs sharing one boilerplate shingle: uncapped, that single key
+    would contribute ~5·10⁷ join pairs; with the df-cap the shingle drops
+    before the self-join and only genuinely-shared rare shingles pair up."""
+    boiler = "terms of service apply to everyone"
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " unique token stream number "), F.col("id")).alias("text"),
+    )
+    # Two true near-dups sharing a RARE shingle tail (df=2, far below cap).
+    twins = spark.createDataFrame(
+        [
+            (20_001, boiler + " shared rare ending alpha beta gamma delta"),
+            (20_002, boiler + " shared rare ending alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(
+        docs.union(twins), threshold=0.3, max_df=100
+    )
+    rows = pairs.collect()
+    release_caches(pairs)
+    # Only the twin pair survives; the 10⁴-doc boilerplate key creates none.
+    assert [(r.id_a, r.id_b) for r in rows] == [(20_001, 20_002)]
+
+
+def test_ngram_cap_is_noop_below_df(spark):
+    """When no shingle's df exceeds the cap, capped == uncapped exactly."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo fox{i % 20} golf hotel india") for i in range(40)],
+        "doc_id long, text string",
+    )
+    capped = ngram_jaccard_pairs(docs, threshold=0.2, max_df=1000)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.2, max_df=10**9)
+    got_c = sorted((r.id_a, r.id_b, r.jaccard) for r in capped.collect())
+    got_u = sorted((r.id_a, r.id_b, r.jaccard) for r in uncapped.collect())
+    release_caches(capped)
+    release_caches(uncapped)
+    assert got_c == got_u and len(got_c) > 0
+
+
+def test_neardup_operators_release_all_caches(spark):
+    """Every near-dup operator's intermediate persist()s are released by
+    release_caches(): no persistent RDDs remain after consumption."""
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five six{i % 4} seven eight nine ten") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for op in (
+        lambda d: ngram_jaccard_pairs(d, threshold=0.3),
+        lambda d: minhash_lsh_pairs(d, threshold=0.3),
+        lambda d: simhash_pairs(d, max_distance=5),
+    ):
+        out = op(docs)
+        out.collect()
+        assert _n_cached(spark) > 0  # the operator did cache while running
+        release_caches(out)
+        assert _n_cached(spark) == 0
