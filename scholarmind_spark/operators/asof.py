@@ -9,9 +9,9 @@ Scale design: the naive formulation is an inequality join (O(n·m) pairs
 per key under a cross + filter, or a skew-prone range join).  This
 implementation is the sort-merge shape: tag both sides, UNION, and run ONE
 window over (key) ordered by (ts, side, tiebreak) carrying
-``last(right_value, ignoreNulls)`` forward — a single shuffle on the key,
-linear work per partition, no pair blow-up.  Right rows sort BEFORE left
-rows at equal ts so ties match (ASOF ``>=`` semantics).
+``last(struct(right_row), ignoreNulls)`` forward — a single shuffle on the
+key, linear work per partition, no pair blow-up.  Right rows sort BEFORE
+left rows at equal ts so ties match (ASOF ``>=`` semantics).
 """
 
 from __future__ import annotations
@@ -50,18 +50,28 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct carries the whole matched right row (its ts + all value
+    # columns) so the matched row's values — including its NULLs — travel
+    # together.  Per-column last(ignorenulls) would skip a NULL in the
+    # matched row and surface an OLDER row's non-NULL value, silently
+    # mixing columns from different right rows (and diverging from SQL
+    # ASOF JOIN semantics, which return the matched row as-is).
     carried = unioned.withColumn(
-        right_ts_alias,
-        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True).over(w),
+        "__match",
+        F.last(
+            F.when(
+                F.col("__side") == 0,
+                F.struct(
+                    F.col(ts).alias("__ts"),
+                    *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
     )
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"__c_{c}",
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w),
-        )
     out = carried.filter(F.col("__side") == 1).select(
         *left.columns,
-        F.col(right_ts_alias),
-        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
+        F.col("__match.__ts").alias(right_ts_alias),
+        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
     )
     return out

@@ -44,6 +44,27 @@ def test_asof_semantics(spark):
     assert out.count() == left.count()
 
 
+def test_asof_matched_row_nulls_carry_together(spark):
+    """A NULL in the matched right row must surface as NULL — not be
+    replaced by an older row's non-NULL value (SQL ASOF returns the
+    matched row as-is, NULLs included)."""
+    left = spark.createDataFrame(
+        [(1, "u1", dt.datetime(2026, 1, 1, 12))],
+        "event_id int, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2026, 1, 1, 10), 5.0, "a"),
+            ("u1", dt.datetime(2026, 1, 1, 11), None, "b"),  # matched row: v is NULL
+        ],
+        "user_id string, ts timestamp, v double, tag string",
+    )
+    out = asof_join(left, right, key="user_id", ts="ts")
+    r = out.collect()[0]
+    assert r.asof_ts == dt.datetime(2026, 1, 1, 11)
+    assert r.v is None and r.tag == "b"
+
+
 def test_asof_plan_single_shuffle(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, key="user_id", ts="ts")
