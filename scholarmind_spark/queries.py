@@ -1204,6 +1204,85 @@ FROM sess GROUP BY user_id
 """
 
 
+def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: ``session_window`` with a 30-min gap +
+    watermark (state evicts after gap+watermark), drained with availableNow.
+    The oracle recomputes Spark's session-window semantics in SQL: sessions
+    merge while the inter-event gap is < 30 min (strict), window end =
+    last event + gap."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory, session_agg
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(session_agg(stream), mode="complete")
+
+
+# Spark's session_window compares FULL-precision event times (micros after
+# the ns→us truncation), merging while gap < 30 min strictly; window end is
+# last event time + gap; unix_timestamp() floors to whole seconds on output.
+EVENTS_SESSION_STREAM_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       (min(us) // 1000000)::BIGINT AS session_start,
+       (max(us) // 1000000)::BIGINT + 1800 AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen-wins dedup (``dropDuplicatesWithinWatermark``).
+    WHICH physical row survives per key is arrival-order dependent, so the
+    query projects the key columns only — the surviving KEY SET is
+    deterministic and equals the distinct keys in the stream."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory, stream_dedup
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = stream_dedup(stream, keys=["user_id", "event_type"])
+    return run_to_memory(deduped.select("user_id", "event_type"), mode="append")
+
+
+EVENTS_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def events_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running totals, drained with availableNow.  The single-file
+    source arrives as one microbatch, so update mode emits exactly one
+    (final) row per user — the batch aggregate the oracle computes."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory
+    from scholarmind_spark.streaming.stateful import stateful_user_stats
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(stateful_user_stats(stream), mode="update")
+
+
+EVENTS_STATEFUL_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       max(epoch_us(ts)) AS last_seen_us
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 SPARK_QUERIES: dict[str, QueryFn] = {
@@ -1244,6 +1323,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_tumbling": events_tumbling,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
+    "events_session_stream": events_session_stream,
+    "events_stream_dedup": events_stream_dedup,
+    "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
     "order_price_quantiles": q_order_price_quantiles,
     "lit_llm_extract": lit_llm_extract,
@@ -1287,6 +1369,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
+    "events_session_stream": EVENTS_SESSION_STREAM_SQL,
+    "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
+    "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "order_price_quantiles": Q_QUANTILES_SQL,
     "lit_llm_extract": LIT_LLM_SQL,
