@@ -670,7 +670,9 @@ def _s(c) -> object:
 
 
 def lit_parse_pubmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 round-trip: PMID/TI/AB(+continuation)/DP/AU×2/TA/AID[doi]."""
+    """S1 round-trip: PMID/TI/AB(+continuation)/DP/AU×2/TA/AID[doi], plus the
+    extended tag map (CRDT/SO, pubmed_parser.py:138-141) and PHST
+    accumulation (MULTI_FIELDS, pubmed_parser.py:32)."""
     from scholarmind_spark.sources.base import parse_records_df
     from scholarmind_spark.sources.pubmed import parse_pubmed_file
 
@@ -690,6 +692,11 @@ def lit_parse_pubmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("AID - 10."), _s(F.lit(1000) + doc_id % 50),
             F.lit("/x"), _s(doc_id % 50), F.lit(" [doi]"),
         ),
+        F.concat(F.lit("CRDT- "), _s(F.lit(1990) + doc_id % 30), F.lit("/03/15 09:00")),
+        F.concat(F.lit("SO  - J"), _s(doc_id % 7), F.lit(". "),
+                 _s(F.lit(1990) + doc_id % 30), F.lit(";1:1")),
+        F.concat(F.lit("PHST- "), _s(F.lit(1989) + doc_id % 30), F.lit("/01/02 [received]")),
+        F.concat(F.lit("PHST- "), _s(F.lit(1990) + doc_id % 30), F.lit("/02/03 [accepted]")),
     )
     parsed = parse_records_df(d.select(rec_text.alias("record_text")), parse_pubmed_file)
     return parsed.select(
@@ -700,6 +707,9 @@ def lit_parse_pubmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "journal",
         "doi",
         "publication_date",
+        "creation_date",
+        F.col("source").alias("so_source"),
+        F.array_join("publication_history", " | ").alias("pub_history"),
     )
 
 
@@ -710,7 +720,11 @@ SELECT doc_id AS pmid,
        'Smith ' || (doc_id % 5)::VARCHAR || ', Doe ' || (doc_id % 7)::VARCHAR AS authors,
        'J' || (doc_id % 7)::VARCHAR AS journal,
        '10.' || (1000 + doc_id % 50)::VARCHAR || '/x' || (doc_id % 50)::VARCHAR AS doi,
-       (1990 + doc_id % 30)::VARCHAR || ' Mar 15' AS publication_date
+       (1990 + doc_id % 30)::VARCHAR || ' Mar 15' AS publication_date,
+       (1990 + doc_id % 30)::VARCHAR || '/03/15 09:00' AS creation_date,
+       'J' || (doc_id % 7)::VARCHAR || '. ' || (1990 + doc_id % 30)::VARCHAR || ';1:1' AS so_source,
+       (1989 + doc_id % 30)::VARCHAR || '/01/02 [received] | '
+         || (1990 + doc_id % 30)::VARCHAR || '/02/03 [accepted]' AS pub_history
 FROM documents
 """
 

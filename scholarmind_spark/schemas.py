@@ -46,7 +46,11 @@ RECORD_FIELDS: list[StructField] = [
     StructField("publication_type", _S, True),
     StructField("times_cited", _S, True),
     StructField("entry_date", _S, True),
+    StructField("creation_date", _S, True),
+    StructField("medline_date", _S, True),
+    StructField("source", _S, True),
     StructField("copyright_info", _S, True),
+    StructField("publication_history", _A, True),
 ]
 
 RECORD_SCHEMA = StructType(RECORD_FIELDS)

@@ -52,7 +52,13 @@ TAG_MAP = {
     "PT": "publication_type",
     "OT": "keywords",
     "EDAT": "entry_date",
+    "CRDT": "creation_date",
+    "MHDA": "medline_date",
+    "SO": "source",
     "CI": "copyright_info",
+    "PHST": "publication_history",  # accumulates (MULTI_FIELDS) but has no
+    # rename-map entry in the reference; routed to a standard column here so
+    # the values aren't silently dropped.
 }
 
 
@@ -95,7 +101,7 @@ def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
         if col is None:
             continue
         if tag in MULTI_FIELDS and col in ("authors", "full_authors", "affiliation",
-                                           "issn", "keywords"):
+                                           "issn", "keywords", "publication_history"):
             rec[col] = values
         elif col == "mesh_terms":
             rec[col] = values
