@@ -22,6 +22,13 @@ import sys
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="ScholarMind-Spark literature pipeline")
+    p.add_argument(
+        "--config",
+        help="reference-style YAML/JSON config file (K3, config_manager.py); "
+        "sections journal_metrics/llm/processing/prompt are honored and "
+        "explicit CLI flags override it",
+    )
+    p.add_argument("--prompt-type", help="template type from the config's templates_dir")
     p.add_argument("--pubmed", help="PubMed tagged-text export path")
     p.add_argument("--wos", help="WOS tagged-text export path")
     p.add_argument("--wos-csv", help="WOS CSV export path")
@@ -55,38 +62,53 @@ def main(argv: list[str] | None = None) -> int:
         }.items()
         if v
     }
-    if not sources:
+
+    config = None
+    if args.config:
+        from scholarmind_spark.config import ConfigError, load_config
+
+        try:
+            config = load_config(args.config)
+        except ConfigError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if args.prompt_type:
+            config["prompt"]["default_type"] = args.prompt_type
+
+    if not sources and not (config and config.get("sources")):
         print("error: at least one source path required", file=sys.stderr)
         return 2
 
     spark = get_spark(app_name="scholarmind-cli", master=args.master)
 
-    metrics_df = (
-        spark.read.parquet(args.metrics_parquet) if args.metrics_parquet else None
-    )
+    if config is not None:
+        from scholarmind_spark.config import pipeline_config_from
 
-    template = client = None
+        cfg = pipeline_config_from(config, spark=spark, sources=sources)
+    else:
+        cfg = PipelineConfig(sources=sources, llm_max_workers=args.max_workers)
+
+    # explicit flags override config-derived settings
+    if args.metrics_parquet:
+        cfg.metrics_df = spark.read.parquet(args.metrics_parquet)
     if args.template:
         from scholarmind_spark.llm.templates import load_template_yaml
 
         with open(args.template) as f:
-            template = load_template_yaml(f.read())
+            cfg.llm_template = load_template_yaml(f.read())
+    if cfg.llm_template is not None:
         if args.mock_llm:
             from scholarmind_spark.llm.client import MockLLMClient
 
-            client = MockLLMClient(fields=tuple(template.fields), mode="json")
+            cfg.llm_client = MockLLMClient(
+                fields=tuple(cfg.llm_template.fields), mode="json"
+            )
         elif args.llm_endpoint:
             from scholarmind_spark.llm.client import HTTPChatClient
 
-            client = HTTPChatClient(base_url=args.llm_endpoint, model=args.llm_model)
-
-    cfg = PipelineConfig(
-        sources=sources,
-        metrics_df=metrics_df,
-        llm_template=template,
-        llm_client=client,
-        llm_max_workers=args.max_workers,
-    )
+            cfg.llm_client = HTTPChatClient(
+                base_url=args.llm_endpoint, model=args.llm_model
+            )
     result = run_pipeline(spark, cfg)
     write_parquet(result, args.output)
     n = spark.read.parquet(args.output).count()

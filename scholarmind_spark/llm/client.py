@@ -65,6 +65,8 @@ class HTTPChatClient:
         max_retries: int = 3,
         timeout_s: float = 60.0,
         temperature: float = 0.1,
+        top_p: float | None = None,
+        max_tokens: int | None = None,
     ):
         self.base_url = base_url.rstrip("/")
         self.model = model
@@ -72,13 +74,19 @@ class HTTPChatClient:
         self.max_retries = max_retries
         self.timeout_s = timeout_s
         self.temperature = temperature
+        self.top_p = top_p
+        self.max_tokens = max_tokens
 
     def __call__(self, messages: list[dict[str, str]]) -> str:
         import urllib.request
 
-        body = json.dumps(
-            {"model": self.model, "messages": messages, "temperature": self.temperature}
-        ).encode()
+        payload = {"model": self.model, "messages": messages, "temperature": self.temperature}
+        # model_parameters pass-through (config_manager.py:82-95, llm_api.py)
+        if self.top_p is not None:
+            payload["top_p"] = self.top_p
+        if self.max_tokens is not None:
+            payload["max_tokens"] = self.max_tokens
+        body = json.dumps(payload).encode()
         headers = {"Content-Type": "application/json"}
         if self.api_key:
             headers["Authorization"] = f"Bearer {self.api_key}"

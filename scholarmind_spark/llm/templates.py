@@ -102,20 +102,55 @@ def list_templates() -> list[str]:
 
 
 def load_template_yaml(text: str) -> PromptTemplate:
-    """Parse a YAML template document (reference prompt_templates.py:46-104)."""
+    """Parse a YAML template document (reference prompt_templates.py:46-104).
+
+    Field aliases follow the reference's YAMLPromptTemplate
+    (prompt_templates.py:149-152): ``system``|``system_prompt`` and
+    ``user_template``|``user_prompt``."""
     import yaml
 
     data = yaml.safe_load(text)
     t = PromptTemplate(
         type=data["type"],
         name=data.get("name", data["type"]),
-        system=data.get("system", ""),
-        user_template=data.get("user_template", "{abstract}"),
+        system=data.get("system", data.get("system_prompt", "")),
+        user_template=data.get("user_template", data.get("user_prompt", "{abstract}")),
         fields=tuple(data["fields"]),
         default_values=dict(data.get("default_values", {})),
     )
     register_template(t)
     return t
+
+
+def load_templates_dir(templates_dir: str) -> dict[str, PromptTemplate]:
+    """Load every ``.yaml``/``.yml`` template in a directory into the
+    registry, keyed by each template's ``type`` (reference
+    ``YAMLPromptLoader.load_templates`` + ``load_yaml_templates``,
+    prompt_templates.py:60-189).  Files without a ``type`` field are skipped
+    with a warning, matching the reference; a missing directory returns an
+    empty mapping rather than raising."""
+    import os
+    import warnings
+
+    loaded: dict[str, PromptTemplate] = {}
+    if not os.path.isdir(templates_dir):
+        warnings.warn(f"prompt template directory not found: {templates_dir}")
+        return loaded
+    for filename in sorted(os.listdir(templates_dir)):
+        if not filename.endswith((".yaml", ".yml")):
+            continue
+        path = os.path.join(templates_dir, filename)
+        try:
+            with open(path, encoding="utf-8") as f:
+                t = load_template_yaml(f.read())
+        except KeyError:
+            warnings.warn(f"prompt template missing 'type' or 'fields': {filename}")
+            continue
+        except Exception as e:  # unparsable YAML — skip, like the reference
+            warnings.warn(f"failed to load prompt template {filename}: {e}")
+            continue
+        loaded[t.type] = t
+    return loaded
 
 
 register_template(MEDICAL)
