@@ -159,13 +159,22 @@ def pipeline_config_from(config: dict, spark=None, sources: dict[str, str] | Non
     if sources:
         cfg_sources.update(sources)
 
-    metrics_df = None
+    metrics_df = fetch_one = None
     jm = config["journal_metrics"]
     lookup = jm.get("lookup_parquet")
     if jm["enabled"] and lookup:
         if spark is None:
             raise ConfigError("journal_metrics.lookup_parquet requires a SparkSession")
         metrics_df = spark.read.parquet(lookup)
+    elif jm["enabled"] and config.get("easyscholar_api_key") and jm["metrics_to_fetch"]:
+        # online per-journal fetch with the reference's rank semantics
+        from scholarmind_spark.metrics_client import make_fetch_one
+
+        fetch_one = make_fetch_one(
+            config["easyscholar_api_key"],
+            jm["metrics_to_fetch"],
+            jm["metrics_column_mapping"] or None,
+        )
 
     template = client = None
     if config["llm"]["enabled"]:
@@ -180,6 +189,7 @@ def pipeline_config_from(config: dict, spark=None, sources: dict[str, str] | Non
     return PipelineConfig(
         sources=cfg_sources,
         metrics_df=metrics_df,
+        metrics_fetch_one=fetch_one,
         llm_template=template,
         llm_client=client,
         llm_max_workers=config["processing"]["max_workers"],

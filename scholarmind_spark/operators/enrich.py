@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from scholarmind_spark.functions.text import journal_norm
 from scholarmind_spark.schemas import METRICS_SCHEMA
@@ -42,10 +43,23 @@ def fetch_metrics_df(
     journals: list[str],
     fetch_one: Callable[[str], dict[str, str] | None],
     min_interval_s: float = 0.5,
+    metric_columns: list[str] | None = None,
 ) -> DataFrame:
     """Throttled driver-side fetch (reference rate cap 2 req/s,
     journal_metrics.py:85-87); each distinct journal fetched exactly once
-    (the distinct+join pattern subsumes the reference's request cache)."""
+    (the distinct+join pattern subsumes the reference's request cache).
+
+    ``metric_columns`` defaults to the fetcher's declared ``columns``
+    (``metrics_client.make_fetch_one`` sets it from the configured column
+    mapping), else the fixed METRICS_SCHEMA trio."""
+    if metric_columns is None:
+        metric_columns = getattr(
+            fetch_one, "columns", [f.name for f in METRICS_SCHEMA.fields[1:]]
+        )
+    schema = StructType(
+        [METRICS_SCHEMA.fields[0]]
+        + [StructField(c, StringType(), True) for c in metric_columns]
+    )
     rows = []
     last = 0.0
     for j in journals:
@@ -54,15 +68,8 @@ def fetch_metrics_df(
             time.sleep(wait)
         last = time.monotonic()
         m = fetch_one(j) or {}
-        rows.append(
-            (
-                j,
-                m.get("impact_factor", ""),
-                m.get("sci", ""),
-                m.get("CAS_Zone", ""),
-            )
-        )
-    return spark.createDataFrame(rows, METRICS_SCHEMA)
+        rows.append(tuple([j] + [m.get(c, "") for c in metric_columns]))
+    return spark.createDataFrame(rows, schema)
 
 
 def enrich_with_metrics(df: DataFrame, metrics_df: DataFrame) -> DataFrame:

@@ -34,6 +34,10 @@ class PipelineConfig:
 
     sources: dict[str, str] = field(default_factory=dict)  # source_type → path
     metrics_df: DataFrame | None = None  # offline journal-metrics lookup
+    # online alternative: per-journal fetcher (metrics_client.make_fetch_one);
+    # used only when metrics_df is None — distinct journals are collected from
+    # the deduped corpus and fetched once each (reference main.py:354-437)
+    metrics_fetch_one: object | None = None
     llm_template: PromptTemplate | None = None
     llm_client: object | None = None  # ChatClient; None disables U1
     llm_max_workers: int = 4  # reference config.yaml:78
@@ -74,8 +78,16 @@ def process(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     preserved here by authoring order; Catalyst cannot reorder through the
     non-deterministic LLM stage anyway)."""
     out = priority_dedup(df)
-    if cfg.metrics_df is not None:
-        out = enrich_with_metrics(out, cfg.metrics_df)
+    metrics_df = cfg.metrics_df
+    if metrics_df is None and cfg.metrics_fetch_one is not None:
+        from scholarmind_spark.operators.enrich import distinct_journals, fetch_metrics_df
+
+        journals = distinct_journals(out)
+        metrics_df = fetch_metrics_df(
+            out.sparkSession, journals, cfg.metrics_fetch_one
+        )
+    if metrics_df is not None:
+        out = enrich_with_metrics(out, metrics_df)
     out = with_link_columns(out)
     out = with_publication_year(out)
     if cfg.llm_template is not None and cfg.llm_client is not None:
