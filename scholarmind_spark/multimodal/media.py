@@ -147,10 +147,13 @@ def decode_images(df: DataFrame) -> DataFrame:
                 return meta["width"], meta["height"], 3, True, "stub"
 
         for pdf in batches:
+            # zip over columns, not iterrows: no per-row Series construction
             rows = [
-                (r["media_id"], r["media"]["media_type"], *decode(r["content"], r["media"]))
-                for _, r in pdf.iterrows()
-                if r["media"]["media_type"] == "image"
+                (mid, media["media_type"], *decode(content, media))
+                for mid, media, content in zip(
+                    pdf["media_id"], pdf["media"], pdf["content"]
+                )
+                if media["media_type"] == "image"
             ]
             yield pd.DataFrame(
                 rows,
@@ -177,12 +180,12 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                w, h = r["media"]["width"], r["media"]["height"]
+            for mid, media, content in zip(pdf["media_id"], pdf["media"], pdf["content"]):
+                w, h = media["width"], media["height"]
                 if w is None or h is None:
                     continue
                 scale = min(1.0, max_side / max(w, h))
-                out.append((r["media_id"], int(w * scale), int(h * scale), r["content"]))
+                out.append((mid, int(w * scale), int(h * scale), content))
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "content"])
 
     return df.filter(F.col("media.media_type") == "image").mapInPandas(fn, _RESIZE_SCHEMA)
@@ -226,14 +229,14 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                content = r["content"] or b""
-                dur = r["media"]["duration_ms"] or 0
+            for mid, media, content in zip(pdf["media_id"], pdf["media"], pdf["content"]):
+                content = content or b""
+                dur = media["duration_ms"] or 0
                 step = max(1, len(content) // n_frames)
                 for i in range(n_frames):
                     out.append(
                         (
-                            r["media_id"],
+                            mid,
                             i,
                             (dur * i) // n_frames,
                             bytes(content[i * step : (i + 1) * step]),

@@ -11,16 +11,16 @@ def spread(df: DataFrame) -> DataFrame:
     A small local parquet file arrives as ONE input split, which serializes
     CPU-heavy per-row work (shingling, hashing, Python UDF stages) onto a
     single core.  Off local mode this returns the input untouched — a
-    100 TB scan already has thousands of splits, and skipping the check
-    entirely also skips the ``df.rdd`` plan conversion it needs (a
-    driver-side cost with no cluster-side benefit)."""
+    100 TB scan already has thousands of splits and must not be re-shuffled.
+
+    Local mode repartitions unconditionally: probing the current partition
+    count costs a ``df.rdd`` plan conversion PER CALL (driver-side latency
+    on every operator), while the repartition itself is a cheap local
+    exchange that the common case (single-split scan) needs anyway."""
     sc = df.sparkSession.sparkContext
     if not sc.master.startswith("local"):
         return df
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def attach_caches(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
