@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "events_asof_join",
     "order_price_quantiles",
+    "skew_salted_join",
+    "skew_two_phase_distinct",
     "lit_llm_extract",
     "media_byte_stats",
     "media_features",

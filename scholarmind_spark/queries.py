@@ -1297,6 +1297,52 @@ GROUP BY user_id
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (skew tool): lineitem × part on a salted key, then
+    revenue per part type.  The salt only changes physical placement, so
+    the result is row-identical to the plain join the oracle runs —
+    proving the skew tool is semantics-free."""
+    from scholarmind_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = salted_join(li, p, on="p_partkey", buckets=8)
+    return (
+        joined.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("p_type")
+    )
+
+
+Q_SALTED_SQL = """
+SELECT p_type, count(*) AS n,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type ORDER BY p_type
+"""
+
+
+def q_skew_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact distinct count (skew tool): dedup (key, value) pairs
+    first (hot key's values spread across tasks), then count — same result
+    as COUNT(DISTINCT), which the oracle runs directly."""
+    from scholarmind_spark.operators.skew import two_phase_distinct_count
+
+    e = _events(spark, sf_dir)
+    return two_phase_distinct_count(e, "event_type", "user_id").orderBy("event_type")
+
+
+Q_TWO_PHASE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 SPARK_QUERIES: dict[str, QueryFn] = {
@@ -1342,6 +1388,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
     "order_price_quantiles": q_order_price_quantiles,
+    "skew_salted_join": q_skew_salted_join,
+    "skew_two_phase_distinct": q_skew_two_phase_distinct,
     "lit_llm_extract": lit_llm_extract,
 }
 
@@ -1388,5 +1436,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "order_price_quantiles": Q_QUANTILES_SQL,
+    "skew_salted_join": Q_SALTED_SQL,
+    "skew_two_phase_distinct": Q_TWO_PHASE_SQL,
     "lit_llm_extract": LIT_LLM_SQL,
 }
