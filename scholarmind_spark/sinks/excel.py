@@ -48,11 +48,48 @@ def _sheet_frames(df: DataFrame) -> dict[str, DataFrame]:
     return out
 
 
+LINK_FONT_COLOR = "0563C1"  # excel_formatter.py:319,342 link style
+
+# Columns whose cell value IS a URL — each links to itself
+# (excel_formatter.py:313-319 does this for doi_link).
+SELF_LINK_COLUMNS = {"doi_link", "pubmed_link", "wos_link", "sciencedirect_link"}
+
+
+def content_row_height(values: list[object]) -> int:
+    """Content-scaled row height (excel_formatter.py:280-290): +15 units
+    per 100 chars of the longest string cell (capped +100), clamped to
+    [20, 150]."""
+    height = 0
+    for v in values:
+        if isinstance(v, str) and v:
+            height = max(height, 15 + min(len(v) // 100 * 15, 100))
+    return min(max(height, 20), 150)
+
+
+def hyperlink_targets(cols: list[str], values: list[object]) -> dict[int, str]:
+    """Column-index → URL for one data row (excel_formatter.py:293-342).
+
+    ``title`` links to the row's ``title_link`` (computed upstream with the
+    main.py:280-306 source priority — wos > pubmed > sciencedirect > doi);
+    URL-valued columns link to themselves.  Indices are 0-based."""
+    row = dict(zip(cols, values))
+    out: dict[int, str] = {}
+    for i, c in enumerate(cols):
+        v = row.get(c)
+        if c in SELF_LINK_COLUMNS and v:
+            out[i] = v
+        elif c == "title" and row.get("title_link"):
+            out[i] = row["title_link"]
+    return out
+
+
 def write_excel(df: DataFrame, path: str) -> None:
-    """Styled multi-sheet workbook via openpyxl (driver-side)."""
+    """Styled multi-sheet workbook via openpyxl (driver-side): header
+    fill + frozen panes, content-scaled row heights, and REAL hyperlink
+    cells for titles and link columns (K2, excel_formatter.py:280-345)."""
     try:
         from openpyxl import Workbook
-        from openpyxl.styles import Font, PatternFill
+        from openpyxl.styles import Alignment, Font, PatternFill
         from openpyxl.utils import get_column_letter
     except ImportError as e:  # container has no openpyxl
         raise ImportError(
@@ -60,9 +97,12 @@ def write_excel(df: DataFrame, path: str) -> None:
             "sheet layout, or install openpyxl for styled workbooks"
         ) from e
 
+    link_font = Font(color=LINK_FONT_COLOR, underline="single")
+    data_alignment = Alignment(wrap_text=True, vertical="top")
+    for_sheet = _sheet_frames(df)
     wb = Workbook()
     wb.remove(wb.active)
-    for sheet, frame in _sheet_frames(df).items():
+    for sheet, frame in for_sheet.items():
         ws = wb.create_sheet(sheet)
         cols = frame.columns
         ws.append(cols)
@@ -72,8 +112,16 @@ def write_excel(df: DataFrame, path: str) -> None:
             c.font = Font(bold=True, color="FFFFFF")
             c.fill = header_fill
             ws.column_dimensions[get_column_letter(i)].width = 24
-        for row in frame.toLocalIterator():
-            ws.append([row[c] for c in cols])
+        for r, row in enumerate(frame.toLocalIterator(), 2):
+            values = [row[c] for c in cols]
+            ws.append(values)
+            ws.row_dimensions[r].height = content_row_height(values)
+            for i in range(1, len(cols) + 1):
+                ws.cell(row=r, column=i).alignment = data_alignment
+            for i, url in hyperlink_targets(list(cols), values).items():
+                cell = ws.cell(row=r, column=i + 1)
+                cell.hyperlink = url
+                cell.font = link_font
         ws.freeze_panes = "A2"  # frozen header row (excel_formatter.py)
     wb.save(path)
 
