@@ -778,6 +778,63 @@ FROM documents
 """
 
 
+def lit_parse_wos_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 round-trip: CSV_MAP rename (incl. the 'UT (Unique WOS ID)' and
+    'Times Cited, All Databases' headers), ';'-split with trim and
+    empty-element drop, P3 source tag — the semantic core of the CSV scan
+    (dialect sniffing is pytest-covered; it's I/O, not semantics)."""
+    from scholarmind_spark.sources.wos import normalize_wos_tabular
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    raw = d.select(
+        F.concat(F.lit("Title "), _s(doc_id)).alias("Article Title"),
+        F.col("text").alias("Abstract"),
+        # trailing '; ' exercises the empty-element filter, ' ; ' the trim
+        F.concat(
+            F.lit("Smith "), _s(doc_id % 5), F.lit(" ; Doe "), _s(doc_id % 7), F.lit("; ")
+        ).alias("Authors"),
+        F.concat(F.lit("kw"), _s(doc_id % 3), F.lit(" ;  kw"), _s(doc_id % 5)).alias(
+            "Author Keywords"
+        ),
+        F.concat(F.lit("JOURNAL "), _s(doc_id % 7)).alias("Journal"),
+        F.concat(
+            F.lit("10."), _s(F.lit(1000) + doc_id % 50), F.lit("/x"), _s(doc_id % 50)
+        ).alias("DOI"),
+        _s(F.lit(1990) + doc_id % 30).alias("Publication Year"),
+        F.concat(F.lit("WOS:"), _s(doc_id)).alias("UT (Unique WOS ID)"),
+        _s(doc_id % 90).alias("Times Cited, All Databases"),
+    )
+    rec = normalize_wos_tabular(raw)
+    return rec.select(
+        F.regexp_replace("wos_id", "^WOS:", "").cast("bigint").alias("wid"),
+        "title",
+        "abstract",
+        F.array_join("authors", ", ").alias("authors"),
+        "journal",
+        "doi",
+        "publication_year",
+        F.array_join("keywords", ", ").alias("keywords"),
+        "times_cited",
+        "source_type",
+    )
+
+
+LIT_PARSE_WOS_CSV_SQL = """
+SELECT doc_id AS wid,
+       'Title ' || doc_id::VARCHAR AS title,
+       text AS abstract,
+       'Smith ' || (doc_id % 5)::VARCHAR || ', Doe ' || (doc_id % 7)::VARCHAR AS authors,
+       'JOURNAL ' || (doc_id % 7)::VARCHAR AS journal,
+       '10.' || (1000 + doc_id % 50)::VARCHAR || '/x' || (doc_id % 50)::VARCHAR AS doi,
+       (1990 + doc_id % 30)::VARCHAR AS publication_year,
+       'kw' || (doc_id % 3)::VARCHAR || ', kw' || (doc_id % 5)::VARCHAR AS keywords,
+       (doc_id % 90)::VARCHAR AS times_cited,
+       'wos' AS source_type
+FROM documents
+"""
+
+
 def lit_parse_sciencedirect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 round-trip: positional authors/title/journal, Volume/Issue/year/
     Pages line, DOI+URL extraction, Abstract..Keywords window, ';' split."""
@@ -1364,6 +1421,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "lit_enrich_join": lit_enrich_join,
     "lit_parse_pubmed": lit_parse_pubmed,
     "lit_parse_wos": lit_parse_wos,
+    "lit_parse_wos_csv": lit_parse_wos_csv,
     "lit_parse_sciencedirect": lit_parse_sciencedirect,
     "dedup_exact": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_docs,
@@ -1412,6 +1470,7 @@ ORACLE_SQL: dict[str, str] = {
     "lit_enrich_join": LIT_ENRICH_SQL,
     "lit_parse_pubmed": LIT_PARSE_PUBMED_SQL,
     "lit_parse_wos": LIT_PARSE_WOS_SQL,
+    "lit_parse_wos_csv": LIT_PARSE_WOS_CSV_SQL,
     "lit_parse_sciencedirect": LIT_PARSE_SD_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", threshold=0.6),

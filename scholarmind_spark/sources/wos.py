@@ -158,61 +158,12 @@ def sniff_csv_dialect(sample: bytes) -> tuple[str, str]:
     return "utf-8", ","
 
 
-def scan_wos_csv(spark: SparkSession, path: str) -> DataFrame:
-    """WOS CSV/TSV export → standardized records (S3)."""
-    sc = spark.sparkContext
-    # sample the first file's first 64 KB on the driver for dialect sniffing
-    first = sc.binaryFiles(path).first()
-    encoding, sep = sniff_csv_dialect(first[1][: 64 * 1024])
-    df = spark.read.csv(path, header=True, sep=sep, encoding=encoding,
-                        multiLine=True, escape='"')
+def normalize_wos_tabular(df: DataFrame) -> DataFrame:
+    """Shared tabular normalize for the CSV and Excel scans: CSV_MAP rename
+    (wos_parser.py:160-212), ';'-split + trim for multi-valued columns,
+    fixed-schema back-fill, P3 source tag, P4 abstract filter, record_id."""
     renames = {old: new for old, new in CSV_MAP.items() if old in df.columns}
     df = df.withColumnsRenamed(renames)
-    out_cols = []
-    array_cols = {"authors", "full_authors", "affiliation", "issn", "keywords",
-                  "keywords_plus", "mesh_terms"}
-    for c in RECORD_COLUMNS:
-        if c == "record_id":
-            continue
-        if c in df.columns:
-            if c in array_cols:
-                out_cols.append(
-                    F.filter(
-                        F.transform(F.split(F.col(c), ";"), lambda x: F.trim(x)),
-                        lambda x: x != "",
-                    ).alias(c)
-                )
-            else:
-                out_cols.append(F.col(c).cast("string").alias(c))
-        elif c == "source_type":
-            out_cols.append(F.lit("wos").alias(c))
-        else:
-            out_cols.append(F.lit(None).cast("array<string>" if c in array_cols else "string").alias(c))
-    df = df.select(*out_cols).filter(F.col("abstract").isNotNull())
-    df = df.withColumn("record_id", F.monotonically_increasing_id())
-    return df.select(*RECORD_COLUMNS)
-
-
-def scan_wos_excel(spark: SparkSession, path: str) -> DataFrame:
-    """WOS Excel export → standardized records (S4, wos_parser.py:141-148).
-
-    The reference is a driver-side ``pd.read_excel`` passthrough; here the
-    driver parses the workbook (Excel is not a splittable format — exports
-    are small) and the rows enter Spark via ``createDataFrame``, after
-    which the CSV rename/normalize path applies.  Requires an Excel engine
-    (openpyxl/xlrd, not in this container) — gated with a clear error."""
-    import pandas as pd
-
-    try:
-        pdf = pd.read_excel(path)
-    except ImportError as e:
-        raise ImportError(
-            "WOS Excel scan needs an Excel engine (openpyxl for .xlsx, "
-            "xlrd for .xls); install one or export CSV and use scan_wos_csv"
-        ) from e
-    pdf = pdf.rename(columns={k: v for k, v in CSV_MAP.items() if k in pdf.columns})
-    pdf = pdf.astype(object).where(pdf.notna(), None)
-    df = spark.createDataFrame(pdf)
     array_cols = {"authors", "full_authors", "affiliation", "issn", "keywords",
                   "keywords_plus", "mesh_terms"}
     out_cols = []
@@ -239,3 +190,35 @@ def scan_wos_excel(spark: SparkSession, path: str) -> DataFrame:
     df = df.select(*out_cols).filter(F.col("abstract").isNotNull())
     df = df.withColumn("record_id", F.monotonically_increasing_id())
     return df.select(*RECORD_COLUMNS)
+
+
+def scan_wos_csv(spark: SparkSession, path: str) -> DataFrame:
+    """WOS CSV/TSV export → standardized records (S3)."""
+    sc = spark.sparkContext
+    # sample the first file's first 64 KB on the driver for dialect sniffing
+    first = sc.binaryFiles(path).first()
+    encoding, sep = sniff_csv_dialect(first[1][: 64 * 1024])
+    df = spark.read.csv(path, header=True, sep=sep, encoding=encoding,
+                        multiLine=True, escape='"')
+    return normalize_wos_tabular(df)
+
+
+def scan_wos_excel(spark: SparkSession, path: str) -> DataFrame:
+    """WOS Excel export → standardized records (S4, wos_parser.py:141-148).
+
+    The reference is a driver-side ``pd.read_excel`` passthrough; here the
+    driver parses the workbook (Excel is not a splittable format — exports
+    are small) and the rows enter Spark via ``createDataFrame``, after
+    which the CSV rename/normalize path applies.  Requires an Excel engine
+    (openpyxl/xlrd, not in this container) — gated with a clear error."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path)
+    except ImportError as e:
+        raise ImportError(
+            "WOS Excel scan needs an Excel engine (openpyxl for .xlsx, "
+            "xlrd for .xls); install one or export CSV and use scan_wos_csv"
+        ) from e
+    pdf = pdf.astype(object).where(pdf.notna(), None)
+    return normalize_wos_tabular(spark.createDataFrame(pdf))
