@@ -1354,6 +1354,43 @@ GROUP BY user_id
 """
 
 
+def lit_flatten_presentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D10 round-trip: presentation flattening — configured array columns
+    comma-join, others take their first element, nulls render '' — against
+    a DuckDB twin computing the same renderings directly."""
+    from scholarmind_spark.sinks.parquet import flatten_for_presentation
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    rec = d.select(
+        doc_id.alias("doc_id"),
+        F.array(
+            F.concat(F.lit("Smith "), _s(doc_id % 5)),
+            F.concat(F.lit("Doe "), _s(doc_id % 7)),
+        ).alias("authors"),  # JOINED_ARRAY_FIELDS → comma-join
+        F.array(
+            _s(F.lit(1000) + doc_id % 100), _s(F.lit(2000) + doc_id % 100)
+        ).alias("issn"),  # FIRST_ELEMENT_FIELDS → first element
+        F.when(doc_id % 10 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("kw"), _s(doc_id % 3))))
+        .alias("keywords"),  # null arrays render ''
+        F.when(doc_id % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("T"), _s(doc_id)))
+        .alias("title"),  # null strings render ''
+    )
+    return flatten_for_presentation(rec)
+
+
+LIT_FLATTEN_SQL = """
+SELECT doc_id,
+       'Smith ' || (doc_id % 5)::VARCHAR || ', Doe ' || (doc_id % 7)::VARCHAR AS authors,
+       (1000 + doc_id % 100)::VARCHAR AS issn,
+       CASE WHEN doc_id % 10 = 0 THEN '' ELSE 'kw' || (doc_id % 3)::VARCHAR END AS keywords,
+       CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'T' || doc_id::VARCHAR END AS title
+FROM documents
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join (skew tool): lineitem × part on a salted key, then
     revenue per part type.  The salt only changes physical placement, so
@@ -1448,6 +1485,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "order_price_quantiles": q_order_price_quantiles,
     "skew_salted_join": q_skew_salted_join,
     "skew_two_phase_distinct": q_skew_two_phase_distinct,
+    "lit_flatten_presentation": lit_flatten_presentation,
     "lit_llm_extract": lit_llm_extract,
 }
 
@@ -1497,5 +1535,6 @@ ORACLE_SQL: dict[str, str] = {
     "order_price_quantiles": Q_QUANTILES_SQL,
     "skew_salted_join": Q_SALTED_SQL,
     "skew_two_phase_distinct": Q_TWO_PHASE_SQL,
+    "lit_flatten_presentation": LIT_FLATTEN_SQL,
     "lit_llm_extract": LIT_LLM_SQL,
 }
