@@ -139,18 +139,33 @@ def stream_dedup(
 
 
 def run_to_memory(
-    stream_df: DataFrame, mode: str = "complete", name: str | None = None
+    stream_df: DataFrame,
+    mode: str = "complete",
+    name: str | None = None,
+    shuffle_partitions: int = 32,
 ) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table and return
-    it as a batch DataFrame (test/verification harness)."""
+    it as a batch DataFrame (test/verification harness).
+
+    A streaming query fixes its state-store partition count from
+    ``spark.sql.shuffle.partitions`` at START (no AQE coalescing in
+    streaming) — on a default session that is 200 state-store tasks per
+    microbatch regardless of data size.  The conf is pinned for the start
+    and restored after the drain."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="smck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="smck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
