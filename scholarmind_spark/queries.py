@@ -1081,6 +1081,31 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage (mapInPandas): aspect-preserving target dims with
+    ``scale = min(1, 256/max(w,h))`` — the dim math is the real contract
+    (payload re-encode is stubbed; PIL not in container) and DuckDB
+    recomputes it exactly (trunc-toward-zero on positive values == floor)."""
+    from scholarmind_spark.multimodal import resize_images, synth_media
+
+    return resize_images(synth_media(spark, sf_dir), max_side=256).select(
+        "media_id", "width", "height", F.length("content").alias("n_bytes")
+    )
+
+
+MEDIA_RESIZE_SQL = """
+WITH img AS (
+  SELECT doc_id, (doc_id % 16 + 1) * 64 AS w, (doc_id % 9 + 1) * 64 AS h, text
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id AS media_id,
+       floor(w * least(1.0, 256.0 / greatest(w, h)))::INT AS width,
+       floor(h * least(1.0, 256.0 / greatest(w, h)))::INT AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM img
+"""
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction (Arrow-batched mapInPandas), checked
     EXACTLY against SQL: the integer bin counts are recovered from the
@@ -1473,6 +1498,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_cosine": dedup_embedding_docs,
     "media_byte_stats": media_stats,
     "media_decode": media_decode,
+    "media_resize": media_resize,
     "media_frame_sample": media_frames,
     "media_features": media_features,
     "events_tumbling": events_tumbling,
@@ -1523,6 +1549,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
     "media_frame_sample": MEDIA_FRAMES_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_tumbling": EVENTS_TUMBLING_SQL,
