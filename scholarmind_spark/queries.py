@@ -1379,6 +1379,40 @@ GROUP BY user_id
 """
 
 
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-sink round-trip: write lineitem+orders bucketed on the join
+    key (one shuffle paid at write), then join the bucketed tables — the
+    join itself is exchange-free (asserted in tests/test_bucketed.py) and
+    the RESULT is checked here against the plain-join oracle."""
+    from scholarmind_spark.sinks.bucketed import write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    write_bucketed(li, "sm_gate_li", "okey", buckets=8)
+    write_bucketed(o, "sm_gate_o", "okey", buckets=8)
+    j = spark.table("sm_gate_li").join(spark.table("sm_gate_o"), "okey")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def lit_flatten_presentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4/D10 round-trip: presentation flattening — configured array columns
     comma-join, others take their first element, nulls render '' — against
@@ -1512,6 +1546,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "skew_salted_join": q_skew_salted_join,
     "skew_two_phase_distinct": q_skew_two_phase_distinct,
     "lit_flatten_presentation": lit_flatten_presentation,
+    "bucketed_join_revenue": bucketed_join_revenue,
     "lit_llm_extract": lit_llm_extract,
 }
 
@@ -1563,5 +1598,6 @@ ORACLE_SQL: dict[str, str] = {
     "skew_salted_join": Q_SALTED_SQL,
     "skew_two_phase_distinct": Q_TWO_PHASE_SQL,
     "lit_flatten_presentation": LIT_FLATTEN_SQL,
+    "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "lit_llm_extract": LIT_LLM_SQL,
 }
