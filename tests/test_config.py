@@ -6,6 +6,7 @@ import os
 import textwrap
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
@@ -82,6 +83,66 @@ def test_errors(tmp_path):
         """)
     with pytest.raises(ConfigError):
         load_config(sf)
+
+
+_scalars = st.one_of(st.integers(-10, 10), st.booleans(), st.text(max_size=8))
+_config_trees = st.recursive(
+    _scalars,
+    lambda inner: st.dictionaries(
+        st.sampled_from(
+            ["llm", "journal_metrics", "processing", "prompt", "model_parameters",
+             "enabled", "type", "temperature", "max_workers", "extra_key"]
+        ),
+        inner,
+        max_size=4,
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dictionaries(st.sampled_from(
+    ["llm", "journal_metrics", "processing", "prompt", "extra_key"]
+), _config_trees, max_size=5))
+def test_merge_properties(user_config):
+    """Defaults back-fill never overwrites a user value at any depth, and
+    every default path exists in the result unless the user replaced an
+    ancestor with a non-dict."""
+    import copy
+
+    from scholarmind_spark.config import CONFIG_DEFAULTS, ConfigError, apply_defaults
+
+    original = copy.deepcopy(user_config)
+    try:
+        merged = apply_defaults(copy.deepcopy(user_config))
+    except (ConfigError, AttributeError, TypeError):
+        return  # non-dict llm / non-str type / siliconflow-without-key shapes
+
+    def check_user_preserved(u, m, path=()):
+        for k, v in u.items():
+            assert k in m
+            if isinstance(v, dict) and isinstance(m[k], dict):
+                check_user_preserved(v, m[k], path + (k,))
+            elif path + (k,) != ("llm", "type"):  # type is lower-cased
+                assert m[k] == v, (path, k)
+
+    def check_defaults_present(d, m):
+        for k, v in d.items():
+            assert k in m
+            if isinstance(v, dict) and isinstance(m[k], dict):
+                check_defaults_present(v, m[k])
+
+    check_user_preserved(original, merged)
+    # defaults only guaranteed under dict-valued sections
+    for k, v in CONFIG_DEFAULTS.items():
+        if k not in original or isinstance(original.get(k), dict):
+            if isinstance(merged.get(k), dict):
+                check_defaults_present(
+                    {kk: vv for kk, vv in v.items()
+                     if kk not in original.get(k, {})
+                     or isinstance(original.get(k, {}).get(kk), dict)},
+                    merged[k],
+                )
 
 
 def _template_dir(tmp_path):
