@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality_stats",
+    "text_clean",
+    "token_topk",
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -102,6 +102,40 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
+# Scrub patterns (applied in this order; identical RE2/Java-regex subset so
+# Spark and DuckDB rewrite byte-identically)
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+LONG_NUM_RE = r"[0-9]{7,}"
+
+
+def clean_text(col: Column) -> Column:
+    """Pretraining-style text scrub: drop URLs, mask emails → ``<EMAIL>``
+    and long digit runs (phone/ID-ish PII) → ``<NUM>``, collapse whitespace.
+    Pure JVM regexp chain — the canonical pre-tokenization cleanup stage."""
+    c = F.regexp_replace(col, URL_RE, "")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, LONG_NUM_RE, "<NUM>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def token_topk(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus vocabulary: top-k lowercased whitespace tokens by frequency
+    (ties broken by token, fully deterministic).
+
+    explode → groupBy(token) runs with map-side partial aggregation, so the
+    shuffle carries one row per (token, partition) — vocabulary building at
+    100 TB is exactly this plan plus a min-count filter."""
+    tok = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    return (
+        tok.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(
@@ -180,3 +214,21 @@ def lang_id_sql(expr: str) -> str:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(array_to_string(list_sort(list_distinct({tokens_sql(expr)})), ' '))"
+
+
+def clean_text_sql(expr: str) -> str:
+    c = f"regexp_replace({expr}, 'https?://\\S+', '', 'g')"
+    c = f"regexp_replace({c}, '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+', '<EMAIL>', 'g')"
+    c = f"regexp_replace({c}, '[0-9]{{7,}}', '<NUM>', 'g')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+def token_topk_sql(table: str, text_col: str = "text", k: int = 20) -> str:
+    return f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({tokens_sql(f"lower({text_col})")}) AS token FROM {table})
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {k}
+"""

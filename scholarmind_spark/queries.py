@@ -52,6 +52,7 @@ from scholarmind_spark.operators.textstats import (
     stopword_ratio_sql,
     token_count,
     token_count_sql,
+    token_topk_sql,
 )
 from scholarmind_spark.operators.union import union_sources
 
@@ -969,6 +970,44 @@ SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents
 """
 
 
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining text scrub round-trip: URLs dropped, emails/long digit
+    runs masked, whitespace collapsed.  The corpus text gets adversarial
+    URL/email/phone suffixes appended INSIDE the query (the synthetic docs
+    contain none) so every scrub rule fires on every row."""
+    from scholarmind_spark.operators.textstats import clean_text
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("  see https://ex.org/p?q="), _s(doc_id),
+        F.lit(" or http://t.co/"), _s(doc_id % 10),
+        F.lit("\tmail bob.smith+"), _s(doc_id % 5), F.lit("@example.org"),
+        F.lit("  call 123456789"), _s(doc_id % 10), F.lit(" now"),
+    )
+    return d.select("doc_id", clean_text(dirty).alias("clean"))
+
+
+def _text_clean_sql() -> str:
+    from scholarmind_spark.operators.textstats import clean_text_sql
+
+    dirty = (
+        "text || '  see https://ex.org/p?q=' || doc_id::VARCHAR"
+        " || ' or http://t.co/' || (doc_id % 10)::VARCHAR"
+        " || chr(9) || 'mail bob.smith+' || (doc_id % 5)::VARCHAR || '@example.org'"
+        " || '  call 123456789' || (doc_id % 10)::VARCHAR || ' now'"
+    )
+    return f"SELECT doc_id, {clean_text_sql(f'({dirty})')} AS clean FROM documents"
+
+
+def token_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by frequency (deterministic ties)."""
+    from scholarmind_spark.operators.textstats import token_topk
+
+    return token_topk(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
 def ann_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
@@ -1525,6 +1564,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash_docs,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
+    "text_clean": text_clean,
+    "token_topk": token_topk_docs,
     "doc_fingerprint": doc_fingerprints,
     "ann_cosine_topk": ann_cosine_docs,
     "ann_lsh_topk": ann_lsh_docs,
@@ -1577,6 +1618,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": simhash_pairs_sql("documents", max_distance=3),
     "text_quality_stats": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
+    "text_clean": _text_clean_sql(),
+    "token_topk": token_topk_sql("documents", "text", k=20),
     "doc_fingerprint": FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_SQL,
     "ann_lsh_topk": ann_lsh_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
