@@ -1418,6 +1418,24 @@ GROUP BY user_id
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → transitive duplicate clusters → survivor flag: n-gram
+    Jaccard pairs feed min-label-propagation connected components (the
+    oracle recomputes them with a recursive CTE); min id per cluster
+    survives."""
+    from scholarmind_spark.operators.cluster import dedup_survivors
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return dedup_survivors(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    from scholarmind_spark.operators.cluster import connected_components_sql
+
+    cc = connected_components_sql(ngram_jaccard_pairs_sql("documents", threshold=0.6))
+    return f"SELECT node, component, node = component AS is_survivor FROM ({cc})"
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-sink round-trip: write lineitem+orders bucketed on the join
     key (one shuffle paid at write), then join the bucketed tables — the
@@ -1562,6 +1580,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup_ngram_docs,
     "dedup_minhash_lsh": dedup_minhash_docs,
     "dedup_simhash": dedup_simhash_docs,
+    "dedup_clusters": dedup_clusters,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
     "text_clean": text_clean,
@@ -1616,6 +1635,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": ngram_jaccard_pairs_sql("documents", threshold=0.6),
     "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", threshold=0.6),
     "dedup_simhash": simhash_pairs_sql("documents", max_distance=3),
+    "dedup_clusters": _dedup_clusters_sql(),
     "text_quality_stats": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_clean": _text_clean_sql(),

@@ -1,0 +1,70 @@
+"""Connected-components clustering vs an independent union-find reference."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.cluster import connected_components, dedup_survivors
+from scholarmind_spark.util import release_caches
+
+
+def union_find_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node in component
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs)
+    got = {r.node: r.component for r in cc.collect()}
+    release_caches(cc)
+    want = union_find_reference(edges)
+    assert got == want
+
+
+def test_dedup_survivors_transitive_chain(spark):
+    """A~B, B~C, D~E: components {A,B,C} and {D,E}; min ids survive even
+    though A~C was never a pair (transitivity)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = dedup_survivors(pairs)
+    rows = {r.node: (r.component, r.is_survivor) for r in out.collect()}
+    release_caches(out)
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+def test_release_frees_loop_caches(spark):
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    out = dedup_survivors(pairs)
+    out.collect()
+    release_caches(out)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
