@@ -1281,6 +1281,41 @@ ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: per click, count same-user purchases within
+    ±300 s.  The plan is a pure equi-join on (user, time-bin) with 3×
+    replication of the purchase side — the oracle runs the plain
+    inequality join, proving result parity."""
+    from scholarmind_spark.operators.rangejoin import range_join_count
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    out = range_join_count(
+        clicks, purchases, key="user_id", ts_left="ts", ts_right="pts",
+        tolerance_s=300, count_col="n_nearby_purchases",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("click_ts"),
+        "n_nearby_purchases",
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT c.event_id, c.user_id,
+       floor(epoch(c.ts))::BIGINT AS click_ts,
+       (SELECT count(*) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND abs(floor(epoch(c.ts)) - floor(epoch(p.ts))) <= 300) AS n_nearby_purchases
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
 def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont``; the 100 TB variant swaps in
@@ -1602,6 +1637,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_stream_dedup": events_stream_dedup,
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "order_price_quantiles": q_order_price_quantiles,
     "skew_salted_join": q_skew_salted_join,
     "skew_two_phase_distinct": q_skew_two_phase_distinct,
@@ -1657,6 +1693,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
+    "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "order_price_quantiles": Q_QUANTILES_SQL,
     "skew_salted_join": Q_SALTED_SQL,
     "skew_two_phase_distinct": Q_TWO_PHASE_SQL,
