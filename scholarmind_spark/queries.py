@@ -1542,6 +1542,49 @@ FROM documents
 """
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATA_RATES = {"en": 0.25, "de": 0.5}
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by key hash (reproducible under
+    any partitioning/engine): per-(split, lang) counts."""
+    from scholarmind_spark.operators.sampling import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = deterministic_split(d, key="doc_id", weights=SPLIT_WEIGHTS)
+    return s.groupBy("split", "lang").agg(F.count("*").alias("n")).orderBy("split", "lang")
+
+
+def _dataset_split_sql() -> str:
+    from scholarmind_spark.operators.sampling import deterministic_split_sql
+
+    case = deterministic_split_sql("doc_id", SPLIT_WEIGHTS)
+    return f"""
+SELECT {case} AS split, lang, count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class downsampling (hash-bucket sampleBy):
+    post-sample per-language counts."""
+    from scholarmind_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample(d, key="doc_id", class_col="lang", rates=STRATA_RATES)
+    return s.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+def _stratified_sample_sql() -> str:
+    from scholarmind_spark.operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql("doc_id", "lang", STRATA_RATES)
+    return f"""
+SELECT lang, count(*) AS n FROM documents WHERE {pred} GROUP BY lang ORDER BY lang
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join (skew tool): lineitem × part on a salted key, then
     revenue per part type.  The salt only changes physical placement, so
@@ -1641,6 +1684,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "order_price_quantiles": q_order_price_quantiles,
     "skew_salted_join": q_skew_salted_join,
     "skew_two_phase_distinct": q_skew_two_phase_distinct,
+    "dataset_split": dataset_split,
+    "stratified_sample": stratified_sample_docs,
     "lit_flatten_presentation": lit_flatten_presentation,
     "bucketed_join_revenue": bucketed_join_revenue,
     "lit_llm_extract": lit_llm_extract,
@@ -1697,6 +1742,8 @@ ORACLE_SQL: dict[str, str] = {
     "order_price_quantiles": Q_QUANTILES_SQL,
     "skew_salted_join": Q_SALTED_SQL,
     "skew_two_phase_distinct": Q_TWO_PHASE_SQL,
+    "dataset_split": _dataset_split_sql(),
+    "stratified_sample": _stratified_sample_sql(),
     "lit_flatten_presentation": LIT_FLATTEN_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
     "lit_llm_extract": LIT_LLM_SQL,
