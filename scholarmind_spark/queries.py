@@ -639,6 +639,160 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 5-way join chain (fact → orders → customer →
+    nation, fact → supplier → nation) with cross-nation pair filter and
+    per-(pair, year) revenue.  Every dimension broadcasts; the fact table
+    shuffles once for the final aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        j.groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        # round the EXACT decimal, then cast: rounding after a double cast
+        # flips a cent on .xx5-boundary groups (4 of 4188 at sf0.01)
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING on the fact, then join the surviving
+    keys back to the dimensions — top volume customers, deterministic
+    top-20."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_date"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("sum_qty").cast("double"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       floor(epoch(o_orderdate))::BIGINT AS o_date,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty::DOUBLE, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (avg of positive balances, a
+    driver-side collect of ONE value — the reference pattern for scalar
+    subqueries) + anti-join (customers with no LARGE orders; every sf0.01
+    customer has some order, so the large-order variant keeps the check
+    non-degenerate), per-nation aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(_dec(F.col("c_acctbal"))), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS n_cust,
+       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery: per-customer running revenue, order rank,
+    and gap to the previous order (rows-frame running sum + rank + lag in
+    one window pass)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(
+            F.sum(_dec(F.col("o_totalprice"))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double"),
+            2,
+        ).alias("running_revenue"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+Q_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round((sum(o_totalprice::DECIMAL(18,2))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING))::DOUBLE, 2) AS running_revenue,
+       date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) per group (exact — the oracle-comparable form; the
     100 TB variant swaps in approx_count_distinct, same plan shape with a
@@ -1643,6 +1797,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q4_returned_orders": q4_returned_orders,
     "customers_without_orders": q_customers_without_orders,
     "q14_promo_revenue": q14_promo_revenue,
+    "q7_nation_trade": q7_nation_trade,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_customers": q22_idle_customers,
+    "orders_running_total": orders_running_total,
     "distinct_users_per_type": q_distinct_users,
     "lit_doi_norm": lit_doi_norm,
     "lit_priority_dedup": lit_priority_dedup,
@@ -1701,6 +1859,10 @@ ORACLE_SQL: dict[str, str] = {
     "q4_returned_orders": Q4_SQL,
     "customers_without_orders": Q_ANTI_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q7_nation_trade": Q7_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q22_idle_customers": Q22_SQL,
+    "orders_running_total": Q_RUNNING_SQL,
     "distinct_users_per_type": Q_DISTINCT_SQL,
     "lit_doi_norm": LIT_DOI_NORM_SQL,
     "lit_priority_dedup": LIT_DEDUP_SQL,
