@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "rollup_order_stats",
     "q4_returned_orders",
     "q14_promo_revenue",
+    "q7_nation_trade",
+    "q18_large_orders",
+    "orders_running_total",
     "distinct_users_per_type",
     "lit_parse_pubmed",
     "lit_priority_dedup",
