@@ -1,3 +1,4 @@
+from scholarmind_spark.streaming.ingest import stream_scan_pubmed, stream_scan_wos
 from scholarmind_spark.streaming.pipeline import (
     read_events_stream,
     run_to_memory,
@@ -13,5 +14,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stream_dedup",
+    "stream_scan_pubmed",
+    "stream_scan_wos",
     "tumbling_agg",
 ]
