@@ -30,6 +30,16 @@ PARSE_COLUMNS = [c for c in RECORD_COLUMNS if c != "record_id"]
 _PARSE_SCHEMA = RECORD_SCHEMA.simpleString().replace("record_id:bigint,", "")
 
 
+def normalize_newlines(text: str) -> str:
+    """Strip a UTF-8 BOM and fold CRLF/CR to LF — real-world exports are
+    frequently Windows-encoded, and a trailing ``\\r`` would otherwise leak
+    into every field value (the reference reads with pandas/utf-8 and has
+    the same latent issue)."""
+    if text.startswith("﻿"):
+        text = text[1:]
+    return text.replace("\r\n", "\n").replace("\r", "\n")
+
+
 def empty_record() -> dict[str, Any]:
     return {c: None for c in PARSE_COLUMNS}
 

@@ -64,6 +64,9 @@ TAG_MAP = {
 
 def parse_pubmed_tags(text: str) -> list[dict[str, list[str]]]:
     """Tag-level parse: one dict of tag → list-of-values per record."""
+    from scholarmind_spark.sources.base import normalize_newlines
+
+    text = normalize_newlines(text)
     records: list[dict[str, list[str]]] = []
     record: dict[str, list[str]] = {}
     current: str | None = None

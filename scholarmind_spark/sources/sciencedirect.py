@@ -124,6 +124,9 @@ def parse_sd_entry(entry: str) -> dict[str, Any] | None:
 
 
 def parse_sd_file(text: str) -> list[dict[str, Any]]:
+    from scholarmind_spark.sources.base import normalize_newlines
+
+    text = normalize_newlines(text)
     out = []
     for entry in re.split(r"\n{2,}", text):
         if not entry.strip():

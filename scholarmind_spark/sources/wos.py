@@ -79,6 +79,9 @@ CSV_MAP = {
 
 
 def parse_wos_tags(text: str) -> list[dict[str, list[str]]]:
+    from scholarmind_spark.sources.base import normalize_newlines
+
+    text = normalize_newlines(text)
     records: list[dict[str, list[str]]] = []
     record: dict[str, list[str]] = {}
     current: str | None = None

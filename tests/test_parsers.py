@@ -138,3 +138,19 @@ def test_pubmed_aid_only_doi():
     both = "PMID- 2\nTI  - T\nAB  - A\nLID - 10.2/lid [doi]\nAID - 10.1/abc [doi]"
     rec = parse_pubmed_file(both)[0]
     assert rec["doi"] == "10.2/lid"
+
+
+def test_crlf_and_bom_normalization():
+    """Windows exports: CRLF line endings and a BOM must not leak into
+    field values (pubmed, wos, sciencedirect)."""
+    from scholarmind_spark.sources.pubmed import parse_pubmed_file
+    from scholarmind_spark.sources.wos import parse_wos_file
+
+    unix = "PMID- 1\nTI  - T\nAB  - abstract text\n"
+    win = "﻿" + unix.replace("\n", "\r\n")
+    assert parse_pubmed_file(win) == parse_pubmed_file(unix)
+    assert parse_pubmed_file(win)[0]["abstract"] == ["abstract text"]  # no \r
+
+    unix_w = "PT J\nUT WOS:1\nTI T\nAB abs\nER\n"
+    win_w = "﻿" + unix_w.replace("\n", "\r\n")
+    assert parse_wos_file(win_w) == parse_wos_file(unix_w)
