@@ -1,0 +1,56 @@
+"""Plan-regression guards: the properties that make the battery scale must
+survive refactors — no accidental cartesian products anywhere, pushed scan
+filters and broadcast joins where the design depends on them."""
+
+from __future__ import annotations
+
+import pytest
+
+from scholarmind_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# build-time side effects (streaming drains, table writes, driver loops) —
+# plan inspection would execute them; their plans are covered by their own
+# tests/gate entries
+SKIP = {
+    "events_tumbling_stream", "events_session_stream", "events_stream_dedup",
+    "events_stateful_user_stats", "bucketed_join_revenue", "dedup_clusters",
+}
+
+# deliberate all-pairs baselines: broadcast nested-loop by design
+BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk"}
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_no_cartesian_products(spark):
+    offenders = []
+    for name, fn in SPARK_QUERIES.items():
+        if name in SKIP:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders.append(f"{name} (BNLJ)")
+    assert offenders == []
+
+
+@pytest.mark.parametrize(
+    "name,needle",
+    [
+        # filters reach the parquet scan
+        ("q6_forecast_revenue", "PushedFilters: [IsNotNull(l_shipdate)"),
+        # dimension joins broadcast
+        ("q5_regional_revenue", "BroadcastHashJoin"),
+        ("lit_enrich_join", "BroadcastHashJoin"),
+        # near-dup self-joins must NOT broadcast the exploded corpus
+        ("dedup_ngram_jaccard", "ShuffledHashJoin"),
+    ],
+)
+def test_plan_properties(spark, name, needle):
+    assert needle in _plan(SPARK_QUERIES[name](spark, SF))
