@@ -16,7 +16,8 @@ Layout:
 - ``streaming``  — Structured Streaming extensions over the events stream.
 """
 
+from scholarmind_spark.config import ConfigError, load_config
 from scholarmind_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = ["ConfigError", "get_spark", "load_config"]
+__version__ = "0.2.0"
