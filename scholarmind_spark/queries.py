@@ -1607,6 +1607,47 @@ GROUP BY user_id
 """
 
 
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→source round-trip: write documents as JSONL, read back
+    with an explicit schema, and aggregate — the oracle aggregates the
+    original parquet directly, so any value lost or mangled by the JSON
+    codec breaks the hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from scholarmind_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = tempfile.mkdtemp(prefix="sm_jsonl_")
+    write_jsonl(d, out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema, keep_corrupt=False)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.max(F.md5("text")).alias("max_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
+       sum(length(text)) AS text_chars, max(md5(text)) AS max_md5
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → transitive duplicate clusters → survivor flag: n-gram
     Jaccard pairs feed min-label-propagation connected components (the
@@ -1817,6 +1858,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": dedup_minhash_docs,
     "dedup_simhash": dedup_simhash_docs,
     "dedup_clusters": dedup_clusters,
+    "jsonl_roundtrip": jsonl_roundtrip,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
     "text_clean": text_clean,
@@ -1879,6 +1921,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_lsh": minhash_lsh_pairs_sql("documents", threshold=0.6),
     "dedup_simhash": simhash_pairs_sql("documents", max_distance=3),
     "dedup_clusters": _dedup_clusters_sql(),
+    "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     "text_quality_stats": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_clean": _text_clean_sql(),

@@ -1,0 +1,63 @@
+"""JSONL corpus source — the de-facto interchange format of training-data
+pipelines (one JSON document per line).
+
+Scale posture: ``spark.read.json`` with an EXPLICIT schema — schema
+inference scans the whole input once before the real read (a full extra
+pass over 100 TB) and silently widens types on dirty data.  Malformed
+lines are kept, not dropped: PERMISSIVE mode + ``columnNameOfCorruptRecord``
+routes them to a ``_corrupt_record`` column so a quality gate can count and
+quarantine them (dropping bad lines silently is how training corpora rot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """Schema-enforced JSONL read; corrupt lines surface in
+    ``_corrupt_record`` when ``keep_corrupt`` (else they are dropped)."""
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if not keep_corrupt:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df
+
+
+def corrupt_line_stats(df: DataFrame) -> DataFrame:
+    """Quality gate companion: counts of clean vs corrupt lines.
+
+    Caches the input first: Spark refuses queries whose referenced columns
+    are ONLY the internal corrupt-record column on a raw scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented
+    workaround is materializing before the aggregate."""
+    df = df.cache()
+    return df.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """Engine-native JSONL sink (one JSON object per line, partitioned
+    output files — downstream trainers shard-read them directly)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
