@@ -1607,6 +1607,59 @@ GROUP BY user_id
 """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE lazy plan: scrub text → compute
+    quality stats → keep docs above a quality floor with enough tokens →
+    exact-dedup on the cleaned text (min doc_id survives) → per-language
+    corpus stats.  Every stage is an already-oracle-checked operator; this
+    query proves they COMPOSE (the realistic usage) and that Catalyst
+    collapses the whole chain into scan → project → two aggregates."""
+    from scholarmind_spark.operators.textstats import clean_text, quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    cleaned = d.select(
+        "doc_id", "lang", clean_text(F.col("text")).alias("clean")
+    )
+    kept = cleaned.filter(
+        (quality_score(F.col("clean")) >= 0.5) & (token_count(F.col("clean")) >= 10)
+    )
+    survivors = (
+        kept.groupBy(F.md5("clean").alias("h"))
+        # min, not first: duplicate texts may carry different langs, and
+        # first() is arrival-order dependent
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"),
+             F.min(F.length("clean")).alias("n_chars"))
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+def _corpus_curation_sql() -> str:
+    from scholarmind_spark.operators.textstats import (
+        clean_text_sql, quality_score_sql, token_count_sql,
+    )
+
+    clean = clean_text_sql("text")
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, lang, {clean} AS clean FROM documents
+),
+kept AS (
+  SELECT * FROM cleaned
+  WHERE {quality_score_sql("clean")} >= 0.5 AND {token_count_sql("clean")} >= 10
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(length(clean)) AS n_chars
+  FROM kept GROUP BY md5(clean)
+)
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM survivors GROUP BY lang ORDER BY lang
+"""
+
+
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL sink→source round-trip: write documents as JSONL, read back
     with an explicit schema, and aggregate — the oracle aggregates the
@@ -1859,6 +1912,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash_docs,
     "dedup_clusters": dedup_clusters,
     "jsonl_roundtrip": jsonl_roundtrip,
+    "corpus_curation": corpus_curation,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
     "text_clean": text_clean,
@@ -1922,6 +1976,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": simhash_pairs_sql("documents", max_distance=3),
     "dedup_clusters": _dedup_clusters_sql(),
     "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+    "corpus_curation": _corpus_curation_sql(),
     "text_quality_stats": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_clean": _text_clean_sql(),
