@@ -46,9 +46,12 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "events_asof_join",
+    "events_range_join",
     "order_price_quantiles",
     "skew_salted_join",
     "skew_two_phase_distinct",
+    "corpus_curation",
+    "dataset_split",
     "lit_llm_extract",
     "media_byte_stats",
     "media_features",

@@ -159,6 +159,55 @@ def lsh_bucket_sql(vec_expr: str, planes: int = 8, dim: int = 64) -> str:
     return "(" + " + ".join(parts) + ")::BIGINT"
 
 
+# ---- multi-table LSH: L independent tables of b planes each.  A single
+# b-plane table needs ALL b bits to agree — P(hit) = p^b, tiny for modest
+# neighbor angles (measured recall@10 ≈ 0.01 with one 8-plane table on the
+# sf0.1 embeddings).  With L tables a neighbor is found if ANY table
+# agrees: P = 1 - (1-p^b)^L, while candidate volume stays L × n/2^b.
+
+LSH_TABLES = 8
+LSH_PLANES = 6
+
+
+def lsh_buckets_multi(
+    vec_col, tables: int = LSH_TABLES, planes: int = LSH_PLANES, dim: int = 64
+):
+    """Array of per-table bucket keys ``"<t>|<bits>"``; table ``t`` uses
+    plane block ``[t*planes, (t+1)*planes)`` of the shared derived planes."""
+    all_signs = _plane_signs(tables * planes, dim)
+    buckets = []
+    for t in range(tables):
+        bits = F.lit(0).cast("bigint")
+        for p in range(planes):
+            coeffs = all_signs[t * planes + p]
+            arr = F.array(*[F.lit(c) for c in coeffs])
+            proj = F.aggregate(
+                F.zip_with(vec_col, arr, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        buckets.append(F.concat_ws("|", F.lit(str(t)), bits.cast("string")))
+    return F.array(*buckets)
+
+
+def lsh_buckets_multi_sql(
+    vec_expr: str, tables: int = LSH_TABLES, planes: int = LSH_PLANES, dim: int = 64
+) -> str:
+    all_signs = _plane_signs(tables * planes, dim)
+    buckets = []
+    for t in range(tables):
+        parts = []
+        for p in range(planes):
+            coeffs = all_signs[t * planes + p]
+            terms = " + ".join(
+                f"{vec_expr}[{i + 1}]::DOUBLE * ({c:.1f})" for i, c in enumerate(coeffs)
+            )
+            parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+        buckets.append(f"('{t}|' || (({' + '.join(parts)})::BIGINT)::VARCHAR)")
+    return "[" + ", ".join(buckets) + "]"
+
+
 def ann_lsh_topk(
     df: DataFrame,
     queries_df: DataFrame,
@@ -167,27 +216,41 @@ def ann_lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
-    planes: int = 8,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine rank within candidates.  Trades recall for a bucket-join
-    instead of a cross-product (the 100 TB path)."""
-    d = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes, dim)).withColumn(
-        "__nv", _norm(F.col(vec_col))
-    )
-    q = queries_df.withColumn(
-        "__bucket", lsh_bucket(F.col(query_vec_col), planes, dim)
-    ).withColumn("__nq", _norm(F.col(query_vec_col)))
-    joined = d.join(F.broadcast(q), on="__bucket")
-    scored = joined.select(
-        F.col(query_id_col).alias("query_id"),
+    """Approximate top-k via multi-table LSH: a candidate shares ANY of the
+    L per-table buckets with the query, then exact cosine ranks within
+    candidates.  L tables of b planes lift recall from p^b to
+    1-(1-p^b)^L (measured 0.01 → see SCALE.md) while the join stays a
+    bucket equi-join — the 100 TB path.  A pair found by several tables is
+    collapsed by the (query, neighbor) groupBy before ranking."""
+    d = df.select(
         F.col(id_col).alias("neighbor_id"),
-        (
-            _dot(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("__nv") * F.col("__nq"))
-        ).alias("cos_raw"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__nv"),
+        F.explode(lsh_buckets_multi(F.col(vec_col), tables, planes, dim)).alias("__bucket"),
+    )
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        _norm(F.col(query_vec_col)).alias("__nq"),
+        F.explode(
+            lsh_buckets_multi(F.col(query_vec_col), tables, planes, dim)
+        ).alias("__bucket"),
+    )
+    joined = d.join(F.broadcast(q), on="__bucket")
+    scored = (
+        joined.filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            # identical for every duplicate hit — max is just the dedup
+            F.max(
+                _dot(F.col("__v"), F.col("__qv")) / (F.col("__nv") * F.col("__nq"))
+            ).alias("cos_raw")
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -201,7 +264,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    planes: int = 8,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share an LSH
@@ -209,27 +273,27 @@ def embedding_neardup_pairs(
     then exact cosine ≥ threshold within the bucket.
 
     At 100 TB the bucket join is the only viable shape: candidate volume
-    scales with Σ bucket_size², tunable via ``planes``.  Recall < 1 by
-    construction (a near-dup pair split across buckets is missed) — the
-    oracle mirrors the identical bucketing, so results stay exact.
+    scales with Σ bucket_size², tunable via ``tables × planes``.  Recall
+    < 1 by construction (a pair no table co-buckets is missed; L tables
+    make that exponentially unlikely) — the oracle mirrors the identical
+    bucketing, so results stay exact.
     Returns ``id_a, id_b, cosine`` (rounded 6)."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
         _norm(F.col(vec_col)).alias("nv"),  # once per row, not per pair
+        F.explode(lsh_buckets_multi(F.col(vec_col), tables, planes, dim)).alias("bucket"),
     )
     pairs = (
         b.alias("l")
         .join(b.alias("r"), on="bucket")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            (
-                _dot(F.col("l.vec"), F.col("r.vec"))
-                / (F.col("l.nv") * F.col("r.nv"))
-            ).alias("cos_raw"),
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(
+            # identical per duplicate co-bucket hit — max is just the dedup
+            F.max(
+                _dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nv") * F.col("r.nv"))
+            ).alias("cos_raw")
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
@@ -242,10 +306,11 @@ def embedding_neardup_pairs_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    planes: int = 8,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
     dim: int = 64,
 ) -> str:
-    bucket = lsh_bucket_sql(vec_col, planes, dim)
+    buckets = lsh_buckets_multi_sql(vec_col, tables, planes, dim)
     dot = (
         f"list_sum(list_transform(list_zip(l.{vec_col}, r.{vec_col}),"
         f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
@@ -254,11 +319,17 @@ def embedding_neardup_pairs_sql(
     norm_r = f"sqrt(list_sum(list_transform(r.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
     return f"""
 WITH b AS (
-  SELECT {id_col}, {vec_col}, {bucket} AS bucket FROM {table}
+  SELECT {id_col}, {vec_col}, unnest({buckets}) AS bucket FROM {table}
+),
+cand AS (
+  SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.{id_col} < r.{id_col}
 )
-SELECT l.{id_col} AS id_a, r.{id_col} AS id_b,
+SELECT id_a, id_b,
        round({dot} / ({norm_l} * {norm_r}), 6) AS cosine
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.{id_col} < r.{id_col}
+FROM cand
+JOIN {table} l ON l.{id_col} = id_a
+JOIN {table} r ON r.{id_col} = id_b
 WHERE {dot} / ({norm_l} * {norm_r}) >= {threshold}
 """
 
@@ -269,12 +340,14 @@ def ann_lsh_topk_sql(
     vec_col: str = "embedding",
     query_ids: list[int] | None = None,
     k: int = 10,
-    planes: int = 8,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
     dim: int = 64,
 ) -> str:
-    """DuckDB twin of :func:`ann_lsh_topk` (same buckets, same ranking)."""
+    """DuckDB twin of :func:`ann_lsh_topk` (same multi-table buckets,
+    distinct candidates, same ranking)."""
     ids = ", ".join(str(i) for i in (query_ids or []))
-    bucket = lsh_bucket_sql(vec_col, planes, dim)
+    buckets = lsh_buckets_multi_sql(vec_col, tables, planes, dim)
     dot = (
         f"list_sum(list_transform(list_zip(e.{vec_col}, q.{vec_col}),"
         f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
@@ -283,16 +356,22 @@ def ann_lsh_topk_sql(
     norm_q = f"sqrt(list_sum(list_transform(q.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
     return f"""
 WITH b AS (
-  SELECT {id_col}, {vec_col}, {bucket} AS bucket FROM {table}
+  SELECT {id_col}, {vec_col}, unnest({buckets}) AS bucket FROM {table}
 ),
-q AS (
-  SELECT {id_col} AS query_id, {vec_col}, bucket FROM b WHERE {id_col} IN ({ids})
+qb AS (
+  SELECT {id_col} AS query_id, bucket FROM b WHERE {id_col} IN ({ids})
+),
+cand AS (
+  SELECT DISTINCT qb.query_id, e.{id_col} AS neighbor_id
+  FROM b e JOIN qb ON e.bucket = qb.bucket
+  WHERE e.{id_col} <> qb.query_id
 ),
 scored AS (
-  SELECT q.query_id, e.{id_col} AS neighbor_id,
+  SELECT cand.query_id, cand.neighbor_id,
          {dot} / ({norm_e} * {norm_q}) AS cos_raw
-  FROM b e JOIN q ON e.bucket = q.bucket
-  WHERE e.{id_col} <> q.query_id
+  FROM cand
+  JOIN {table} e ON e.{id_col} = cand.neighbor_id
+  JOIN {table} q ON q.{id_col} = cand.query_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,

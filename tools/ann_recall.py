@@ -1,0 +1,73 @@
+"""ANN recall characterization: measure LSH and IVF top-k recall against
+the exact cosine baseline at a given scale factor.
+
+Approximate indexes trade recall for the bucket-join plan shape that
+survives 100 TB; this tool quantifies the trade so the choice is a number,
+not a vibe.  Recall@k = |approx ∩ exact| / k averaged over the query set.
+
+Usage: python tools/ann_recall.py [sf_dir] [k] [n_queries]
+Appends a section to SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    nq = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk
+
+    spark = get_spark(app_name="ann-recall")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def topk_sets(df):
+        rows = df.collect()
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_sets(cosine_topk(e, q, k=k))
+    results = {}
+    for name, fn in [("lsh", ann_lsh_topk), ("ivf", ivf_topk)]:
+        approx = topk_sets(fn(e, q, k=k))
+        recalls = [
+            len(approx.get(qid, set()) & hits) / len(hits) for qid, hits in exact.items()
+        ]
+        results[name] = sum(recalls) / len(recalls)
+        print(f"{name}: recall@{k} = {results[name]:.3f} over {len(recalls)} queries")
+
+    out_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    with open(out_md, "a") as f:
+        f.write(
+            f"\n\n## ANN recall@{k} vs exact cosine ({sf_dir}, {nq} queries)\n\n"
+            "| index | recall |\n|---|---|\n"
+            + "".join(f"| {n} | {r:.3f} |\n" for n, r in results.items())
+            + "\nLSH uses 8 tables x 6 hyperplanes (multi-table: single-table\n"
+            "recall measured 0.01); IVF probes the 2 nearest cells. Both keep\n"
+            "shuffle linear in corpus size — the exact baseline is quadratic\n"
+            "per query set. NB the synthetic embeddings are isotropic Gaussian,\n"
+            "the worst case for LSH (real embedding spaces cluster, and recall\n"
+            "rises with cluster structure); the tunables trade candidates for\n"
+            "recall explicitly (tables/planes, nprobe).\n"
+        )
+    print(f"appended to {out_md}")
+
+
+if __name__ == "__main__":
+    main()
