@@ -170,25 +170,35 @@ LSH_PLANES = 6
 
 
 def lsh_buckets_multi(
-    vec_col, tables: int = LSH_TABLES, planes: int = LSH_PLANES, dim: int = 64
+    vec_expr: str, tables: int = LSH_TABLES, planes: int = LSH_PLANES, dim: int = 64
 ):
     """Array of per-table bucket keys ``"<t>|<bits>"``; table ``t`` uses
-    plane block ``[t*planes, (t+1)*planes)`` of the shared derived planes."""
+    plane block ``[t*planes, (t+1)*planes)`` of the shared derived planes.
+
+    ``vec_expr`` is a Spark SQL expression string (a column name), not a
+    Column: the whole bucket array is emitted as ONE SQL string parsed by a
+    single ``F.expr`` call.  Building the same tree with Column operators
+    costs ~5 s of py4j round-trips (48 aggregates × 64 literals, one JVM
+    call each); one parse of the equivalent SQL is ~0.1 s.  The HOF form is
+    kept for EXECUTION because the interpreted aggregate loops a tiny
+    lambda over the array — a flat 3 072-term Add chain overflows janino's
+    64 KB method limit and its interpreted fallback is ~7× slower."""
     all_signs = _plane_signs(tables * planes, dim)
     buckets = []
     for t in range(tables):
-        bits = F.lit(0).cast("bigint")
+        parts = []
         for p in range(planes):
             coeffs = all_signs[t * planes + p]
-            arr = F.array(*[F.lit(c) for c in coeffs])
-            proj = F.aggregate(
-                F.zip_with(vec_col, arr, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            arr = ", ".join(f"{c:.1f}D" for c in coeffs)
+            proj = (
+                f"aggregate(zip_with({vec_expr}, array({arr}),"
+                f" (x, c) -> CAST(x AS DOUBLE) * c),"
+                f" 0.0D, (acc, v) -> acc + v)"
             )
-            bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        buckets.append(F.concat_ws("|", F.lit(str(t)), bits.cast("string")))
-    return F.array(*buckets)
+            parts.append(f"(CASE WHEN {proj} > 0.0D THEN {1 << p}L ELSE 0L END)")
+        bits = "CAST(" + " + ".join(parts) + " AS BIGINT)"
+        buckets.append(f"concat('{t}', '|', CAST({bits} AS STRING))")
+    return F.expr("array(" + ", ".join(buckets) + ")")
 
 
 def lsh_buckets_multi_sql(
@@ -230,14 +240,14 @@ def ann_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),
         _norm(F.col(vec_col)).alias("__nv"),
-        F.explode(lsh_buckets_multi(F.col(vec_col), tables, planes, dim)).alias("__bucket"),
+        F.explode(lsh_buckets_multi(vec_col, tables, planes, dim)).alias("__bucket"),
     )
     q = queries_df.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
         _norm(F.col(query_vec_col)).alias("__nq"),
         F.explode(
-            lsh_buckets_multi(F.col(query_vec_col), tables, planes, dim)
+            lsh_buckets_multi(query_vec_col, tables, planes, dim)
         ).alias("__bucket"),
     )
     joined = d.join(F.broadcast(q), on="__bucket")
@@ -282,7 +292,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nv"),  # once per row, not per pair
-        F.explode(lsh_buckets_multi(F.col(vec_col), tables, planes, dim)).alias("bucket"),
+        F.explode(lsh_buckets_multi(vec_col, tables, planes, dim)).alias("bucket"),
     )
     pairs = (
         b.alias("l")
