@@ -27,6 +27,15 @@ BENCH_QUERIES = [
     "q4_returned_orders",
     "q14_promo_revenue",
     "q7_nation_trade",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_customers",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_bracket_revenue",
+    "q21_waiting_suppliers",
     "q18_large_orders",
     "orders_running_total",
     "distinct_users_per_type",

@@ -759,6 +759,388 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 7-way join (fact → part / orders → customer →
+    nation → region, supplier → nation) with a conditional-share aggregate
+    per year.  All six dimension sides broadcast; the fact shuffles once
+    for the per-year aggregation.  The share divides DOUBLE casts of the
+    exact decimal sums — a decimal÷decimal would hit engine-specific
+    precision-loss rules."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("2001-01-01")))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)
+                      ELSE 0 END)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE,
+             6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way join, per-(nation, year) profit.  The testdata
+    has no partsupp table, so ps_supplycost is proxied by
+    0.6 × p_retailprice × l_quantity (the join SHAPE — part and supplier
+    dimensions onto the fact, profit = revenue − cost — is Q9's).
+
+    Decimal discipline: retailprice×quantity is cast to DECIMAL(18,2)
+    (the true product has ≤2 decimals, so the nearest-2dp double rounding
+    is unambiguous and engine-independent), THEN scaled by 0.6::DECIMAL —
+    keeping every intermediate exact."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    cost = F.lit(0.6).cast("decimal(2,1)") * (
+        (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,2)")
+    )
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(rev - cost), 2).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)
+                 - 0.6::DECIMAL(2,1) * (p_retailprice * l_quantity)::DECIMAL(18,2)), 2)::DOUBLE AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over a quarter,
+    top 20.  Ordering happens on the EXACT decimal revenue (ties broken by
+    custkey) before the presentation round."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).alias("rev_dec"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+            "c_acctbal",
+            "nation",
+        )
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+       round(max(c_acctbal), 2) AS c_acctbal, n_name AS nation
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)) DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with a lateness predicate, counting
+    late vs total lines per class.  The testdata has no
+    l_shipmode/commitdate/receiptdate, so lateness = shipped more than 90
+    days after the order date, classed by order priority."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(late, F.lit(1))).alias("late_lines"),
+            F.count("*").alias("total_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q12_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS late_lines,
+       count(*) AS total_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer LEFT JOIN orders (with a predicate on the
+    order side), per-customer order count, then the distribution of those
+    counts — two cascaded aggregations."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey) per_cust
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the supplier(s)
+    achieving the maximum (scalar-subquery semantics via an all-rows window
+    max over the tiny per-supplier aggregate — |suppliers| rows, so the
+    single-partition window is safe at any corpus scale).  Equality is on
+    the EXACT decimal."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    per_supp = l.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_dec"))
+    w = Window.partitionBy()
+    top = per_supp.withColumn("max_rev", F.max("rev_dec").over(w)).filter(
+        F.col("rev_dec") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(rev_dec, 2)::DOUBLE AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity is below half the part's
+    average quantity (correlated-average semantics as a per-part aggregate
+    joined back).  The comparison ``qty < 0.5 × sum/cnt`` is algebraically
+    flipped to ``2 × qty × cnt < sum`` so both engines compare EXACT
+    integers/decimals instead of an engine-ordering-dependent double
+    average.  p_container doesn't exist in the testdata; the part filter
+    is brand + type."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "PROMO")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    per_part = lp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    small = lp.join(F.broadcast(per_part), lp.l_partkey == F.col("pk")).filter(
+        _dec(F.col("l_quantity")) * 2 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)), 2
+        ).alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+WITH lp AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4' AND p_type = 'PROMO'
+),
+per_part AS (
+  SELECT l_partkey AS pk, sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS cnt
+  FROM lp GROUP BY 1
+)
+SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2) AS avg_yearly
+FROM lp JOIN per_part ON l_partkey = pk
+WHERE l_quantity::DECIMAL(18,2) * 2 * cnt < sum_qty
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: one scan, broadcast part join, disjunction of three
+    (brand, size-range, quantity-range) brackets — Catalyst pushes the
+    common part-side conjuncts into the broadcast build side.  p_container
+    doesn't exist; brackets use brand + size."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 50) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order.  The classic EXISTS / NOT EXISTS pair collapses
+    into one per-order aggregate (distinct suppliers; distinct late
+    suppliers; the unique culprit when exactly one) — a single shuffle on
+    orderkey instead of two correlated self-joins, the shape that survives
+    a 100× fact table.  No commit/receipt dates in the testdata: late =
+    shipped >60 days after the order date; status F orders only."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("culprit"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s), per_order.culprit == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+         min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS culprit
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+  HAVING n_supp > 1 AND n_late = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON culprit = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
 def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery: per-customer running revenue, order rank,
     and gap to the previous order (rows-frame running sum + rank + lag in
@@ -1892,6 +2274,15 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": q_customers_without_orders,
     "q14_promo_revenue": q14_promo_revenue,
     "q7_nation_trade": q7_nation_trade,
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q10_returned_customers": q10_returned_customers,
+    "q12_late_lines_by_priority": q12_late_lines_by_priority,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q18_large_orders": q18_large_orders,
     "q22_idle_customers": q22_idle_customers,
     "orders_running_total": orders_running_total,
@@ -1956,6 +2347,15 @@ ORACLE_SQL: dict[str, str] = {
     "customers_without_orders": Q_ANTI_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q7_nation_trade": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_profit_by_nation": Q9_SQL,
+    "q10_returned_customers": Q10_SQL,
+    "q12_late_lines_by_priority": Q12_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q19_bracket_revenue": Q19_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q18_large_orders": Q18_SQL,
     "q22_idle_customers": Q22_SQL,
     "orders_running_total": Q_RUNNING_SQL,
