@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "top_customers_per_nation",
     "rollup_order_stats",
+    "cube_order_stats",
+    "pivot_status_counts",
+    "lit_incremental_merge",
     "q4_returned_orders",
     "q14_promo_revenue",
     "q7_nation_trade",

@@ -2135,6 +2135,138 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink round-trip: write events hive-partitioned by
+    event_type, read back with a partition-key filter (pruned to 2 of 5
+    directories — ``PartitionFilters`` asserted in
+    tests/test_partitioned.py), aggregate, and check the RESULT against
+    the unpartitioned oracle.  Aggregates are order-independent (counts,
+    distinct, min/max) because ``value`` is a raw double whose sum depends
+    on accumulation order."""
+    import os
+    import tempfile
+
+    from scholarmind_spark.sinks.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    path = os.path.join(tempfile.gettempdir(), "sm_gate_partitioned_events")
+    write_partitioned(e, path, "event_type", sort_within="user_id")
+    r = read_partitioned(spark, path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PARTITIONED_PRUNE_SQL = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE lattice over (status, priority) with grouping_id — all
+    four grouping sets in ONE pass (Spark expands the sets map-side, a
+    single shuffle; same property as rollup_order_stats)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("o_totalprice"))), 2).cast("double").alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: order counts per priority × status.  The pivot value
+    list is EXPLICIT (['F','O','P']) — with an inferred list Spark runs an
+    extra distinct job and the column order becomes data-dependent.  Empty
+    cells coalesce to 0 to match SQL's count-over-empty."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["F", "O", "P"]],
+    ).orderBy("o_orderpriority")
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def lit_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert: a v2 update batch (every even doc) merged into a
+    v1 snapshot (docs not divisible by 3) — updates replace snapshot rows
+    by key, new keys insert, untouched snapshot rows survive.  One shuffle
+    on the merge key (operators/merge.py), no join."""
+    from scholarmind_spark.operators.merge import merge_upsert
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    snapshot = d.filter(F.col("doc_id") % 3 != 0).withColumn("version", F.lit(1))
+    updates = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("text", F.concat(F.lit("rev2: "), F.col("text")))
+    )
+    m = merge_upsert(snapshot, updates, "doc_id", version_col="version")
+    return m.select(
+        "doc_id", "version", F.length("text").alias("text_len"), "lang", "source"
+    ).orderBy("doc_id")
+
+
+def _lit_incremental_merge_sql() -> str:
+    from scholarmind_spark.operators.merge import merge_upsert_sql
+
+    inner = merge_upsert_sql(
+        "SELECT doc_id, text, lang, source, 1 AS version FROM documents WHERE doc_id % 3 <> 0",
+        "SELECT doc_id, 'rev2: ' || text AS text, lang, source, 2 AS version FROM documents WHERE doc_id % 2 = 0",
+        keys=["doc_id"],
+        version_col="version",
+    )
+    return f"""
+SELECT doc_id, version, length(text) AS text_len, lang, source
+FROM ({inner}) ORDER BY doc_id
+"""
+
+
 def lit_flatten_presentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4/D10 round-trip: presentation flattening — configured array columns
     comma-join, others take their first element, nulls render '' — against
@@ -2333,6 +2465,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "stratified_sample": stratified_sample_docs,
     "lit_flatten_presentation": lit_flatten_presentation,
     "bucketed_join_revenue": bucketed_join_revenue,
+    "partitioned_prune_events": partitioned_prune_events,
+    "cube_order_stats": cube_order_stats,
+    "pivot_status_counts": pivot_status_counts,
+    "lit_incremental_merge": lit_incremental_merge,
     "lit_llm_extract": lit_llm_extract,
 }
 
@@ -2406,5 +2542,9 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": _stratified_sample_sql(),
     "lit_flatten_presentation": LIT_FLATTEN_SQL,
     "bucketed_join_revenue": BUCKETED_JOIN_SQL,
+    "partitioned_prune_events": PARTITIONED_PRUNE_SQL,
+    "cube_order_stats": CUBE_SQL,
+    "pivot_status_counts": PIVOT_SQL,
+    "lit_incremental_merge": _lit_incremental_merge_sql(),
     "lit_llm_extract": LIT_LLM_SQL,
 }
