@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "text_clean",
     "token_topk",
+    "text_word_repetition",
+    "decontam_overlap",
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -232,3 +232,60 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT {k}
 """
+
+
+def word_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: word count, distinct
+    words, top-word fraction, and the fraction of words that are repeats.
+
+    Shape for 100 TB: explode words → two cascaded aggregations, both with
+    map-side partial agg; the shuffle key is (doc, word) so skew follows
+    document size, not corpus size.  Ratios divide EXACT integer counts as
+    doubles (engine-order independent).  Returns ``id, n_words,
+    n_distinct, top_word_frac, dup_word_frac``."""
+    w = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    per = w.groupBy("id", "w").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("dup_c"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "n_distinct",
+            F.round(F.col("top_c").cast("double") / F.col("n_words").cast("double"), 6).alias("top_word_frac"),
+            F.round(F.col("dup_c").cast("double") / F.col("n_words").cast("double"), 6).alias("dup_word_frac"),
+        )
+        .orderBy("id")
+    )
+
+
+def word_repetition_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id, unnest({tokens_sql(text_col)}) AS w FROM {table}
+),
+per AS (
+  SELECT id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY id, w
+)
+SELECT id, sum(c)::BIGINT AS n_words, count(*) AS n_distinct,
+       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_word_frac,
+       round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_word_frac
+FROM per GROUP BY id ORDER BY id
+"""

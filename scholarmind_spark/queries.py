@@ -53,6 +53,7 @@ from scholarmind_spark.operators.textstats import (
     token_count,
     token_count_sql,
     token_topk_sql,
+    word_repetition_sql,
 )
 from scholarmind_spark.operators.union import union_sources
 
@@ -2232,6 +2233,38 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-repetition quality signals over the corpus (the
+    testdata documents have no newlines, so repetition is measured at the
+    word level rather than lines)."""
+    from scholarmind_spark.operators.textstats import word_repetition
+
+    return word_repetition(_t(spark, sf_dir, "documents"))
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥2 word-3-grams with
+    the 50-doc 'benchmark' slice.  The benchmark shingle set broadcasts;
+    the corpus streams through the semi-join unshuffled."""
+    from scholarmind_spark.operators.decontam import decontamination_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 50)
+    corpus = d.filter(F.col("doc_id") >= 50)
+    return decontamination_overlap(corpus, bench, k=3, min_overlap=2)
+
+
+def _decontam_overlap_sql() -> str:
+    from scholarmind_spark.operators.decontam import decontamination_overlap_sql
+
+    return decontamination_overlap_sql(
+        "SELECT * FROM documents WHERE doc_id >= 50",
+        "SELECT * FROM documents WHERE doc_id < 50",
+        k=3,
+        min_overlap=2,
+    )
+
+
 def lit_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental upsert: a v2 update batch (every even doc) merged into a
     v1 snapshot (docs not divisible by 3) — updates replace snapshot rows
@@ -2469,6 +2502,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "cube_order_stats": cube_order_stats,
     "pivot_status_counts": pivot_status_counts,
     "lit_incremental_merge": lit_incremental_merge,
+    "text_word_repetition": text_word_repetition,
+    "decontam_overlap": decontam_overlap,
     "lit_llm_extract": lit_llm_extract,
 }
 
@@ -2546,5 +2581,7 @@ ORACLE_SQL: dict[str, str] = {
     "cube_order_stats": CUBE_SQL,
     "pivot_status_counts": PIVOT_SQL,
     "lit_incremental_merge": _lit_incremental_merge_sql(),
+    "text_word_repetition": word_repetition_sql("documents"),
+    "decontam_overlap": _decontam_overlap_sql(),
     "lit_llm_extract": LIT_LLM_SQL,
 }

@@ -1,0 +1,50 @@
+"""Word-repetition quality signals and benchmark decontamination."""
+
+from __future__ import annotations
+
+from scholarmind_spark.operators.decontam import decontamination_overlap
+from scholarmind_spark.operators.textstats import word_repetition
+
+
+def test_word_repetition_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top word 3/4, dups 3/4
+            (2, "x y z"),            # no repeats
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r for r in word_repetition(df).collect()}
+    assert got[1].n_words == 4 and got[1].n_distinct == 2
+    assert got[1].top_word_frac == 0.75 and got[1].dup_word_frac == 0.75
+    assert got[2].n_words == 3 and got[2].n_distinct == 3
+    assert got[2].top_word_frac == round(1 / 3, 6) and got[2].dup_word_frac == 0.0
+
+
+def test_decontamination_flags_shared_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox runs far away"),  # shares 2 3-grams
+            (2, "completely different words entirely here"),
+            (3, "quick brown fox jumps high"),  # shares 2 3-grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r.n_shared for r in decontamination_overlap(
+        corpus, bench, k=3, min_overlap=2
+    ).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == 2 and got[3] == 2
+
+
+def test_decontamination_threshold_excludes_weak_overlap(spark):
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma nothing else at all")], ["doc_id", "text"]
+    )
+    # shares exactly ONE 3-gram -> below min_overlap=2
+    assert decontamination_overlap(corpus, bench, k=3, min_overlap=2).count() == 0
+    assert decontamination_overlap(corpus, bench, k=3, min_overlap=1).count() == 1
