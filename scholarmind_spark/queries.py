@@ -2084,6 +2084,52 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source round-trip over a lineitem slice (bigint, timestamp,
+    double, string all cross the codec); the oracle aggregates the original
+    parquet, so any value the ORC codec mangles breaks the hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from scholarmind_spark.sources.orc import read_orc, write_orc
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag"
+    )
+    out = tempfile.mkdtemp(prefix="sm_orc_")
+    write_orc(l, out)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            # the testdata timestamps read as NTZ; ORC enforces LTZ/NTZ
+            # compatibility between file and requested schema
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    back = read_orc(spark, out, schema)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2).cast("double").alias("price_sum"),
+            F.max(F.unix_timestamp("l_shipdate")).alias("max_ship_epoch"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum,
+       round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum,
+       floor(epoch(max(l_shipdate)))::BIGINT AS max_ship_epoch
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → transitive duplicate clusters → survivor flag: n-gram
     Jaccard pairs feed min-label-propagation connected components (the
@@ -2468,6 +2514,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup_simhash_docs,
     "dedup_clusters": dedup_clusters,
     "jsonl_roundtrip": jsonl_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
     "corpus_curation": corpus_curation,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
@@ -2547,6 +2594,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": simhash_pairs_sql("documents", max_distance=3),
     "dedup_clusters": _dedup_clusters_sql(),
     "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+    "orc_roundtrip": ORC_ROUNDTRIP_SQL,
     "corpus_curation": _corpus_curation_sql(),
     "text_quality_stats": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,

@@ -5,6 +5,7 @@ from scholarmind_spark.streaming.pipeline import (
     session_agg,
     sliding_agg,
     stream_dedup,
+    stream_merge_to_snapshot,
     tumbling_agg,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stream_dedup",
+    "stream_merge_to_snapshot",
     "stream_scan_pubmed",
     "stream_scan_wos",
     "tumbling_agg",

@@ -169,3 +169,49 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_merge_to_snapshot(
+    stream_df: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    version_col: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Incremental pipeline sink: every microbatch is upserted into a
+    parquet snapshot via ``foreachBatch`` + :func:`operators.merge.
+    merge_upsert` — the streaming half of the nightly-increment story
+    (exactly-once per batch id: foreachBatch re-runs a failed batch and
+    the merge is idempotent by key/version).
+
+    The new snapshot is written to a staging directory and swapped in
+    with a rename, so the read of the OLD snapshot inside the merge plan
+    is never racing the overwrite of the same files."""
+    import os
+    import shutil
+
+    from scholarmind_spark.operators.merge import merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(snapshot_path) and any(
+            f.endswith(".parquet") for f in os.listdir(snapshot_path)
+        ):
+            snap = spark.read.schema(batch_df.schema).parquet(snapshot_path)
+            merged = merge_upsert(snap, batch_df, keys, version_col=version_col)
+        else:
+            merged = merge_upsert(
+                batch_df.limit(0), batch_df, keys, version_col=version_col
+            )
+        staging = f"{snapshot_path}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        os.rename(staging, snapshot_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="smck_"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 SKIP = {
     "events_tumbling_stream", "events_session_stream", "events_stream_dedup",
     "events_stateful_user_stats", "bucketed_join_revenue", "dedup_clusters",
-    "jsonl_roundtrip", "partitioned_prune_events",
+    "jsonl_roundtrip", "partitioned_prune_events", "orc_roundtrip",
 }
 
 # deliberate all-pairs baselines: broadcast nested-loop by design
