@@ -83,3 +83,89 @@ def test_priority_dedup_invariants(spark, rows):
         want = max(cands)
         assert survivors[k]["record_id"] == want[2], k
         assert survivors[k]["source_type"] == want[3], k
+
+
+# ---- merge_upsert: independent reference + algebraic properties
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+merge_rows = st.lists(
+    st.tuples(st.integers(0, 6), word, st.integers(1, 4)), min_size=0, max_size=15
+)
+
+
+def merge_reference(snap, upd):
+    """One winner per key: highest version; updates beat snapshot on ties."""
+    out = {}
+    for side, rows in ((1, snap), (0, upd)):
+        for k, v, ver in rows:
+            cur = out.get(k)
+            if cur is None or ver > cur[2] or (ver == cur[2] and side < cur[0]):
+                out[k] = (side, v, ver)
+    return {k: (v, ver) for k, (side, v, ver) in out.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(snap=merge_rows, upd=merge_rows)
+def test_merge_upsert_matches_reference(spark, snap, upd):
+    from scholarmind_spark.operators.merge import merge_upsert
+
+    # merge_reference resolves duplicate keys WITHIN a side by the same
+    # version/side rule; merge_upsert sees them as extra candidate rows of
+    # that side, which is the same outcome — but val ties at equal version
+    # within one side are arbitrary in both, so dedup inputs per (key,
+    # version, side) first to keep the property exact
+    def dedup(rows):
+        return list({(k, ver): (k, v, ver) for k, v, ver in rows}.values())
+
+    snap, upd = dedup(snap), dedup(upd)
+    s = spark.createDataFrame(snap + [(99, "pad", 1)], "id int, val string, version int")
+    u = spark.createDataFrame(upd + [(98, "pad", 1)], "id int, val string, version int")
+    got = {
+        r.id: (r.val, r.version)
+        for r in merge_upsert(s, u, "id", version_col="version").collect()
+        if r.id < 90
+    }
+    assert got == merge_reference(snap, upd)
+
+
+@settings(max_examples=5, deadline=None)
+@given(snap=merge_rows, upd=merge_rows)
+def test_merge_upsert_idempotent(spark, snap, upd):
+    """Re-applying the same update batch changes nothing (exactly-once
+    follows for foreachBatch retries)."""
+    from scholarmind_spark.operators.merge import merge_upsert
+
+    snap = list({(k, ver): (k, v, ver) for k, v, ver in snap}.values())
+    upd = list({(k, ver): (k, v, ver) for k, v, ver in upd}.values())
+    s = spark.createDataFrame(snap + [(99, "pad", 1)], "id int, val string, version int")
+    u = spark.createDataFrame(upd + [(98, "pad", 1)], "id int, val string, version int")
+    once = merge_upsert(s, u, "id", version_col="version")
+    twice = merge_upsert(once, u, "id", version_col="version")
+    canon = lambda df: sorted((r.id, r.val, r.version) for r in df.collect())
+    assert canon(twice) == canon(once)
+
+
+# ---- word_repetition vs a pure-Python reference
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(word, min_size=1, max_size=12), min_size=1, max_size=6
+    )
+)
+def test_word_repetition_matches_reference(spark, docs):
+    from collections import Counter
+
+    from scholarmind_spark.operators.textstats import word_repetition
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.id: r for r in word_repetition(df).collect()}
+    for i, ws in enumerate(docs):
+        c = Counter(ws)
+        n = sum(c.values())
+        assert got[i].n_words == n and got[i].n_distinct == len(c)
+        assert got[i].top_word_frac == round(max(c.values()) / n, 6)
+        dup = sum(v for v in c.values() if v > 1)
+        assert got[i].dup_word_frac == round(dup / n, 6)
