@@ -2279,6 +2279,41 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (SURVEY §2.8): parse the events ``props`` JSON
+    column with an explicit schema (``from_json`` — ONE parse per row into
+    a typed struct; ``get_json_object`` would re-parse per extracted
+    field) and aggregate the extracted value per event type."""
+    from pyspark.sql import types as T
+
+    e = _events(spark, sf_dir)
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    p = e.select(
+        "event_type", F.from_json("props", props_schema).getField("k").alias("k")
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       count(json_extract(props, '$.k')) AS n_with_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style word-repetition quality signals over the corpus (the
     testdata documents have no newlines, so repetition is measured at the
@@ -2549,6 +2584,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "cube_order_stats": cube_order_stats,
     "pivot_status_counts": pivot_status_counts,
     "lit_incremental_merge": lit_incremental_merge,
+    "events_json_props": events_json_props,
     "text_word_repetition": text_word_repetition,
     "decontam_overlap": decontam_overlap,
     "lit_llm_extract": lit_llm_extract,
@@ -2629,6 +2665,7 @@ ORACLE_SQL: dict[str, str] = {
     "cube_order_stats": CUBE_SQL,
     "pivot_status_counts": PIVOT_SQL,
     "lit_incremental_merge": _lit_incremental_merge_sql(),
+    "events_json_props": EVENTS_JSON_SQL,
     "text_word_repetition": word_repetition_sql("documents"),
     "decontam_overlap": _decontam_overlap_sql(),
     "lit_llm_extract": LIT_LLM_SQL,
