@@ -2279,6 +2279,24 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile of the documents table (exact distincts so
+    the oracle verifies bit-for-bit; at 100 TB they swap to
+    approx_count_distinct — bound pinned in tests/test_approx.py)."""
+    from scholarmind_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+def _profile_documents_sql() -> str:
+    from scholarmind_spark.operators.profile import profile_table_sql
+
+    return profile_table_sql("documents", ["doc_id", "lang", "source", "n_chars"])
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface (SURVEY §2.8): parse the events ``props`` JSON
     column with an explicit schema (``from_json`` — ONE parse per row into
@@ -2585,6 +2603,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "pivot_status_counts": pivot_status_counts,
     "lit_incremental_merge": lit_incremental_merge,
     "events_json_props": events_json_props,
+    "profile_documents": profile_documents,
     "text_word_repetition": text_word_repetition,
     "decontam_overlap": decontam_overlap,
     "lit_llm_extract": lit_llm_extract,
@@ -2666,6 +2685,7 @@ ORACLE_SQL: dict[str, str] = {
     "pivot_status_counts": PIVOT_SQL,
     "lit_incremental_merge": _lit_incremental_merge_sql(),
     "events_json_props": EVENTS_JSON_SQL,
+    "profile_documents": _profile_documents_sql(),
     "text_word_repetition": word_repetition_sql("documents"),
     "decontam_overlap": _decontam_overlap_sql(),
     "lit_llm_extract": LIT_LLM_SQL,

