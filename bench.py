@@ -53,7 +53,10 @@ BENCH_QUERIES = [
     "text_clean",
     "token_topk",
     "text_word_repetition",
+    "text_top_terms",
     "decontam_overlap",
+    "events_json_props",
+    "profile_documents",
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -9,7 +9,7 @@ identical computation as DuckDB SQL for the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -288,4 +288,58 @@ SELECT id, sum(c)::BIGINT AS n_words, count(*) AS n_distinct,
        round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_word_frac,
        round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_word_frac
 FROM per GROUP BY id ORDER BY id
+"""
+
+
+def doc_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k distinctive terms per document: rank by term frequency DESC,
+    document frequency ASC (the TF-IDF ordering with EXACT integer keys —
+    no float idf, so both engines rank identically; term ASC breaks ties).
+
+    Shape: explode → (doc, term) counts → vocabulary-sized document-
+    frequency table joined back with a broadcast (vocabulary ≪ corpus) →
+    per-doc window.  Returns ``id, term, tf, df, rank``."""
+    w = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = w.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    win = Window.partitionBy("id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "rank")
+        .orderBy("id", "rank")
+    )
+
+
+def doc_top_terms_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> str:
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id, unnest({tokens_sql(text_col)}) AS term FROM {table}
+),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT id, tf.term, tf, df,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY tf DESC, df ASC, tf.term ASC) AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT id, term, tf, df, rank::INT AS rank
+FROM ranked WHERE rank <= {k} ORDER BY id, rank
 """

@@ -40,6 +40,7 @@ from scholarmind_spark.operators.similarity import (
 from scholarmind_spark.operators.textstats import (
     bpe_token_count,
     bpe_token_count_sql,
+    doc_top_terms_sql,
     fingerprint,
     fingerprint_sql,
     lang_id,
@@ -2332,6 +2333,14 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms (TF-IDF ordering on exact integer
+    keys: tf desc, df asc) — vocabulary-sized df table broadcasts."""
+    from scholarmind_spark.operators.textstats import doc_top_terms
+
+    return doc_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style word-repetition quality signals over the corpus (the
     testdata documents have no newlines, so repetition is measured at the
@@ -2605,6 +2614,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_json_props": events_json_props,
     "profile_documents": profile_documents,
     "text_word_repetition": text_word_repetition,
+    "text_top_terms": text_top_terms,
     "decontam_overlap": decontam_overlap,
     "lit_llm_extract": lit_llm_extract,
 }
@@ -2687,6 +2697,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_json_props": EVENTS_JSON_SQL,
     "profile_documents": _profile_documents_sql(),
     "text_word_repetition": word_repetition_sql("documents"),
+    "text_top_terms": doc_top_terms_sql("documents", k=3),
     "decontam_overlap": _decontam_overlap_sql(),
     "lit_llm_extract": LIT_LLM_SQL,
 }
