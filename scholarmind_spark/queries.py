@@ -2280,6 +2280,33 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+SQL_SURFACE_TEXT = """
+SELECT r_name AS region, count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL accessibility (SURVEY §3/§7 design stance): register the star
+    schema as temp views and run a pure ANSI SQL text through
+    ``spark.sql`` — the SAME string is the DuckDB oracle, proving the SQL
+    surface is engine-portable.  Views are lazy; Catalyst sees through
+    them to the parquet scans (pushdown identical to the DataFrame API)."""
+    from scholarmind_spark.sql import register_tables, sql
+
+    register_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"]
+    )
+    return sql(spark, SQL_SURFACE_TEXT)
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan table profile of the documents table (exact distincts so
     the oracle verifies bit-for-bit; at 100 TB they swap to
@@ -2613,6 +2640,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "lit_incremental_merge": lit_incremental_merge,
     "events_json_props": events_json_props,
     "profile_documents": profile_documents,
+    "sql_surface_revenue": sql_surface_revenue,
     "text_word_repetition": text_word_repetition,
     "text_top_terms": text_top_terms,
     "decontam_overlap": decontam_overlap,
@@ -2696,6 +2724,7 @@ ORACLE_SQL: dict[str, str] = {
     "lit_incremental_merge": _lit_incremental_merge_sql(),
     "events_json_props": EVENTS_JSON_SQL,
     "profile_documents": _profile_documents_sql(),
+    "sql_surface_revenue": SQL_SURFACE_TEXT,
     "text_word_repetition": word_repetition_sql("documents"),
     "text_top_terms": doc_top_terms_sql("documents", k=3),
     "decontam_overlap": _decontam_overlap_sql(),

@@ -17,15 +17,19 @@ TESTDATA_TABLES = [
 ]
 
 
-def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> list[str]:
     """Register the driver's parquet tables as temp views (events with the
-    ns→timestamp normalization applied)."""
+    ns→timestamp normalization applied).  ``tables`` restricts the set —
+    views are lazy, but the events view still costs a schema read."""
     from scholarmind_spark.queries import _events, _t
 
-    for name in TESTDATA_TABLES:
+    names = tables or TESTDATA_TABLES
+    for name in names:
         df = _events(spark, sf_dir) if name == "events" else _t(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
-    return list(TESTDATA_TABLES)
+    return list(names)
 
 
 def register_corpus(spark: SparkSession, corpus: DataFrame, name: str = "corpus") -> str:
