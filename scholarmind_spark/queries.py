@@ -1779,6 +1779,32 @@ GROUP BY bucket_start, event_type
 """
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 (each event lands in exactly
+    width/slide = 2 windows) — the batch twin of ``streaming.sliding_agg``;
+    the oracle materializes the same two window starts per event with an
+    unnest."""
+    from scholarmind_spark.streaming.pipeline import sliding_agg
+
+    e = _events(spark, sf_dir)
+    return sliding_agg(e, "10 minutes", "5 minutes").orderBy(
+        "bucket_start", "event_type"
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT bucket_start, event_type, count(*) AS n_events
+FROM (
+  SELECT unnest([ (floor(epoch(ts) / 300) * 300 - 300)::BIGINT,
+                  (floor(epoch(ts) / 300) * 300)::BIGINT ]) AS bucket_start,
+         event_type
+  FROM events
+)
+GROUP BY bucket_start, event_type
+ORDER BY bucket_start, event_type
+"""
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the latest prior purchase per user
     (operators/asof.py — single-shuffle sort-merge shape; oracle uses
@@ -2620,6 +2646,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "media_frame_sample": media_frames,
     "media_features": media_features,
     "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
     "events_session_stream": events_session_stream,
@@ -2704,6 +2731,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_frame_sample": MEDIA_FRAMES_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_session_stream": EVENTS_SESSION_STREAM_SQL,
