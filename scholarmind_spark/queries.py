@@ -63,7 +63,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+def _tune(spark: SparkSession) -> None:
+    """Defensive runtime confs so a CALLER-SUPPLIED vanilla session (the
+    driver's correctness harness) behaves like the factory session the
+    battery is tested on.  Both are runtime-settable and semantics-safe
+    for this corpus:
+
+    - JVM case mapping instead of ICU: pure perf (the ICU path costs ~70 s
+      on its first lower()/upper() per JVM on Spark 4.1; data is ASCII so
+      results are identical — and the oracle comparisons were all verified
+      with this setting).
+    - UTC session timezone, matching the factory pin and DuckDB's naive
+      timestamp arithmetic."""
+    try:
+        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # immutable on some deployments; the factory session already matches
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
