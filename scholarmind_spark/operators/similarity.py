@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    """Dot product via higher-order functions (interpreted, JVM-side).
+
+    MEASURED trade-off (sf0.1, local[32]): replacing this with a flat
+    64-term multiply-add chain (codegen-able, bit-equal accumulation)
+    made every similarity query SLOWER — ann_ivf 2.3s→4.0s, embedding
+    near-dup 3.5s→4.8s warm — because the 64-term trees blow up Catalyst
+    optimization time, task-binary size (~1.2 MB), and per-stage janino
+    compiles, which dominate the interpreted per-element cost at these
+    candidate volumes.  The HOF form keeps plans small; revisit only if a
+    profile shows the verify stage's per-pair cost dominating end-to-end."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
