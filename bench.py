@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "media_byte_stats",
     "media_features",
     "events_tumbling",
+    "events_sliding",
+    "events_funnel",
+    "events_cohort_retention",
     "events_sessionize",
 ]
 

@@ -1799,6 +1799,88 @@ GROUP BY bucket_start, event_type
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users counted at their FURTHEST ordered stage
+    (view → click → purchase, each stage's first occurrence strictly after
+    the previous stage's).  One groupBy(user) with conditional min
+    timestamps — no self-joins, one shuffle; the stage comparison is pure
+    column logic."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 1)
+        .when(F.col("t_buy").isNull() | (F.col("t_buy") <= F.col("t_click")), 2)
+        .otherwise(3)
+    )
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT CASE
+           WHEN t_view IS NULL THEN 0
+           WHEN t_click IS NULL OR t_click <= t_view THEN 1
+           WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
+           ELSE 3
+         END AS funnel_stage
+  FROM per_user
+)
+SELECT funnel_stage, count(*) AS n_users
+FROM staged GROUP BY funnel_stage ORDER BY funnel_stage
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    active day offset — two cascaded aggregations with a broadcast of the
+    (tiny) per-user first-seen table back onto the fact."""
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+)
+SELECT cohort_day, (day - cohort_day) AS day_offset, count(*) AS n_users
+FROM active JOIN first_seen USING (user_id)
+GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+"""
+
+
 def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding by 5 (each event lands in exactly
     width/slide = 2 windows) — the batch twin of ``streaming.sliding_agg``;
@@ -2667,6 +2749,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "media_features": media_features,
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
     "events_session_stream": events_session_stream,
@@ -2752,6 +2836,8 @@ ORACLE_SQL: dict[str, str] = {
     "media_features": MEDIA_FEATURES_SQL,
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_cohort_retention": EVENTS_COHORT_SQL,
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_session_stream": EVENTS_SESSION_STREAM_SQL,
