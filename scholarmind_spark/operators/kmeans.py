@@ -1,0 +1,115 @@
+"""Distributed Lloyd k-means over an embedding column — the trainer that
+produces REAL centroids for the IVF index (``similarity.ivf_topk`` ships
+with a deterministic corpus-subset codebook so its DuckDB oracle can
+reproduce the cells; this module is the production path that replaces it).
+
+Spark-first shape per iteration (everything stays in DataFrames):
+
+- assignment: corpus × broadcast(centroids) — the K-way cross product is
+  map-side only; the argmin collapses via one ``min(struct(dist, cid))``
+  partial aggregation, so the shuffle carries ONE row per vector;
+- update: ``posexplode`` the assigned vectors and average per (cell,
+  dimension) — map-side partial sums, then rebuild each centroid array
+  with an ``array_sort(collect_list(struct(pos, mean)))``.
+
+Cost per iteration is O(n·K·d) map-side flops + one n-row and one
+K·d-row shuffle — linear in the corpus, no quadratic term, no driver
+loop over data (only the ≤``iters`` iteration counter runs on the
+driver, with optional early stop on relative inertia improvement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(df: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest centroid per vector: one row out per row in."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        F.struct(
+            _sq_dist(F.col(vec_col), F.col("cvec")).alias("d"),
+            F.col("cid").alias("cid"),
+        ).alias("dc"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min("dc")["cid"].alias("cell"),
+        F.min("dc")["d"].alias("dist"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    tol: float = 1e-4,
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd iterations; returns ``(centroids_df(cid, cvec), inertia_per
+    _iter)``.  Init is k ids EVENLY SPACED over the sorted id range —
+    deterministic (reproducible runs, unlike random init) and spread
+    across the corpus (the first-k ids would all come from one region and
+    strand Lloyd in a local optimum — observed: inertia stuck at 1066 vs
+    6.7 on the test blobs).  k-means|| would drop in here for a
+    production corpus.  Stops early when relative inertia improvement
+    falls under ``tol``."""
+    from pyspark.sql import Window
+
+    n = df.count()
+    stride = max(1, n // k)
+    w = Window.orderBy(id_col)
+    seeded = (
+        df.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % stride == 0)
+        .limit(k)
+    )
+    cents = seeded.select(
+        F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    inertia: list[float] = []
+    for _ in range(iters):
+        assigned = _assign(df, cents, id_col, vec_col).persist()
+        inertia.append(assigned.agg(F.sum("dist")).collect()[0][0] or 0.0)
+        ex = assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+        means = ex.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+        new_cents = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform("pm", lambda p: p["m"]).alias("cvec"),
+            )
+        )
+        # empty cells (no assigned vectors) keep their previous centroid
+        kept = cents.join(new_cents, "cid", "left_anti")
+        refreshed = new_cents.unionByName(kept)
+        refreshed.persist().count()
+        assigned.unpersist()
+        cents = refreshed
+        if len(inertia) >= 2 and inertia[-2] > 0:
+            if (inertia[-2] - inertia[-1]) / inertia[-2] < tol:
+                break
+    return cents, inertia
+
+
+def kmeans_predict(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment under a trained codebook: ``id, cell, dist``."""
+    return _assign(df, centroids, id_col, vec_col).select(id_col, "cell", "dist")

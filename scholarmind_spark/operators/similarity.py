@@ -418,36 +418,46 @@ def ivf_topk(
     k: int = 10,
     centroid_ids: list[int] | None = None,
     nprobe: int = IVF_NPROBE,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
     centroid cell, probe the query's ``nprobe`` nearest cells, exact-rank
     within the probed candidates.
 
-    The centroid set here is a deterministic subset of the corpus (fixed
-    ids) so the DuckDB oracle reproduces the identical cells — a production
-    deployment would k-means them; the plan shape is unchanged.
+    The default centroid set is a deterministic subset of the corpus
+    (fixed ids) so the DuckDB oracle reproduces the identical cells; pass
+    ``centroids_df`` (``cid, cvec`` — e.g. a codebook trained by
+    ``operators.kmeans.kmeans_fit``) for the production path.  The plan
+    shape is identical either way.
 
     Scale: centroids broadcast (K rows); assignment is one map-side
     cross-product with K + a groupBy(id) lexicographic max (partial agg —
     the shuffle carries one row per vector); the probe join shuffles on
     cell id, never O(n²).  Assignment ties break to the HIGHER centroid id
     (struct max), mirrored exactly in the SQL twin."""
-    centroid_ids = centroid_ids or IVF_CENTROID_IDS
-    cents = queries_df.sparkSession.createDataFrame(
-        [(i,) for i in centroid_ids], ["cid"]
-    )
     # Precompute every vector/centroid norm once (a per-row quantity) so
     # the K-way assignment cross-product and the final scoring evaluate
     # only the dot-product HOF per pair.  Same float ops in the same order
     # → bit-identical cosines; the norms just stop being recomputed K×.
-    centroids = F.broadcast(
-        df.join(F.broadcast(cents), F.col(id_col) == F.col("cid"))
-        .select(
-            "cid",
-            F.col(vec_col).alias("cvec"),
-            _norm(F.col(vec_col)).alias("__nc"),
+    if centroids_df is not None:
+        centroids = F.broadcast(
+            centroids_df.select(
+                "cid", "cvec", _norm(F.col("cvec")).alias("__nc")
+            )
         )
-    )
+    else:
+        centroid_ids = centroid_ids or IVF_CENTROID_IDS
+        cents = queries_df.sparkSession.createDataFrame(
+            [(i,) for i in centroid_ids], ["cid"]
+        )
+        centroids = F.broadcast(
+            df.join(F.broadcast(cents), F.col(id_col) == F.col("cid"))
+            .select(
+                "cid",
+                F.col(vec_col).alias("cvec"),
+                _norm(F.col(vec_col)).alias("__nc"),
+            )
+        )
 
     def assign(side: DataFrame, sid: str, svec: str, n: int, nrm: str) -> DataFrame:
         scored = side.withColumn(nrm, _norm(F.col(svec))).crossJoin(centroids).select(
