@@ -79,6 +79,18 @@ def kmeans_fit(
     cents = seeded.select(
         F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
     )
+    spark = df.sparkSession
+
+    def _materialize(cdf: DataFrame) -> DataFrame:
+        """Break lineage between iterations: the codebook is k tiny rows,
+        so collect-and-recreate keeps every iteration's logical plan FLAT.
+        Without this the plan nests one cross-join+explode layer per
+        iteration and downstream consumers OOM just STRINGIFYING it
+        (observed: explainString heap exhaustion after 5 iterations)."""
+        rows = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cdf.collect()]
+        return spark.createDataFrame(rows, "cid long, cvec array<double>")
+
+    cents = _materialize(cents)
     inertia: list[float] = []
     for _ in range(iters):
         assigned = _assign(df, cents, id_col, vec_col).persist()
@@ -95,8 +107,7 @@ def kmeans_fit(
         )
         # empty cells (no assigned vectors) keep their previous centroid
         kept = cents.join(new_cents, "cid", "left_anti")
-        refreshed = new_cents.unionByName(kept)
-        refreshed.persist().count()
+        refreshed = _materialize(new_cents.unionByName(kept))
         assigned.unpersist()
         cents = refreshed
         if len(inertia) >= 2 and inertia[-2] > 0:

@@ -25,6 +25,7 @@ def main():
     from pyspark.sql import functions as F
 
     from scholarmind_spark import get_spark
+    from scholarmind_spark.operators.kmeans import kmeans_fit
     from scholarmind_spark.operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk
 
     spark = get_spark(app_name="ann-recall")
@@ -41,8 +42,15 @@ def main():
         return out
 
     exact = topk_sets(cosine_topk(e, q, k=k))
+    trained, inertia = kmeans_fit(e, k=16, iters=5)
+    trained.persist().count()
+    print(f"kmeans inertia: {inertia[0]:.0f} -> {inertia[-1]:.0f}")
     results = {}
-    for name, fn in [("lsh", ann_lsh_topk), ("ivf", ivf_topk)]:
+    for name, fn in [
+        ("lsh", ann_lsh_topk),
+        ("ivf", ivf_topk),
+        ("ivf_kmeans", lambda d, qq, k: ivf_topk(d, qq, k=k, centroids_df=trained)),
+    ]:
         approx = topk_sets(fn(e, q, k=k))
         recalls = [
             len(approx.get(qid, set()) & hits) / len(hits) for qid, hits in exact.items()
