@@ -1799,6 +1799,25 @@ GROUP BY bucket_start, event_type
 """
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the raw double ``value`` column — the
+    binning (``floor(value / width)``) is a single IEEE divide+floor, so
+    bins are engine-exact even though value sums would not be."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(F.floor(F.col("value") / F.lit(10.0)).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT floor(value / 10.0)::BIGINT AS bin, count(*) AS n
+FROM events GROUP BY bin ORDER BY bin
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: users counted at their FURTHEST ordered stage
     (view → click → purchase, each stage's first occurrence strictly after
@@ -2751,6 +2770,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_sliding": events_sliding,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "events_value_histogram": events_value_histogram,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
     "events_session_stream": events_session_stream,
@@ -2838,6 +2858,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
+    "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_session_stream": EVENTS_SESSION_STREAM_SQL,
