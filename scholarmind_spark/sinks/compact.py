@@ -32,7 +32,20 @@ def compact_parquet(
     spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
 ) -> int:
     """Rewrite ``path`` into ``ceil(size/target_bytes)`` files; returns the
-    resulting file count."""
+    resulting file count.
+
+    Refuses hive-partitioned datasets: a flat rewrite would silently
+    DROP the directory layout (and with it partition pruning) — compact
+    those per partition directory instead."""
+    if any(
+        "=" in d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d))
+    ):
+        raise ValueError(
+            f"{path} is hive-partitioned; compact each partition directory "
+            "separately to preserve the layout (a flat rewrite drops pruning)"
+        )
     n_files = max(1, -(-_dir_bytes(path) // target_bytes))
     df = spark.read.parquet(path)
     staging = f"{path}.compacting"

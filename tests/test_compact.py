@@ -31,3 +31,17 @@ def test_compaction_respects_target_size(spark, tmp_path):
     )
     n = compact_parquet(spark, path, target_bytes=total // 3)
     assert 3 <= n <= 5  # ceil(size/target) with post-write size drift
+
+
+def test_compaction_refuses_partitioned_layout(spark, tmp_path):
+    import pytest
+
+    from scholarmind_spark.sinks.partitioned import write_partitioned
+
+    path = str(tmp_path / "hive")
+    df = spark.createDataFrame(
+        [(i, str(i % 2)) for i in range(100)], "v long, k string"
+    )
+    write_partitioned(df, path, "k")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path)
