@@ -1799,6 +1799,51 @@ GROUP BY bucket_start, event_type
 """
 
 
+def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook assignment (operators/kmeans.kmeans_predict) under the
+    FIXED deterministic centroid set (the IVF subset ids), so the oracle
+    reproduces the cells: per vector, argmin squared-L2 centroid with
+    (dist, cid) tie-break, distance rounded 6."""
+    from scholarmind_spark.operators.kmeans import kmeans_predict
+    from scholarmind_spark.operators.similarity import IVF_CENTROID_IDS
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(F.col("vec_id").cast("long").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    return (
+        kmeans_predict(e, cents)
+        .select("vec_id", "cell", F.round("dist", 6).alias("dist"))
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_assign_sql() -> str:
+    from scholarmind_spark.operators.similarity import IVF_CENTROID_IDS
+
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    sq = (
+        "list_sum(list_transform(list_zip(e.embedding, c.embedding),"
+        " p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT e.vec_id, c.cid, {sq} AS d FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM scored
+)
+SELECT vec_id, cid AS cell, round(d, 6) AS dist
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of the raw double ``value`` column — the
     binning (``floor(value / width)``) is a single IEEE divide+floor, so
@@ -2771,6 +2816,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "events_value_histogram": events_value_histogram,
+    "kmeans_assign_cells": kmeans_assign_cells,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
     "events_session_stream": events_session_stream,
@@ -2859,6 +2905,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
+    "kmeans_assign_cells": _kmeans_assign_sql(),
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_session_stream": EVENTS_SESSION_STREAM_SQL,
