@@ -1,0 +1,66 @@
+"""Document chunking: fixed-token windows with overlap — the standard
+preparation step for sequence-model training and retrieval indexing.
+
+Pure array expressions end-to-end (split → window starts via
+``sequence`` → ``slice`` per start → ``posexplode``): no Python, no
+shuffle — chunking is a flat projection that scales with the scan, and
+the chunk rows inherit the parent's partitioning.  Chunk boundaries are
+token-index arithmetic, so the DuckDB twin reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """One row per (doc, window): ``id, chunk_id, n_tokens, chunk_text``.
+    Windows start every ``chunk_tokens - overlap`` tokens; the final
+    window may be shorter (it is kept — training pipelines pad, retrieval
+    pipelines keep the tail context)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.explode(starts).alias("s"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("s") + 1, chunk_tokens)
+    return ex.select(
+        "id",
+        (F.col("s") / step).cast("bigint").alias("chunk_id"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    ).orderBy("id", "chunk_id")
+
+
+def chunk_documents_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> str:
+    step = chunk_tokens - overlap
+    toks = f"string_split_regex({text_col}, '\\s+')"
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id, {toks} AS toks,
+         unnest(generate_series(0, greatest(len({toks}) - 1, 0), {step})) AS s
+  FROM {table}
+)
+SELECT id, (s / {step})::BIGINT AS chunk_id,
+       len(toks[s + 1 : s + {chunk_tokens}]) AS n_tokens,
+       array_to_string(toks[s + 1 : s + {chunk_tokens}], ' ') AS chunk_text
+FROM ex ORDER BY id, chunk_id
+"""

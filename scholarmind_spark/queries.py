@@ -1799,6 +1799,20 @@ GROUP BY bucket_start, event_type
 """
 
 
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap over the corpus (32-token windows
+    every 24) — flat projection, no shuffle."""
+    from scholarmind_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def _text_chunk_sql() -> str:
+    from scholarmind_spark.operators.chunking import chunk_documents_sql
+
+    return chunk_documents_sql("documents")
+
+
 def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook assignment (operators/kmeans.kmeans_predict) under the
     FIXED deterministic centroid set (the IVF subset ids), so the oracle
@@ -2817,6 +2831,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_cohort_retention": events_cohort_retention,
     "events_value_histogram": events_value_histogram,
     "kmeans_assign_cells": kmeans_assign_cells,
+    "text_chunk_documents": text_chunk_documents,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
     "events_session_stream": events_session_stream,
@@ -2906,6 +2921,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "kmeans_assign_cells": _kmeans_assign_sql(),
+    "text_chunk_documents": _text_chunk_sql(),
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_session_stream": EVENTS_SESSION_STREAM_SQL,
