@@ -54,9 +54,12 @@ BENCH_QUERIES = [
     "token_topk",
     "text_word_repetition",
     "text_top_terms",
+    "text_chunk_documents",
     "decontam_overlap",
     "events_json_props",
     "profile_documents",
+    "kmeans_assign_cells",
+    "events_value_histogram",
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_topk",

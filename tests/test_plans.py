@@ -19,8 +19,9 @@ SKIP = {
     "jsonl_roundtrip", "partitioned_prune_events", "orc_roundtrip",
 }
 
-# deliberate all-pairs baselines: broadcast nested-loop by design
-BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk"}
+# deliberate broadcast nested-loop joins: the all-pairs exact baselines and
+# the K-way centroid-assignment cross-product (K tiny, broadcast side)
+BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells"}
 
 
 def _plan(df) -> str:
