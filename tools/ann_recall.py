@@ -48,8 +48,11 @@ def main():
     results = {}
     for name, fn in [
         ("lsh", ann_lsh_topk),
+        ("ivf_nprobe1", lambda d, qq, k: ivf_topk(d, qq, k=k, nprobe=1)),
         ("ivf", ivf_topk),
+        ("ivf_nprobe4", lambda d, qq, k: ivf_topk(d, qq, k=k, nprobe=4)),
         ("ivf_kmeans", lambda d, qq, k: ivf_topk(d, qq, k=k, centroids_df=trained)),
+        ("ivf_kmeans_nprobe4", lambda d, qq, k: ivf_topk(d, qq, k=k, nprobe=4, centroids_df=trained)),
     ]:
         approx = topk_sets(fn(e, q, k=k))
         recalls = [
