@@ -169,3 +169,39 @@ def test_word_repetition_matches_reference(spark, docs):
         assert got[i].top_word_frac == round(max(c.values()) / n, 6)
         dup = sum(v for v in c.values() if v > 1)
         assert got[i].dup_word_frac == round(dup / n, 6)
+
+
+# ---- PubMed tagged-text parse: generative serialize → parse round-trip
+
+pm_word = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+pm_value = st.lists(pm_word, min_size=1, max_size=5).map(" ".join)
+pm_tag = st.sampled_from(["PMID", "TI", "AB", "TA", "DP"])
+pm_record = st.dictionaries(pm_tag, st.lists(pm_value, min_size=1, max_size=2),
+                            min_size=1, max_size=5)
+
+
+def _serialize(records, split_continuations):
+    """Render records in PubMed tagged-text form; optionally emit multi-word
+    values as a tag line plus an indented continuation line (the parser
+    re-joins with a single space, so the round-trip is exact)."""
+    out = []
+    for rec in records:
+        for tag, values in rec.items():
+            for v in values:
+                words = v.split(" ")
+                if split_continuations and len(words) >= 2:
+                    out.append(f"{tag}  - {words[0]}")
+                    out.append(f"      {' '.join(words[1:])}")
+                else:
+                    out.append(f"{tag}  - {v}")
+        out.append("")
+    return "\n".join(out)
+
+
+@settings(max_examples=25, deadline=None)
+@given(records=st.lists(pm_record, min_size=1, max_size=4), split=st.booleans())
+def test_pubmed_tag_parse_round_trips(records, split):
+    from scholarmind_spark.sources.pubmed import parse_pubmed_tags
+
+    text = _serialize(records, split)
+    assert parse_pubmed_tags(text) == records
