@@ -205,3 +205,54 @@ def test_pubmed_tag_parse_round_trips(records, split):
 
     text = _serialize(records, split)
     assert parse_pubmed_tags(text) == records
+
+
+# ---- WOS tagged-text parse: generative serialize → parse round-trip
+
+wos_scalar_tag = st.sampled_from(["TI", "AB", "SO", "DI", "PY"])
+wos_record = st.tuples(
+    pm_value,                                      # PT value
+    st.dictionaries(wos_scalar_tag, st.lists(pm_value, min_size=1, max_size=1),
+                    min_size=0, max_size=4),
+    st.lists(pm_value, min_size=0, max_size=3),    # AU lines (multi-tag)
+)
+
+
+def _serialize_wos(records, split):
+    """WOS Plain Text form: FN/VR header, PT starts a record, 2-char field
+    lines, 3-space continuations (AU is one-element-per-line), ER/EF."""
+    out = ["FN Test Export", "VR 1.0"]
+    for pt, fields, aus in records:
+        out.append(f"PT {pt}")
+        for tag, values in fields.items():
+            for v in values:
+                words = v.split(" ")
+                if split and len(words) >= 2:
+                    out.append(f"{tag} {words[0]}")
+                    out.append(f"   {' '.join(words[1:])}")
+                else:
+                    out.append(f"{tag} {v}")
+        if aus:
+            out.append(f"AU {aus[0]}")
+            for a in aus[1:]:
+                out.append(f"   {a}")
+        out.append("ER")
+    out.append("EF")
+    return "\n".join(out)
+
+
+@settings(max_examples=25, deadline=None)
+@given(records=st.lists(wos_record, min_size=1, max_size=3), split=st.booleans())
+def test_wos_tag_parse_round_trips(records, split):
+    from scholarmind_spark.sources.wos import parse_wos_tags
+
+    got = parse_wos_tags(_serialize_wos(records, split))
+    want = []
+    for pt, fields, aus in records:
+        rec = {"PT": [pt]}
+        for tag, values in fields.items():
+            rec[tag] = list(values)
+        if aus:
+            rec["AU"] = list(aus)
+        want.append(rec)
+    assert got == want
