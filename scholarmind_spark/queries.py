@@ -2323,7 +2323,10 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("l_orderkey").alias("key_sum"),
             F.round(F.sum(_dec(F.col("l_extendedprice"))), 2).cast("double").alias("price_sum"),
-            F.max(F.unix_timestamp("l_shipdate")).alias("max_ship_epoch"),
+            # NTZ max stays a naive datetime end-to-end (isoformat canon on
+            # both engines); unix_timestamp() would route it through the
+            # SESSION TIMEZONE and produce a TZ-dependent epoch
+            F.max("l_shipdate").alias("max_ship"),
         )
         .orderBy("l_returnflag")
     )
@@ -2332,7 +2335,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORC_ROUNDTRIP_SQL = """
 SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum,
        round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum,
-       floor(epoch(max(l_shipdate)))::BIGINT AS max_ship_epoch
+       max(l_shipdate) AS max_ship
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

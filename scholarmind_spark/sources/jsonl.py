@@ -31,6 +31,11 @@ def read_jsonl(
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
+        # explicit charset: the default follows the JVM file.encoding, so a
+        # driver running under LANG=C would decode non-ASCII bytes differently
+        # than the writer encoded them
+        .option("encoding", "UTF-8")
+        .option("lineSep", "\n")
         .json(path)
     )
     if not keep_corrupt:
@@ -57,7 +62,10 @@ def corrupt_line_stats(df: DataFrame) -> DataFrame:
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
     """Engine-native JSONL sink (one JSON object per line, partitioned
     output files — downstream trainers shard-read them directly)."""
-    w = df.write.mode("overwrite")
+    # explicit charset + line separator: never inherit the JVM default
+    # (file.encoding varies with the host locale and silently mangles
+    # non-ASCII text on the round-trip)
+    w = df.write.mode("overwrite").option("encoding", "UTF-8").option("lineSep", "\n")
     if compression:
         w = w.option("compression", compression)
     w.json(path)
