@@ -30,27 +30,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Events arrive with ns-precision epoch ts (see queries._events); streaming
-# reads the same parquet with an explicit schema (required for streams).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos under nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 8
 ) -> DataFrame:
     """File-source stream over events parquet; ``ts`` normalized to a real
-    timestamp. Swap for Kafka in production — downstream plans unchanged."""
+    timestamp. Swap for Kafka in production — downstream plans unchanged.
+
+    The driver writes ``ts`` as parquet TIMESTAMP(NANOS).  What the runtime
+    decodes it as depends on the Spark version: older 4.x honored
+    ``spark.sql.legacy.parquet.nanosAsLong`` (→ bigint nanos), current 4.1
+    reads it as ``timestamp_ntz`` truncated to micros.  A stream needs an
+    explicit schema, so probe with a batch footer read (metadata only, no
+    data scan) and branch on the OBSERVED dtype — the same guard the batch
+    path applies in ``queries._events``.  Hard-coding either assumption is
+    exactly the unit bug that collapses every window 1000×.
+    """
     import os
 
     # FileStreamSource requires a directory; wrap a lone file in a temp dir
@@ -59,12 +54,29 @@ def read_events_stream(
         d = tempfile.mkdtemp(prefix="evstream_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
+    # Probe the events schema. A watched dir may hold OTHER tables too
+    # (the stream reads them null-filled, and null-ts rows drop at the
+    # window) — probe the events file specifically so the forced schema is
+    # the events one, not whichever file the batch reader lists first.
+    probe = path
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "events.parquet")):
+        probe = os.path.join(path, "events.parquet")
+    schema = spark.read.parquet(probe).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos-as-long runtime: ns → µs → timestamp
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (an instant).  The on-disk wall-clock
+        # is UTC, so pin the interpretation explicitly — a plain cast would
+        # go through the session time zone and shift every window under a
+        # non-UTC deployment.
+        raw = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return raw
 
 
 def tumbling_agg(

@@ -48,6 +48,21 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
+def _ts_max_us(ts: pd.Series) -> int:
+    """Max of a timestamp column as epoch MICROSECONDS, unit-explicit.
+
+    Arrow→pandas may deliver datetime64[ns] or datetime64[us] depending on
+    the pandas/pyarrow pairing (and tz-aware if the column is a zoned
+    timestamp) — converting through ``datetime64[us]`` pins the unit instead
+    of assuming one and magic-dividing, which is how a ms-vs-µs bug slips in.
+    """
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_localize(None)
+    if ts.dtype.kind == "M":
+        return int(ts.astype("datetime64[us]").astype("int64").max())
+    return int(ts.astype("int64").max())  # already integral micros
+
+
 def _update(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -61,8 +76,12 @@ def _update(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, round(total, 6), last))
+        last = max(last, _ts_max_us(pdf["ts"]))
+    # State carries the UNROUNDED running sum; rounding happens only at
+    # emit, so later batches never accumulate on top of a rounded value
+    # (batch-by-batch round-then-add drifts from the oracle's one global
+    # round(sum(value), 6)).
+    state.update((n, total, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
