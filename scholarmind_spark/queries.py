@@ -2210,8 +2210,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = d.select(
         "doc_id", "lang", clean_text(F.col("text")).alias("clean")
     )
+    # The quality floor compares INTEGER micro-units, not doubles: round the
+    # 6-dp score into a bigint on both engines so a last-ulp difference in
+    # the unrounded double can never flip a >= 0.5 boundary on one engine
+    # only (driver-env hash red in r2/r3).
+    q_int = F.round(quality_score(F.col("clean")) * F.lit(1000000.0)).cast("bigint")
     kept = cleaned.filter(
-        (quality_score(F.col("clean")) >= 0.5) & (token_count(F.col("clean")) >= 10)
+        (q_int >= F.lit(500000)) & (token_count(F.col("clean")) >= 10)
     )
     survivors = (
         kept.groupBy(F.md5("clean").alias("h"))
@@ -2239,7 +2244,8 @@ WITH cleaned AS (
 ),
 kept AS (
   SELECT * FROM cleaned
-  WHERE {quality_score_sql("clean")} >= 0.5 AND {token_count_sql("clean")} >= 10
+  WHERE round({quality_score_sql("clean")} * 1000000.0)::BIGINT >= 500000
+    AND {token_count_sql("clean")} >= 10
 ),
 survivors AS (
   SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(length(clean)) AS n_chars
@@ -2250,11 +2256,64 @@ FROM survivors GROUP BY lang ORDER BY lang
 """
 
 
-def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL sink→source round-trip: write documents as JSONL, read back
-    with an explicit schema, and aggregate — the oracle aggregates the
-    original parquet directly, so any value lost or mangled by the JSON
-    codec breaks the hash."""
+def diag_curation_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage diagnostic for corpus_curation: per-lang sums of the
+    cleaned length, the integer quality score, the token count, and the
+    count of distinct cleaned-text md5 groups, over ALL documents (no
+    filtering).  Each output column isolates one stage of the curation
+    pipeline, so a hash failure in an environment we cannot reproduce
+    names the diverging stage in that environment's own report."""
+    from scholarmind_spark.operators.textstats import clean_text, quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.select("lang", clean_text(F.col("text")).alias("clean"))
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.sum(F.length("clean")).alias("clean_chars"),
+            F.sum(F.round(quality_score(F.col("clean")) * F.lit(1000000.0)).cast("bigint")).alias(
+                "q_micro_sum"
+            ),
+            F.sum(token_count(F.col("clean"))).alias("tok_sum"),
+            F.countDistinct(F.md5("clean")).alias("n_distinct_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _diag_curation_stages_sql() -> str:
+    from scholarmind_spark.operators.textstats import (
+        clean_text_sql, quality_score_sql, token_count_sql,
+    )
+
+    clean = clean_text_sql("text")
+    return f"""
+WITH cleaned AS (
+  SELECT lang, {clean} AS clean FROM documents
+)
+SELECT lang,
+       sum(length(clean)) AS clean_chars,
+       sum(round({quality_score_sql("clean")} * 1000000.0)::BIGINT) AS q_micro_sum,
+       sum({token_count_sql("clean")}) AS tok_sum,
+       count(DISTINCT md5(clean)) AS n_distinct_clean
+FROM cleaned GROUP BY lang ORDER BY lang
+"""
+
+
+def _md5_mod(col) -> "F.Column":
+    """Content checksum as a small BIGINT: big-endian u64 of the last 16
+    md5 hex digits, mod 1e9+7.  Integer-valued end to end — no string
+    collation, float formatting, or charset canonicalization can perturb
+    it, unlike the ``max(md5(text))`` it replaced (driver-env hash red).
+    DuckDB twin: ``('0x' || substring(md5(x),17,16))::UBIGINT % 1000000007``.
+    """
+    u64 = F.conv(F.substring(F.md5(col), 17, 16), 16, 10).cast("decimal(20,0)")
+    return u64 % F.lit(1000000007)
+
+
+def _jsonl_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL sink → JSONL source, shared by the roundtrip gate
+    query and its per-column diagnostic twins."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -2271,14 +2330,24 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
-    back = read_jsonl(spark, out, schema, keep_corrupt=False)
+    return read_jsonl(spark, out, schema, keep_corrupt=False)
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→source round-trip: write documents as JSONL, read back
+    with an explicit schema, and aggregate — the oracle aggregates the
+    original parquet directly, so any value lost or mangled by the JSON
+    codec breaks the hash.  All aggregates are integers (counts, sums,
+    md5-mod checksums); nothing in the output depends on string ordering
+    or float formatting."""
+    back = _jsonl_back(spark, sf_dir)
     return (
         back.groupBy("lang")
         .agg(
             F.count("*").alias("n"),
             F.sum("doc_id").alias("id_sum"),
             F.sum(F.length("text")).alias("text_chars"),
-            F.max(F.md5("text")).alias("max_md5"),
+            F.sum(_md5_mod(F.col("text"))).cast("bigint").alias("text_h"),
         )
         .orderBy("lang")
     )
@@ -2286,15 +2355,57 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSONL_ROUNDTRIP_SQL = """
 SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
-       sum(length(text)) AS text_chars, max(md5(text)) AS max_md5
+       sum(length(text)) AS text_chars,
+       sum(('0x' || substring(md5(text), 17, 16))::UBIGINT % 1000000007)::BIGINT AS text_h
 FROM documents GROUP BY lang ORDER BY lang
 """
 
 
-def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink→source round-trip over a lineitem slice (bigint, timestamp,
-    double, string all cross the codec); the oracle aggregates the original
-    parquet, so any value the ORC codec mangles breaks the hash."""
+def diag_jsonl_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of jsonl_roundtrip carrying ONLY the length/count
+    aggregates — if the full roundtrip hash fails in an environment we
+    cannot reproduce, the per-column twins name the offending column in
+    that environment's own CORRECTNESS report."""
+    back = _jsonl_back(spark, sf_dir)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DIAG_JSONL_LEN_SQL = """
+SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
+       sum(length(text)) AS text_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def diag_jsonl_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of jsonl_roundtrip carrying ONLY the content
+    checksum (see diag_jsonl_len)."""
+    back = _jsonl_back(spark, sf_dir)
+    return (
+        back.groupBy("lang")
+        .agg(F.sum(_md5_mod(F.col("text"))).cast("bigint").alias("text_h"))
+        .orderBy("lang")
+    )
+
+
+DIAG_JSONL_HASH_SQL = """
+SELECT lang,
+       sum(('0x' || substring(md5(text), 17, 16))::UBIGINT % 1000000007)::BIGINT AS text_h
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → ORC sink → ORC source, shared by the roundtrip gate
+    query and its per-column diagnostic twins."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -2316,17 +2427,30 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("l_returnflag", T.StringType()),
         ]
     )
-    back = read_orc(spark, out, schema)
+    return read_orc(spark, out, schema)
+
+
+def _ntz_max_us(col: str) -> "F.Column":
+    """Max of an NTZ timestamp as epoch MICROSECONDS (bigint).  The NTZ
+    wall-clock is pinned to UTC explicitly, so neither the session time
+    zone nor the datetime canonicalization of whatever harness compares
+    the rows can perturb the value — the r2/r3 driver-env hash red sat on
+    the naive-datetime ``max_ship`` column this replaces."""
+    return F.unix_micros(F.to_utc_timestamp(F.max(col), "UTC"))
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source round-trip over a lineitem slice (bigint, timestamp,
+    double, string all cross the codec); the oracle aggregates the original
+    parquet, so any value the ORC codec mangles breaks the hash."""
+    back = _orc_back(spark, sf_dir)
     return (
         back.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
             F.sum("l_orderkey").alias("key_sum"),
             F.round(F.sum(_dec(F.col("l_extendedprice"))), 2).cast("double").alias("price_sum"),
-            # NTZ max stays a naive datetime end-to-end (isoformat canon on
-            # both engines); unix_timestamp() would route it through the
-            # SESSION TIMEZONE and produce a TZ-dependent epoch
-            F.max("l_shipdate").alias("max_ship"),
+            _ntz_max_us("l_shipdate").alias("max_ship_us"),
         )
         .orderBy("l_returnflag")
     )
@@ -2335,7 +2459,50 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORC_ROUNDTRIP_SQL = """
 SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum,
        round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum,
-       max(l_shipdate) AS max_ship
+       epoch_us(max(l_shipdate)) AS max_ship_us
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def diag_orc_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of orc_roundtrip carrying ONLY the integer
+    aggregates (count/key-sum/timestamp-epoch) — isolates which column an
+    unreproducible-environment hash failure sits on."""
+    back = _orc_back(spark, sf_dir)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").alias("key_sum"),
+            _ntz_max_us("l_shipdate").alias("max_ship_us"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DIAG_ORC_INTS_SQL = """
+SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum,
+       epoch_us(max(l_shipdate)) AS max_ship_us
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def diag_orc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of orc_roundtrip carrying ONLY the decimal-summed
+    price column (see diag_orc_ints)."""
+    back = _orc_back(spark, sf_dir)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2).cast("double").alias("price_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DIAG_ORC_PRICE_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -2814,6 +2981,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "jsonl_roundtrip": jsonl_roundtrip,
     "orc_roundtrip": orc_roundtrip,
     "corpus_curation": corpus_curation,
+    "diag_jsonl_len": diag_jsonl_len,
+    "diag_jsonl_hash": diag_jsonl_hash,
+    "diag_orc_ints": diag_orc_ints,
+    "diag_orc_price": diag_orc_price,
+    "diag_curation_stages": diag_curation_stages,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
     "text_clean": text_clean,
@@ -2904,6 +3076,11 @@ ORACLE_SQL: dict[str, str] = {
     "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     "orc_roundtrip": ORC_ROUNDTRIP_SQL,
     "corpus_curation": _corpus_curation_sql(),
+    "diag_jsonl_len": DIAG_JSONL_LEN_SQL,
+    "diag_jsonl_hash": DIAG_JSONL_HASH_SQL,
+    "diag_orc_ints": DIAG_ORC_INTS_SQL,
+    "diag_orc_price": DIAG_ORC_PRICE_SQL,
+    "diag_curation_stages": _diag_curation_stages_sql(),
     "text_quality_stats": TEXT_QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_clean": _text_clean_sql(),

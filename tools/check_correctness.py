@@ -125,16 +125,38 @@ def main() -> int:
             hs, ho = hash_rows(scols, srows), hash_rows(ocols, orows)
             if hs != ho:
                 problems.append(f"value-hash {hs} vs {ho}")
-                # show first differing canonical row for debugging
+                # dump up to 5 differing canonical row pairs and NAME the
+                # columns that differ — a hash red must be diagnosable from
+                # the gate output alone, not re-derived by hand
+                names = sorted(scols)
                 order_s = sorted(range(len(scols)), key=lambda i: scols[i])
                 order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
                 cs = sorted("\x1f".join(canon_value(r[i]) for i in order_s) for r in srows)
                 co = sorted("\x1f".join(canon_value(r[i]) for i in order_o) for r in orows)
+                bad_cols: dict[str, int] = {}
+                shown = 0
                 for a, b in zip(cs, co):
-                    if a != b:
-                        print(f"     spark : {a[:200]}")
-                        print(f"     duckdb: {b[:200]}")
-                        break
+                    if a == b:
+                        continue
+                    fa, fb = a.split("\x1f"), b.split("\x1f")
+                    diff = [
+                        names[i] if i < len(names) else f"#{i}"
+                        for i in range(max(len(fa), len(fb)))
+                        if (fa[i] if i < len(fa) else None) != (fb[i] if i < len(fb) else None)
+                    ]
+                    for c in diff:
+                        bad_cols[c] = bad_cols.get(c, 0) + 1
+                    if shown < 5:
+                        print(f"     spark : {a[:240]}")
+                        print(f"     duckdb: {b[:240]}")
+                        print(f"     differs in: {', '.join(diff)}")
+                        shown += 1
+                if bad_cols:
+                    top = sorted(bad_cols.items(), key=lambda kv: -kv[1])
+                    print(
+                        "     differing columns (rows affected): "
+                        + ", ".join(f"{c}={n}" for c, n in top)
+                    )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1
