@@ -1,11 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "reps": {name: [rep1, rep2, rep3]},
+"sf": ...}.
 
 Each query is executed as Spark would in production — full plan to a
 count/collect action — and timed wall-clock.  A warmup pass on a trivial
 query absorbs one-time JVM/codegen costs so numbers reflect steady state.
+
+Every query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the MEDIAN, keeping the per-rep values — two rounds of single-rep bench
+produced phantom 10×+ outliers (container noise) that were
+indistinguishable from real plan regressions.
 """
 
 from __future__ import annotations
@@ -94,20 +100,27 @@ def main() -> None:
     # warmup: JVM, parquet footer reads, codegen
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
 
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        # Steady-state isolation: drop cached relations and nudge the JVM
-        # to release accumulated broadcast/shuffle state.  Without this,
-        # heap pressure from ~20 prior queries throttles the tail of the
-        # run ~10x (observed: 282s -> 73s total at sf0.1).
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        per_rep: list[float] = []
+        n = 0
+        for _ in range(n_reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            per_rep.append(round(time.time() - t0, 3))
+            # Steady-state isolation: drop cached relations and nudge the
+            # JVM to release accumulated broadcast/shuffle state.  Without
+            # this, heap pressure from ~20 prior queries throttles the
+            # tail of the run ~10x (observed: 282s -> 73s total at sf0.1).
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        reps[name] = per_rep
+        timings[name] = sorted(per_rep)[len(per_rep) // 2]
+        print(f"# {name}: {timings[name]}s median of {per_rep} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -118,6 +131,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
