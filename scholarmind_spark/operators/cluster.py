@@ -50,11 +50,20 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
+    def _label_digest(lbl: DataFrame):
+        # Fixpoint detector that works for ANY id type: per-node min labels
+        # only change by decreasing, so the multiset of labels changes iff
+        # some label changed; a sum of 64-bit label hashes (in decimal, so
+        # no bigint overflow wrap) detects that with one cheap scalar agg
+        # per round.  A plain sum(label) is null for string ids — and
+        # null == null made the old check "converge" after one round.
+        return lbl.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    converged = False
     try:
-        # per-node min labels only ever decrease, so sum(label) strictly
-        # decreases each round until the fixpoint — one cheap scalar agg per
-        # round instead of a join-based change detector
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        prev_sum = _label_digest(labels)
         for _ in range(max_iter):
             # neighbor labels: edge dst carries its current label to src
             neighbor = (
@@ -67,12 +76,22 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .persist()
             )
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            new_sum = _label_digest(new_labels)
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
+        if not converged:
+            # surface instead of silently returning a partial labeling: a
+            # graph with diameter > max_iter needs a bigger budget (or a
+            # pointer-doubling variant), and the caller must know
+            labels.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations; raise max_iter for this graph"
+            )
         out = labels.select("node", F.col("label").alias("component"))
         # the final labels round was materialized by its convergence count;
         # the caller releases it via release_caches() after consuming `out`

@@ -58,22 +58,20 @@ def kmeans_fit(
     tol: float = 1e-4,
 ) -> tuple[DataFrame, list[float]]:
     """Lloyd iterations; returns ``(centroids_df(cid, cvec), inertia_per
-    _iter)``.  Init is k ids EVENLY SPACED over the sorted id range —
-    deterministic (reproducible runs, unlike random init) and spread
-    across the corpus (the first-k ids would all come from one region and
-    strand Lloyd in a local optimum — observed: inertia stuck at 1066 vs
-    6.7 on the test blobs).  k-means|| would drop in here for a
-    production corpus.  Stops early when relative inertia improvement
-    falls under ``tol``."""
-    from pyspark.sql import Window
-
-    n = df.count()
-    stride = max(1, n // k)
-    w = Window.orderBy(id_col)
+    _iter)``.  Init is the k rows with the SMALLEST xxhash64(id) —
+    deterministic (reproducible runs, unlike random init) and uniformly
+    spread across the corpus like a random sample (the first-k ids would
+    all come from one region and strand Lloyd in a local optimum —
+    observed: inertia stuck at 1066 vs 6.7 on the test blobs).  The
+    hash-order top-k compiles to TakeOrderedAndProject: per-partition
+    heaps merged on the driver, NO single-partition exchange — the
+    previous evenly-spaced-id seeding ran a global row_number() window,
+    one task sorting the whole corpus at 100×.  k-means|| would drop in
+    here for a production corpus.  Stops early when relative inertia
+    improvement falls under ``tol``."""
     seeded = (
         df.select(id_col, vec_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") - 1) % stride == 0)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(k)
     )
     cents = seeded.select(

@@ -35,7 +35,12 @@ def range_join_count(
     count 0 (left join semantics)."""
     lsec = F.unix_timestamp(F.col(ts_left))
     rsec = F.unix_timestamp(F.col(ts_right))
-    l = left.withColumn("__bin", F.floor(lsec / tolerance_s))
+    # per-ROW grouping id: grouping back by the left columns would collapse
+    # fully-duplicate left rows into one output row, breaking the "one count
+    # per left row" contract
+    l = left.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__bin", F.floor(lsec / tolerance_s)
+    )
     # replicate the RIGHT side into its bin and both neighbors
     r = (
         right.select(
@@ -59,11 +64,11 @@ def range_join_count(
             F.abs(F.unix_timestamp(F.col(ts_left)) - F.col("__rsec")) <= tolerance_s, 1
         ).otherwise(0),
     )
-    group_cols = [c for c in left.columns] + ["__bin"]
+    group_cols = ["__rid"] + [c for c in left.columns] + ["__bin"]
     out = (
         joined.groupBy(*group_cols)
         .agg(F.sum("__hit").alias(count_col))
-        .drop("__bin")
+        .drop("__rid", "__bin")
         .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("long"))
     )
     return out

@@ -757,7 +757,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-degenerate), per-nation aggregate."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # quantize the threshold to 6 dp on BOTH engines: the engines sum the
+    # avg in different orders, and a last-ulp difference in the raw double
+    # could flip a customer sitting exactly on the boundary
+    avg_bal = round(
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0], 6
+    )
     rich = c.filter(F.col("c_acctbal") > avg_bal)
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return (
@@ -774,7 +779,7 @@ Q22_SQL = """
 SELECT c_nationkey, count(*) AS n_cust,
        round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_nationkey ORDER BY c_nationkey

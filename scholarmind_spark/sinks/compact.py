@@ -50,8 +50,18 @@ def compact_parquet(
     df = spark.read.parquet(path)
     staging = f"{path}.compacting"
     df.coalesce(n_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    # two renames, not rmtree-then-rename: the old rmtree left a window as
+    # wide as the directory delete during which readers saw NO dataset at
+    # all.  Each rename is atomic; the only remaining gap is the instant
+    # between them, and on failure the original is restored.
+    old = f"{path}.old-{os.getpid()}"
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old)
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet")
     )

@@ -68,3 +68,39 @@ def test_release_frees_loop_caches(spark):
     out.collect()
     release_caches(out)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids must converge correctly: the old sum(label)
+    convergence metric was NULL for strings and stopped after one round."""
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC"), ("docX", "docY")],
+        "id_a string, id_b string",
+    )
+    cc = connected_components(pairs)
+    got = {r.node: r.component for r in cc.collect()}
+    release_caches(cc)
+    assert got == {
+        "docA": "docA", "docB": "docA", "docC": "docA",
+        "docX": "docX", "docY": "docX",
+    }
+
+
+def test_connected_components_long_chain_string_ids(spark):
+    """A 6-hop chain needs >1 propagation round — catches any metric that
+    false-converges early."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    cc = connected_components(pairs)
+    got = {r.node: r.component for r in cc.collect()}
+    release_caches(cc)
+    assert set(got.values()) == {"n0"}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)

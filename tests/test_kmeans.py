@@ -61,3 +61,29 @@ def test_trained_codebook_drives_ivf(spark):
     out = ivf_topk(e, q, k=5, centroids_df=cents).collect()
     assert len(out) == 15
     assert all(-1.0 <= r.cosine <= 1.0 for r in out)
+
+
+def test_seeding_has_no_single_partition_exchange(spark):
+    """The seed selection must compile to a distributed top-k
+    (TakeOrderedAndProject), not a global row_number() window that sorts
+    the corpus in ONE task."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 7)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    seeded = (
+        df.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(4)
+    )
+    plan = seeded._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    # and the full fit still recovers blob structure deterministically
+    from scholarmind_spark.operators.kmeans import kmeans_fit
+
+    c1, _ = kmeans_fit(df, k=4, iters=2)
+    c2, _ = kmeans_fit(df, k=4, iters=2)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))

@@ -31,3 +31,21 @@ def test_range_join_boundaries(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 0}
     # every left row survives exactly once (no bin-replication duplicates)
     assert out.count() == 4
+
+
+def test_range_join_duplicate_left_rows_survive(spark):
+    """Fully-identical left rows must each produce their own output row —
+    grouping back by left columns alone would collapse them."""
+    left = spark.createDataFrame(
+        [("u1", _ts(0)), ("u1", _ts(0)), ("u1", _ts(0))],
+        "user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(100))], "user_id string, pts timestamp"
+    )
+    out = range_join_count(
+        left, right, key="user_id", ts_left="ts", ts_right="pts", tolerance_s=300
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.n_in_range == 1 for r in rows)
