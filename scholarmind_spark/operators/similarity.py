@@ -297,28 +297,76 @@ def embedding_neardup_pairs(
     < 1 by construction (a pair no table co-buckets is missed; L tables
     make that exponentially unlikely) — the oracle mirrors the identical
     bucketing, so results stay exact.
+
+    Two prunes keep the exact verify off the hot path:
+
+    - **Angle-band prefilter**: per row, precompute the angle θ to one
+      fixed reference direction.  On the unit sphere the triangle
+      inequality gives |θ_a − θ_b| ≤ arccos(cos(a,b)), so any pair with
+      ``|θ_a − θ_b| > arccos(threshold) + ε`` cannot reach the threshold
+      and is dropped on a ONE-subtraction scalar test before the d-dim
+      dot product.  Sound (ε absorbs float error), so the result set is
+      unchanged and the DuckDB oracle needs no mirror of it.
+    - **Verify once per pair**: co-bucket hits are deduplicated to
+      DISTINCT (id_a, id_b) BEFORE the vectors are re-joined and the
+      exact cosine is computed — with L tables a near-dup pair collides
+      in up to L buckets, and computing the d-dim dot per HIT did up to
+      L× the work the pair needs.
+
     Returns ``id_a, id_b, cosine`` (rounded 6)."""
+    import math
+
+    # fixed deterministic reference direction (first hyperplane, unit-norm)
+    u = [c / math.sqrt(dim) for c in _plane_signs(1, dim)[0]]
+    uvec = F.array(*[F.lit(float(c)) for c in u])
+    theta = F.acos(
+        F.least(
+            F.greatest(_dot(F.col(vec_col), uvec) / _norm(F.col(vec_col)), F.lit(-1.0)),
+            F.lit(1.0),
+        )
+    )
+    band = math.acos(max(-1.0, min(1.0, threshold))) + 1e-6
+
+    from scholarmind_spark.util import attach_caches as _attach_caches
+
+    # persist: the self-join references the bucket table TWICE, and the 48
+    # hyperplane projections per row are the expensive part of building it
     b = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nv"),  # once per row, not per pair
+        theta.alias("th"),  # once per row, not per pair
         F.explode(lsh_buckets_multi(vec_col, tables, planes, dim)).alias("bucket"),
-    )
-    pairs = (
+    ).persist()
+    cand = (
         b.alias("l")
         .join(b.alias("r"), on="bucket")
         .filter(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(
-            # identical per duplicate co-bucket hit — max is just the dedup
-            F.max(
-                _dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nv") * F.col("r.nv"))
-            ).alias("cos_raw")
+        .filter(F.abs(F.col("l.th") - F.col("r.th")) <= band)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    # the vector side of the verify join is one row per corpus vector; it
+    # SCALES WITH THE CORPUS, so no forced broadcast — AQE broadcasts it at
+    # small SF and shuffle-joins on id at 100 TB, both correct
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos_raw", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
-    return pairs
+    return _attach_caches(out, [b])
 
 
 def embedding_neardup_pairs_sql(
