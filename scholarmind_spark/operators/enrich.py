@@ -44,6 +44,7 @@ def fetch_metrics_df(
     fetch_one: Callable[[str], dict[str, str] | None],
     min_interval_s: float = 0.5,
     metric_columns: list[str] | None = None,
+    progress: Callable[[int, int], None] | None = None,
 ) -> DataFrame:
     """Throttled driver-side fetch (reference rate cap 2 req/s,
     journal_metrics.py:85-87); each distinct journal fetched exactly once
@@ -62,13 +63,16 @@ def fetch_metrics_df(
     )
     rows = []
     last = 0.0
-    for j in journals:
+    for i, j in enumerate(journals):
         wait = min_interval_s - (time.monotonic() - last)
         if wait > 0:
             time.sleep(wait)
         last = time.monotonic()
         m = fetch_one(j) or {}
         rows.append(tuple([j] + [m.get(c, "") for c in metric_columns]))
+        if progress is not None:
+            # per-journal tick, mirroring the reference loop (main.py:393-406)
+            progress(i + 1, len(journals))
     return spark.createDataFrame(rows, schema)
 
 

@@ -69,7 +69,9 @@ def build_corpus(spark: SparkSession, sources: dict[str, str]) -> DataFrame:
     return union_sources(dfs)
 
 
-def process(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def process(
+    df: DataFrame, cfg: PipelineConfig, reporter: "ProgressReporter | None" = None
+) -> DataFrame:
     """The combined-processing stage (reference ``CombinedProcessor
     .process_data``, main.py:52-352): dedup → enrich → links → year → LLM.
 
@@ -84,7 +86,14 @@ def process(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
         journals = distinct_journals(out)
         metrics_df = fetch_metrics_df(
-            out.sparkSession, journals, cfg.metrics_fetch_one
+            out.sparkSession,
+            journals,
+            cfg.metrics_fetch_one,
+            progress=(
+                (lambda cur, tot: reporter.update("journal_metrics", cur, tot))
+                if reporter is not None
+                else None
+            ),
         )
     if metrics_df is not None:
         out = enrich_with_metrics(out, metrics_df)
@@ -100,6 +109,27 @@ def process(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return out
 
 
-def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
-    """Full lifecycle; returns the final DataFrame (call a sink on it)."""
-    return process(build_corpus(spark, cfg.sources), cfg)
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    progress_callback: "object | None" = None,
+) -> DataFrame:
+    """Full lifecycle; returns the final DataFrame (call a sink on it).
+
+    ``progress_callback`` (optional): a callable receiving
+    :class:`scholarmind_spark.progress.ProgressEvent`s — the engine-side
+    equivalent of the reference's ``update_progress_callback``
+    (``app.py:351-370``).  The driver-side journal fetch ticks per
+    journal; wrap the final sink action in
+    :func:`scholarmind_spark.progress.watch_action` to get task-level
+    ticks for the cluster-side stages too."""
+    reporter = None
+    if progress_callback is not None:
+        from scholarmind_spark.progress import ProgressReporter
+
+        reporter = ProgressReporter(progress_callback)
+        reporter.update("parse", 0, 1)
+    corpus = build_corpus(spark, cfg.sources)
+    if reporter is not None:
+        reporter.stage_done("parse")
+    return process(corpus, cfg, reporter=reporter)

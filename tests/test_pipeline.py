@@ -106,3 +106,45 @@ def test_flatten_policy(result):
     # nulls render '' on string columns (reference D10)
     row = flat.limit(1).collect()[0]
     assert all(v is not None for k, v in row.asDict().items() if isinstance(v, str) or v == "")
+
+
+def test_progress_monotone_two_stage(spark):
+    """Engine-side progress: a run with a driver-side metrics fetch
+    (journal_metrics band) followed by a tracked sink action (sink band)
+    emits monotone non-decreasing percents that visit both bands."""
+    from scholarmind_spark.progress import watch_action
+
+    events = []
+    cfg2 = PipelineConfig(
+        sources={"pubmed": f"{FIX}/pubmed.txt"},
+        metrics_fetch_one=lambda j: {"impact_factor": "1.0"},
+        llm_template=None,
+        llm_client=None,
+    )
+    # shrink the fetch throttle so the test doesn't sleep 0.5s per journal
+    import scholarmind_spark.operators.enrich as enrich_mod
+
+    orig = enrich_mod.fetch_metrics_df
+
+    def fast_fetch(spark_, journals, fetch_one, min_interval_s=0.5, **kw):
+        return orig(spark_, journals, fetch_one, min_interval_s=0.0, **kw)
+
+    enrich_mod.fetch_metrics_df = fast_fetch
+    try:
+        df = run_pipeline(spark, cfg2, progress_callback=events.append)
+    finally:
+        enrich_mod.fetch_metrics_df = orig
+
+    from scholarmind_spark.progress import ProgressReporter
+
+    reporter = ProgressReporter(events.append)
+    reporter._high_water = events[-1].percent if events else 0.0
+    watch_action(spark, reporter, "sink", lambda: df.count(), poll_s=0.05)
+
+    assert len(events) >= 3
+    pcts = [e.percent for e in events]
+    assert pcts == sorted(pcts), pcts  # monotone non-decreasing
+    stages = {e.stage for e in events}
+    assert "journal_metrics" in stages
+    assert "sink" in stages
+    assert pcts[-1] == 100.0
