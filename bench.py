@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_word_repetition",
     "text_top_terms",
     "text_chunk_documents",
+    "text_pack_sequences",
     "decontam_overlap",
     "events_json_props",
     "profile_documents",

@@ -1,0 +1,136 @@
+"""Sequence packing: concatenate documents into fixed-size training
+sequences (engine extension — the step between a curated corpus and a
+pretraining dataloader; the reference is a literature tool and stops at
+Excel, SURVEY §2).
+
+Pretraining consumes fixed-``context``-token sequences; feeding one short
+document per sequence wastes the context as padding.  The standard fix
+concatenates documents back-to-back and slices the token stream every
+``context`` tokens, letting documents straddle sequence boundaries.
+
+Spark-first shape:
+
+- token counts are a per-row expression (``textstats.token_count`` — the
+  same whitespace tokens the rest of the battery uses);
+- documents are assigned to ``shards`` deterministic groups
+  (``doc_id % shards``) and concatenated in ``doc_id`` order WITHIN each
+  shard: the running-offset window partitions by shard, so the sort is
+  per-shard and parallel — there is NO global-order window (a single
+  task sorting the corpus at scale).  Per-shard packing is also what a
+  multi-worker dataloader does — each worker owns its shards;
+- every output column is integer arithmetic on the running offset, so
+  the DuckDB oracle reproduces the packing exactly.
+
+Scale posture: one shuffle on ``shard`` (pick ``shards`` ≈ a few × the
+executor count), window state is a running sum — O(1) per row.  The
+token stream itself is never materialized; downstream slicing joins the
+pack coordinates back to the chunked text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scholarmind_spark.operators.textstats import token_count, token_count_sql
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context_tokens: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Packing coordinates per document.
+
+    Returns ``id_col, shard, n_tok, start_tok, seq_first, seq_last,
+    offset_in_seq`` where ``start_tok`` is the document's first token
+    offset in its shard's concatenated stream, ``seq_first``/``seq_last``
+    the first/last ``context_tokens``-sized sequence it lands in, and
+    ``offset_in_seq`` its offset within ``seq_first``.  Empty documents
+    occupy zero tokens: they report the sequence where they would start
+    (``seq_last = seq_first``)."""
+    c = int(context_tokens)
+    t = df.select(
+        F.col(id_col),
+        (F.col(id_col) % F.lit(shards)).cast("bigint").alias("shard"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("start_tok", (F.sum("n_tok").over(w) - F.col("n_tok")))
+    return t.select(
+        id_col,
+        "shard",
+        "n_tok",
+        "start_tok",
+        F.floor(F.col("start_tok") / c).alias("seq_first"),
+        F.greatest(
+            F.floor(F.col("start_tok") / c),
+            F.floor((F.col("start_tok") + F.col("n_tok") - 1) / c),
+        ).alias("seq_last"),
+        (F.col("start_tok") % c).alias("offset_in_seq"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context_tokens: int = 512,
+    shards: int = 8,
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (same shards, same order,
+    same integer arithmetic)."""
+    c = int(context_tokens)
+    n_tok = token_count_sql(text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         ({id_col} % {shards})::BIGINT AS shard,
+         {n_tok}::BIGINT AS n_tok
+  FROM {table}
+),
+o AS (
+  SELECT *,
+         (sum(n_tok) OVER (PARTITION BY shard ORDER BY {id_col}
+                           ROWS UNBOUNDED PRECEDING) - n_tok) AS start_tok
+  FROM t
+)
+SELECT {id_col}, shard, n_tok, start_tok,
+       (start_tok // {c}) AS seq_first,
+       greatest(start_tok // {c}, (start_tok + n_tok - 1) // {c}) AS seq_last,
+       (start_tok % {c}) AS offset_in_seq
+FROM o
+"""
+
+
+def pack_stats(packed: DataFrame, context_tokens: int = 512) -> DataFrame:
+    """Per-shard packing summary: documents, tokens, sequences produced,
+    and the padding fraction of the LAST (partial) sequence — the
+    utilization number a dataloader owner actually reads."""
+    c = int(context_tokens)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .withColumn(
+            "n_sequences", F.ceil(F.col("total_tokens") / c).cast("bigint")
+        )
+        .withColumn(
+            "pad_fraction",
+            F.round(
+                (F.col("n_sequences") * c - F.col("total_tokens"))
+                / (F.col("n_sequences") * c),
+                6,
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -2123,6 +2123,56 @@ FROM sess GROUP BY user_id
 """
 
 
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (operators/packing.py): documents
+    concatenated into 512-token sequences within 8 deterministic shards —
+    per-doc pack coordinates, integer-exact on both engines."""
+    from scholarmind_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), context_tokens=512, shards=8
+    ).orderBy("doc_id")
+
+
+def text_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing utilization (docs, tokens, sequences, padding
+    fraction of the tail sequence)."""
+    from scholarmind_spark.operators.packing import pack_sequences, pack_stats
+
+    return pack_stats(
+        pack_sequences(_t(spark, sf_dir, "documents"), context_tokens=512, shards=8),
+        context_tokens=512,
+    )
+
+
+def _pack_sql() -> str:
+    from scholarmind_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql("documents", context_tokens=512, shards=8)
+
+
+def _pack_stats_sql() -> str:
+    return f"""
+WITH packed AS ({_pack_sql()})
+SELECT shard, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       ceil(sum(n_tok) / 512.0)::BIGINT AS n_sequences,
+       round((ceil(sum(n_tok) / 512.0)::BIGINT * 512 - sum(n_tok))
+             / (ceil(sum(n_tok) / 512.0)::BIGINT * 512.0), 6) AS pad_fraction
+FROM packed GROUP BY shard ORDER BY shard
+"""
+
+
+def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming sliding windows (readStream → watermark →
+    10-min windows every 5 min → availableNow drain) against the same
+    unnest oracle as the batch events_sliding — completes the stream-gate
+    coverage of every windowed operator (tumbling/sliding/session)."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory, sliding_agg
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(sliding_agg(stream), mode="complete")
+
+
 def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: ``session_window`` with a 30-min gap +
     watermark (state evicts after gap+watermark), drained with availableNow.
@@ -3014,7 +3064,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_chunk_documents": text_chunk_documents,
     "events_tumbling_stream": events_tumbling_stream,
     "events_sessionize": events_sessionize,
+    "events_sliding_stream": events_sliding_stream,
     "events_session_stream": events_session_stream,
+    "text_pack_sequences": text_pack_sequences,
+    "text_pack_stats": text_pack_stats,
     "events_stream_dedup": events_stream_dedup,
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
@@ -3109,7 +3162,10 @@ ORACLE_SQL: dict[str, str] = {
     "text_chunk_documents": _text_chunk_sql(),
     "events_tumbling_stream": EVENTS_TUMBLING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
+    "events_sliding_stream": EVENTS_SLIDING_SQL,
     "events_session_stream": EVENTS_SESSION_STREAM_SQL,
+    "text_pack_sequences": _pack_sql(),
+    "text_pack_stats": _pack_stats_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
