@@ -99,3 +99,86 @@ def stratified_sample_sql(
     for cls, r in sorted(rates.items()):
         rate = f"CASE WHEN {class_expr} = '{cls}' THEN {r} ELSE {rate} END"
     return f"{b} < (({rate}) * {buckets})::BIGINT"
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    class_col: str,
+    target_weights: dict[str, float],
+) -> DataFrame:
+    """Down-sample to a target class MIXTURE without replication: the
+    largest dataset achievable where class proportions equal
+    ``target_weights`` keeps every row of the binding (scarcest-relative-
+    to-weight) class and hash-samples the rest down to proportion.
+
+    The per-class keep rates are derived IN the plan (one tiny class-count
+    aggregate joined back broadcast-style), and the keep decision is the
+    same deterministic hash bucket the split/sample operators use — same
+    key, same verdict, any engine, any cluster.  Classes absent from
+    ``target_weights`` are dropped.  This is the "dataset mixing" step of
+    a pretraining pipeline (e.g. 60/30/10 web/code/books) as one shuffle-
+    free filter over a broadcastable per-class rate table."""
+    total_w = sum(target_weights.values())
+    # per-class counts → binding scale T = min(count_c / w_c); rate_c =
+    # w_c * T / count_c (1.0 for the binding class)
+    w_expr: Column = None
+    for cls, w in sorted(target_weights.items()):
+        cond = F.col(class_col) == cls
+        lit = F.lit(w / total_w)
+        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
+    w_expr = w_expr.otherwise(F.lit(None))
+    counts = (
+        df.withColumn("__w", w_expr)
+        .filter(F.col("__w").isNotNull())
+        .groupBy(class_col, "__w")
+        .agg(F.count("*").alias("__n"))
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        class_col,
+        F.least(
+            F.lit(1.0), (F.col("__w") * F.col("__t")) / F.col("__n")
+        ).alias("__rate"),
+    )
+    b = hash_bucket(F.col(key))
+    return (
+        df.join(F.broadcast(rates), on=class_col)
+        .filter(b < (F.col("__rate") * N_BUCKETS).cast("bigint"))
+        .drop("__rate")
+    )
+
+
+def mixture_sample_sql(
+    table: str,
+    key_expr: str,
+    class_expr: str,
+    target_weights: dict[str, float],
+    buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (same rate derivation, same
+    hash buckets, same float operation order)."""
+    total_w = sum(target_weights.values())
+    w_case = "NULL"
+    for cls, w in sorted(target_weights.items(), reverse=True):
+        w_case = f"CASE WHEN {class_expr} = '{cls}' THEN {w / total_w!r} ELSE {w_case} END"
+    b = hash_bucket_sql(key_expr, buckets)
+    return f"""
+WITH w AS (
+  SELECT *, {w_case} AS __w FROM {table}
+),
+counts AS (
+  SELECT {class_expr} AS __cls, __w, count(*) AS __n
+  FROM w WHERE __w IS NOT NULL GROUP BY __cls, __w
+),
+scale AS (
+  SELECT min(__n / __w) AS __t FROM counts
+),
+rates AS (
+  SELECT __cls, least(1.0, (__w * __t) / __n) AS __rate
+  FROM counts CROSS JOIN scale
+)
+SELECT t.* FROM {table} t
+JOIN rates ON t.{class_expr} = rates.__cls
+WHERE {hash_bucket_sql(key_expr, buckets)} < floor(__rate * {buckets})::BIGINT
+"""

@@ -2162,6 +2162,36 @@ FROM packed GROUP BY shard ORDER BY shard
 """
 
 
+MIXTURE_WEIGHTS = {"en": 0.6, "de": 0.25, "fr": 0.15}
+
+
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing (operators/sampling.mixture_sample): down-sample the
+    corpus to a 60/25/15 en/de/fr mixture — deterministic hash-bucket
+    keeps, per-class rates derived in-plan from the binding class, other
+    languages dropped.  Output is the kept doc ids with their class."""
+    from scholarmind_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(d, key="doc_id", class_col="lang",
+                          target_weights=MIXTURE_WEIGHTS).orderBy("doc_id")
+
+
+def _dataset_mixture_sql() -> str:
+    from scholarmind_spark.operators.sampling import mixture_sample_sql
+
+    return (
+        "SELECT doc_id, lang FROM ("
+        + mixture_sample_sql(
+            "(SELECT doc_id, lang FROM documents)",
+            key_expr="doc_id",
+            class_expr="lang",
+            target_weights=MIXTURE_WEIGHTS,
+        )
+        + ") ORDER BY doc_id"
+    )
+
+
 def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming sliding windows (readStream → watermark →
     10-min windows every 5 min → availableNow drain) against the same
@@ -3068,6 +3098,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_session_stream": events_session_stream,
     "text_pack_sequences": text_pack_sequences,
     "text_pack_stats": text_pack_stats,
+    "dataset_mixture": dataset_mixture,
     "events_stream_dedup": events_stream_dedup,
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
@@ -3166,6 +3197,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_session_stream": EVENTS_SESSION_STREAM_SQL,
     "text_pack_sequences": _pack_sql(),
     "text_pack_stats": _pack_stats_sql(),
+    "dataset_mixture": _dataset_mixture_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,

@@ -48,3 +48,30 @@ def test_decontamination_threshold_excludes_weak_overlap(spark):
     # shares exactly ONE 3-gram -> below min_overlap=2
     assert decontamination_overlap(corpus, bench, k=3, min_overlap=2).count() == 0
     assert decontamination_overlap(corpus, bench, k=3, min_overlap=1).count() == 1
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    from scholarmind_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(i + 10_000, "b") for i in range(200)]
+        + [(i + 20_000, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    # target 50/50 a/b: b is binding (200 rows / 0.5 weight), so keep ALL
+    # of b and ~200 of a; c is absent from the weights and dropped
+    out = mixture_sample(df, key="doc_id", class_col="cls",
+                         target_weights={"a": 0.5, "b": 0.5})
+    got = {r.cls: r.n for r in out.groupBy("cls").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert "c" not in got
+    assert got["b"] == 200                     # binding class fully kept
+    assert abs(got["a"] - 200) <= 40           # hash-sampled to proportion
+    # deterministic: same call, same rows
+    again = mixture_sample(df, key="doc_id", class_col="cls",
+                           target_weights={"a": 0.5, "b": 0.5})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )

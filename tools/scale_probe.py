@@ -62,8 +62,13 @@ def probe(spark, sf_dir: str):
         )
         return out.count()
 
+    from scholarmind_spark.operators.packing import pack_sequences
+
     ops = {
         "exact_dedup_hash": t_exact,
+        "pack_sequences": lambda df: pack_sequences(
+            df, context_tokens=512, shards=8
+        ).count(),
         "ngram_jaccard": lambda df: ngram_jaccard_pairs(df, threshold=0.6).count(),
         "minhash_lsh": lambda df: minhash_lsh_pairs(df, threshold=0.6).count(),
         "simhash": lambda df: simhash_pairs(df, max_distance=3).count(),
@@ -94,6 +99,54 @@ def probe(spark, sf_dir: str):
     return results
 
 
+def replicated_embeddings(spark, sf_dir: str, k: int):
+    """k copies of the embeddings table; each copy's vectors get a
+    copy-specific deterministic sign pattern so cross-copy cosines differ
+    (otherwise every copy would near-dup-match its twins by construction
+    and pair counts would grow quadratically from the DATA)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _flip(copy: int):
+        # closure factory: F.transform dispatches on lambda ARITY, so the
+        # copy index must be captured, not passed as a default arg
+        return lambda x, j: x * F.when(
+            (j + F.lit(copy)) % 3 == 0, F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
+
+    copies = []
+    for i in range(k):
+        copies.append(
+            e.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform("embedding", _flip(i)).alias("embedding"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def probe_embeddings(spark, sf_dir: str):
+    from scholarmind_spark.operators.similarity import embedding_neardup_pairs
+    from scholarmind_spark.util import release_caches
+
+    results: dict[int, float] = {}
+    for k in (1, 2, 5, 10):
+        df = replicated_embeddings(spark, sf_dir, k).persist()
+        df.count()
+        t0 = time.time()
+        out = embedding_neardup_pairs(df, threshold=0.25)
+        out.count()
+        results[k] = time.time() - t0
+        release_caches(out)
+        spark.catalog.clearCache()
+        df.unpersist()
+        print(f"embedding_cosine k={k}: {results[k]:.1f}s")
+    return {"embedding_cosine": results}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -103,6 +156,7 @@ def main():
 
     spark = get_spark(app_name="scale-probe")
     results = probe(spark, sf_dir)
+    results.update(probe_embeddings(spark, sf_dir))
 
     lines = [
         "# SCALE — empirical scaling probe",
