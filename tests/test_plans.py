@@ -14,14 +14,17 @@ SF = "/root/testdata/sf0.001"
 # plan inspection would execute them; their plans are covered by their own
 # tests/gate entries
 SKIP = {
-    "events_tumbling_stream", "events_session_stream", "events_stream_dedup",
+    "events_tumbling_stream", "events_sliding_stream", "events_session_stream",
+    "events_stream_dedup",
     "events_stateful_user_stats", "bucketed_join_revenue", "dedup_clusters",
     "jsonl_roundtrip", "partitioned_prune_events", "orc_roundtrip",
+    "diag_jsonl_len", "diag_jsonl_hash", "diag_orc_ints", "diag_orc_price",
 }
 
-# deliberate broadcast nested-loop joins: the all-pairs exact baselines and
-# the K-way centroid-assignment cross-product (K tiny, broadcast side)
-BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells"}
+# deliberate broadcast nested-loop joins: the all-pairs exact baselines, the
+# K-way centroid-assignment cross-product (K tiny, broadcast side), and the
+# one-row scalar attach in the mixture rate derivation
+BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells", "dataset_mixture"}
 
 
 def _plan(df) -> str:
