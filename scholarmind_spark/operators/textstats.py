@@ -343,3 +343,47 @@ ranked AS (
 SELECT id, term, tf, df, rank::INT AS rank
 FROM ranked WHERE rank <= {k} ORDER BY id, rank
 """
+
+
+URL_HOST_RE = r"https?://([^/\s]+)"
+
+
+def url_domain_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus statistics: documents mentioning the domain and
+    total URL mentions — the inventory behind domain blocklist/allowlist
+    filtering in web-corpus curation (C4/RefinedWeb-style).
+
+    Domains are the host part of every http(s) URL in the text, lowered,
+    with a leading ``www.`` stripped.  Pure JVM expressions (regex extract
+    → explode → aggregate); one shuffle on the domain."""
+    hosts = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_RE), F.lit(1)),
+        lambda h: F.regexp_replace(F.lower(h), "^www\\.", ""),
+    )
+    e = df.select(F.col(id_col).alias("id"), F.explode(hosts).alias("domain"))
+    return (
+        e.groupBy("domain")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_urls"),
+        )
+        .orderBy(F.desc("n_docs"), "domain")
+    )
+
+
+def url_domain_stats_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id,
+         regexp_replace(lower(unnest(
+           regexp_extract_all({text_col}, 'https?://([^/\\s]+)', 1)
+         )), '^www\\.', '') AS domain
+  FROM {table}
+)
+SELECT domain, count(DISTINCT id) AS n_docs, count(*) AS n_urls
+FROM e GROUP BY domain ORDER BY n_docs DESC, domain
+"""

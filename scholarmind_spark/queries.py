@@ -2162,6 +2162,44 @@ FROM packed GROUP BY shard ORDER BY shard
 """
 
 
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-domain inventory (operators/textstats.url_domain_stats): the
+    corpus text carries no URLs, so the gate prepends one deterministic
+    URL per doc (domain derived from lang, path from doc_id, plus a
+    www./case variant every third doc) — the extract → normalize →
+    aggregate mechanics are exercised for real and the oracle rebuilds
+    the same text."""
+    from scholarmind_spark.operators.textstats import url_domain_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("see "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("https://WWW.")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("lang"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return url_domain_stats(d)
+
+
+def _text_url_domains_sql() -> str:
+    from scholarmind_spark.operators.textstats import url_domain_stats_sql
+
+    synth = (
+        "(SELECT doc_id, "
+        "'see ' || (CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.' ELSE 'https://' END)"
+        " || lang || '.example.org/p/' || doc_id::VARCHAR || ' ' || text AS text"
+        " FROM documents)"
+    )
+    return url_domain_stats_sql(synth)
+
+
 MIXTURE_WEIGHTS = {"en": 0.6, "de": 0.25, "fr": 0.15}
 
 
@@ -3099,6 +3137,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_pack_sequences": text_pack_sequences,
     "text_pack_stats": text_pack_stats,
     "dataset_mixture": dataset_mixture,
+    "text_url_domains": text_url_domains,
     "events_stream_dedup": events_stream_dedup,
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
@@ -3198,6 +3237,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pack_sequences": _pack_sql(),
     "text_pack_stats": _pack_stats_sql(),
     "dataset_mixture": _dataset_mixture_sql(),
+    "text_url_domains": _text_url_domains_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,

@@ -75,3 +75,19 @@ def test_mixture_sample_proportions_and_determinism(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_url_domain_stats(spark):
+    from scholarmind_spark.operators.textstats import url_domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://www.Foo.com/a and https://foo.com/b plus http://bar.org/x"),
+            (2, "nothing here"),
+            (3, "again https://FOO.com/c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.domain: (r.n_docs, r.n_urls) for r in url_domain_stats(df).collect()}
+    # www./case variants collapse; doc 1 mentions foo.com twice but counts once
+    assert rows == {"foo.com": (2, 3), "bar.org": (1, 1)}
