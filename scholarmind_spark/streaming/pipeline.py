@@ -71,10 +71,16 @@ def read_events_stream(
     if ts_type == "bigint":  # nanos-as-long runtime: ns → µs → timestamp
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        # Watermarks require TIMESTAMP (an instant).  The on-disk wall-clock
-        # is UTC, so pin the interpretation explicitly — a plain cast would
-        # go through the session time zone and shift every window under a
-        # non-UTC deployment.
+        # Watermarks require TIMESTAMP (an instant), and EVERY ntz→timestamp
+        # conversion — to_utc_timestamp included — first casts through
+        # ``spark.sql.session.timeZone`` (measured: under a New-York session
+        # TZ the instant shifts +5 h and every window bucket moves).  The
+        # on-disk wall-clock is UTC, so pin the session TZ the same way the
+        # batch path's ``queries._tune`` does; it is runtime-settable.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass  # immutable on some deployments; factory session matches
         raw = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return raw
 
