@@ -97,15 +97,18 @@ WITH t AS (
   FROM {table}
 ),
 o AS (
+  -- ::BIGINT: DuckDB sum() over BIGINT yields HUGEINT (int128), which
+  -- driver-side harnesses canonicalize differently than Spark's int64 —
+  -- every derived column below must stay BIGINT end to end
   SELECT *,
          (sum(n_tok) OVER (PARTITION BY shard ORDER BY {id_col}
-                           ROWS UNBOUNDED PRECEDING) - n_tok) AS start_tok
+                           ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT AS start_tok
   FROM t
 )
 SELECT {id_col}, shard, n_tok, start_tok,
-       (start_tok // {c}) AS seq_first,
-       greatest(start_tok // {c}, (start_tok + n_tok - 1) // {c}) AS seq_last,
-       (start_tok % {c}) AS offset_in_seq
+       (start_tok // {c})::BIGINT AS seq_first,
+       greatest(start_tok // {c}, (start_tok + n_tok - 1) // {c})::BIGINT AS seq_last,
+       (start_tok % {c})::BIGINT AS offset_in_seq
 FROM o
 """
 

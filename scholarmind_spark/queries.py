@@ -2154,7 +2154,7 @@ def _pack_sql() -> str:
 def _pack_stats_sql() -> str:
     return f"""
 WITH packed AS ({_pack_sql()})
-SELECT shard, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
        ceil(sum(n_tok) / 512.0)::BIGINT AS n_sequences,
        round((ceil(sum(n_tok) / 512.0)::BIGINT * 512 - sum(n_tok))
              / (ceil(sum(n_tok) / 512.0)::BIGINT * 512.0), 6) AS pad_fraction
@@ -2374,7 +2374,7 @@ survivors AS (
   SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(length(clean)) AS n_chars
   FROM kept GROUP BY md5(clean)
 )
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM survivors GROUP BY lang ORDER BY lang
 """
 
@@ -2415,9 +2415,9 @@ WITH cleaned AS (
   SELECT lang, {clean} AS clean FROM documents
 )
 SELECT lang,
-       sum(length(clean)) AS clean_chars,
-       sum(round({quality_score_sql("clean")} * 1000000.0)::BIGINT) AS q_micro_sum,
-       sum({token_count_sql("clean")}) AS tok_sum,
+       sum(length(clean))::BIGINT AS clean_chars,
+       sum(round({quality_score_sql("clean")} * 1000000.0)::BIGINT)::BIGINT AS q_micro_sum,
+       sum({token_count_sql("clean")})::BIGINT AS tok_sum,
        count(DISTINCT md5(clean)) AS n_distinct_clean
 FROM cleaned GROUP BY lang ORDER BY lang
 """
@@ -2477,8 +2477,8 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSONL_ROUNDTRIP_SQL = """
-SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
-       sum(length(text)) AS text_chars,
+SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+       sum(length(text))::BIGINT AS text_chars,
        sum(('0x' || substring(md5(text), 17, 16))::UBIGINT % 1000000007)::BIGINT AS text_h
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -2502,8 +2502,8 @@ def diag_jsonl_len(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIAG_JSONL_LEN_SQL = """
-SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
-       sum(length(text)) AS text_chars
+SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+       sum(length(text))::BIGINT AS text_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -2580,7 +2580,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORC_ROUNDTRIP_SQL = """
-SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum,
+SELECT l_returnflag, count(*) AS n, sum(l_orderkey)::BIGINT AS key_sum,
        round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS price_sum,
        epoch_us(max(l_shipdate)) AS max_ship_us
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -2604,7 +2604,7 @@ def diag_orc_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIAG_ORC_INTS_SQL = """
-SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum,
+SELECT l_returnflag, count(*) AS n, sum(l_orderkey)::BIGINT AS key_sum,
        epoch_us(max(l_shipdate)) AS max_ship_us
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -2852,7 +2852,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type, count(*) AS n,
        count(json_extract(props, '$.k')) AS n_with_k,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type

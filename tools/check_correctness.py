@@ -62,6 +62,45 @@ def hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+# DuckDB aggregates widen: sum() over BIGINT returns HUGEINT (int128),
+# sum() over DOUBLE stays DOUBLE, but round(DECIMAL, n) stays DECIMAL.
+# Spark has neither int128 nor DuckDB's decimal rendering, and the driver's
+# harness canonicalizes HUGEINT/DECIMAL differently than int64/float64 (the
+# root cause of rounds 2-4's driver-only hash reds, invisible locally
+# because this checker stringifies Python ints uniformly).  The lint below
+# DESCRIBEs every oracle and fails the gate on any such output column, so
+# the bug class cannot ship again.  If a future query legitimately emits
+# DECIMAL on BOTH engines, add its name here.
+LINT_DECIMAL_ALLOWLIST: set[str] = set()
+
+
+def lint_oracle_types(con, oracles: dict[str, str], only: set[str]) -> int:
+    failures = 0
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE error: {e}")
+            failures += 1
+            continue
+        offend = [
+            (c, t)
+            for c, t, *_ in desc
+            if "HUGEINT" in t.upper()
+            or (t.upper().startswith("DECIMAL") and name not in LINT_DECIMAL_ALLOWLIST)
+        ]
+        if offend:
+            cols = ", ".join(f"{c}:{t}" for c, t in offend)
+            print(
+                f"FAIL {name}: oracle type lint — {cols} "
+                f"(cast to ::BIGINT/::DOUBLE in the oracle SQL)"
+            )
+            failures += 1
+    return failures
+
+
 def main() -> int:
     import duckdb
 
@@ -89,7 +128,9 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failures = 0
+    failures = lint_oracle_types(con, oracles, only)
+    if failures == 0:
+        print(f"oracle type lint: clean over {len(oracles)} oracles")
     for name, fn in qs.items():
         if only and name not in only:
             continue
