@@ -41,9 +41,23 @@ def attach_caches(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
     return out
 
 
+def unpersist_any(df: DataFrame) -> None:
+    """Free the materialized blocks behind ``df`` whether it was
+    ``persist()``-ed (CacheManager entry) or ``localCheckpoint()``-ed
+    (checkpoint RDD blocks, which ``Dataset.unpersist`` does NOT release —
+    they are only reachable through the plan's ``LogicalRDD`` leaf)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # type: ignore[attr-defined]
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+    df.unpersist()
+
+
 def release_caches(df: DataFrame) -> None:
     """Unpersist every intermediate cache attached to ``df`` (no-op for
     DataFrames without attached caches)."""
     for c in getattr(df, "_sm_caches", ()):
-        c.unpersist()
+        unpersist_any(c)
     df._sm_caches = []  # type: ignore[attr-defined]

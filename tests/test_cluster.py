@@ -97,6 +97,19 @@ def test_connected_components_long_chain_string_ids(spark):
     assert set(got.values()) == {"n0"}
 
 
+def test_connected_components_path_graph_200(spark):
+    """A 200-node path is the adversarial high-diameter case: plain
+    min-label propagation needs ~200 rounds (and its unbounded lineage
+    OOMed the driver); pointer jumping must close it within the default
+    25-round budget."""
+    chain = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    cc = connected_components(pairs)
+    got = {r.node: r.component for r in cc.collect()}
+    release_caches(cc)
+    assert got == {i: 0 for i in range(200)}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest as _pytest
 
