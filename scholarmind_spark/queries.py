@@ -2554,12 +2554,17 @@ def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ntz_max_us(col: str) -> "F.Column":
-    """Max of an NTZ timestamp as epoch MICROSECONDS (bigint).  The NTZ
-    wall-clock is pinned to UTC explicitly, so neither the session time
-    zone nor the datetime canonicalization of whatever harness compares
-    the rows can perturb the value — the r2/r3 driver-env hash red sat on
-    the naive-datetime ``max_ship`` column this replaces."""
-    return F.unix_micros(F.to_utc_timestamp(F.max(col), "UTC"))
+    """Max of an NTZ timestamp as epoch MICROSECONDS (bigint), computed
+    WITHOUT ever casting the NTZ value to an instant: ``timestampdiff``
+    between two NTZ operands is pure wall-clock arithmetic, so
+    ``spark.sql.session.timeZone`` never enters.  (The previous
+    ``unix_micros(to_utc_timestamp(...))`` form first cast NTZ→TIMESTAMP
+    through the session zone — making "UTC" a no-op — and shifted by the
+    session offset on any non-UTC driver session; verified: this form is
+    exact under TZ=America/New_York while that one drifts 4-5h.)"""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', max({col}))"
+    )
 
 
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
