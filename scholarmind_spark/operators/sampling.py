@@ -135,11 +135,19 @@ def mixture_sample(
         .agg(F.count("*").alias("__n"))
     )
     scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    # the binding class must keep EVERY row (rate exactly 1.0), but its
+    # recomputed rate (__w * __t) / __n can land at 0.999.. in floating
+    # point, and floor(rate * buckets) would then drop the top hash
+    # bucket.  Detect the binding class by comparing __n/__w — the SAME
+    # float expression the min was computed from, so equality is exact —
+    # and pin its rate to 1.0 (both engines, identically).
     rates = counts.crossJoin(F.broadcast(scale)).select(
         class_col,
-        F.least(
-            F.lit(1.0), (F.col("__w") * F.col("__t")) / F.col("__n")
-        ).alias("__rate"),
+        F.when((F.col("__n") / F.col("__w")) <= F.col("__t"), F.lit(1.0))
+        .otherwise(
+            F.least(F.lit(1.0), (F.col("__w") * F.col("__t")) / F.col("__n"))
+        )
+        .alias("__rate"),
     )
     b = hash_bucket(F.col(key))
     return (
@@ -175,7 +183,8 @@ scale AS (
   SELECT min(__n / __w) AS __t FROM counts
 ),
 rates AS (
-  SELECT __cls, least(1.0, (__w * __t) / __n) AS __rate
+  SELECT __cls, CASE WHEN (__n / __w) <= __t THEN 1.0
+                     ELSE least(1.0, (__w * __t) / __n) END AS __rate
   FROM counts CROSS JOIN scale
 )
 SELECT t.* FROM {table} t

@@ -72,16 +72,25 @@ def read_events_stream(
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         # Watermarks require TIMESTAMP (an instant), and EVERY ntz→timestamp
-        # conversion — to_utc_timestamp included — first casts through
+        # CAST — to_utc_timestamp included — first goes through
         # ``spark.sql.session.timeZone`` (measured: under a New-York session
         # TZ the instant shifts +5 h and every window bucket moves).  The
-        # on-disk wall-clock is UTC, so pin the session TZ the same way the
-        # batch path's ``queries._tune`` does; it is runtime-settable.
-        try:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        except Exception:
-            pass  # immutable on some deployments; factory session matches
-        raw = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        # on-disk wall-clock is UTC, so build the instant with arithmetic
+        # the session zone cannot touch: timestampdiff between two NTZ
+        # operands is pure wall-clock math, and timestamp_micros constructs
+        # the instant straight from epoch micros.  (An earlier version
+        # repinned spark.sql.session.timeZone here instead — a hidden
+        # mutation of shared session state that broke callers doing
+        # local-timezone work after building a reader.)
+        raw = raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return raw
 
 
