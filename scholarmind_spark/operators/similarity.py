@@ -279,13 +279,35 @@ def ann_lsh_topk(
     )
 
 
+def derive_planes(
+    n_vectors: int,
+    floor: int = LSH_PLANES,
+    target_bucket_rows: int = 32,
+) -> int:
+    """Plane count that keeps the EXPECTED bucket size constant as the
+    corpus grows: with ``b`` planes a table hashes into ``2^b`` buckets,
+    so candidate volume per table is ~``Σ size² ≈ (n/2^b)·n``; holding
+    ``n/2^b ≈ target_bucket_rows`` makes that ``target·n`` — linear in
+    the corpus — hence ``b = ceil(log2(n / target))``, floored at the
+    small-corpus default.  This is SCALE.md's "planes ∝ log₂(n)" rule as
+    the default instead of a manual knob (the x10 probe previously grew
+    5.5× on a fixed 2^6 bucket space).  Per-pair recall at a given
+    cosine decays as ``p^b`` per table, so a production corpus that
+    pushes ``b`` well past the default should raise ``tables`` too
+    (recall = 1-(1-p^b)^L)."""
+    import math
+
+    n = max(2, int(n_vectors))
+    return max(floor, math.ceil(math.log2(max(2, n // max(1, target_bucket_rows)))))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
     tables: int = LSH_TABLES,
-    planes: int = LSH_PLANES,
+    planes: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share an LSH
@@ -313,8 +335,21 @@ def embedding_neardup_pairs(
       in up to L buckets, and computing the d-dim dot per HIT did up to
       L× the work the pair needs.
 
+    ``planes=None`` (the default) self-scales the bucket space to the
+    corpus: one ``approx_count_distinct`` scan at plan-build time feeds
+    :func:`derive_planes`, so candidate volume stays linear in ``n``
+    instead of growing ``n²/2^b`` on a fixed bucket count.  Pass an
+    explicit int to pin the bucket space (required when an external twin
+    — e.g. a static oracle SQL string — must hash identically).
+
     Returns ``id_a, id_b, cosine`` (rounded 6)."""
     import math
+
+    if planes is None:
+        n_vectors = df.select(
+            F.approx_count_distinct(id_col).alias("n")
+        ).first()["n"]
+        planes = derive_planes(n_vectors)
 
     # fixed deterministic reference direction (first hyperplane, unit-norm)
     u = [c / math.sqrt(dim) for c in _plane_signs(1, dim)[0]]

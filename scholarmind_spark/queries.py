@@ -1610,8 +1610,15 @@ def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # threshold 0.25: the synthetic embeddings are near-orthogonal (max
     # pairwise cosine ~0.49), so a production-style 0.9 returns nothing —
-    # 0.25 exercises bucket-join + verify with a non-trivial result set
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
+    # 0.25 exercises bucket-join + verify with a non-trivial result set.
+    # planes pinned to the oracle's static value: the library default
+    # self-scales from the corpus size (similarity.derive_planes), but the
+    # DuckDB twin is a fixed string and must hash into the same buckets
+    from scholarmind_spark.operators.similarity import LSH_PLANES
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, planes=LSH_PLANES
+    )
 
 
 def lit_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
