@@ -2207,6 +2207,69 @@ def _text_url_domains_sql() -> str:
     return url_domain_stats_sql(synth)
 
 
+def _boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no natural cross-document boilerplate, so
+    the span-scrub gates prepend a deterministic 5-word banner to every
+    document (plus a second banner to every 4th) — both exactly one
+    span wide, so the hot-list → anti-join → reassemble mechanics run on
+    a real multi-span hot list and the oracle rebuilds the same text."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("all rights reserved contact us "),
+            ).otherwise(F.lit("")),
+            F.lit("subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+_BOILERPLATE_SYNTH_SQL = (
+    "(SELECT doc_id, "
+    "(CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved contact us ' ELSE '' END)"
+    " || 'subscribe to our newsletter today ' || text AS text FROM documents)"
+)
+
+
+def text_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span removal (operators/boilerplate): spans seen
+    in ≥50 distinct docs are boilerplate; every occurrence is scrubbed,
+    span order preserved, no rows dropped."""
+    from scholarmind_spark.operators.boilerplate import scrub_repeated_spans
+
+    return scrub_repeated_spans(
+        _boilerplate_docs(spark, sf_dir), span_words=5, min_docs=50
+    ).orderBy("doc_id")
+
+
+def _text_scrub_spans_sql() -> str:
+    from scholarmind_spark.operators.boilerplate import scrub_repeated_spans_sql
+
+    return (
+        "SELECT * FROM ("
+        + scrub_repeated_spans_sql(_BOILERPLATE_SYNTH_SQL, span_words=5, min_docs=50)
+        + ") ORDER BY doc_id"
+    )
+
+
+def text_span_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate inventory behind text_scrub_spans: hot spans with
+    document reach and occurrence counts."""
+    from scholarmind_spark.operators.boilerplate import repeated_span_stats
+
+    return repeated_span_stats(
+        _boilerplate_docs(spark, sf_dir), span_words=5, min_docs=50
+    )
+
+
+def _text_span_hotlist_sql() -> str:
+    from scholarmind_spark.operators.boilerplate import repeated_span_stats_sql
+
+    return repeated_span_stats_sql(_BOILERPLATE_SYNTH_SQL, span_words=5, min_docs=50)
+
+
 MIXTURE_WEIGHTS = {"en": 0.6, "de": 0.25, "fr": 0.15}
 
 
@@ -3150,6 +3213,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_pack_stats": text_pack_stats,
     "dataset_mixture": dataset_mixture,
     "text_url_domains": text_url_domains,
+    "text_scrub_spans": text_scrub_spans,
+    "text_span_hotlist": text_span_hotlist,
     "events_stream_dedup": events_stream_dedup,
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
@@ -3250,6 +3315,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_pack_stats": _pack_stats_sql(),
     "dataset_mixture": _dataset_mixture_sql(),
     "text_url_domains": _text_url_domains_sql(),
+    "text_scrub_spans": _text_scrub_spans_sql(),
+    "text_span_hotlist": _text_span_hotlist_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
