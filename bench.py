@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "text_chunk_documents",
     "text_pack_sequences",
     "decontam_overlap",
+    "text_scrub_spans",
+    "dataset_mixture",
     "events_json_props",
     "profile_documents",
     "kmeans_assign_cells",

@@ -2270,6 +2270,25 @@ def _text_span_hotlist_sql() -> str:
     return repeated_span_stats_sql(_BOILERPLATE_SYNTH_SQL, span_words=5, min_docs=50)
 
 
+BM25_TERMS = ["spark", "join", "window", "stream"]
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/bm25): top-15 documents for a
+     4-term query over the corpus, scores in deterministic integer
+    micros (the q_micro device — float sums never cross an engine
+    boundary)."""
+    from scholarmind_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=15)
+
+
+def _text_bm25_topk_sql() -> str:
+    from scholarmind_spark.operators.bm25 import bm25_topk_sql
+
+    return bm25_topk_sql("documents", BM25_TERMS, k=15)
+
+
 MIXTURE_WEIGHTS = {"en": 0.6, "de": 0.25, "fr": 0.15}
 
 
@@ -3215,6 +3234,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_url_domains": text_url_domains,
     "text_scrub_spans": text_scrub_spans,
     "text_span_hotlist": text_span_hotlist,
+    "text_bm25_topk": text_bm25_topk,
     "events_stream_dedup": events_stream_dedup,
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
@@ -3317,6 +3337,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_url_domains": _text_url_domains_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_span_hotlist": _text_span_hotlist_sql(),
+    "text_bm25_topk": _text_bm25_topk_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
