@@ -2370,6 +2370,30 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/pipeline.stream_interval_join):
+    view→click attribution within 4 hours per user, drained with
+    availableNow — the single-file source arrives as one microbatch, so
+    the append-mode inner join emits exactly the batch join the oracle
+    computes.  Lags are exact integer micros (instant arithmetic)."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory, stream_interval_join
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(stream_interval_join(stream), mode="append")
+
+
+EVENTS_STREAM_INTERVAL_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+)
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+       (r.us - l.us)::BIGINT AS lag_us
+FROM e l JOIN e r ON l.user_id = r.user_id
+WHERE l.event_type = 'view' AND r.event_type = 'click'
+  AND r.us >= l.us AND r.us <= l.us + 14400000000
+"""
+
+
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen-wins dedup (``dropDuplicatesWithinWatermark``).
     WHICH physical row survives per key is arrival-order dependent, so the
@@ -3236,6 +3260,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_span_hotlist": text_span_hotlist,
     "text_bm25_topk": text_bm25_topk,
     "events_stream_dedup": events_stream_dedup,
+    "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -3339,6 +3364,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_span_hotlist": _text_span_hotlist_sql(),
     "text_bm25_topk": _text_bm25_topk_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
+    "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_range_join": EVENTS_RANGE_JOIN_SQL,

@@ -5,6 +5,7 @@ from scholarmind_spark.streaming.pipeline import (
     session_agg,
     sliding_agg,
     stream_dedup,
+    stream_interval_join,
     stream_merge_to_snapshot,
     tumbling_agg,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stream_dedup",
+    "stream_interval_join",
     "stream_merge_to_snapshot",
     "stream_scan_pubmed",
     "stream_scan_wos",

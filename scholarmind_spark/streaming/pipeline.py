@@ -165,6 +165,62 @@ def stream_dedup(
     )
 
 
+def stream_interval_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    key: str = "user_id",
+    horizon: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: every
+    ``left_type`` event joined to the same key's ``right_type`` events
+    that follow it within ``horizon`` (the view→click attribution shape).
+
+    This is THE state-eviction showcase of Structured Streaming joins:
+    with watermarks on BOTH sides and a time-range join condition, Spark
+    derives how long each side's rows can still match (left rows evict
+    once the right watermark passes ``l_ts + horizon``), so join state is
+    bounded no matter the stream length.  Without the interval bound the
+    state would grow forever.  Self-joining two filters of the same
+    source stream is supported (append mode, inner join).
+
+    Output: ``key, left_id, right_id, lag_us`` — the lag in exact integer
+    microseconds (instant arithmetic, timezone-free)."""
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key).alias("k"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key).alias("rk"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = l.join(
+        r,
+        F.expr(f"k = rk AND r_ts >= l_ts AND r_ts <= l_ts + interval {horizon}"),
+    )
+    # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike (the stream
+    # reader emits instants, the batch frame keeps NTZ — unified semantics
+    # means this operator must accept both), and a difference of two
+    # same-typed operands is timezone-free either way
+    return joined.select(
+        F.col("k").alias(key),
+        "left_id",
+        "right_id",
+        F.expr("timestampdiff(MICROSECOND, l_ts, r_ts)").alias("lag_us"),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     mode: str = "complete",

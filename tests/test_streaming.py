@@ -97,3 +97,15 @@ def test_sliding_stream_equals_batch(spark, batch_events):
     want = sliding_agg(batch_events)
     cols = ["bucket_start", "event_type", "n_events"]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stream_interval_join_equals_batch(spark, batch_events):
+    from scholarmind_spark.streaming import stream_interval_join
+
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(stream_interval_join(stream), mode="append")
+    want = stream_interval_join(batch_events)  # same fn on a batch frame
+    cols = ["user_id", "left_id", "right_id", "lag_us"]
+    assert _canon(got, cols) == _canon(want, cols)
+    # every lag respects the interval bound
+    assert got.filter((F.col("lag_us") < 0) | (F.col("lag_us") > 14_400_000_000)).count() == 0
