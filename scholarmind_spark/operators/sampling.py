@@ -101,6 +101,55 @@ def stratified_sample_sql(
     return f"{b} < (({rate}) * {buckets})::BIGINT"
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized (A-ES,
+    Efraimidis & Spirakis, "Weighted random sampling with a reservoir",
+    IPL 2006): each row gets priority ``u^(1/w)`` with ``u`` uniform —
+    the top-``n`` priorities are a weighted sample.  Here ``u`` is the
+    row's deterministic hash bucket mapped to ``(0,1)``, so the sample is
+    reproducible on any engine/cluster like every sampler in this module,
+    and we rank by the monotone-equivalent ``ln(u)/w`` (no pow).  Rows
+    with non-positive weight are excluded (zero weight = never sampled).
+
+    Top-n is ``orderBy().limit(n)`` — TakeOrderedAndProject (per-partition
+    heaps, no global sort); ties (identical bucket AND weight) break by
+    ascending key."""
+    u = (hash_bucket(F.col(key), buckets) + F.lit(0.5)) / F.lit(float(buckets))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__pri", F.log(u) / F.col(weight_col))
+        .orderBy(F.desc("__pri"), F.asc(key))
+        .limit(n)
+        .drop("__pri")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    key_expr: str,
+    weight_expr: str,
+    n: int,
+    buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same hash-uniform, same
+    ``ln(u)/w`` priority, same tie-break; literals cast ``::DOUBLE`` so
+    DuckDB never switches to exact-decimal arithmetic)."""
+    b = hash_bucket_sql(key_expr, buckets)
+    pri = f"ln(({b} + 0.5::DOUBLE) / {float(buckets)!r}::DOUBLE) / ({weight_expr})"
+    return f"""
+SELECT * EXCLUDE (__pri) FROM (
+  SELECT *, {pri} AS __pri FROM {table} WHERE ({weight_expr}) > 0
+  ORDER BY __pri DESC, {key_expr} ASC LIMIT {n}
+)
+"""
+
+
 def mixture_sample(
     df: DataFrame,
     key: str,

@@ -2270,6 +2270,34 @@ def _text_span_hotlist_sql() -> str:
     return repeated_span_stats_sql(_BOILERPLATE_SYNTH_SQL, span_words=5, min_docs=50)
 
 
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement
+    (operators/sampling.weighted_sample): 50 documents drawn with
+    probability proportional to length, deterministically (hash-uniforms,
+    no RNG) — the length-weighted subsampling step of corpus curation."""
+    from scholarmind_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, key="doc_id", weight_col="n_chars", n=50).orderBy(
+        "doc_id"
+    )
+
+
+def _dataset_weighted_sample_sql() -> str:
+    from scholarmind_spark.operators.sampling import weighted_sample_sql
+
+    return (
+        "SELECT * FROM ("
+        + weighted_sample_sql(
+            "(SELECT doc_id, lang, n_chars FROM documents)",
+            key_expr="doc_id",
+            weight_expr="n_chars",
+            n=50,
+        )
+        + ") ORDER BY doc_id"
+    )
+
+
 BM25_TERMS = ["spark", "join", "window", "stream"]
 
 
@@ -3255,6 +3283,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_pack_sequences": text_pack_sequences,
     "text_pack_stats": text_pack_stats,
     "dataset_mixture": dataset_mixture,
+    "dataset_weighted_sample": dataset_weighted_sample,
     "text_url_domains": text_url_domains,
     "text_scrub_spans": text_scrub_spans,
     "text_span_hotlist": text_span_hotlist,
@@ -3359,6 +3388,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pack_sequences": _pack_sql(),
     "text_pack_stats": _pack_stats_sql(),
     "dataset_mixture": _dataset_mixture_sql(),
+    "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "text_url_domains": _text_url_domains_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_span_hotlist": _text_span_hotlist_sql(),

@@ -91,3 +91,32 @@ def test_url_domain_stats(spark):
     rows = {r.domain: (r.n_docs, r.n_urls) for r in url_domain_stats(df).collect()}
     # www./case variants collapse; doc 1 mentions foo.com twice but counts once
     assert rows == {"foo.com": (2, 3), "bar.org": (1, 1)}
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.sampling import weighted_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=100): a 100-row weighted
+    # sample must be dominated by heavy rows (each is ~100x more likely)
+    rows = [(i, 1) for i in range(500)] + [(i + 1000, 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    out = weighted_sample(df, key="doc_id", weight_col="w", n=100)
+    got = out.collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.w == 100)
+    assert heavy >= 90
+    # deterministic: same call, same rows
+    again = weighted_sample(df, key="doc_id", weight_col="w", n=100)
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again.collect())
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from scholarmind_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 10)], "doc_id long, w int"
+    )
+    ids = {r.doc_id for r in weighted_sample(df, "doc_id", "w", n=10).collect()}
+    assert ids == {3, 4}
