@@ -45,6 +45,78 @@ def merge_upsert(
     )
 
 
+def scd2_history(
+    updates: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed change feed:
+    ``key, *attr_cols, valid_from, valid_to, is_current`` where
+    ``[valid_from, valid_to)`` is each attribute version's validity
+    interval and the open (current) version has NULL ``valid_to``.
+
+    Consecutive updates whose tracked attributes did not change are
+    suppressed (null-safe struct compare), so the history holds one row
+    per ACTUAL change — the standard warehouse SCD2 contract.
+
+    Two window passes over the same ``(key → ts, tiebreak)`` ordering
+    (change suppression, then interval close via ``lead``); one shuffle
+    on the key — Catalyst reuses the exchange for both windows.  At
+    100 TB the feed partitions by key; no global sort, no join."""
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        updates.withColumn("__prev", F.lag(cur).over(w))
+        .filter(F.col("__prev").isNull() | ~cur.eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )
+    return changed.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def scd2_history_sql(
+    updates_sql: str,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`scd2_history` (same ordering, same null-safe
+    change suppression, same interval close)."""
+    order = f"{ts_col} ASC" + (f", {tiebreak} ASC" if tiebreak else "")
+    attrs = ", ".join(attr_cols)
+    # carry the tiebreak through `changed` — w2 orders by it
+    extra = f", {tiebreak}" if tiebreak and tiebreak not in attr_cols else ""
+    prev = ", ".join(f"lag({c}) OVER w AS __p_{c}" for c in attr_cols)
+    diff = " OR ".join(f"{c} IS DISTINCT FROM __p_{c}" for c in attr_cols)
+    return f"""
+WITH feed AS ({updates_sql}),
+marked AS (
+  SELECT {key}, {attrs}, {ts_col}{extra},
+         (lag({ts_col}) OVER w IS NULL) AS __first, {prev}
+  FROM feed
+  WINDOW w AS (PARTITION BY {key} ORDER BY {order})
+),
+changed AS (
+  SELECT {key}, {attrs}, {ts_col}{extra} FROM marked
+  WHERE __first OR {diff}
+)
+SELECT {key}, {attrs}, {ts_col} AS valid_from,
+       lead({ts_col}) OVER w2 AS valid_to,
+       (lead({ts_col}) OVER w2 IS NULL) AS is_current
+FROM changed
+WINDOW w2 AS (PARTITION BY {key} ORDER BY {order})
+"""
+
+
 def merge_upsert_sql(
     snapshot_sql: str, updates_sql: str, keys: list[str], version_col: str | None = None
 ) -> str:

@@ -2270,6 +2270,52 @@ def _text_span_hotlist_sql() -> str:
     return repeated_span_stats_sql(_BOILERPLATE_SYNTH_SQL, span_words=5, min_docs=50)
 
 
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (operators/merge.scd2_history): per-customer
+    order-status change history from the orders feed — consecutive
+    same-status orders suppressed, validity intervals closed by the next
+    change, open version flagged current.  Timestamps exported as epoch
+    micros with NTZ wall-clock arithmetic (timezone-free)."""
+    from scholarmind_spark.operators.merge import scd2_history
+
+    h = scd2_history(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak="o_orderkey",
+    )
+    ntz_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    )
+    return h.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(ntz_us.format("valid_from")).alias("from_us"),
+        F.expr(ntz_us.format("valid_to")).alias("to_us"),
+        "is_current",
+    )
+
+
+def _orders_scd2_history_sql() -> str:
+    from scholarmind_spark.operators.merge import scd2_history_sql
+
+    inner = scd2_history_sql(
+        "SELECT * FROM orders",
+        key="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak="o_orderkey",
+    )
+    return f"""
+SELECT o_custkey, o_orderstatus,
+       epoch_us(valid_from) AS from_us,
+       epoch_us(valid_to) AS to_us,
+       is_current
+FROM ({inner})
+"""
+
+
 def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ES weighted sampling without replacement
     (operators/sampling.weighted_sample): 50 documents drawn with
@@ -3284,6 +3330,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_pack_stats": text_pack_stats,
     "dataset_mixture": dataset_mixture,
     "dataset_weighted_sample": dataset_weighted_sample,
+    "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
     "text_scrub_spans": text_scrub_spans,
     "text_span_hotlist": text_span_hotlist,
@@ -3389,6 +3436,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pack_stats": _pack_stats_sql(),
     "dataset_mixture": _dataset_mixture_sql(),
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
+    "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_span_hotlist": _text_span_hotlist_sql(),
