@@ -387,3 +387,66 @@ WITH e AS (
 SELECT domain, count(DISTINCT id) AS n_docs, count(*) AS n_urls
 FROM e GROUP BY domain ORDER BY n_docs DESC, domain
 """
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character distribution —
+    the gibberish/compression quality signal: natural text sits in a
+    narrow entropy band, while key-mash, base64 blobs, and single-char
+    padding fall outside it (low entropy = repetitive, high = random).
+
+    Cross-engine exact via the q_micro device at TWO levels: the per-char
+    ``cnt·ln(cnt)`` terms are quantized to int64 micros BEFORE the
+    per-doc sum (float addition order never crosses an engine), and the
+    final ``H = ln(n) − Σcnt·ln(cnt)/n`` is recomputed from those integer
+    sums in one fixed-order float expression, rounded to micros.
+
+    Two shuffles of the (doc, char) relation — linear in corpus chars;
+    the per-doc char alphabet is tiny so the second aggregate is
+    map-side-combining on ≤ alphabet rows per doc."""
+    chars = F.regexp_extract_all(F.col(text_col), F.lit("."), F.lit(0))
+    e = df.select(F.col(id_col).alias("id"), F.explode(chars).alias("ch"))
+    per_char = e.groupBy("id", "ch").agg(F.count("*").alias("cnt"))
+    term_micro = F.round(
+        F.col("cnt") * F.log(F.col("cnt")) * F.lit(1000000.0)
+    ).cast("bigint")
+    per_doc = per_char.groupBy("id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.sum(term_micro).alias("__s_micro"),
+    )
+    h = F.log(F.col("n_chars")) - (F.col("__s_micro") / F.lit(1000000.0)) / F.col(
+        "n_chars"
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(h * F.lit(1000000.0)).cast("bigint").alias("entropy_micro"),
+    )
+
+
+def char_entropy_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`char_entropy` (same char extraction, same
+    two-level micro-int quantization, same fixed-order float math)."""
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id, unnest(regexp_extract_all({text_col}, '.')) AS ch
+  FROM {table}
+),
+per_char AS (
+  SELECT id, ch, count(*) AS cnt FROM e GROUP BY id, ch
+),
+per_doc AS (
+  SELECT id,
+         sum(cnt)::BIGINT AS n_chars,
+         sum(round(cnt * ln(cnt) * 1000000.0::DOUBLE)::BIGINT)::BIGINT AS s_micro
+  FROM per_char GROUP BY id
+)
+SELECT id AS {id_col}, n_chars,
+       round((ln(n_chars) - (s_micro / 1000000.0::DOUBLE) / n_chars)
+             * 1000000.0::DOUBLE)::BIGINT AS entropy_micro
+FROM per_doc
+"""

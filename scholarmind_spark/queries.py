@@ -2344,6 +2344,25 @@ def _dataset_weighted_sample_sql() -> str:
     )
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (operators/textstats.char_entropy):
+    per-doc Shannon entropy in integer micro-nats — the gibberish band
+    check of corpus curation."""
+    from scholarmind_spark.operators.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _text_char_entropy_sql() -> str:
+    from scholarmind_spark.operators.textstats import char_entropy_sql
+
+    return (
+        "SELECT * FROM ("
+        + char_entropy_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
 BM25_TERMS = ["spark", "join", "window", "stream"]
 
 
@@ -3335,6 +3354,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_scrub_spans": text_scrub_spans,
     "text_span_hotlist": text_span_hotlist,
     "text_bm25_topk": text_bm25_topk,
+    "text_char_entropy": text_char_entropy,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3441,6 +3461,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_span_hotlist": _text_span_hotlist_sql(),
     "text_bm25_topk": _text_bm25_topk_sql(),
+    "text_char_entropy": _text_char_entropy_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

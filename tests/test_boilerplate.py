@@ -81,3 +81,17 @@ def test_scrub_partial_tail_span(spark):
         ).collect()
     }
     assert out == {1: "a b c d", 2: "x y z w", 3: "p q r s"}
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from scholarmind_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy_micro) for r in char_entropy(df).collect()}
+    assert got[1] == (4, 0)  # single-symbol text: zero entropy
+    assert got[2] == (4, round(math.log(2) * 1e6))  # two equiprobable symbols
+    assert got[3] == (4, round(math.log(4) * 1e6))  # uniform over 4 symbols
