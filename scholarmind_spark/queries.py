@@ -2363,6 +2363,27 @@ def _text_char_entropy_sql() -> str:
     )
 
 
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing featurizer (operators/features.hash_features):
+    sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
+    model-free bridge from text to the vector operators."""
+    from scholarmind_spark.operators.features import hash_features
+
+    return hash_features(_t(spark, sf_dir, "documents"), dim=64).orderBy(
+        "doc_id", "bucket"
+    )
+
+
+def _text_hash_features_sql() -> str:
+    from scholarmind_spark.operators.features import hash_features_sql
+
+    return (
+        "SELECT * FROM ("
+        + hash_features_sql("documents", dim=64)
+        + ") ORDER BY doc_id, bucket"
+    )
+
+
 BM25_TERMS = ["spark", "join", "window", "stream"]
 
 
@@ -3355,6 +3376,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_span_hotlist": text_span_hotlist,
     "text_bm25_topk": text_bm25_topk,
     "text_char_entropy": text_char_entropy,
+    "text_hash_features": text_hash_features,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3462,6 +3484,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_span_hotlist": _text_span_hotlist_sql(),
     "text_bm25_topk": _text_bm25_topk_sql(),
     "text_char_entropy": _text_char_entropy_sql(),
+    "text_hash_features": _text_hash_features_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
