@@ -23,8 +23,11 @@ SKIP = {
 
 # deliberate broadcast nested-loop joins: the all-pairs exact baselines, the
 # K-way centroid-assignment cross-product (K tiny, broadcast side), and the
-# one-row scalar attach in the mixture rate derivation
-BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells", "dataset_mixture"}
+# one-row scalar attaches (mixture rate derivation, BM25 corpus stats)
+BNLJ_OK = {
+    "ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells",
+    "dataset_mixture", "text_bm25_topk",
+}
 
 
 def _plan(df) -> str:

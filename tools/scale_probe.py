@@ -62,12 +62,24 @@ def probe(spark, sf_dir: str):
         )
         return out.count()
 
+    from scholarmind_spark.operators.bm25 import bm25_topk
+    from scholarmind_spark.operators.boilerplate import scrub_repeated_spans
+    from scholarmind_spark.operators.features import hash_features
     from scholarmind_spark.operators.packing import pack_sequences
+    from scholarmind_spark.operators.textstats import char_entropy
 
     ops = {
         "exact_dedup_hash": t_exact,
         "pack_sequences": lambda df: pack_sequences(
             df, context_tokens=512, shards=8
+        ).count(),
+        "scrub_spans": lambda df: scrub_repeated_spans(
+            df, span_words=5, min_docs=2
+        ).count(),
+        "char_entropy": lambda df: char_entropy(df).count(),
+        "hash_features": lambda df: hash_features(df).count(),
+        "bm25_topk": lambda df: bm25_topk(
+            df, ["spark", "join", "window", "stream"], k=15
         ).count(),
         "ngram_jaccard": lambda df: ngram_jaccard_pairs(df, threshold=0.6).count(),
         "minhash_lsh": lambda df: minhash_lsh_pairs(df, threshold=0.6).count(),
