@@ -2363,6 +2363,29 @@ def _text_char_entropy_sql() -> str:
     )
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the word co-occurrence graph (operators/graph):
+    TextRank keyword authority in integer micro fixed point — the
+    iterative-graph shape (domain-authority scoring at crawl scale)
+    with per-round lineage truncation."""
+    from scholarmind_spark.operators.graph import cooccurrence_edges, pagerank
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "documents"))
+    return pagerank(edges, iterations=6).orderBy("node")
+
+
+def _graph_pagerank_sql() -> str:
+    from scholarmind_spark.operators.graph import (
+        cooccurrence_edges_sql,
+        pagerank_sql,
+    )
+
+    return (
+        pagerank_sql(cooccurrence_edges_sql("documents"), iterations=6)
+        + " ORDER BY node"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3377,6 +3400,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_bm25_topk": text_bm25_topk,
     "text_char_entropy": text_char_entropy,
     "text_hash_features": text_hash_features,
+    "graph_pagerank": graph_pagerank,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3485,6 +3509,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bm25_topk": _text_bm25_topk_sql(),
     "text_char_entropy": _text_char_entropy_sql(),
     "text_hash_features": _text_hash_features_sql(),
+    "graph_pagerank": _graph_pagerank_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

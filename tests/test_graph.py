@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from scholarmind_spark.operators.graph import (
+    MICRO,
+    cooccurrence_edges,
+    cooccurrence_edges_sql,
+    pagerank,
+    pagerank_sql,
+)
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    return {r["node"]: r["rank_micro"] for r in pagerank(df, **kw).collect()}
+
+
+def test_two_node_cycle_is_symmetric(spark):
+    r = _ranks(spark, [("a", "b", 1), ("b", "a", 1)])
+    assert r["a"] == r["b"]
+    # teleport + full damped mass back: fixed point stays at MICRO
+    assert abs(r["a"] - MICRO) <= 5
+
+
+def test_star_center_outranks_leaves(spark):
+    edges = [(leaf, "hub", 1) for leaf in ("a", "b", "c", "d")] + [
+        ("hub", leaf, 1) for leaf in ("a", "b", "c", "d")
+    ]
+    r = _ranks(spark, edges)
+    assert r["hub"] > max(r[leaf] for leaf in ("a", "b", "c", "d"))
+
+
+def test_dangling_mass_redistributes(spark):
+    # b has no out-edges: its damped mass must not vanish — total mass
+    # stays within integer-floor slack of V * MICRO.
+    r = _ranks(spark, [("a", "b", 1), ("c", "b", 2)])
+    total = sum(r.values())
+    assert 3 * MICRO - 100 <= total <= 3 * MICRO
+
+
+def test_weighted_edges_split_proportionally(spark):
+    # a sends 3/4 of its damped mass to b, 1/4 to c.
+    r = _ranks(spark, [("a", "b", 3), ("a", "c", 1)], iterations=1)
+    contrib_b = r["b"] - r["a"]  # a receives only teleport+share, as do all
+    contrib_c = r["c"] - r["a"]
+    assert contrib_b == 3 * contrib_c or abs(contrib_b - 3 * contrib_c) <= 3
+
+
+def test_matches_duckdb_oracle_on_documents(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "y x"), (3, "z z q"), (4, None)],
+        ["doc_id", "text"],
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(p)
+    got = {
+        (r["node"], r["rank_micro"])
+        for r in pagerank(cooccurrence_edges(docs), iterations=4).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    want = set(
+        con.sql(
+            pagerank_sql(cooccurrence_edges_sql("documents"), iterations=4)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_pagerank_plan_stays_flat(spark):
+    # lineage is truncated every round: the final plan must not embed
+    # one join tree per iteration (the cluster.py OOM class).
+    df = spark.createDataFrame([("a", "b", 1), ("b", "a", 1)], ["src", "dst", "weight"])
+    out = pagerank(df, iterations=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 2
