@@ -2386,6 +2386,25 @@ def _graph_pagerank_sql() -> str:
     )
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/lm.bigram_lm_score): CCNet-style
+    average negative log-likelihood per document in integer micro-nats,
+    add-one smoothing, model self-trained on the corpus in one pass."""
+    from scholarmind_spark.operators.lm import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _text_lm_score_sql() -> str:
+    from scholarmind_spark.operators.lm import bigram_lm_score_sql
+
+    return (
+        "SELECT * FROM ("
+        + bigram_lm_score_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3401,6 +3420,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_char_entropy": text_char_entropy,
     "text_hash_features": text_hash_features,
     "graph_pagerank": graph_pagerank,
+    "text_lm_score": text_lm_score,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3510,6 +3530,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_char_entropy": _text_char_entropy_sql(),
     "text_hash_features": _text_hash_features_sql(),
     "graph_pagerank": _graph_pagerank_sql(),
+    "text_lm_score": _text_lm_score_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

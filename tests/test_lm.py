@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from scholarmind_spark.operators.lm import bigram_lm_score, bigram_lm_score_sql
+
+
+def test_known_two_doc_corpus(spark):
+    # corpus bigrams: (a,b) x2, (b,a) x1 ; C(a)=2, C(b)=1, V=2
+    df = spark.createDataFrame([(1, "a b a"), (2, "a b")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    p_ab = (2 + 1) / (2 + 2)  # C(a,b)+1 / C(a)+V
+    p_ba = (1 + 1) / (1 + 2)
+    t_ab = round(-math.log(p_ab) * 1e6)
+    t_ba = round(-math.log(p_ba) * 1e6)
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["nll_micro"] == (t_ab + t_ba + 1) // 2
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["nll_micro"] == t_ab
+
+
+def test_single_token_docs_are_omitted(spark):
+    df = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, None), (4, "two words")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"] for r in bigram_lm_score(df).collect()}
+    assert got == {4}
+
+
+def test_heldout_unseen_bigrams_use_smoothing(spark):
+    train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    held = spark.createDataFrame([(9, "b b"), (8, "q q")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r["nll_micro"]
+        for r in bigram_lm_score(held, train_df=train).collect()
+    }
+    # C(b)=1 (b starts one train bigram), V=2: P(b|b) = 1/(1+2)
+    assert rows[9] == round(-math.log(1 / 3) * 1e6)
+    # q unseen entirely: P = 1/(0+V) = 1/2
+    assert rows[8] == round(-math.log(1 / 2) * 1e6)
+
+
+def test_gibberish_scores_worse_than_fluent(spark):
+    fluent = " ".join(["the cat sat on the mat"] * 10)
+    gibber = "zq xv jk wp mn bd tg rc lh fy"
+    df = spark.createDataFrame(
+        [(1, fluent), (2, gibber)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["nll_micro"] for r in bigram_lm_score(df).collect()}
+    assert rows[2] > rows[1]
+
+
+def test_matches_duckdb_twin(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["x y z x", "y x y", "z z z q", "x", None, "q z y x w"]
+        )],
+        ["doc_id", "text"],
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["nll_micro"])
+        for r in bigram_lm_score(df).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(bigram_lm_score_sql("docs")).fetchall())
+    assert got == want
