@@ -2405,6 +2405,35 @@ def _text_lm_score_sql() -> str:
     )
 
 
+def link_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/linkage.fuzzy_link): edit-
+    distance-≤2 pairs among the corpus vocabulary — typo/variant
+    detection with char-anchor blocking, no all-pairs comparison."""
+    from scholarmind_spark.operators.linkage import fuzzy_link
+    from scholarmind_spark.operators.textstats import tokens
+
+    vocab = _t(spark, sf_dir, "documents").select(
+        F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("word")
+    )
+    return fuzzy_link(vocab, "word", max_dist=2).orderBy("a", "b")
+
+
+def _link_fuzzy_vocab_sql() -> str:
+    from scholarmind_spark.operators.linkage import fuzzy_link_sql
+    from scholarmind_spark.operators.textstats import tokens_sql
+
+    vocab = (
+        "(SELECT unnest(list_transform("
+        + tokens_sql("text")
+        + ", w -> lower(w))) AS word FROM documents)"
+    )
+    return (
+        "SELECT * FROM ("
+        + fuzzy_link_sql(vocab, "word", max_dist=2)
+        + ") ORDER BY a, b"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3421,6 +3450,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_hash_features": text_hash_features,
     "graph_pagerank": graph_pagerank,
     "text_lm_score": text_lm_score,
+    "link_fuzzy_vocab": link_fuzzy_vocab,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3531,6 +3561,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_hash_features": _text_hash_features_sql(),
     "graph_pagerank": _graph_pagerank_sql(),
     "text_lm_score": _text_lm_score_sql(),
+    "link_fuzzy_vocab": _link_fuzzy_vocab_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

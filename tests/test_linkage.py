@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import duckdb
+
+from scholarmind_spark.operators.linkage import fuzzy_link, fuzzy_link_sql
+
+
+def _pairs(spark, keys, max_dist=2):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    return {
+        (r["a"], r["b"], r["dist"])
+        for r in fuzzy_link(df, "k", max_dist=max_dist).collect()
+    }
+
+
+def test_simple_typo_pair(spark):
+    got = _pairs(spark, ["table", "tabel", "window"])
+    assert got == {("tabel", "table", 2)}
+
+
+def test_blocking_contract_drops_double_anchor_edits(spark):
+    # "cat" -> "bats": dist 2 but BOTH first and last char differ — out
+    # of the documented blocking scope.
+    assert _pairs(spark, ["cat", "bats"]) == set()
+
+
+def test_length_tolerance_survives_lexicographic_orientation(spark):
+    # a="azzz" sorts before the SHORTER b="zz" (shares last char): the
+    # ±max_dist length expansion must cover the negative direction.
+    assert _pairs(spark, ["azzz", "zz"]) == {("azzz", "zz", 2)}
+
+
+def test_length_gap_beyond_tolerance_excluded(spark):
+    assert _pairs(spark, ["aa", "aaaaa"]) == set()
+
+
+def test_nulls_empties_and_duplicates_ignored(spark):
+    got = _pairs(spark, ["scan", "scan", "span", None, ""])
+    assert got == {("scan", "span", 1)}
+
+
+def test_matches_duckdb_twin(spark, tmp_path):
+    keys = ["sort", "sore", "part", "past", "stream", "steam", "x", "xy", None]
+    df = spark.createDataFrame([(k,) for k in keys], "k: string")
+    p = str(tmp_path / "keys.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {
+        (r["a"], r["b"], r["dist"]) for r in fuzzy_link(df, "k").collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW keys AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(fuzzy_link_sql("keys", "k")).fetchall())
+    assert got == want and len(got) >= 3
