@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_cohort_retention",
     "events_sessionize",
+    "graph_pagerank",
+    "text_lm_score",
+    "link_fuzzy_vocab",
 ]
 
 

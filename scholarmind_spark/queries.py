@@ -2434,6 +2434,25 @@ def _link_fuzzy_vocab_sql() -> str:
     )
 
 
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags (operators/anomaly): per-user
+    10-event trailing window, milli-quantized all-integer z-test (no
+    float crosses an engine), spike excluded from its own baseline."""
+    from scholarmind_spark.operators.anomaly import rolling_anomalies
+
+    return rolling_anomalies(_events(spark, sf_dir)).orderBy("event_id")
+
+
+def _events_rolling_anomaly_sql() -> str:
+    from scholarmind_spark.operators.anomaly import rolling_anomalies_sql
+
+    return (
+        "SELECT * FROM ("
+        + rolling_anomalies_sql("events")
+        + ") ORDER BY event_id"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3451,6 +3470,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "graph_pagerank": graph_pagerank,
     "text_lm_score": text_lm_score,
     "link_fuzzy_vocab": link_fuzzy_vocab,
+    "events_rolling_anomaly": events_rolling_anomaly,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3562,6 +3582,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_pagerank": _graph_pagerank_sql(),
     "text_lm_score": _text_lm_score_sql(),
     "link_fuzzy_vocab": _link_fuzzy_vocab_sql(),
+    "events_rolling_anomaly": _events_rolling_anomaly_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

@@ -26,7 +26,7 @@ SKIP = {
 # one-row scalar attaches (mixture rate derivation, BM25 corpus stats)
 BNLJ_OK = {
     "ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells",
-    "dataset_mixture", "text_bm25_topk",
+    "dataset_mixture", "text_bm25_topk", "text_lm_score",
 }
 
 

@@ -65,10 +65,29 @@ def probe(spark, sf_dir: str):
     from scholarmind_spark.operators.bm25 import bm25_topk
     from scholarmind_spark.operators.boilerplate import scrub_repeated_spans
     from scholarmind_spark.operators.features import hash_features
+    from scholarmind_spark.operators.graph import cooccurrence_edges, pagerank
+    from scholarmind_spark.operators.linkage import fuzzy_link
+    from scholarmind_spark.operators.lm import bigram_lm_score
     from scholarmind_spark.operators.packing import pack_sequences
-    from scholarmind_spark.operators.textstats import char_entropy
+    from scholarmind_spark.operators.textstats import char_entropy, tokens
+
+    def t_fuzzy(df):
+        # NOTE: the rotated replication multiplies the vocabulary into a
+        # FIXED number of (char, len) blocks, so candidate pairs grow
+        # ~quadratically BY CONSTRUCTION here; the algorithm is linear in
+        # candidate volume, which real-world key sets spread across far
+        # more blocks.
+        vocab = df.select(
+            F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("w")
+        )
+        return fuzzy_link(vocab, "w", max_dist=2).count()
 
     ops = {
+        "pagerank_6it": lambda df: pagerank(
+            cooccurrence_edges(df), iterations=6
+        ).count(),
+        "bigram_lm_score": lambda df: bigram_lm_score(df).count(),
+        "fuzzy_link_vocab": t_fuzzy,
         "exact_dedup_hash": t_exact,
         "pack_sequences": lambda df: pack_sequences(
             df, context_tokens=512, shards=8
