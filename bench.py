@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "text_lm_score",
     "link_fuzzy_vocab",
+    "events_rolling_anomaly",
+    "embed_centroid_classify",
 ]
 
 

@@ -2453,6 +2453,25 @@ def _events_rolling_anomaly_sql() -> str:
     )
 
 
+def embed_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification (operators/centroid): assign every
+    embedding to its nearest per-label integer-micro centroid via the
+    squared-distance expansion — label-noise / separability audit."""
+    from scholarmind_spark.operators.centroid import centroid_classify
+
+    return centroid_classify(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+def _embed_centroid_classify_sql() -> str:
+    from scholarmind_spark.operators.centroid import centroid_classify_sql
+
+    return (
+        "SELECT * FROM ("
+        + centroid_classify_sql("embeddings")
+        + ") ORDER BY vec_id"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3471,6 +3490,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_lm_score": text_lm_score,
     "link_fuzzy_vocab": link_fuzzy_vocab,
     "events_rolling_anomaly": events_rolling_anomaly,
+    "embed_centroid_classify": embed_centroid_classify,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3583,6 +3603,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_lm_score": _text_lm_score_sql(),
     "link_fuzzy_vocab": _link_fuzzy_vocab_sql(),
     "events_rolling_anomaly": _events_rolling_anomaly_sql(),
+    "embed_centroid_classify": _embed_centroid_classify_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
