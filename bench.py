@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "link_fuzzy_vocab",
     "events_rolling_anomaly",
     "embed_centroid_classify",
+    "orders_snapshot_diff",
+    "fk_audit",
 ]
 
 

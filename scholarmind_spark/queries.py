@@ -2472,6 +2472,81 @@ def _embed_centroid_classify_sql() -> str:
     )
 
 
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.snapshot_diff): added/removed/changed
+    keys between two simulated snapshots of orders (every 5th key absent
+    from old, every 7th from new, every 3rd's status mutated)."""
+    from scholarmind_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.col("o_orderstatus"), F.lit("!")),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def _orders_snapshot_diff_sql() -> str:
+    from scholarmind_spark.operators.diff import snapshot_diff_sql
+
+    old = ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+           "WHERE o_orderkey % 5 <> 0")
+    new = ("SELECT o_orderkey, "
+           "CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '!' "
+           "ELSE o_orderstatus END AS o_orderstatus, o_totalprice "
+           "FROM orders WHERE o_orderkey % 7 <> 0")
+    return (
+        "SELECT * FROM ("
+        + snapshot_diff_sql(
+            old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+        )
+        + ") ORDER BY o_orderkey"
+    )
+
+
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/audit): orphan / null-FK
+    counts for every declared TPC-H relationship — the post-load data
+    quality gate."""
+    from scholarmind_spark.operators.audit import fk_integrity_audit
+
+    edges = [
+        (name, _t(spark, sf_dir, child), fk, _t(spark, sf_dir, parent), pk)
+        for name, child, fk, parent, pk in FK_EDGES
+    ]
+    return fk_integrity_audit(edges).orderBy("relationship")
+
+
+def _fk_audit_sql() -> str:
+    from scholarmind_spark.operators.audit import fk_integrity_audit_sql
+
+    return (
+        "SELECT * FROM ("
+        + fk_integrity_audit_sql(FK_EDGES)
+        + ") ORDER BY relationship"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3491,6 +3566,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "link_fuzzy_vocab": link_fuzzy_vocab,
     "events_rolling_anomaly": events_rolling_anomaly,
     "embed_centroid_classify": embed_centroid_classify,
+    "orders_snapshot_diff": orders_snapshot_diff,
+    "fk_audit": fk_audit,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3604,6 +3681,8 @@ ORACLE_SQL: dict[str, str] = {
     "link_fuzzy_vocab": _link_fuzzy_vocab_sql(),
     "events_rolling_anomaly": _events_rolling_anomaly_sql(),
     "embed_centroid_classify": _embed_centroid_classify_sql(),
+    "orders_snapshot_diff": _orders_snapshot_diff_sql(),
+    "fk_audit": _fk_audit_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import duckdb
+
+from scholarmind_spark.operators.audit import fk_integrity_audit, fk_integrity_audit_sql
+from scholarmind_spark.operators.diff import snapshot_diff, snapshot_diff_sql
+
+
+def test_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, None), (5, "e")], ["k", "v"]
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 unchanged null-safe, 5 added
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_diff_null_to_value_is_changed(spark):
+    old = spark.createDataFrame([(1, None)], "k: bigint, v: string")
+    new = spark.createDataFrame([(1, "x")], "k: bigint, v: string")
+    got = [r["status"] for r in snapshot_diff(old, new, ["k"]).collect()]
+    assert got == ["changed"]
+
+
+def test_diff_composite_key_and_subset_columns(spark):
+    old = spark.createDataFrame([(1, "x", "p", 10)], ["k1", "k2", "v", "w"])
+    new = spark.createDataFrame([(1, "x", "p", 99)], ["k1", "k2", "v", "w"])
+    assert snapshot_diff(old, new, ["k1", "k2"], ["v"]).count() == 0
+    got = snapshot_diff(old, new, ["k1", "k2"], ["w"]).collect()
+    assert [(r["k1"], r["k2"], r["status"]) for r in got] == [(1, "x", "changed")]
+
+
+def test_diff_matches_duckdb_twin(spark, tmp_path):
+    old = spark.createDataFrame(
+        [(i, f"v{i % 4}") for i in range(20)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(i, f"v{(i + (i % 5 == 0)) % 4}") for i in range(2, 24)], ["k", "v"]
+    )
+    po, pn = str(tmp_path / "o.parquet"), str(tmp_path / "n.parquet")
+    old.coalesce(1).write.parquet(po)
+    new.coalesce(1).write.parquet(pn)
+    got = {(r["k"], r["status"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    con = duckdb.connect()
+    want = set(
+        con.sql(
+            snapshot_diff_sql(
+                f"SELECT * FROM '{po}/*.parquet'",
+                f"SELECT * FROM '{pn}/*.parquet'",
+                ["k"],
+                ["v"],
+            )
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_fk_audit_counts(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id: bigint, fk: bigint"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk: bigint")
+    rows = fk_integrity_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    r = rows[0]
+    assert (r["relationship"], r["n_child"], r["n_null_fk"], r["n_orphans"]) == (
+        "c->p", 4, 1, 1
+    )
+
+
+def test_fk_audit_matches_duckdb_twin(spark, tmp_path):
+    child = spark.createDataFrame(
+        [(i, i % 7 if i % 11 else None) for i in range(50)],
+        "id: bigint, fk: bigint",
+    )
+    parent = spark.createDataFrame([(i,) for i in range(5)], "pk: bigint")
+    pc, pp = str(tmp_path / "c.parquet"), str(tmp_path / "p.parquet")
+    child.coalesce(1).write.parquet(pc)
+    parent.coalesce(1).write.parquet(pp)
+    got = [tuple(r) for r in fk_integrity_audit(
+        [("c->p", child, "fk", parent, "pk")]
+    ).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW c AS SELECT * FROM '{pc}/*.parquet'")
+    con.sql(f"CREATE VIEW p AS SELECT * FROM '{pp}/*.parquet'")
+    want = con.sql(
+        fk_integrity_audit_sql([("c->p", "c", "fk", "p", "pk")])
+    ).fetchall()
+    assert got == want
