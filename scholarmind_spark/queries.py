@@ -2547,6 +2547,25 @@ def _fk_audit_sql() -> str:
     )
 
 
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap (operators/overlap.vocab_overlap):
+    exact per-pair Jaccard counts over the documents sources — the
+    mixture-design / domain-shift signal."""
+    from scholarmind_spark.operators.overlap import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+def _source_vocab_overlap_sql() -> str:
+    from scholarmind_spark.operators.overlap import vocab_overlap_sql
+
+    return (
+        "SELECT * FROM ("
+        + vocab_overlap_sql("documents")
+        + ") ORDER BY a, b"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3568,6 +3587,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "embed_centroid_classify": embed_centroid_classify,
     "orders_snapshot_diff": orders_snapshot_diff,
     "fk_audit": fk_audit,
+    "source_vocab_overlap": source_vocab_overlap,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3683,6 +3703,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_centroid_classify": _embed_centroid_classify_sql(),
     "orders_snapshot_diff": _orders_snapshot_diff_sql(),
     "fk_audit": _fk_audit_sql(),
+    "source_vocab_overlap": _source_vocab_overlap_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
