@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "embed_centroid_classify",
     "orders_snapshot_diff",
     "fk_audit",
+    "source_vocab_overlap",
 ]
 
 

@@ -72,6 +72,12 @@ def bigram_lm_score(
     train_bi = (
         doc_bi if train_df is None else _doc_bigrams(train_df, id_col, text_col)
     )
+    # the bigram relation feeds four consumers (bigram counts, unigram
+    # counts, vocab, scoring join) — persist it so the corpus is scanned
+    # and tokenized once, not four times; caller releases via
+    # util.release_caches (or relies on LRU/ContextCleaner)
+    doc_bi = doc_bi.persist()
+    train_bi = doc_bi if train_df is None else train_bi.persist()
     big = train_bi.groupBy("u", "v").agg(F.count("*").alias("c_uv"))
     uni = train_bi.groupBy("u").agg(F.count("*").alias("c_u"))
     vocab = (
@@ -94,11 +100,15 @@ def bigram_lm_score(
         .groupBy("id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("__t").alias("__s"))
     )
-    return scored.select(
+    out = scored.select(
         F.col("id").alias(id_col),
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         F.expr("(__s + n_bigrams div 2) div n_bigrams").alias("nll_micro"),
     )
+    from scholarmind_spark.util import attach_caches
+
+    caches = [doc_bi] if train_bi is doc_bi else [doc_bi, train_bi]
+    return attach_caches(out, caches)
 
 
 def _doc_bigrams_sql(table: str, id_expr: str, text_expr: str) -> str:
