@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",
     "fk_audit",
     "source_vocab_overlap",
+    "events_winsorize",
 ]
 
 

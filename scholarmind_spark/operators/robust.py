@@ -1,0 +1,107 @@
+"""Per-group winsorization: clip values to discrete percentile bounds.
+
+Engine extension (SURVEY §2): robust-statistics cleaning for metric
+columns — cap outliers at the p01/p99 (configurable) order statistics
+of their own group before aggregation, the standard defense against
+long-tail corruption (bot traffic, sensor glitches, unit mistakes)
+distorting means and models.
+
+Exactness contract: bounds are DISCRETE order statistics (the k-th
+smallest actual value, k = ceil(p·n) computed in integer rational
+arithmetic ``(n·p_micro + 999_999) div 1_000_000``), never an
+interpolated quantile — so no synthesized float exists, clipping
+returns only values present in the data (or the bound itself), and
+the k-th order statistic is well-defined under duplicate values no
+matter how ties are ordered.  Nothing here can drift between engines.
+
+Spark-first shape: one shuffle on the group key; within it a single
+window pass ranks values, the two per-group bound rows are filtered
+out (a tiny relation, broadcast back), and the clip is a JVM
+``least/greatest``.  At 100 TB the window sort dominates — identical
+to any per-group quantile — and heavily-skewed groups get the usual
+composite-key treatment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MICRO = 1_000_000
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    p_lo_micro: int = 10_000,
+    p_hi_micro: int = 990_000,
+) -> DataFrame:
+    """``*id_cols, group, value, value_w`` with ``value_w`` clipped to the
+    group's [p_lo, p_hi] discrete order statistics (percentiles given in
+    integer micro units of probability)."""
+    # null values are excluded outright (a null can be neither ranked nor
+    # clipped) — also sidesteps the engines' opposite default null sort
+    # order (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *[F.col(c) for c in id_cols],
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = base.select(
+        "g",
+        "v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("__n"),
+    )
+    k_lo = F.expr(f"greatest((__n * {p_lo_micro} + {MICRO - 1}) div {MICRO}, 1)")
+    k_hi = F.expr(f"greatest((__n * {p_hi_micro} + {MICRO - 1}) div {MICRO}, 1)")
+    bounds = (
+        ranked.filter((F.col("__rn") == k_lo) | (F.col("__rn") == k_hi))
+        .groupBy("g")
+        .agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    )
+    return (
+        base.join(F.broadcast(bounds), "g")
+        .select(
+            *id_cols,
+            F.col("g").alias(group_col),
+            F.col("v").alias(value_col),
+            F.least(F.greatest(F.col("v"), F.col("__lo")), F.col("__hi")).alias(
+                f"{value_col}_w"
+            ),
+        )
+    )
+
+
+def winsorize_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    p_lo_micro: int = 10_000,
+    p_hi_micro: int = 990_000,
+) -> str:
+    """DuckDB twin of :func:`winsorize`."""
+    ids = ", ".join(id_cols)
+    return f"""
+WITH __t AS (SELECT * FROM {table} WHERE {value_col} IS NOT NULL),
+__ranked AS (
+  SELECT {group_col} AS g, {value_col} AS v,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) AS rn,
+         count(*) OVER (PARTITION BY {group_col})::BIGINT AS n
+  FROM __t
+),
+__bounds AS (
+  SELECT g, min(v) AS lo, max(v) AS hi
+  FROM __ranked
+  WHERE rn = greatest((n * {p_lo_micro} + {MICRO - 1}) // {MICRO}, 1)
+     OR rn = greatest((n * {p_hi_micro} + {MICRO - 1}) // {MICRO}, 1)
+  GROUP BY g
+)
+SELECT {ids}, t.{group_col}, t.{value_col},
+       least(greatest(t.{value_col}, b.lo), b.hi) AS {value_col}_w
+FROM __t t JOIN __bounds b ON t.{group_col} = b.g"""

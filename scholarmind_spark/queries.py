@@ -2566,6 +2566,27 @@ def _source_vocab_overlap_sql() -> str:
     )
 
 
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (operators/robust.winsorize): clip event
+    values to the [p01, p99] discrete order statistics of their own
+    event_type — robust-stats cleaning with no synthesized floats."""
+    from scholarmind_spark.operators.robust import winsorize
+
+    return winsorize(
+        _t(spark, sf_dir, "events"), "event_type", "value", ["event_id"]
+    ).orderBy("event_id")
+
+
+def _events_winsorize_sql() -> str:
+    from scholarmind_spark.operators.robust import winsorize_sql
+
+    return (
+        "SELECT * FROM ("
+        + winsorize_sql("events", "event_type", "value", ["event_id"])
+        + ") ORDER BY event_id"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -2708,6 +2729,33 @@ SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
 FROM e l JOIN e r ON l.user_id = r.user_id
 WHERE l.event_type = 'view' AND r.event_type = 'click'
   AND r.us >= l.us AND r.us <= l.us + 14400000000
+"""
+
+
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrich (streaming/pipeline.stream_static_
+    enrich): the event stream left-joined to a batch user-tier dimension
+    — stateless, append mode, dimension refreshable between triggers."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory, stream_static_enrich
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = (
+        _events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).alias("tier"))
+    )
+    enriched = stream_static_enrich(stream, dim).select(
+        "event_id", "user_id", "tier"
+    )
+    return run_to_memory(enriched, mode="append")
+
+
+EVENTS_STREAM_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, d.tier
+FROM events e
+LEFT JOIN (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events) d
+  ON e.user_id = d.user_id
 """
 
 
@@ -3588,6 +3636,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "orders_snapshot_diff": orders_snapshot_diff,
     "fk_audit": fk_audit,
     "source_vocab_overlap": source_vocab_overlap,
+    "events_stream_enrich": events_stream_enrich,
+    "events_winsorize": events_winsorize,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3704,6 +3754,8 @@ ORACLE_SQL: dict[str, str] = {
     "orders_snapshot_diff": _orders_snapshot_diff_sql(),
     "fk_audit": _fk_audit_sql(),
     "source_vocab_overlap": _source_vocab_overlap_sql(),
+    "events_stream_enrich": EVENTS_STREAM_ENRICH_SQL,
+    "events_winsorize": _events_winsorize_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

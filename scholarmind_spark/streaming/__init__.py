@@ -6,6 +6,7 @@ from scholarmind_spark.streaming.pipeline import (
     sliding_agg,
     stream_dedup,
     stream_interval_join,
+    stream_static_enrich,
     stream_merge_to_snapshot,
     tumbling_agg,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "sliding_agg",
     "stream_dedup",
     "stream_interval_join",
+    "stream_static_enrich",
     "stream_merge_to_snapshot",
     "stream_scan_pubmed",
     "stream_scan_wos",

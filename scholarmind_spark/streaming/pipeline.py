@@ -165,6 +165,23 @@ def stream_dedup(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrich: stateless left join of the event stream
+    against a batch dimension (the streaming J1 analogue — journal
+    metrics for literature, user/account attributes here).
+
+    Stream-static joins keep NO state: each microbatch joins against
+    the dimension as of that batch, so the dimension may be re-read /
+    refreshed between triggers (slowly-changing enrichment for free).
+    The broadcast hint keeps the stream side shuffle-free — at 100 TB
+    of stream this is the difference between a map-side lookup and
+    re-partitioning every microbatch.  Append mode; no watermark is
+    needed because nothing is buffered."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def stream_interval_join(
     events: DataFrame,
     left_type: str = "view",

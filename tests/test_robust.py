@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import duckdb
+
+from scholarmind_spark.operators.robust import winsorize, winsorize_sql
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "event_id: bigint, g: string, value: double")
+
+
+def test_outliers_clip_to_order_statistics(spark):
+    # group of 100 values 1..100: k_lo = ceil(100*.01)=1 -> lo=1,
+    # k_hi = ceil(100*.99)=99 -> hi=99; the 100 clips to 99.
+    rows = [(i, "a", float(i)) for i in range(1, 101)]
+    got = {r["event_id"]: r["value_w"] for r in
+           winsorize(_df(spark, rows), "g", "value", ["event_id"]).collect()}
+    assert got[100] == 99.0 and got[99] == 99.0 and got[1] == 1.0 and got[50] == 50.0
+
+
+def test_custom_percentiles_and_small_group(spark):
+    rows = [(i, "a", float(i)) for i in range(1, 5)]
+    out = winsorize(
+        _df(spark, rows), "g", "value", ["event_id"],
+        p_lo_micro=250_000, p_hi_micro=750_000,
+    ).collect()
+    got = {r["event_id"]: r["value_w"] for r in out}
+    # k_lo = ceil(4*.25)=1 -> lo=1; k_hi = ceil(4*.75)=3 -> hi=3
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0, 4: 3.0}
+
+
+def test_groups_are_independent_and_nulls_dropped(spark):
+    rows = [(1, "a", 5.0), (2, "a", 1000.0), (3, "b", -7.0), (4, "b", None)]
+    out = winsorize(_df(spark, rows), "g", "value", ["event_id"]).collect()
+    ids = {r["event_id"] for r in out}
+    assert ids == {1, 2, 3}
+    got = {r["event_id"]: r["value_w"] for r in out}
+    assert got[3] == -7.0  # b's own (single-value) bounds
+
+
+def test_matches_duckdb_twin(spark, tmp_path):
+    rows = [
+        (i, "g" + str(i % 3), float((i * 37) % 101) - 20.0) for i in range(200)
+    ] + [(900, "g0", 1e9), (901, "g1", -1e9), (902, "g2", None)]
+    df = _df(spark, rows)
+    p = str(tmp_path / "ev.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in winsorize(df, "g", "value", ["event_id"]).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW ev AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(winsorize_sql("ev", "g", "value", ["event_id"])).fetchall())
+    assert got == want and len(got) == 202
