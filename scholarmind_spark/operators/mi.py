@@ -1,0 +1,102 @@
+"""Mutual information between two discrete columns (micro-nat exact).
+
+Engine extension (SURVEY §2): quantify the statistical dependence
+between two columns of a table —
+
+    I(X;Y) = Σ_xy  p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+
+the workhorse screen for label leakage ("does this metadata column
+secretly encode the target?"), feature relevance ranking, and drift
+detection between schema fields.  ``I = 0`` iff independent.
+
+Cross-engine exact via the two-level q_micro device proven by
+``char_entropy``: with integer counts c_xy, c_x, c_y, N the per-cell
+term
+
+    c_xy · ( ln(c_xy) + ln(N) − ln(c_x) − ln(c_y) )
+
+is quantized to int64 MICRO-nats BEFORE the sum (int64 addition is
+order-free), and the final division by N is pinned integer rounding
+``(s + N div 2) div N``.  Every ln argument is an integer-valued
+double, identical on both engines.
+
+Spark-first shape: one shuffle builds the (x, y) contingency cells
+with map-side partial aggregation; the margins are two tiny
+re-aggregations OF THE CELLS (not the input — the corpus is scanned
+once); margins and the N scalar broadcast into the cell join.  At
+100 TB the cost is the one groupBy of the input — everything after
+is proportional to distinct cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def mutual_information(
+    df: DataFrame, x: Column | str, y: Column | str
+) -> DataFrame:
+    """One row ``n_rows, n_cells, mi_micro`` — I(X;Y) in integer
+    micro-nats over the non-null (x, y) pairs."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    cells = (
+        df.select(xc.alias("x"), yc.alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    my = cells.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = cells.agg(
+        F.sum("c_xy").alias("__n"), F.count("*").alias("__cells")
+    )
+    term = F.round(
+        F.col("c_xy")
+        * (
+            F.log("c_xy")
+            + F.log("__n")
+            - F.log("c_x")
+            - F.log("c_y")
+        )
+        * F.lit(float(MICRO))
+    ).cast("bigint")
+    scored = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select("__n", "__cells", term.alias("__term"))
+    )
+    return scored.agg(
+        F.max("__n").cast("bigint").alias("n_rows"),
+        F.max("__cells").cast("bigint").alias("n_cells"),
+        F.expr("(sum(__term) + max(__n) div 2) div max(__n)").alias(
+            "mi_micro"
+        ),
+    )
+
+
+def mutual_information_sql(table: str, x_expr: str, y_expr: str) -> str:
+    """DuckDB twin of :func:`mutual_information`."""
+    return f"""
+WITH __cells AS (
+  SELECT x, y, count(*)::BIGINT AS c_xy FROM (
+    SELECT {x_expr} AS x, {y_expr} AS y FROM {table}
+  ) WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY x, y
+),
+__mx AS (SELECT x, sum(c_xy)::BIGINT AS c_x FROM __cells GROUP BY x),
+__my AS (SELECT y, sum(c_xy)::BIGINT AS c_y FROM __cells GROUP BY y),
+__n AS (SELECT sum(c_xy)::BIGINT AS n, count(*)::BIGINT AS cells FROM __cells)
+SELECT (SELECT n FROM __n) AS n_rows,
+       (SELECT cells FROM __n) AS n_cells,
+       (sum(round(c.c_xy * (ln(c.c_xy) + ln((SELECT n FROM __n))
+                            - ln(m.c_x) - ln(y.c_y))
+                  * {MICRO}.0)::BIGINT)::BIGINT
+        + (SELECT n FROM __n) // 2) // (SELECT n FROM __n) AS mi_micro
+FROM __cells c
+JOIN __mx m ON c.x = m.x
+JOIN __my y ON c.y = y.y"""

@@ -2587,6 +2587,26 @@ def _events_winsorize_sql() -> str:
     )
 
 
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (operators/mi): I(event_type; value decile bin)
+    in exact integer micro-nats — the label-leakage / feature-relevance
+    probe over the events table."""
+    from scholarmind_spark.operators.mi import mutual_information
+
+    e = _t(spark, sf_dir, "events")
+    return mutual_information(
+        e, F.col("event_type"), F.floor(F.col("value") / 10.0)
+    )
+
+
+def _events_mutual_information_sql() -> str:
+    from scholarmind_spark.operators.mi import mutual_information_sql
+
+    return mutual_information_sql(
+        "events", "event_type", "floor(value / 10.0)::BIGINT"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3638,6 +3658,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "source_vocab_overlap": source_vocab_overlap,
     "events_stream_enrich": events_stream_enrich,
     "events_winsorize": events_winsorize,
+    "events_mutual_information": events_mutual_information,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3756,6 +3777,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_vocab_overlap": _source_vocab_overlap_sql(),
     "events_stream_enrich": EVENTS_STREAM_ENRICH_SQL,
     "events_winsorize": _events_winsorize_sql(),
+    "events_mutual_information": _events_mutual_information_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
