@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "fk_audit",
     "source_vocab_overlap",
     "events_winsorize",
+    "events_mutual_information",
+    "source_health_report",
 ]
 
 

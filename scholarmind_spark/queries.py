@@ -2607,6 +2607,74 @@ def _events_mutual_information_sql() -> str:
     )
 
 
+def source_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard as ONE lazy plan: docs, chars,
+    exact-duplicate rate (per-mille, integer), mean quality (micro,
+    integer mean of per-doc integer scores), and language diversity —
+    the one-stop feed for mixture/curation decisions.  Composes the
+    oracle-checked quality/dedup devices; one scan, two aggregates."""
+    from scholarmind_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q_int = F.round(quality_score(F.col("text")) * F.lit(1000000.0)).cast("bigint")
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars"),
+        q_int.alias("q"),
+        F.md5("text").alias("h"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("h").alias("__uniq"),
+            F.expr("(sum(q) + count(*) div 2) div count(*)").alias(
+                "mean_quality_micro"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.expr(
+                "((n_docs - __uniq) * 1000 + n_docs div 2) div n_docs"
+            ).alias("dup_permille"),
+            "mean_quality_micro",
+            "n_langs",
+        )
+        .orderBy("source")
+    )
+
+
+def _source_health_report_sql() -> str:
+    from scholarmind_spark.operators.textstats import quality_score_sql
+
+    return f"""
+WITH __d AS (
+  SELECT source, lang, length(text)::BIGINT AS n_chars,
+         round({quality_score_sql("text")} * 1000000.0)::BIGINT AS q,
+         md5(text) AS h
+  FROM documents
+),
+__agg AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars,
+         count(DISTINCT h)::BIGINT AS uniq,
+         (sum(q)::BIGINT + count(*)::BIGINT // 2) // count(*)::BIGINT
+           AS mean_quality_micro,
+         count(DISTINCT lang)::BIGINT AS n_langs
+  FROM __d GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       ((n_docs - uniq) * 1000 + n_docs // 2) // n_docs AS dup_permille,
+       mean_quality_micro, n_langs
+FROM __agg ORDER BY source"""
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3659,6 +3727,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_stream_enrich": events_stream_enrich,
     "events_winsorize": events_winsorize,
     "events_mutual_information": events_mutual_information,
+    "source_health_report": source_health_report,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3778,6 +3847,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_enrich": EVENTS_STREAM_ENRICH_SQL,
     "events_winsorize": _events_winsorize_sql(),
     "events_mutual_information": _events_mutual_information_sql(),
+    "source_health_report": _source_health_report_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
