@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "events_winsorize",
     "events_mutual_information",
     "source_health_report",
+    "lineitem_weighted_median",
 ]
 
 

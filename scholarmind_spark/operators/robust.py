@@ -77,6 +77,72 @@ def winsorize(
     )
 
 
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """``group, wmedian`` — the lower weighted median per group: the
+    smallest value whose running weight (ordered by value, ties by
+    value only — the prefix weight of equal values is order-free)
+    reaches half the group's total weight.
+
+    All-integer selection: weights are int64, the threshold compare is
+    ``2 * cumw >= total_w`` (no halving, no floats), and the chosen
+    value is an actual data value.  One shuffle on the group key, one
+    window pass — the same cost envelope as any per-group quantile.
+    Null values or weights are excluded (not rankable)."""
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = base.select(
+        "g",
+        "v",
+        F.sum("w").over(w_cum).alias("__cumw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("__tot"),
+    )
+    # ties on v share a value, so WHICH tied row first crosses the
+    # threshold cannot change the selected v
+    return (
+        ranked.filter(F.lit(2) * F.col("__cumw") >= F.col("__tot"))
+        .groupBy("g")
+        .agg(F.min("v").alias("wmedian"))
+        .select(F.col("g").alias(group_col), "wmedian")
+    )
+
+
+def weighted_median_sql(
+    table: str, group_col: str, value_col: str, weight_col: str
+) -> str:
+    """DuckDB twin of :func:`weighted_median`."""
+    return f"""
+WITH __b AS (
+  SELECT {group_col} AS g, {value_col} AS v, {weight_col}::BIGINT AS w
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+),
+__r AS (
+  SELECT g, v,
+         sum(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cumw,
+         sum(w) OVER (PARTITION BY g)::BIGINT AS tot
+  FROM __b
+)
+SELECT g AS {group_col}, min(v) AS wmedian
+FROM __r WHERE 2 * cumw >= tot GROUP BY g"""
+
+
 def winsorize_sql(
     table: str,
     group_col: str,

@@ -2675,6 +2675,32 @@ SELECT source, n_docs, total_chars,
 FROM __agg ORDER BY source"""
 
 
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (operators/robust.weighted_median): per
+    return-flag median extended price weighted by quantity — all-integer
+    threshold selection, returned value is an actual data value.
+    (Weights are integral-valued doubles, so the long cast is exact on
+    both engines despite their different double→int rounding rules.)"""
+    from scholarmind_spark.operators.robust import weighted_median
+
+    return weighted_median(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity",
+    ).orderBy("l_returnflag")
+
+
+def _lineitem_weighted_median_sql() -> str:
+    from scholarmind_spark.operators.robust import weighted_median_sql
+
+    return (
+        "SELECT * FROM ("
+        + weighted_median_sql(
+            "lineitem", "l_returnflag", "l_extendedprice", "l_quantity"
+        )
+        + ") ORDER BY l_returnflag"
+    )
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3728,6 +3754,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_winsorize": events_winsorize,
     "events_mutual_information": events_mutual_information,
     "source_health_report": source_health_report,
+    "lineitem_weighted_median": lineitem_weighted_median,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3848,6 +3875,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_winsorize": _events_winsorize_sql(),
     "events_mutual_information": _events_mutual_information_sql(),
     "source_health_report": _source_health_report_sql(),
+    "lineitem_weighted_median": _lineitem_weighted_median_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
