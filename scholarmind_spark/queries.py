@@ -2890,6 +2890,31 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_rolling_anomaly (streaming/stateful.
+    stateful_anomaly): the trailing-window z-score flag as a custom
+    stateful operator — O(window) int64 state per user, same cleared-form
+    integer predicate, drained with availableNow.  The oracle is the
+    SAME batch SQL as the batch gate: stream == batch, verified."""
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory
+    from scholarmind_spark.streaming.stateful import stateful_anomaly
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(stateful_anomaly(stream), mode="update").orderBy(
+        "event_id"
+    )
+
+
+def _events_stream_anomaly_sql() -> str:
+    from scholarmind_spark.operators.anomaly import rolling_anomalies_sql
+
+    return (
+        "SELECT * FROM ("
+        + rolling_anomalies_sql("events")
+        + ") ORDER BY event_id"
+    )
+
+
 def events_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-user running totals, drained with availableNow.  The single-file
@@ -3755,6 +3780,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_mutual_information": events_mutual_information,
     "source_health_report": source_health_report,
     "lineitem_weighted_median": lineitem_weighted_median,
+    "events_stream_anomaly": events_stream_anomaly,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3876,6 +3902,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_mutual_information": _events_mutual_information_sql(),
     "source_health_report": _source_health_report_sql(),
     "lineitem_weighted_median": _lineitem_weighted_median_sql(),
+    "events_stream_anomaly": _events_stream_anomaly_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -89,6 +91,110 @@ def _update(
             "total_value": [round(total, 6)],
             "last_seen_us": [last],
         }
+    )
+
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [StructField("recent", ArrayType(LongType()))]
+)
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("event_id", LongType()),
+        StructField("x_milli", LongType()),
+        StructField("n", LongType()),
+        StructField("mean_milli", LongType()),
+        StructField("anomaly", BooleanType()),
+    ]
+)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    # Spark `div` and DuckDB `//` both truncate toward zero; Python //
+    # floors — pin truncation explicitly so negative sums can't diverge
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _anomaly_update_factory(window: int, min_n: int, z: int):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (recent,) = state.get if state.exists else ([],)
+        recent = list(recent)
+        out: dict[str, list] = {c: [] for c in
+                                ("key", "event_id", "x_milli", "n",
+                                 "mean_milli", "anomaly")}
+        for pdf in pdfs:
+            # event-time order within the batch: state semantics must not
+            # depend on Arrow chunk arrival order
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v, eid in zip(pdf["value"], pdf["event_id"]):
+                x = float(v) * 1000.0
+                # HALF_UP like both engines' round(); Python round() is
+                # banker's and would diverge on exact halves
+                xi = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+                n = len(recent)
+                if n >= min_n:
+                    s = sum(recent)
+                    q = sum(r * r for r in recent)
+                    dev = n * xi - s
+                    out["key"].append(key[0])
+                    out["event_id"].append(int(eid))
+                    out["x_milli"].append(xi)
+                    out["n"].append(n)
+                    out["mean_milli"].append(_trunc_div(s, n))
+                    out["anomaly"].append(
+                        n * dev * dev > z * z * (n * q - s * s)
+                    )
+                recent.append(xi)
+                if len(recent) > window:
+                    recent.pop(0)
+        state.update((recent,))
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    return _update
+
+
+def stateful_anomaly(
+    events: DataFrame,
+    window: int = 10,
+    min_n: int = 5,
+    z: int = 3,
+    idle_timeout: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.anomaly.rolling_anomalies``: the
+    trailing-window z-score flag as a custom stateful operator.
+
+    State per user is just the last ``window`` milli-quantized values
+    (int64 array — O(window) bytes per key, evictable via the event-time
+    timeout), and the flag math is the same cleared-form all-integer
+    predicate as the batch operator, so a drained stream reproduces the
+    batch answer exactly — the oracle for both IS the batch SQL twin.
+    Rows are processed in (ts, event_id) event-time order within each
+    microbatch; cross-batch ordering follows file/trigger order, which
+    the availableNow gate harness pins to a single batch."""
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    grouped = events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    )
+    return grouped.applyInPandasWithState(
+        _anomaly_update_factory(window, min_n, z),
+        ANOMALY_OUTPUT_SCHEMA,
+        ANOMALY_STATE_SCHEMA,
+        "update",
+        timeout,
     )
 
 

@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 SKIP = {
     "events_tumbling_stream", "events_sliding_stream", "events_session_stream",
     "events_stream_dedup", "events_stream_interval_join", "events_stream_enrich",
+    "events_stream_anomaly",
     "events_stateful_user_stats", "bucketed_join_revenue", "dedup_clusters",
     "jsonl_roundtrip", "partitioned_prune_events", "orc_roundtrip",
     "diag_jsonl_len", "diag_jsonl_hash", "diag_orc_ints", "diag_orc_price",

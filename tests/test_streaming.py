@@ -109,3 +109,23 @@ def test_stream_interval_join_equals_batch(spark, batch_events):
     assert _canon(got, cols) == _canon(want, cols)
     # every lag respects the interval bound
     assert got.filter((F.col("lag_us") < 0) | (F.col("lag_us") > 14_400_000_000)).count() == 0
+
+
+def test_stateful_anomaly_equals_batch(spark, batch_events):
+    """Streaming trailing-window z-score (applyInPandasWithState) emits
+    exactly the batch operator's rows — same integer predicate, same
+    window contents."""
+    from scholarmind_spark.operators.anomaly import rolling_anomalies
+    from scholarmind_spark.streaming import read_events_stream, run_to_memory
+    from scholarmind_spark.streaming.stateful import stateful_anomaly
+
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = _canon(
+        run_to_memory(stateful_anomaly(stream), mode="update"),
+        ["key", "event_id", "x_milli", "n", "mean_milli", "anomaly"],
+    )
+    want = _canon(
+        rolling_anomalies(batch_events),
+        ["key", "event_id", "x_milli", "n", "mean_milli", "anomaly"],
+    )
+    assert got == want and len(got) > 0
