@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "events_mutual_information",
     "source_health_report",
     "lineitem_weighted_median",
+    "events_stream_anomaly",
+    "dataset_shuffle_order",
 ]
 
 

@@ -2701,6 +2701,31 @@ def _lineitem_weighted_median_sql() -> str:
     )
 
 
+def dataset_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum shuffle (operators/ordering): band-major
+    (length tier) / md5-hash-minor reproducible training order; the
+    top-50 head pins the permutation (TakeOrderedAndProject — never a
+    single-task global sort)."""
+    from scholarmind_spark.operators.ordering import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(
+        d, ["doc_id"], seed=1, band=F.expr("n_chars div 1000")
+    )
+    return out.select("doc_id", "band", "shuffle_pos").limit(50)
+
+
+def _dataset_shuffle_order_sql() -> str:
+    from scholarmind_spark.operators.ordering import shuffle_pos_sql
+
+    pos = shuffle_pos_sql(1, "doc_id")
+    return f"""
+SELECT doc_id, n_chars // 1000 AS band, {pos} AS shuffle_pos
+FROM documents
+ORDER BY band, shuffle_pos, doc_id
+LIMIT 50"""
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3781,6 +3806,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "source_health_report": source_health_report,
     "lineitem_weighted_median": lineitem_weighted_median,
     "events_stream_anomaly": events_stream_anomaly,
+    "dataset_shuffle_order": dataset_shuffle_order,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3903,6 +3929,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_health_report": _source_health_report_sql(),
     "lineitem_weighted_median": _lineitem_weighted_median_sql(),
     "events_stream_anomaly": _events_stream_anomaly_sql(),
+    "dataset_shuffle_order": _dataset_shuffle_order_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
