@@ -59,3 +59,74 @@ def two_phase_distinct_count(
     return pairs.groupBy(F.col("__k").alias(key if isinstance(key, str) else "key")).agg(
         F.count("*").alias(out_col)
     )
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+    """One-row skew diagnosis for a prospective join/agg key: distinct
+    key count, total rows, the maximum and top-k frequencies, and the
+    max/mean ratio in integer per-mille — the numbers that decide
+    between a plain shuffle join, AQE skew splitting, and
+    :func:`salted_join`.
+
+    Two aggregates: key frequencies (one partial-agg shuffle of the
+    input), then a scalar roll-up of the tiny frequency relation —
+    cost is the same as the groupBy the key would pay anyway.  The
+    top-k hot keys are gathered with ``sort_array(collect_list)``
+    over the top-k-filtered rows, never a global sort."""
+    freq = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition heaps
+    # + driver merge) — the frequency relation can itself be huge, so no
+    # global window / single-task sort here
+    hot = freq.orderBy(F.desc("n"), F.asc("k")).limit(top_k)
+    stats = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_freq"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        # max/mean in per-mille, all-integer: mean = n_rows/n_keys
+        F.expr("(max_freq * n_keys * 1000) div n_rows").alias(
+            "skew_permille"
+        ),
+    )
+    hot_list = hot.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("n"), F.col("k"))), asc=False
+        ).alias("hot")
+    ).select(
+        F.transform("hot", lambda s: s["k"]).alias("hot_keys"),
+        F.transform("hot", lambda s: s["n"]).alias("hot_freqs"),
+    )
+    return stats.crossJoin(F.broadcast(hot_list))
+
+
+def skew_report_sql(table: str, key_expr: str, top_k: int = 5) -> str:
+    """DuckDB twin of :func:`skew_report`."""
+    return f"""
+WITH __freq AS (
+  SELECT ({key_expr})::VARCHAR AS k, count(*)::BIGINT AS n
+  FROM {table} GROUP BY 1
+),
+__stats AS (
+  SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+         max(n)::BIGINT AS max_freq
+  FROM __freq
+),
+__hot AS (
+  SELECT k, n FROM __freq ORDER BY n DESC, k LIMIT {top_k}
+),
+__hot_list AS (
+  SELECT list_transform(l, s -> s['k']) AS hot_keys,
+         list_transform(l, s -> s['n']) AS hot_freqs
+  FROM (
+    SELECT list_sort(list({{'n': n, 'k': k}}), 'DESC') AS l FROM __hot
+  )
+)
+SELECT n_keys, n_rows, max_freq,
+       (max_freq * n_keys * 1000) // n_rows AS skew_permille,
+       hot_keys, hot_freqs
+FROM __stats, __hot_list"""

@@ -2726,6 +2726,21 @@ ORDER BY band, shuffle_pos, doc_id
 LIMIT 50"""
 
 
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
+    counts, hot-key list, and the integer per-mille max/mean ratio for
+    the events user_id key — the decision input for salting vs AQE."""
+    from scholarmind_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
+def _skew_key_report_sql() -> str:
+    from scholarmind_spark.operators.skew import skew_report_sql
+
+    return skew_report_sql("events", "user_id")
+
+
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing featurizer (operators/features.hash_features):
     sparse signed-TF vectors in 64 hash buckets, L2-normalized — the
@@ -3807,6 +3822,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "lineitem_weighted_median": lineitem_weighted_median,
     "events_stream_anomaly": events_stream_anomaly,
     "dataset_shuffle_order": dataset_shuffle_order,
+    "skew_key_report": skew_key_report,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3930,6 +3946,7 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_weighted_median": _lineitem_weighted_median_sql(),
     "events_stream_anomaly": _events_stream_anomaly_sql(),
     "dataset_shuffle_order": _dataset_shuffle_order_sql(),
+    "skew_key_report": _skew_key_report_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
