@@ -13,8 +13,13 @@ from scholarmind_spark.operators.graph import (
 
 
 def _ranks(spark, edges, **kw):
+    from scholarmind_spark.util import release_caches
+
     df = spark.createDataFrame(edges, ["src", "dst", "weight"])
-    return {r["node"]: r["rank_micro"] for r in pagerank(df, **kw).collect()}
+    out = pagerank(df, **kw)
+    rows = {r["node"]: r["rank_micro"] for r in out.collect()}
+    release_caches(out)
+    return rows
 
 
 def test_two_node_cycle_is_symmetric(spark):
@@ -55,10 +60,11 @@ def test_matches_duckdb_oracle_on_documents(spark, tmp_path):
     )
     p = str(tmp_path / "documents.parquet")
     docs.coalesce(1).write.parquet(p)
-    got = {
-        (r["node"], r["rank_micro"])
-        for r in pagerank(cooccurrence_edges(docs), iterations=4).collect()
-    }
+    from scholarmind_spark.util import release_caches
+
+    out = pagerank(cooccurrence_edges(docs), iterations=4)
+    got = {(r["node"], r["rank_micro"]) for r in out.collect()}
+    release_caches(out)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
     want = set(
@@ -72,7 +78,24 @@ def test_matches_duckdb_oracle_on_documents(spark, tmp_path):
 def test_pagerank_plan_stays_flat(spark):
     # lineage is truncated every round: the final plan must not embed
     # one join tree per iteration (the cluster.py OOM class).
+    from scholarmind_spark.util import release_caches
+
     df = spark.createDataFrame([("a", "b", 1), ("b", "a", 1)], ["src", "dst", "weight"])
     out = pagerank(df, iterations=8)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
+    release_caches(out)
     assert plan.count("Join") <= 2
+
+
+def test_pagerank_releases_all_blocks(spark):
+    # loop working set freed internally; the attached final checkpoint
+    # freed by release_caches — nothing may leak into getPersistentRDDs
+    from scholarmind_spark.util import release_caches
+
+    spark.catalog.clearCache()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([("a", "b", 1), ("b", "a", 1)], ["src", "dst", "weight"])
+    out = pagerank(df, iterations=3)
+    out.collect()
+    release_caches(out)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base

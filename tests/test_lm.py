@@ -5,12 +5,20 @@ import math
 import duckdb
 
 from scholarmind_spark.operators.lm import bigram_lm_score, bigram_lm_score_sql
+from scholarmind_spark.util import release_caches
+
+
+def _score(df, **kw):
+    out = bigram_lm_score(df, **kw)
+    rows = out.collect()
+    release_caches(out)
+    return rows
 
 
 def test_known_two_doc_corpus(spark):
     # corpus bigrams: (a,b) x2, (b,a) x1 ; C(a)=2, C(b)=1, V=2
     df = spark.createDataFrame([(1, "a b a"), (2, "a b")], ["doc_id", "text"])
-    rows = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    rows = {r["doc_id"]: r for r in _score(df)}
     p_ab = (2 + 1) / (2 + 2)  # C(a,b)+1 / C(a)+V
     p_ba = (1 + 1) / (1 + 2)
     t_ab = round(-math.log(p_ab) * 1e6)
@@ -25,7 +33,7 @@ def test_single_token_docs_are_omitted(spark):
     df = spark.createDataFrame(
         [(1, "only"), (2, ""), (3, None), (4, "two words")], ["doc_id", "text"]
     )
-    got = {r["doc_id"] for r in bigram_lm_score(df).collect()}
+    got = {r["doc_id"] for r in _score(df)}
     assert got == {4}
 
 
@@ -34,7 +42,7 @@ def test_heldout_unseen_bigrams_use_smoothing(spark):
     held = spark.createDataFrame([(9, "b b"), (8, "q q")], ["doc_id", "text"])
     rows = {
         r["doc_id"]: r["nll_micro"]
-        for r in bigram_lm_score(held, train_df=train).collect()
+        for r in _score(held, train_df=train)
     }
     # C(b)=1 (b starts one train bigram), V=2: P(b|b) = 1/(1+2)
     assert rows[9] == round(-math.log(1 / 3) * 1e6)
@@ -48,7 +56,7 @@ def test_gibberish_scores_worse_than_fluent(spark):
     df = spark.createDataFrame(
         [(1, fluent), (2, gibber)], ["doc_id", "text"]
     )
-    rows = {r["doc_id"]: r["nll_micro"] for r in bigram_lm_score(df).collect()}
+    rows = {r["doc_id"]: r["nll_micro"] for r in _score(df)}
     assert rows[2] > rows[1]
 
 
@@ -63,7 +71,7 @@ def test_matches_duckdb_twin(spark, tmp_path):
     df.coalesce(1).write.parquet(p)
     got = {
         (r["doc_id"], r["n_bigrams"], r["nll_micro"])
-        for r in bigram_lm_score(df).collect()
+        for r in _score(df)
     }
     con = duckdb.connect()
     con.sql(f"CREATE VIEW docs AS SELECT * FROM '{p}/*.parquet'")
