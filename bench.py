@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "lineitem_weighted_median",
     "events_stream_anomaly",
     "dataset_shuffle_order",
+    "skew_key_report",
+    "events_session_paths",
 ]
 
 

@@ -2726,6 +2726,21 @@ ORDER BY band, shuffle_pos, doc_id
 LIMIT 50"""
 
 
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining (operators/paths.session_paths): top-15 ordered
+    event-type sequences per 30-min-gap session — funnel discovery /
+    bot-pattern audit; per-session order pinned to (ts, event_id)."""
+    from scholarmind_spark.operators.paths import session_paths
+
+    return session_paths(_events(spark, sf_dir))
+
+
+def _events_session_paths_sql() -> str:
+    from scholarmind_spark.operators.paths import session_paths_sql
+
+    return session_paths_sql("events")
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3823,6 +3838,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_stream_anomaly": events_stream_anomaly,
     "dataset_shuffle_order": dataset_shuffle_order,
     "skew_key_report": skew_key_report,
+    "events_session_paths": events_session_paths,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3947,6 +3963,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_anomaly": _events_stream_anomaly_sql(),
     "dataset_shuffle_order": _dataset_shuffle_order_sql(),
     "skew_key_report": _skew_key_report_sql(),
+    "events_session_paths": _events_session_paths_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
