@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "dataset_shuffle_order",
     "skew_key_report",
     "events_session_paths",
+    "embed_quantize_int8",
 ]
 
 

@@ -54,7 +54,11 @@ def centroid_classify(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("label"),
         F.transform(
-            F.col(vec_col), lambda v: F.round(v * MICRO).cast("long")
+            # double BEFORE multiply: float32 `v * 1e6` rounds in 24-bit
+            # precision while DuckDB promotes to double (same latent
+            # boundary bug fixed in operators/quantize.py)
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * MICRO).cast("long"),
         ).alias("e"),
     )
     comp = q.select(
@@ -119,7 +123,7 @@ def centroid_classify_sql(
     return f"""
 WITH __q AS MATERIALIZED (
   SELECT {id_col} AS id, {label_col} AS label,
-         list_transform({vec_col}, v -> round(v * {MICRO})::BIGINT) AS e
+         list_transform({vec_col}, v -> round(v::DOUBLE * {MICRO})::BIGINT) AS e
   FROM {table}
 ),
 __comp AS (

@@ -2741,6 +2741,27 @@ def _events_session_paths_sql() -> str:
     return session_paths_sql("events")
 
 
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/quantize): codes +
+    per-vector micro scale in one codegen projection, zero shuffles —
+    the ANN-index compression pass."""
+    from scholarmind_spark.operators.quantize import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id"
+    )
+
+
+def _embed_quantize_int8_sql() -> str:
+    from scholarmind_spark.operators.quantize import quantize_embeddings_sql
+
+    return (
+        "SELECT * FROM ("
+        + quantize_embeddings_sql("embeddings")
+        + ") ORDER BY vec_id"
+    )
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3839,6 +3860,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dataset_shuffle_order": dataset_shuffle_order,
     "skew_key_report": skew_key_report,
     "events_session_paths": events_session_paths,
+    "embed_quantize_int8": embed_quantize_int8,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3964,6 +3986,7 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_shuffle_order": _dataset_shuffle_order_sql(),
     "skew_key_report": _skew_key_report_sql(),
     "events_session_paths": _events_session_paths_sql(),
+    "embed_quantize_int8": _embed_quantize_int8_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,
