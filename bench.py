@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "skew_key_report",
     "events_session_paths",
     "embed_quantize_int8",
+    "text_collocations",
 ]
 
 

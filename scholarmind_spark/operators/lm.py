@@ -148,3 +148,82 @@ __scored AS (
 SELECT id AS {id_col}, n_bigrams,
        (s_micro + n_bigrams // 2) // n_bigrams AS nll_micro
 FROM __scored"""
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """``u, v, c_uv, pmi_micro`` — the ``k`` strongest bigram
+    collocations by pointwise mutual information,
+
+        PMI(u,v) = ln( c_uv · T / (c_u⋅ · c⋅ᵥ) )
+
+    with T the total bigram count, c_u⋅ / c⋅ᵥ the positional margins.
+    The classic phrase-discovery signal (Church & Hanks 1990) for
+    tokenizer merge candidates and corpus phrase inventories.
+
+    The q_micro device again: PMI is one fixed-order float expression
+    of four INTEGER counts, rounded once to micro-nats — nothing
+    accumulates in floats.  ``min_count`` kills the low-frequency
+    PMI explosion (hapax pairs otherwise always win).
+
+    One shuffle for bigram counts; the margins re-aggregate the
+    (much smaller) count relation; top-k via TakeOrderedAndProject."""
+    bi = _doc_bigrams(df, id_col, text_col)
+    counts = bi.groupBy("u", "v").agg(F.count("*").alias("c_uv")).persist()
+    left = counts.groupBy("u").agg(F.sum("c_uv").alias("c_u"))
+    right = counts.groupBy("v").agg(F.sum("c_uv").alias("c_v"))
+    total = counts.agg(F.sum("c_uv").alias("__t"))
+    pmi = F.round(
+        (
+            F.log(F.col("c_uv").cast("double"))
+            + F.log(F.col("__t").cast("double"))
+            - F.log(F.col("c_u").cast("double"))
+            - F.log(F.col("c_v").cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    out = (
+        counts.filter(F.col("c_uv") >= min_count)
+        .join(F.broadcast(left), "u")
+        .join(F.broadcast(right), "v")
+        .crossJoin(F.broadcast(total))
+        .select("u", "v", "c_uv", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), F.asc("u"), F.asc("v"))
+        .limit(k)
+    )
+    from scholarmind_spark.util import attach_caches
+
+    return attach_caches(out, [counts])
+
+
+def collocations_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`collocations`."""
+    return f"""
+WITH __bi AS MATERIALIZED ({_doc_bigrams_sql(table, id_col, text_col)}),
+__counts AS MATERIALIZED (
+  SELECT u, v, count(*)::BIGINT AS c_uv FROM __bi GROUP BY u, v
+),
+__left AS (SELECT u, sum(c_uv)::BIGINT AS c_u FROM __counts GROUP BY u),
+__right AS (SELECT v, sum(c_uv)::BIGINT AS c_v FROM __counts GROUP BY v),
+__tot AS (SELECT sum(c_uv)::BIGINT AS t FROM __counts)
+SELECT c.u, c.v, c.c_uv,
+       round((ln(c.c_uv::DOUBLE) + ln((SELECT t FROM __tot)::DOUBLE)
+              - ln(l.c_u::DOUBLE) - ln(r.c_v::DOUBLE))
+             * 1000000.0)::BIGINT AS pmi_micro
+FROM __counts c
+JOIN __left l ON c.u = l.u
+JOIN __right r ON c.v = r.v
+WHERE c.c_uv >= {min_count}
+ORDER BY pmi_micro DESC, c.u, c.v
+LIMIT {k}"""

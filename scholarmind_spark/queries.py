@@ -2762,6 +2762,21 @@ def _embed_quantize_int8_sql() -> str:
     )
 
 
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (operators/lm.collocations): top-20 bigram pairs
+    by pointwise mutual information (min count 5) — phrase discovery /
+    tokenizer merge candidates, micro-nat exact."""
+    from scholarmind_spark.operators.lm import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"))
+
+
+def _text_collocations_sql() -> str:
+    from scholarmind_spark.operators.lm import collocations_sql
+
+    return collocations_sql("documents")
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3861,6 +3876,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "skew_key_report": skew_key_report,
     "events_session_paths": events_session_paths,
     "embed_quantize_int8": embed_quantize_int8,
+    "text_collocations": text_collocations,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -3987,6 +4003,7 @@ ORACLE_SQL: dict[str, str] = {
     "skew_key_report": _skew_key_report_sql(),
     "events_session_paths": _events_session_paths_sql(),
     "embed_quantize_int8": _embed_quantize_int8_sql(),
+    "text_collocations": _text_collocations_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

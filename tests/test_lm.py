@@ -77,3 +77,33 @@ def test_matches_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW docs AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(bigram_lm_score_sql("docs")).fetchall())
     assert got == want
+
+
+def test_collocations_rank_known_pairs(spark):
+    from scholarmind_spark.operators.lm import collocations
+
+    # "new york" always together (PMI high); "the x" spread everywhere
+    docs = [(i, f"new york w{i} the a{i % 3} the b{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = collocations(df, min_count=5, k=5)
+    rows = out.collect()
+    release_caches(out)
+    assert rows[0]["u"] == "new" and rows[0]["v"] == "york"
+    assert all(r["c_uv"] >= 5 for r in rows)
+    assert rows[0]["pmi_micro"] > rows[-1]["pmi_micro"]
+
+
+def test_collocations_match_duckdb(spark, tmp_path):
+    from scholarmind_spark.operators.lm import collocations, collocations_sql
+
+    docs = [(i, " ".join(f"t{(i * j) % 7}" for j in range(12))) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    p = str(tmp_path / "d.parquet")
+    df.coalesce(1).write.parquet(p)
+    out = collocations(df, min_count=3, k=10)
+    got = [(r["u"], r["v"], r["c_uv"], r["pmi_micro"]) for r in out.collect()]
+    release_caches(out)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW d AS SELECT * FROM '{p}/*.parquet'")
+    want = con.sql(collocations_sql("d", min_count=3, k=10)).fetchall()
+    assert got == want and len(got) == 10

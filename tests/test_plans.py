@@ -29,7 +29,7 @@ BNLJ_OK = {
     "ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells",
     "dataset_mixture", "text_bm25_topk", "text_lm_score",
     "embed_centroid_classify", "source_vocab_overlap", "fk_audit",
-    "events_mutual_information", "skew_key_report",
+    "events_mutual_information", "skew_key_report", "text_collocations",
 }
 
 
