@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "events_session_paths",
     "embed_quantize_int8",
     "text_collocations",
+    "orders_fd_audit",
 ]
 
 

@@ -66,3 +66,54 @@ FROM {child}"""
         for name, child, fk, parent, pk in edges
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def fd_audit(
+    df: DataFrame, lhs: str, rhs: str
+) -> DataFrame:
+    """Functional-dependency audit: does ``lhs`` determine ``rhs``?
+
+    One row: distinct lhs count, how many lhs values map to more than
+    one rhs (violations), the worst fan-out, and the exact violation
+    per-mille — the schema-inference check behind "can I use this as a
+    join key / dedup key / partition column".  ``lhs -> rhs`` holds
+    iff ``n_violating = 0``.
+
+    Two partial-aggregated shuffles: distinct (lhs, rhs) pairs, then a
+    per-lhs rollup of the (much smaller) pair relation; the final row
+    is a scalar aggregate.  NULL lhs rows are excluded (a null key
+    determines nothing); NULL rhs counts as a value (lhs -> NULL-or-x
+    is a real violation)."""
+    pairs = (
+        df.filter(F.col(lhs).isNotNull())
+        .select(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
+        .distinct()
+    )
+    per_l = pairs.groupBy("l").agg(F.count("*").alias("fanout"))
+    return per_l.agg(
+        F.count("*").cast("bigint").alias("n_lhs"),
+        F.sum((F.col("fanout") > 1).cast("long")).cast("bigint").alias(
+            "n_violating"
+        ),
+        F.max("fanout").cast("bigint").alias("max_fanout"),
+        F.expr(
+            "(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) * 1000"
+            " + count(*) div 2) div count(*)"
+        ).alias("violation_permille"),
+    )
+
+
+def fd_audit_sql(table: str, lhs: str, rhs: str) -> str:
+    """DuckDB twin of :func:`fd_audit`."""
+    return f"""
+WITH __pairs AS (
+  SELECT DISTINCT {lhs} AS l, {rhs} AS r FROM {table}
+  WHERE {lhs} IS NOT NULL
+),
+__per_l AS (SELECT l, count(*)::BIGINT AS fanout FROM __pairs GROUP BY l)
+SELECT count(*)::BIGINT AS n_lhs,
+       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       max(fanout)::BIGINT AS max_fanout,
+       (sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT * 1000
+        + count(*)::BIGINT // 2) // count(*)::BIGINT AS violation_permille
+FROM __per_l"""

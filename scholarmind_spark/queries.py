@@ -2777,6 +2777,21 @@ def _text_collocations_sql() -> str:
     return collocations_sql("documents")
 
 
+def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/audit.fd_audit): does
+    o_orderkey determine o_custkey (a key-quality check — it must) —
+    one scalar row with violation counts and worst fan-out."""
+    from scholarmind_spark.operators.audit import fd_audit
+
+    return fd_audit(_t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey")
+
+
+def _orders_fd_audit_sql() -> str:
+    from scholarmind_spark.operators.audit import fd_audit_sql
+
+    return fd_audit_sql("orders", "o_orderkey", "o_custkey")
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3877,6 +3892,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_session_paths": events_session_paths,
     "embed_quantize_int8": embed_quantize_int8,
     "text_collocations": text_collocations,
+    "orders_fd_audit": orders_fd_audit,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -4004,6 +4020,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_session_paths": _events_session_paths_sql(),
     "embed_quantize_int8": _embed_quantize_int8_sql(),
     "text_collocations": _text_collocations_sql(),
+    "orders_fd_audit": _orders_fd_audit_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

@@ -89,3 +89,25 @@ def test_fk_audit_matches_duckdb_twin(spark, tmp_path):
         fk_integrity_audit_sql([("c->p", "c", "fk", "p", "pk")])
     ).fetchall()
     assert got == want
+
+
+def test_fd_audit_detects_violations(spark):
+    from scholarmind_spark.operators.audit import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, None), (None, "x")],
+        "l: bigint, r: string",
+    )
+    r = fd_audit(df, "l", "r").collect()[0]
+    # lhs nulls excluded; lhs=2 maps to {a,b}; lhs=3 -> {NULL} is fine
+    assert (r["n_lhs"], r["n_violating"], r["max_fanout"]) == (3, 1, 2)
+    assert r["violation_permille"] == (1 * 1000 + 1) // 3
+
+
+def test_fd_audit_holds_for_true_dependency(spark):
+    from scholarmind_spark.operators.audit import fd_audit, fd_audit_sql
+    import duckdb
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)], "l: bigint, r: bigint")
+    r = fd_audit(df, "l", "r").collect()[0]
+    assert r["n_violating"] == 0 and r["max_fanout"] == 1
