@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "embed_quantize_int8",
     "text_collocations",
     "orders_fd_audit",
+    "events_daily_drift",
 ]
 
 

@@ -100,3 +100,84 @@ SELECT (SELECT n FROM __n) AS n_rows,
 FROM __cells c
 JOIN __mx m ON c.x = m.x
 JOIN __my y ON c.y = y.y"""
+
+
+def drift_kl(
+    df: DataFrame,
+    group: Column | str,
+    category: Column | str,
+) -> DataFrame:
+    """``grp, n_rows, kl_micro`` — KL( P(category | group) ‖ P(category) )
+    per group, in integer micro-nats: the distribution-drift monitor
+    (per-day event mix vs the overall mix, per-crawl-batch language mix
+    vs the corpus, ...).  0 means the slice looks like the whole.
+
+    Same two-level q_micro device as :func:`mutual_information`: with
+    integer counts c_gt, n_g, C_t, N the per-cell term
+
+        c_gt · ( ln c_gt + ln N − ln n_g − ln C_t )
+
+    is quantized to int64 micro-nats before the per-group sum, and the
+    final division by n_g is pinned integer rounding.
+
+    One shuffle builds the (group, category) cells; margins re-aggregate
+    the cells and broadcast back.
+    """
+    gc = F.col(group) if isinstance(group, str) else group
+    cc = F.col(category) if isinstance(category, str) else category
+    cells = (
+        df.select(gc.alias("g"), cc.alias("t"))
+        .filter(F.col("g").isNotNull() & F.col("t").isNotNull())
+        .groupBy("g", "t")
+        .agg(F.count("*").alias("c_gt"))
+    )
+    mg = cells.groupBy("g").agg(F.sum("c_gt").alias("n_g"))
+    mt = cells.groupBy("t").agg(F.sum("c_gt").alias("c_t"))
+    n = cells.agg(F.sum("c_gt").alias("__n"))
+    term = F.round(
+        F.col("c_gt")
+        * (
+            F.log("c_gt")
+            + F.log("__n")
+            - F.log("n_g")
+            - F.log("c_t")
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        cells.join(F.broadcast(mg), "g")
+        .join(F.broadcast(mt), "t")
+        .crossJoin(F.broadcast(n))
+        .select("g", "n_g", term.alias("__term"))
+        .groupBy("g")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_rows"),
+            F.expr("(sum(__term) + max(n_g) div 2) div max(n_g)").alias(
+                "kl_micro"
+            ),
+        )
+        .select(F.col("g").alias("grp"), "n_rows", "kl_micro")
+    )
+
+
+def drift_kl_sql(table: str, group_expr: str, category_expr: str) -> str:
+    """DuckDB twin of :func:`drift_kl`."""
+    return f"""
+WITH __cells AS MATERIALIZED (
+  SELECT g, t, count(*)::BIGINT AS c_gt FROM (
+    SELECT {group_expr} AS g, {category_expr} AS t FROM {table}
+  ) WHERE g IS NOT NULL AND t IS NOT NULL
+  GROUP BY g, t
+),
+__mg AS (SELECT g, sum(c_gt)::BIGINT AS n_g FROM __cells GROUP BY g),
+__mt AS (SELECT t, sum(c_gt)::BIGINT AS c_t FROM __cells GROUP BY t),
+__n AS (SELECT sum(c_gt)::BIGINT AS n FROM __cells)
+SELECT c.g AS grp, max(m.n_g) AS n_rows,
+       (sum(round(c.c_gt * (ln(c.c_gt) + ln((SELECT n FROM __n))
+                            - ln(m.n_g) - ln(t.c_t))
+                  * 1000000.0)::BIGINT)::BIGINT
+        + max(m.n_g) // 2) // max(m.n_g) AS kl_micro
+FROM __cells c
+JOIN __mg m ON c.g = m.g
+JOIN __mt t ON c.t = t.t
+GROUP BY c.g"""

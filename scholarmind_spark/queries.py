@@ -2792,6 +2792,29 @@ def _orders_fd_audit_sql() -> str:
     return fd_audit_sql("orders", "o_orderkey", "o_custkey")
 
 
+def events_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distribution drift (operators/mi.drift_kl): KL divergence
+    of each day's event-type mix vs the overall mix, micro-nat exact;
+    the day key is TZ-free integer epoch-day arithmetic."""
+    from scholarmind_spark.operators.mi import drift_kl
+
+    e = _events(spark, sf_dir)
+    day = F.expr("unix_timestamp(ts) div 86400")
+    return drift_kl(e, day, F.col("event_type")).orderBy("grp")
+
+
+def _events_daily_drift_sql() -> str:
+    from scholarmind_spark.operators.mi import drift_kl_sql
+
+    return (
+        "SELECT * FROM ("
+        + drift_kl_sql(
+            "events", "floor(epoch(ts))::BIGINT // 86400", "event_type"
+        )
+        + ") ORDER BY grp"
+    )
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3893,6 +3916,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "embed_quantize_int8": embed_quantize_int8,
     "text_collocations": text_collocations,
     "orders_fd_audit": orders_fd_audit,
+    "events_daily_drift": events_daily_drift,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -4021,6 +4045,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_quantize_int8": _embed_quantize_int8_sql(),
     "text_collocations": _text_collocations_sql(),
     "orders_fd_audit": _orders_fd_audit_sql(),
+    "events_daily_drift": _events_daily_drift_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

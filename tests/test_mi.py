@@ -42,3 +42,40 @@ def test_matches_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
     want = con.sql(mutual_information_sql("t", "x", "y")).fetchall()[0]
     assert got == want and got[2] > 0
+
+
+def test_drift_kl_zero_for_identical_slices(spark):
+    from scholarmind_spark.operators.mi import drift_kl
+
+    rows = [(g, t) for g in ("d1", "d2") for t in ("a", "a", "b")]
+    df = spark.createDataFrame(rows, ["g", "t"])
+    out = {r["grp"]: r["kl_micro"] for r in drift_kl(df, "g", "t").collect()}
+    assert out == {"d1": 0, "d2": 0}
+
+
+def test_drift_kl_flags_shifted_slice(spark):
+    import math
+
+    from scholarmind_spark.operators.mi import drift_kl
+
+    # d1 matches overall-ish; d2 is all-"b" — its KL must dominate
+    rows = [("d1", "a")] * 50 + [("d1", "b")] * 50 + [("d2", "b")] * 100
+    df = spark.createDataFrame(rows, ["g", "t"])
+    out = {r["grp"]: r["kl_micro"] for r in drift_kl(df, "g", "t").collect()}
+    assert out["d2"] > out["d1"] > 0
+    # d2 exact: all mass on b, q(b)=150/200 -> KL = ln(200/150)
+    assert abs(out["d2"] - round(math.log(200 / 150) * 1e6)) <= 2
+
+
+def test_drift_kl_matches_duckdb(spark, tmp_path):
+    from scholarmind_spark.operators.mi import drift_kl, drift_kl_sql
+
+    rows = [(f"d{i % 5}", f"t{(i * i) % 4}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "t"])
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in drift_kl(df, "g", "t").collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(drift_kl_sql("t", "g", "t")).fetchall())
+    assert got == want and len(got) == 5

@@ -30,6 +30,7 @@ BNLJ_OK = {
     "dataset_mixture", "text_bm25_topk", "text_lm_score",
     "embed_centroid_classify", "source_vocab_overlap", "fk_audit",
     "events_mutual_information", "skew_key_report", "text_collocations",
+    "events_daily_drift",
 }
 
 
