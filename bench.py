@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "text_collocations",
     "orders_fd_audit",
     "events_daily_drift",
+    "dedup_containment",
 ]
 
 

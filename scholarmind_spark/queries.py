@@ -2815,6 +2815,27 @@ def _events_daily_drift_sql() -> str:
     )
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup (operators/neardup.containment_pairs):
+    docs ≥80% shingle-contained in another — the quote-farm / embedded-
+    chunk detector Jaccard misses; all-integer threshold."""
+    from scholarmind_spark.operators.neardup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents")).orderBy(
+        "inner_id", "outer_id"
+    )
+
+
+def _dedup_containment_sql() -> str:
+    from scholarmind_spark.operators.neardup import containment_pairs_sql
+
+    return (
+        "SELECT * FROM ("
+        + containment_pairs_sql("documents")
+        + ") ORDER BY inner_id, outer_id"
+    )
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3917,6 +3938,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_collocations": text_collocations,
     "orders_fd_audit": orders_fd_audit,
     "events_daily_drift": events_daily_drift,
+    "dedup_containment": dedup_containment,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -4046,6 +4068,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_collocations": _text_collocations_sql(),
     "orders_fd_audit": _orders_fd_audit_sql(),
     "events_daily_drift": _events_daily_drift_sql(),
+    "dedup_containment": _dedup_containment_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

@@ -80,3 +80,42 @@ def test_neardup_operators_release_all_caches(spark):
         assert _n_cached(spark) > 0  # the operator did cache while running
         release_caches(out)
         assert _n_cached(spark) == 0
+
+
+def test_containment_detects_embedded_doc(spark):
+    from scholarmind_spark.operators.neardup import containment_pairs
+    from scholarmind_spark.util import release_caches
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short = " ".join(f"w{i}" for i in range(20, 32))  # fully inside
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short), (3, other)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, tau_permille=900)
+    rows = {(r["inner_id"], r["outer_id"]): r["containment_permille"]
+            for r in out.collect()}
+    release_caches(out)
+    # short is 100% contained in long; the reverse is far below tau
+    assert rows == {(2, 1): 1000}
+
+
+def test_containment_matches_duckdb(spark, tmp_path):
+    from scholarmind_spark.operators.neardup import (
+        containment_pairs, containment_pairs_sql,
+    )
+    from scholarmind_spark.util import release_caches
+    import duckdb
+
+    docs = [(i, " ".join(f"t{(i * 3 + j) % 40}" for j in range(25))) for i in range(20)]
+    docs += [(100, " ".join(f"t{(5 * 3 + j) % 40}" for j in range(8)))]  # sub-doc
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = str(tmp_path / "d.parquet")
+    df.coalesce(1).write.parquet(p)
+    out = containment_pairs(df, tau_permille=700)
+    got = {tuple(r) for r in out.collect()}
+    release_caches(out)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW d AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(containment_pairs_sql("d", tau_permille=700)).fetchall())
+    assert got == want and got
