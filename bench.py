@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "orders_fd_audit",
     "events_daily_drift",
     "dedup_containment",
+    "events_benford_audit",
 ]
 
 

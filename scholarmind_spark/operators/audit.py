@@ -117,3 +117,98 @@ SELECT count(*)::BIGINT AS n_lhs,
        (sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT * 1000
         + count(*)::BIGINT // 2) // count(*)::BIGINT AS violation_permille
 FROM __per_l"""
+
+
+def benford_audit(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """First-significant-digit audit per group: ``grp, n, chi2_micro`` —
+    the chi-square distance of the observed digit distribution from
+    Benford's law, ``P(d) = log10(1 + 1/d)``.  The classic screen for
+    fabricated or mechanically-generated numeric columns (naturally
+    occurring multi-scale values follow Benford; uniform generators,
+    capped counters, and hand-typed numbers do not).
+
+    The statistic is a DIAGNOSTIC score, not a hypothesis test — rank
+    groups by it and eyeball the top.  Determinism: per-digit terms
+    ``(obs − n·L_d)² / (n·L_d)`` are each ONE fixed-order double
+    expression of integer counts and the literal Benford constants,
+    rounded to int64 micros before the 9-term sum (the repo's q_micro
+    device); missing digits participate as obs = 0 via a digit-spine
+    cross join (9 rows per group, broadcast).
+
+    One shuffle for (group, digit) counts; everything after is
+    proportional to groups x 9.  Zero/NULL values carry no leading
+    significant digit and are excluded."""
+    first_digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col(value_col)).cast("double"), 9),
+            r"[0.,]",
+            "",
+        ),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .select(F.col(group_col).alias("g"), first_digit.alias("d"))
+        .groupBy("g", "d")
+        .agg(F.count("*").alias("obs"))
+    )
+    spine = (
+        obs.select("g")
+        .distinct()
+        .select("g", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"))
+    )
+    n_g = obs.groupBy("g").agg(F.sum("obs").alias("n"))
+    exp = F.col("n") * (
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0))
+    )
+    term = F.round(
+        (F.col("obs_f") - exp) * (F.col("obs_f") - exp) / exp * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        spine.join(obs, ["g", "d"], "left")
+        .join(F.broadcast(n_g), "g")
+        .select(
+            "g",
+            "n",
+            "d",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("double").alias("obs_f"),
+        )
+        .select("g", "n", term.alias("__t"))
+        .groupBy("g")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.sum("__t").alias("chi2_micro"),
+        )
+        .select(F.col("g").alias(group_col), "n", "chi2_micro")
+    )
+
+
+def benford_audit_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`benford_audit` (same digit extraction via
+    a fixed 9-decimal rendering, same per-digit micro quantization)."""
+    return f"""
+WITH __obs AS (
+  SELECT g, d, count(*)::BIGINT AS obs FROM (
+    SELECT {group_col} AS g,
+           substring(regexp_replace(format('{{:.9f}}', abs({value_col})::DOUBLE),
+                                    '[0.,]', '', 'g'), 1, 1)::INT AS d
+    FROM {table}
+    WHERE {value_col} IS NOT NULL AND {value_col} <> 0
+  ) GROUP BY g, d
+),
+__spine AS (
+  SELECT g, d FROM (SELECT DISTINCT g FROM __obs), unnest(range(1, 10)) AS u(d)
+),
+__n AS (SELECT g, sum(obs)::BIGINT AS n FROM __obs GROUP BY g)
+SELECT s.g AS {group_col}, max(n.n) AS n,
+       sum(round((coalesce(o.obs, 0)::DOUBLE - n.n * (ln(1.0 + 1.0 / s.d) / ln(10.0)))
+                 * (coalesce(o.obs, 0)::DOUBLE - n.n * (ln(1.0 + 1.0 / s.d) / ln(10.0)))
+                 / (n.n * (ln(1.0 + 1.0 / s.d) / ln(10.0)))
+                 * 1000000.0)::BIGINT)::BIGINT AS chi2_micro
+FROM __spine s
+LEFT JOIN __obs o ON s.g = o.g AND s.d = o.d
+JOIN __n n ON s.g = n.g
+GROUP BY s.g"""

@@ -2836,6 +2836,28 @@ def _dedup_containment_sql() -> str:
     )
 
 
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/audit.benford_audit): per-type
+    chi-square distance of the value column's leading-digit distribution
+    from Benford's law — the fabricated-numbers screen (the synthetic
+    uniform generator scores far from Benford, as it should)."""
+    from scholarmind_spark.operators.audit import benford_audit
+
+    return benford_audit(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    ).orderBy("event_type")
+
+
+def _events_benford_audit_sql() -> str:
+    from scholarmind_spark.operators.audit import benford_audit_sql
+
+    return (
+        "SELECT * FROM ("
+        + benford_audit_sql("events", "event_type", "value")
+        + ") ORDER BY event_type"
+    )
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3939,6 +3961,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "orders_fd_audit": orders_fd_audit,
     "events_daily_drift": events_daily_drift,
     "dedup_containment": dedup_containment,
+    "events_benford_audit": events_benford_audit,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -4069,6 +4092,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_fd_audit": _orders_fd_audit_sql(),
     "events_daily_drift": _events_daily_drift_sql(),
     "dedup_containment": _dedup_containment_sql(),
+    "events_benford_audit": _events_benford_audit_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

@@ -111,3 +111,44 @@ def test_fd_audit_holds_for_true_dependency(spark):
     df = spark.createDataFrame([(i, i % 5) for i in range(50)], "l: bigint, r: bigint")
     r = fd_audit(df, "l", "r").collect()[0]
     assert r["n_violating"] == 0 and r["max_fanout"] == 1
+
+
+def test_benford_natural_vs_uniform(spark):
+    from scholarmind_spark.operators.audit import benford_audit
+
+    # powers-of-2 sequence follows Benford closely; constant-leading-5
+    # values are maximally non-Benford
+    natural = [("nat", float(2 ** i % 10**9 or 1)) for i in range(1, 120)]
+    flat = [("flat", 5.0 + i / 1000.0) for i in range(120)]
+    df = spark.createDataFrame(natural + flat, "g: string, v: double")
+    out = {r["g"]: r for r in benford_audit(df, "g", "v").collect()}
+    assert out["flat"]["chi2_micro"] > 10 * out["nat"]["chi2_micro"]
+    assert out["nat"]["n"] == 119 and out["flat"]["n"] == 120
+
+
+def test_benford_digit_extraction_and_exclusions(spark):
+    from scholarmind_spark.operators.audit import benford_audit
+
+    # 0 and NULL excluded; 0.004 and 400 both have first digit 4
+    df = spark.createDataFrame(
+        [("g", 0.004), ("g", 400.0), ("g", 0.0), ("g", None), ("g", -73.2)],
+        "g: string, v: double",
+    )
+    r = benford_audit(df, "g", "v").collect()[0]
+    assert r["n"] == 3  # 0.004, 400, -73.2
+
+
+def test_benford_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from scholarmind_spark.operators.audit import benford_audit, benford_audit_sql
+
+    rows = [(f"g{i % 2}", float((i * 37) % 997) / 7.0 + 0.01) for i in range(300)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in benford_audit(df, "g", "v").collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(benford_audit_sql("t", "g", "v")).fetchall())
+    assert got == want and len(got) == 2
