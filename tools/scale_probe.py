@@ -82,11 +82,16 @@ def probe(spark, sf_dir: str):
         )
         return fuzzy_link(vocab, "w", max_dist=2).count()
 
+    from scholarmind_spark.operators.lm import collocations
+    from scholarmind_spark.operators.neardup import containment_pairs
+
     ops = {
         "pagerank_6it": lambda df: pagerank(
             cooccurrence_edges(df), iterations=6
         ).count(),
         "bigram_lm_score": lambda df: bigram_lm_score(df).count(),
+        "collocations": lambda df: collocations(df, min_count=5, k=20).count(),
+        "containment": lambda df: containment_pairs(df, tau_permille=800).count(),
         "fuzzy_link_vocab": t_fuzzy,
         "exact_dedup_hash": t_exact,
         "pack_sequences": lambda df: pack_sequences(
