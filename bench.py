@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "events_daily_drift",
     "dedup_containment",
     "events_benford_audit",
+    "dedup_cluster_sizes",
 ]
 
 

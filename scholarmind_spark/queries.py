@@ -3442,6 +3442,38 @@ def _dedup_clusters_sql() -> str:
     return f"SELECT node, component, node = component AS is_survivor FROM ({cc})"
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters have
+    2, 3, ... members — the one-look summary of corpus duplication
+    structure (a fat tail means template farms, not pairwise dupes).
+    Composes the oracle-checked pairs→components chain with two tiny
+    aggregates; cluster membership count includes the survivor."""
+    from scholarmind_spark.operators.cluster import connected_components
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _dedup_cluster_sizes_sql() -> str:
+    from scholarmind_spark.operators.cluster import connected_components_sql
+
+    cc = connected_components_sql(
+        ngram_jaccard_pairs_sql("documents", threshold=0.6)
+    )
+    return f"""
+SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+  SELECT component, count(*)::BIGINT AS cluster_size
+  FROM ({cc}) GROUP BY component
+) GROUP BY cluster_size ORDER BY cluster_size"""
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-sink round-trip: write lineitem+orders bucketed on the join
     key (one shuffle paid at write), then join the bucketed tables — the
@@ -3962,6 +3994,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_daily_drift": events_daily_drift,
     "dedup_containment": dedup_containment,
     "events_benford_audit": events_benford_audit,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -4093,6 +4126,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_daily_drift": _events_daily_drift_sql(),
     "dedup_containment": _dedup_containment_sql(),
     "events_benford_audit": _events_benford_audit_sql(),
+    "dedup_cluster_sizes": _dedup_cluster_sizes_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

@@ -18,6 +18,7 @@ SKIP = {
     "events_stream_dedup", "events_stream_interval_join", "events_stream_enrich",
     "events_stream_anomaly",
     "events_stateful_user_stats", "bucketed_join_revenue", "dedup_clusters",
+    "dedup_cluster_sizes",
     "jsonl_roundtrip", "partitioned_prune_events", "orc_roundtrip",
     "diag_jsonl_len", "diag_jsonl_hash", "diag_orc_ints", "diag_orc_price",
 }
