@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "events_benford_audit",
     "dedup_cluster_sizes",
+    "events_interarrival",
 ]
 
 

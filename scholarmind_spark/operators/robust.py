@@ -171,3 +171,103 @@ __bounds AS (
 SELECT {ids}, t.{group_col}, t.{value_col},
        least(greatest(t.{value_col}, b.lo), b.hi) AS {value_col}_w
 FROM __t t JOIN __bounds b ON t.{group_col} = b.g"""
+
+
+def interarrival_quantiles(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    p_lo_micro: int = 500_000,
+    p_hi_micro: int = 900_000,
+    min_gaps: int = 3,
+) -> DataFrame:
+    """``key, n_gaps, p50_gap_us, p90_gap_us`` (names fixed to the
+    default percentiles) — per-key discrete quantiles of the
+    inter-event gaps, in exact integer microseconds.
+
+    The cadence profile behind engagement scoring, bot detection
+    (impossibly regular or impossibly fast gaps), and retention
+    features.  Everything is integer: gaps are instant micros minus
+    instant micros, and the quantiles are the k-th order statistics
+    with ``k = (n·p + 999999) div 1e6`` — the same tie-safe selection
+    device as :func:`winsorize`, so no engine can disagree.
+
+    One shuffle on the key; a lag window for gaps and a rank window for
+    selection ride the same partitioning (single Exchange in the plan).
+    """
+    # TZ-free epoch micros for BOTH timestamp dtypes the parquet reader
+    # can produce: NTZ goes through pure wall-clock timestampdiff (an
+    # NTZ→instant cast would route through the session timezone — the
+    # r2/r3 failure class), LTZ through unix_micros (already an instant)
+    dt = dict(df.dtypes).get(ts_col, "timestamp")
+    us = (
+        F.unix_micros(F.col(ts_col))
+        if dt == "timestamp"
+        else F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    )
+    w = Window.partitionBy("k").orderBy("us", order_tiebreak)
+    gaps = (
+        df.select(
+            F.col(key_col).alias("k"),
+            us.alias("us"),
+            F.col(order_tiebreak),
+        )
+        .select("k", (F.col("us") - F.lag("us").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    wg = Window.partitionBy("k").orderBy("gap")
+    ranked = gaps.select(
+        "k",
+        "gap",
+        F.row_number().over(wg).alias("__rn"),
+        F.count("*").over(Window.partitionBy("k")).alias("__n"),
+    ).filter(F.col("__n") >= min_gaps)
+    k_lo = F.expr(f"greatest((__n * {p_lo_micro} + {MICRO - 1}) div {MICRO}, 1)")
+    k_hi = F.expr(f"greatest((__n * {p_hi_micro} + {MICRO - 1}) div {MICRO}, 1)")
+    return (
+        ranked.filter((F.col("__rn") == k_lo) | (F.col("__rn") == k_hi))
+        .groupBy("k")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_gaps"),
+            F.min("gap").alias("p50_gap_us"),
+            F.max("gap").alias("p90_gap_us"),
+        )
+        .select(F.col("k").alias(key_col), "n_gaps", "p50_gap_us", "p90_gap_us")
+    )
+
+
+def interarrival_quantiles_sql(
+    table: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    p_lo_micro: int = 500_000,
+    p_hi_micro: int = 900_000,
+    min_gaps: int = 3,
+) -> str:
+    """DuckDB twin of :func:`interarrival_quantiles`."""
+    return f"""
+WITH __g AS (
+  SELECT k, gap FROM (
+    SELECT {key_col} AS k,
+           epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w AS gap
+    FROM {table}
+    WINDOW w AS (PARTITION BY {key_col} ORDER BY epoch_us({ts_col}), {order_tiebreak})
+  ) WHERE gap IS NOT NULL
+),
+__r AS (
+  SELECT k, gap,
+         row_number() OVER (PARTITION BY k ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY k)::BIGINT AS n
+  FROM __g
+)
+SELECT k AS {key_col}, max(n) AS n_gaps,
+       min(gap) AS p50_gap_us, max(gap) AS p90_gap_us
+FROM __r
+WHERE n >= {min_gaps}
+  AND (rn = greatest((n * {p_lo_micro} + {MICRO - 1}) // {MICRO}, 1)
+       OR rn = greatest((n * {p_hi_micro} + {MICRO - 1}) // {MICRO}, 1))
+GROUP BY k"""

@@ -2858,6 +2858,25 @@ def _events_benford_audit_sql() -> str:
     )
 
 
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence (operators/robust.interarrival_
+    quantiles): discrete p50/p90 of event gaps in exact integer micros —
+    engagement/bot-cadence features via the tie-safe rank device."""
+    from scholarmind_spark.operators.robust import interarrival_quantiles
+
+    return interarrival_quantiles(_events(spark, sf_dir)).orderBy("user_id")
+
+
+def _events_interarrival_sql() -> str:
+    from scholarmind_spark.operators.robust import interarrival_quantiles_sql
+
+    return (
+        "SELECT * FROM ("
+        + interarrival_quantiles_sql("events")
+        + ") ORDER BY user_id"
+    )
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -3995,6 +4014,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_containment": dedup_containment,
     "events_benford_audit": events_benford_audit,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "events_interarrival": events_interarrival,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -4127,6 +4147,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_containment": _dedup_containment_sql(),
     "events_benford_audit": _events_benford_audit_sql(),
     "dedup_cluster_sizes": _dedup_cluster_sizes_sql(),
+    "events_interarrival": _events_interarrival_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

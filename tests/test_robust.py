@@ -50,3 +50,51 @@ def test_matches_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW ev AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(winsorize_sql("ev", "g", "value", ["event_id"])).fetchall())
     assert got == want and len(got) == 202
+
+
+def _ev(spark, spec):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=s), u)
+        for i, (u, s) in enumerate(spec)
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+
+
+def test_interarrival_known_quantiles(spark):
+    from scholarmind_spark.operators.robust import interarrival_quantiles
+
+    # gaps for user 1: 10, 20, 30, 40 s -> n=4, k50=2 -> 20s, k90=4 -> 40s
+    spec = [(1, 0), (1, 10), (1, 30), (1, 60), (1, 100)]
+    r = interarrival_quantiles(_ev(spark, spec)).collect()[0]
+    assert (r["n_gaps"], r["p50_gap_us"], r["p90_gap_us"]) == (
+        4, 20_000_000, 40_000_000,
+    )
+
+
+def test_interarrival_min_gaps_filter(spark):
+    from scholarmind_spark.operators.robust import interarrival_quantiles
+
+    spec = [(1, 0), (1, 5), (2, 0), (2, 5), (2, 10), (2, 15)]
+    got = {r["user_id"] for r in interarrival_quantiles(_ev(spark, spec)).collect()}
+    assert got == {2}  # user 1 has only 1 gap
+
+
+def test_interarrival_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from scholarmind_spark.operators.robust import (
+        interarrival_quantiles, interarrival_quantiles_sql,
+    )
+
+    spec = [(u, (i * 7) % 500 + u) for u in range(4) for i in range(25)]
+    df = _ev(spark, spec)
+    p = str(tmp_path / "ev.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in interarrival_quantiles(df).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW ev AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(interarrival_quantiles_sql("ev")).fetchall())
+    assert got == want and len(got) == 4
