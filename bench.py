@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "events_benford_audit",
     "dedup_cluster_sizes",
     "events_interarrival",
+    "events_mad_outliers",
 ]
 
 

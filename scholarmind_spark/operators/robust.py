@@ -271,3 +271,111 @@ WHERE n >= {min_gaps}
   AND (rn = greatest((n * {p_lo_micro} + {MICRO - 1}) // {MICRO}, 1)
        OR rn = greatest((n * {p_hi_micro} + {MICRO - 1}) // {MICRO}, 1))
 GROUP BY k"""
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    k_milli: int = 3_000,
+) -> DataFrame:
+    """``*id_cols, group, value, med, mad, outlier`` — robust outlier
+    flags per group: ``|v − median| > (k_milli/1000) · MAD`` with MAD
+    the median absolute deviation.  Unlike the mean/σ z-test
+    (operators/anomaly.py), the breakdown point is 50%: half the group
+    can be garbage and the fence still stands — the right screen when
+    outliers are common enough to poison the mean itself.
+
+    Median and MAD are LOWER MEDIANS selected by the same tie-safe
+    integer rank device as :func:`winsorize` (``k = ceil(n/2)``), so
+    both are actual data-derived values; the fence compare
+    ``|v−med|·1000 > k_milli·mad`` multiplies each side by an integer
+    once — one IEEE operation per side, identical on both engines.
+    Null values are excluded.
+
+    Three passes over the group partition (rank for median, rank for
+    MAD, flag join) — all riding one hash partitioning on the group;
+    the two per-group scalars broadcast back.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *[F.col(c) for c in id_cols],
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    k_med = F.expr("(__n + 1) div 2")  # lower median rank
+    med = (
+        base.select(
+            "g",
+            "v",
+            F.row_number().over(w).alias("__rn"),
+            F.count("*").over(Window.partitionBy("g")).alias("__n"),
+        )
+        .filter(F.col("__rn") == k_med)
+        .select("g", F.col("v").alias("__med"))
+    )
+    dev = base.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("__med")).alias("d")
+    )
+    wd = Window.partitionBy("g").orderBy("d")
+    mad = (
+        dev.select(
+            "g",
+            "d",
+            F.row_number().over(wd).alias("__rn"),
+            F.count("*").over(Window.partitionBy("g")).alias("__n"),
+        )
+        .filter(F.col("__rn") == k_med)
+        .select("g", F.col("d").alias("__mad"))
+    )
+    return (
+        base.join(F.broadcast(med), "g")
+        .join(F.broadcast(mad), "g")
+        .select(
+            *id_cols,
+            F.col("g").alias(group_col),
+            F.col("v").alias(value_col),
+            F.col("__med").alias("med"),
+            F.col("__mad").alias("mad"),
+            (
+                F.abs(F.col("v") - F.col("__med")) * F.lit(1000)
+                > F.lit(k_milli) * F.col("__mad")
+            ).alias("outlier"),
+        )
+    )
+
+
+def mad_outliers_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    k_milli: int = 3_000,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers`."""
+    ids = ", ".join(id_cols)
+    return f"""
+WITH __b AS (
+  SELECT {ids}, {group_col} AS g, {value_col}::DOUBLE AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+__med AS (
+  SELECT g, v AS med FROM (
+    SELECT g, v,
+           row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g)::BIGINT AS n
+    FROM __b
+  ) WHERE rn = (n + 1) // 2
+),
+__mad AS (
+  SELECT g, d AS mad FROM (
+    SELECT b.g, abs(b.v - m.med) AS d,
+           row_number() OVER (PARTITION BY b.g ORDER BY abs(b.v - m.med)) AS rn,
+           count(*) OVER (PARTITION BY b.g)::BIGINT AS n
+    FROM __b b JOIN __med m ON b.g = m.g
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT {ids}, b.g AS {group_col}, b.v AS {value_col}, m.med, a.mad,
+       (abs(b.v - m.med) * 1000 > {k_milli} * a.mad) AS outlier
+FROM __b b JOIN __med m ON b.g = m.g JOIN __mad a ON b.g = a.g"""

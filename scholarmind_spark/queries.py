@@ -2877,6 +2877,28 @@ def _events_interarrival_sql() -> str:
     )
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags (operators/robust.mad_outliers):
+    |v − median| > 3·MAD per event_type — the 50%-breakdown companion
+    to the mean/σ trailing-window test; medians are tie-safe lower
+    order statistics, the fence compare is one IEEE op per side."""
+    from scholarmind_spark.operators.robust import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value", ["event_id"]
+    ).orderBy("event_id")
+
+
+def _events_mad_outliers_sql() -> str:
+    from scholarmind_spark.operators.robust import mad_outliers_sql
+
+    return (
+        "SELECT * FROM ("
+        + mad_outliers_sql("events", "event_type", "value", ["event_id"])
+        + ") ORDER BY event_id"
+    )
+
+
 def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/skew.skew_report): distinct/total
     counts, hot-key list, and the integer per-mille max/mean ratio for
@@ -4015,6 +4037,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_benford_audit": events_benford_audit,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "events_interarrival": events_interarrival,
+    "events_mad_outliers": events_mad_outliers,
     "events_stream_dedup": events_stream_dedup,
     "events_stream_interval_join": events_stream_interval_join,
     "events_stateful_user_stats": events_stateful_user_stats,
@@ -4148,6 +4171,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_benford_audit": _events_benford_audit_sql(),
     "dedup_cluster_sizes": _dedup_cluster_sizes_sql(),
     "events_interarrival": _events_interarrival_sql(),
+    "events_mad_outliers": _events_mad_outliers_sql(),
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_interval_join": EVENTS_STREAM_INTERVAL_JOIN_SQL,
     "events_stateful_user_stats": EVENTS_STATEFUL_SQL,

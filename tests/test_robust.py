@@ -98,3 +98,44 @@ def test_interarrival_matches_duckdb(spark, tmp_path):
     con.sql(f"CREATE VIEW ev AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(interarrival_quantiles_sql("ev")).fetchall())
     assert got == want and len(got) == 4
+
+
+def test_mad_flags_outlier_mean_would_miss(spark):
+    from scholarmind_spark.operators.robust import mad_outliers
+
+    # 40% of the group is garbage (1000.0): the mean/σ fence is blown,
+    # but median=10-ish and MAD stand
+    vals = [10.0, 10.2, 9.9, 10.1, 9.8, 10.0] + [1000.0] * 4
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id: bigint, g: string, value: double")
+    got = {r["event_id"]: r["outlier"] for r in
+           mad_outliers(df, "g", "value", ["event_id"]).collect()}
+    assert all(got[i] for i in range(6, 10))       # garbage flagged
+    assert not any(got[i] for i in range(6))       # clean rows kept
+
+
+def test_mad_constant_group_flags_any_deviation(spark):
+    from scholarmind_spark.operators.robust import mad_outliers
+
+    rows = [(i, "a", 5.0) for i in range(9)] + [(99, "a", 5.001)]
+    df = spark.createDataFrame(rows, "event_id: bigint, g: string, value: double")
+    got = {r["event_id"]: r["outlier"] for r in
+           mad_outliers(df, "g", "value", ["event_id"]).collect()}
+    # MAD = 0: any nonzero deviation exceeds 3*0
+    assert got[99] is True and got[0] is False
+
+
+def test_mad_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from scholarmind_spark.operators.robust import mad_outliers, mad_outliers_sql
+
+    rows = [(i, f"g{i % 3}", float((i * 53) % 211) / 3.0) for i in range(150)]
+    df = spark.createDataFrame(rows, "event_id: bigint, g: string, value: double")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in mad_outliers(df, "g", "value", ["event_id"]).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(mad_outliers_sql("t", "g", "value", ["event_id"])).fetchall())
+    assert got == want and len(got) == 150
