@@ -1,8 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "reps": {name: [rep1, rep2, rep3]},
-"sf": ...}.
+compact JSON line to stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: median_sec}, "sf": ...}.  Per-rep
+timing arrays go to stderr — the driver's stdout capture truncates long
+lines (BENCH_r04/r05 recorded "parsed": null), so stdout carries medians
+only and stays well under a few KB.
 
 Each query is executed as Spark would in production — full plan to a
 count/collect action — and timed wall-clock.  A warmup pass on a trivial
@@ -152,18 +154,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall-clock total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Per-rep detail is diagnostics, not the machine-readable result:
+    # keep it off stdout so the driver's capture never truncates the line.
+    print("# reps: " + json.dumps(reps), file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline-query wall-clock total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 
