@@ -19,7 +19,7 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scholarmind_spark.schemas import ARRAY_COLUMNS, RECORD_COLUMNS, RECORD_SCHEMA
@@ -28,6 +28,31 @@ PARSE_COLUMNS = [c for c in RECORD_COLUMNS if c != "record_id"]
 
 # mapInPandas output schema = RECORD_SCHEMA minus record_id
 _PARSE_SCHEMA = RECORD_SCHEMA.simpleString().replace("record_id:bigint,", "")
+
+# scan_files threads the source file path + within-file record ordinal
+# through the parser so record_id can be derived from them.
+_SCAN_SCHEMA = _PARSE_SCHEMA[:-1] + ",_file:string,_ordinal:bigint>"
+
+
+def stable_record_id(*extra: Column) -> Column:
+    """Deterministic 64-bit record key: ``xxhash64`` over the full record
+    content plus any caller-supplied discriminators (source file path,
+    within-file ordinal).
+
+    ``monotonically_increasing_id`` values depend on partition layout, so
+    they are NOT stable across task retries or input re-splits — with
+    speculative execution the keyed LLM attach (U1/J2, ``llm/extract.py``)
+    could silently misalign AI columns, the exact bug class the keyed join
+    exists to kill.  A content/provenance hash recomputes to the same value
+    no matter how the input is split.
+
+    Collision envelope: 64-bit hash → ~50% birthday collision at ~5e9
+    records *per attach scope*; the reference's scope is one upload session
+    (16 MB/file), orders of magnitude below that.  Byte-identical records
+    with identical discriminators share an id by design (content-addressed);
+    priority-dedup collapses them downstream.
+    """
+    return F.xxhash64(*[F.col(c) for c in PARSE_COLUMNS], *extra)
 
 
 def normalize_newlines(text: str) -> str:
@@ -78,17 +103,26 @@ def scan_files(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf["value"]:
-                yield records_to_pdf(parse_file(content))
+            for content, fpath in zip(pdf["value"], pdf["_file"]):
+                out = records_to_pdf(parse_file(content))
+                out["_file"] = fpath
+                out["_ordinal"] = list(range(len(out)))
+                yield out
 
-    raw = spark.read.text(path, wholetext=True)
-    parsed = raw.mapInPandas(run, schema=_PARSE_SCHEMA)
+    raw = spark.read.text(path, wholetext=True).select(
+        "value", F.col("_metadata.file_path").alias("_file")
+    )
+    parsed = raw.mapInPandas(run, schema=_SCAN_SCHEMA)
     parsed = parsed.withColumn("source_type", F.lit(source_type))
     # P4 guard: under the fixed schema the abstract column always exists;
     # the any-non-null probe of base_parser.py:49-53 degenerates to a plain
     # notnull filter (documented semantic simplification).
     parsed = parsed.filter(F.col("abstract").isNotNull())
-    parsed = parsed.withColumn("record_id", F.monotonically_increasing_id())
+    # (file, within-file ordinal) is unique and retry-stable: one file is
+    # parsed atomically in one task, so the ordinal never depends on splits.
+    parsed = parsed.withColumn(
+        "record_id", stable_record_id(F.col("_file"), F.col("_ordinal"))
+    )
     return parsed.select(*RECORD_COLUMNS)
 
 

@@ -134,20 +134,32 @@ def scan_pubmed(spark: SparkSession, path: str) -> DataFrame:
 def scan_pubmed_records(spark: SparkSession, path: str) -> DataFrame:
     """Record-delimiter variant: one row per blank-line-separated record,
     splittable within files."""
-    from scholarmind_spark.sources.base import _PARSE_SCHEMA
+    from scholarmind_spark.sources.base import _PARSE_SCHEMA, stable_record_id
 
     def run(batches):
         for pdf in batches:
             records = []
-            for chunk in pdf["value"]:
-                records.extend(parse_pubmed_file(chunk))
-            yield records_to_pdf(records)
+            files = []
+            for chunk, fpath in zip(pdf["value"], pdf["_file"]):
+                rs = parse_pubmed_file(chunk)
+                records.extend(rs)
+                files.extend([fpath] * len(rs))
+            out = records_to_pdf(records)
+            out["_file"] = pd.Series(files, dtype=object)
+            yield out
 
-    raw = spark.read.option("lineSep", "\n\n").text(path)
-    parsed = raw.mapInPandas(run, schema=_PARSE_SCHEMA)
+    raw = (
+        spark.read.option("lineSep", "\n\n")
+        .text(path)
+        .select("value", F.col("_metadata.file_path").alias("_file"))
+    )
+    parsed = raw.mapInPandas(run, schema=_PARSE_SCHEMA[:-1] + ",_file:string>")
+    # Splittable reads expose no stable within-file ordinal, so the id is
+    # content-addressed (record content + file path): retry-stable, and
+    # byte-identical duplicates within one file share an id by design.
     parsed = (
         parsed.withColumn("source_type", F.lit("pubmed"))
         .filter(F.col("abstract").isNotNull())
-        .withColumn("record_id", F.monotonically_increasing_id())
+        .withColumn("record_id", stable_record_id(F.col("_file")))
     )
     return parsed.select(*RECORD_COLUMNS)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scholarmind_spark.schemas import RECORD_COLUMNS
-from scholarmind_spark.sources.base import empty_record, scan_files
+from scholarmind_spark.sources.base import empty_record, scan_files, stable_record_id
 
 FIELD_RE = re.compile(r"^[A-Z][A-Z0-9] ")
 MULTI_TAGS = {"AU", "AF", "C1", "CR"}  # one element per line in WOS exports
@@ -191,7 +191,10 @@ def normalize_wos_tabular(df: DataFrame) -> DataFrame:
                 F.lit(None).cast("array<string>" if c in array_cols else "string").alias(c)
             )
     df = df.select(*out_cols).filter(F.col("abstract").isNotNull())
-    df = df.withColumn("record_id", F.monotonically_increasing_id())
+    # Content-addressed id (no file/ordinal here: the Excel path enters via
+    # createDataFrame) — retry-stable, unlike monotonically_increasing_id;
+    # byte-identical rows share an id by design (see base.stable_record_id).
+    df = df.withColumn("record_id", stable_record_id())
     return df.select(*RECORD_COLUMNS)
 
 

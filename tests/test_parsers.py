@@ -154,3 +154,32 @@ def test_crlf_and_bom_normalization():
     unix_w = "PT J\nUT WOS:1\nTI T\nAB abs\nER\n"
     win_w = "﻿" + unix_w.replace("\n", "\r\n")
     assert parse_wos_file(win_w) == parse_wos_file(unix_w)
+
+
+def test_record_id_stable_across_repartition(spark):
+    """record_id must be a pure function of (content, file, ordinal) —
+    NOT partition layout.  monotonically_increasing_id would fail this
+    under input re-splits / task retries and misalign the keyed LLM
+    attach (U1/J2); stable_record_id recomputes identically."""
+    from scholarmind_spark.sources import scan_pubmed
+
+    path = os.path.join(FIXTURES, "pubmed.txt")
+    a = scan_pubmed(spark, path).select("record_id", "pmid")
+    b = scan_pubmed(spark, path).repartition(7).select("record_id", "pmid")
+    rows_a = {r.pmid: r.record_id for r in a.collect()}
+    rows_b = {r.pmid: r.record_id for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) > 0
+    # distinct records get distinct ids
+    assert len(set(rows_a.values())) == len(rows_a)
+
+
+def test_record_id_stable_wos_tabular(spark):
+    from scholarmind_spark.sources import scan_wos_csv
+
+    path = os.path.join(FIXTURES, "wos.csv")
+    a = {r.wos_id: r.record_id for r in scan_wos_csv(spark, path).collect()}
+    b = {
+        r.wos_id: r.record_id
+        for r in scan_wos_csv(spark, path).repartition(5).collect()
+    }
+    assert a == b and len(set(a.values())) == len(a) > 0
