@@ -65,33 +65,66 @@ def _ts_max_us(ts: pd.Series) -> int:
     return int(ts.astype("int64").max())  # already integral micros
 
 
-def _update(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        # idle horizon passed: emit nothing, drop the state row
-        state.remove()
-        return
-    n, total, last = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        last = max(last, _ts_max_us(pdf["ts"]))
-    # State carries the UNROUNDED running sum; rounding happens only at
-    # emit, so later batches never accumulate on top of a rounded value
-    # (batch-by-batch round-then-add drifts from the oracle's one global
-    # round(sum(value), 6)).
-    state.update((n, total, last))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [round(total, 6)],
-            "last_seen_us": [last],
-        }
-    )
+_DURATION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def duration_ms(s: str) -> int:
+    """Parse a Spark-style interval string (``'30 minutes'``, ``'1 hour'``)
+    to milliseconds — the unit ``GroupState.setTimeoutTimestamp`` takes."""
+    parts = s.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"expected '<n> <unit>', got {s!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _DURATION_UNITS_MS:
+        raise ValueError(f"unknown duration unit in {s!r}")
+    return int(float(n) * _DURATION_UNITS_MS[unit])
+
+
+def _user_stats_update_factory(timeout_ms: int | None):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle horizon passed: emit nothing, drop the state row
+            state.remove()
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, _ts_max_us(pdf["ts"]))
+        # State carries the UNROUNDED running sum; rounding happens only at
+        # emit, so later batches never accumulate on top of a rounded value
+        # (batch-by-batch round-then-add drifts from the oracle's one global
+        # round(sum(value), 6)).
+        state.update((n, total, last))
+        if timeout_ms is not None:
+            # re-arm on every touch: evict when the event-time watermark
+            # passes (now + horizon) with no new events for this key
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_seen_us": [last],
+            }
+        )
+
+    return _update
+
+
+# Back-compat alias: the no-timeout update used by existing callers/tests.
+_update = _user_stats_update_factory(None)
 
 
 ANOMALY_STATE_SCHEMA = StructType(
@@ -117,7 +150,9 @@ def _trunc_div(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
-def _anomaly_update_factory(window: int, min_n: int, z: int):
+def _anomaly_update_factory(
+    window: int, min_n: int, z: int, timeout_ms: int | None = None
+):
     def _update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -157,6 +192,8 @@ def _anomaly_update_factory(window: int, min_n: int, z: int):
                 if len(recent) > window:
                     recent.pop(0)
         state.update((recent,))
+        if timeout_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
         if out["key"]:
             yield pd.DataFrame(out)
 
@@ -180,7 +217,16 @@ def stateful_anomaly(
     batch answer exactly — the oracle for both IS the batch SQL twin.
     Rows are processed in (ts, event_id) event-time order within each
     microbatch; cross-batch ordering follows file/trigger order, which
-    the availableNow gate harness pins to a single batch."""
+    the availableNow gate harness pins to a single batch.
+
+    ``idle_timeout`` (e.g. ``'30 minutes'``) bounds state on an unbounded
+    stream: an event-time watermark is applied to ``ts`` and every touch
+    re-arms the key's timeout to (watermark + horizon), so keys idle past
+    the horizon are evicted (EventTimeTimeout requires the watermark)."""
+    timeout_ms = None
+    if idle_timeout:
+        events = events.withWatermark("ts", idle_timeout)
+        timeout_ms = duration_ms(idle_timeout)
     timeout = (
         GroupStateTimeout.EventTimeTimeout
         if idle_timeout
@@ -190,7 +236,7 @@ def stateful_anomaly(
         "user_id"
     )
     return grouped.applyInPandasWithState(
-        _anomaly_update_factory(window, min_n, z),
+        _anomaly_update_factory(window, min_n, z, timeout_ms),
         ANOMALY_OUTPUT_SCHEMA,
         ANOMALY_STATE_SCHEMA,
         "update",
@@ -203,7 +249,16 @@ def stateful_user_stats(events: DataFrame, idle_timeout: str | None = None) -> D
 
     ``events`` must have columns ``user_id, ts (timestamp), value``; works
     on a stream (true incremental state) and, via Spark's unified
-    semantics, on a batch frame for testing."""
+    semantics, on a batch frame for testing.
+
+    ``idle_timeout`` (e.g. ``'30 minutes'``): applies an event-time
+    watermark on ``ts`` and re-arms each key's timeout to
+    (watermark + horizon) on every touch, so idle keys are evicted and
+    state stays bounded (EventTimeTimeout requires the watermark)."""
+    timeout_ms = None
+    if idle_timeout:
+        events = events.withWatermark("ts", idle_timeout)
+        timeout_ms = duration_ms(idle_timeout)
     timeout = (
         GroupStateTimeout.EventTimeTimeout
         if idle_timeout
@@ -211,5 +266,9 @@ def stateful_user_stats(events: DataFrame, idle_timeout: str | None = None) -> D
     )
     grouped = events.select("user_id", "ts", "value").groupBy("user_id")
     return grouped.applyInPandasWithState(
-        _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
+        _user_stats_update_factory(timeout_ms),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        timeout,
     )

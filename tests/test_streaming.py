@@ -129,3 +129,81 @@ def test_stateful_anomaly_equals_batch(spark, batch_events):
         ["key", "event_id", "x_milli", "n", "mean_milli", "anomaly"],
     )
     assert got == want and len(got) > 0
+
+
+def test_duration_ms():
+    from scholarmind_spark.streaming.stateful import duration_ms
+
+    assert duration_ms("30 minutes") == 1_800_000
+    assert duration_ms("1 hour") == 3_600_000
+    assert duration_ms("500 milliseconds") == 500
+    with pytest.raises(ValueError):
+        duration_ms("soon")
+
+
+def test_stateful_idle_timeout_evicts_state(spark, tmp_path):
+    """idle_timeout must actually evict: a key idle past the horizon loses
+    its state, so its running count restarts when it reappears.  (r5 bug:
+    EventTimeTimeout was selected with no watermark and no
+    setTimeoutTimestamp — the query would fail at start and hasTimedOut
+    was dead code.)"""
+    import os
+    import time
+
+    from scholarmind_spark.streaming.stateful import stateful_user_stats
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = "2024-01-01 12:00:00"
+    t2 = "2024-01-01 14:00:00"
+    t4 = "2024-01-01 16:00:00"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+        df = df.withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+        p = str(src / name)
+        df.write.mode("overwrite").parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    base = time.time() - 1000
+    # batch 1: both users; batch 2: only user 1 (user 2 goes idle and the
+    # watermark passes its timeout); batch 3: user 2 reappears
+    write_file("f1", [(1, t0, 1.0), (2, t0, 1.0)], base)
+    write_file("f2", [(1, t2, 1.0)], base + 10)
+    write_file("f3", [(1, t4, 1.0), (2, t4, 1.0)], base + 20)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    got = run_to_memory(
+        stateful_user_stats(stream, idle_timeout="30 minutes"), mode="update"
+    )
+    n_by_user = {}
+    for r in got.collect():
+        n_by_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 1 was touched every batch: running count reaches 3
+    assert max(n_by_user[1]) == 3
+    # user 2's state was evicted while idle: count restarts at 1, never 2
+    assert max(n_by_user[2]) == 1 and len(n_by_user[2]) == 2
+
+
+def test_stateful_anomaly_accepts_idle_timeout(spark, batch_events):
+    """The idle_timeout path must start cleanly (watermark + timeout set)
+    and still reproduce the batch answer on a drained stream."""
+    from scholarmind_spark.operators.anomaly import rolling_anomalies
+    from scholarmind_spark.streaming.stateful import stateful_anomaly
+
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = _canon(
+        run_to_memory(stateful_anomaly(stream, idle_timeout="1 hour"), mode="update"),
+        ["key", "event_id", "x_milli", "n", "mean_milli", "anomaly"],
+    )
+    want = _canon(
+        rolling_anomalies(batch_events),
+        ["key", "event_id", "x_milli", "n", "mean_milli", "anomaly"],
+    )
+    assert got == want and len(got) > 0
