@@ -13,8 +13,13 @@ divisions and square roots —
     |x - mean| > z * stddev_pop
     ⟺  n·(n·x − s)² > z²·(n·q − s²)      (s = Σxᵢ, q = Σxᵢ²)
 
-so the flag is a pure int64 predicate (milli keeps q·n ≪ 2⁶³ for
-windows ≤ ~1e3 events and |value| ≤ ~1e6).  ``stddev`` here is the
+so the flag is a pure int64 predicate.  Overflow envelope: with
+x ≤ Vm milli units, the largest term is n·(n·x − s)² ≤ 4·n³·Vm², so
+int64 safety requires Vm ≤ sqrt(2⁶³ / 4n³) — for the default window
+n = 10 that is |value| ≤ ~4.8e4 (NOT 1e6: at |value| ~1e6, q = Σx²
+alone is ~1e19 > 2⁶³ and Spark silently wraps while DuckDB raises).
+The bound scales as n^(-3/2); callers with wider windows or larger
+values must quantize coarser than milli.  ``stddev`` here is the
 population form over the trailing window, which the identity encodes
 implicitly — no engine's sample/population default is consulted.
 

@@ -139,7 +139,14 @@ def benford_audit(
 
     One shuffle for (group, digit) counts; everything after is
     proportional to groups x 9.  Zero/NULL values carry no leading
-    significant digit and are excluded."""
+    significant digit and are excluded — as are values whose 9-decimal
+    rendering has no significant digit at all (|v| < 5e-10, NaN, inf):
+    their extraction yields a non-digit, so both engines drop them via an
+    explicit ``d BETWEEN 1 AND 9`` guard *before* counting ``n`` (without
+    the guard Spark silently counted them in ``n`` while DuckDB's
+    ``::INT`` on ``''`` raised)."""
+    # try_cast, not cast: under ANSI mode ''::INT (no significant digit
+    # anywhere, e.g. |v| < 5e-10 or NaN) raises instead of yielding NULL
     first_digit = F.substring(
         F.regexp_replace(
             F.format_number(F.abs(F.col(value_col)).cast("double"), 9),
@@ -148,10 +155,11 @@ def benford_audit(
         ),
         1,
         1,
-    ).cast("int")
+    ).try_cast("int")
     obs = (
         df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
         .select(F.col(group_col).alias("g"), first_digit.alias("d"))
+        .filter(F.col("d").between(1, 9))
         .groupBy("g", "d")
         .agg(F.count("*").alias("obs"))
     )
@@ -193,11 +201,11 @@ def benford_audit_sql(table: str, group_col: str, value_col: str) -> str:
 WITH __obs AS (
   SELECT g, d, count(*)::BIGINT AS obs FROM (
     SELECT {group_col} AS g,
-           substring(regexp_replace(format('{{:.9f}}', abs({value_col})::DOUBLE),
-                                    '[0.,]', '', 'g'), 1, 1)::INT AS d
+           TRY_CAST(substring(regexp_replace(format('{{:.9f}}', abs({value_col})::DOUBLE),
+                                             '[0.,]', '', 'g'), 1, 1) AS INT) AS d
     FROM {table}
     WHERE {value_col} IS NOT NULL AND {value_col} <> 0
-  ) GROUP BY g, d
+  ) WHERE d BETWEEN 1 AND 9 GROUP BY g, d
 ),
 __spine AS (
   SELECT g, d FROM (SELECT DISTINCT g FROM __obs), unnest(range(1, 10)) AS u(d)

@@ -30,16 +30,25 @@ from pyspark.sql import functions as F
 
 
 def shuffle_pos(seed: int, *keys: Column) -> Column:
-    """60-bit deterministic pseudorandom position for (seed, keys)."""
-    tagged = F.concat_ws("\x1f", F.lit(str(seed)), *[k.cast("string") for k in keys])
+    """60-bit deterministic pseudorandom position for (seed, keys).
+
+    NULL keys fold to '' explicitly on BOTH engines: Spark's concat_ws
+    would silently skip a NULL argument (position from seed alone) while
+    DuckDB's ``||`` propagates NULL through md5 to a NULL position —
+    divergent ordering for null keys without the coalesce."""
+    tagged = F.concat_ws(
+        "\x1f",
+        F.lit(str(seed)),
+        *[F.coalesce(k.cast("string"), F.lit("")) for k in keys],
+    )
     return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
 
 
 def shuffle_pos_sql(seed: int, key_expr: str) -> str:
     """DuckDB twin of :func:`shuffle_pos` (single key expression)."""
     return (
-        f"(('0x' || substring(md5('{seed}' || chr(31) || ({key_expr})::VARCHAR),"
-        f" 1, 15))::BIGINT)"
+        f"(('0x' || substring(md5('{seed}' || chr(31) ||"
+        f" coalesce(({key_expr})::VARCHAR, '')), 1, 15))::BIGINT)"
     )
 
 

@@ -65,8 +65,11 @@ def session_paths_sql(
     return f"""
 WITH __marked AS (
   SELECT user_id, event_id, ts, event_type,
+         -- floor() mirrors Spark's unix_timestamp whole-second truncation;
+         -- DuckDB's epoch() keeps fractional seconds, so without it a gap
+         -- straddling the boundary would split sessions differently
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_s}
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {gap_s}
               THEN 1 ELSE 0 END AS is_new
   FROM {table}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

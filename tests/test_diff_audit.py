@@ -152,3 +152,26 @@ def test_benford_matches_duckdb(spark, tmp_path):
     con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(benford_audit_sql("t", "g", "v")).fetchall())
     assert got == want and len(got) == 2
+
+
+def test_benford_subnormal_nan_inf_match_duckdb(spark, tmp_path):
+    """Values whose 9-decimal rendering has no significant digit (|v| <
+    5e-10, NaN, inf) must be excluded identically on both engines: the
+    un-guarded oracle raised on ''::INT while Spark silently counted the
+    row in n."""
+    import duckdb
+
+    from scholarmind_spark.operators.audit import benford_audit, benford_audit_sql
+
+    rows = [("g", 1.23), ("g", 45.6), ("g", 7.0), ("g", 891.0), ("g", 2.0),
+            ("g", 1e-12), ("g", -4e-10), ("g", float("nan")), ("g", float("inf"))]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {tuple(r) for r in benford_audit(df, "g", "v").collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+    want = set(con.sql(benford_audit_sql("t", "g", "v")).fetchall())
+    assert got == want
+    # n counts only the 5 rows with a real first significant digit
+    assert next(iter(got))[1] == 5

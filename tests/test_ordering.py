@@ -49,3 +49,26 @@ def test_position_matches_duckdb(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_null_key_position_matches_duckdb(spark, tmp_path):
+    """NULL keys: Spark's concat_ws skips NULLs while DuckDB's || propagates
+    them — both sides now coalesce to '' so null-key rows get the same
+    (non-NULL) position on both engines."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k: string"
+    )
+    p = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = {
+        (r["k"], r["shuffle_pos"])
+        for r in deterministic_shuffle(df, ["k"], seed=7).collect()
+    }
+    con = duckdb.connect()
+    want = set(
+        con.sql(f"SELECT k, {shuffle_pos_sql(7, 'k')} FROM '{p}/*.parquet'").fetchall()
+    )
+    assert got == want
+    assert all(pos is not None for _, pos in got)

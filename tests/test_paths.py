@@ -53,3 +53,26 @@ def test_matches_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW ev AS SELECT * FROM '{p}/*.parquet'")
     want = con.sql(session_paths_sql("ev")).fetchall()
     assert got == want and len(got) > 2
+
+
+def test_subsecond_gap_boundary_matches_duckdb(spark, tmp_path):
+    """Gaps that straddle the boundary only in fractional seconds: Spark's
+    unix_timestamp truncates to whole seconds, so the oracle must floor()
+    epoch() too — frac diff 1800.8 s with whole-second diff 1800 s is the
+    SAME session in both engines."""
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0, 100_000)  # .1s
+    rows = [
+        (0, t0, 1, "view"),
+        # +1800.8s fractional, +1800s whole-second -> same session
+        (1, t0 + datetime.timedelta(seconds=1800, microseconds=800_000), 1, "click"),
+        # +1801.1s fractional, +1801s whole-second -> new session
+        (2, t0 + datetime.timedelta(seconds=3601, microseconds=900_000), 1, "buy"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    p = str(tmp_path / "ev.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = sorted((r["path"], r["n_sessions"]) for r in session_paths(df).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW ev AS SELECT * FROM '{p}/*.parquet'")
+    want = sorted(con.sql(session_paths_sql("ev")).fetchall())
+    assert got == want == [("buy", 1), ("view>click", 1)]
