@@ -10,9 +10,10 @@ with ``excel_formatter.py:326-338`` (SURVEY §2.1 K2 note).
 
 This is presentation, not data plane: rows are collected to the driver, so
 it is for human-sized outputs (the reference caps uploads at 16 MB).  The
-engine-native sink for pipeline output is ``sinks.parquet``.  openpyxl is
-not in this container — ``write_excel`` raises ImportError cleanly and
-``write_sheets_csv`` provides the same sheet layout as CSV files.
+engine-native sink for pipeline output is ``sinks.parquet``.
+``write_excel`` emits a real .xlsx via the vendored stdlib writer
+(:mod:`..xlsxlite` — no openpyxl needed); ``write_sheets_csv`` provides the
+same sheet layout as CSV files.
 """
 
 from __future__ import annotations
@@ -84,46 +85,38 @@ def hyperlink_targets(cols: list[str], values: list[object]) -> dict[int, str]:
 
 
 def write_excel(df: DataFrame, path: str) -> None:
-    """Styled multi-sheet workbook via openpyxl (driver-side): header
-    fill + frozen panes, content-scaled row heights, and REAL hyperlink
-    cells for titles and link columns (K2, excel_formatter.py:280-345)."""
-    try:
-        from openpyxl import Workbook
-        from openpyxl.styles import Alignment, Font, PatternFill
-        from openpyxl.utils import get_column_letter
-    except ImportError as e:  # container has no openpyxl
-        raise ImportError(
-            "openpyxl not available — use write_sheets_csv for the same "
-            "sheet layout, or install openpyxl for styled workbooks"
-        ) from e
+    """Styled multi-sheet workbook (driver-side): solid-fill bold header +
+    frozen panes, content-scaled row heights, 24-unit column widths,
+    wrap-text data cells, and REAL hyperlink cells for titles and link
+    columns (K1/K2, excel_formatter.py:280-345).
 
-    link_font = Font(color=LINK_FONT_COLOR, underline="single")
-    data_alignment = Alignment(wrap_text=True, vertical="top")
-    for_sheet = _sheet_frames(df)
-    wb = Workbook()
-    wb.remove(wb.active)
-    for sheet, frame in for_sheet.items():
-        ws = wb.create_sheet(sheet)
+    Written with the vendored stdlib xlsx writer (:mod:`..xlsxlite`) —
+    deterministic output, no openpyxl dependency.  Rows stream to the
+    driver via ``toLocalIterator`` (one partition in memory at a time);
+    this is the presentation sink for human-sized outputs — the
+    engine-native pipeline sink is ``sinks.parquet``."""
+    from scholarmind_spark.xlsxlite import Sheet, write_xlsx
+
+    sheets: dict[str, Sheet] = {}
+    for sheet, frame in _sheet_frames(df).items():
         cols = frame.columns
-        ws.append(cols)
-        header_fill = PatternFill("solid", fgColor="4472C4")
-        for i, _ in enumerate(cols, 1):
-            c = ws.cell(row=1, column=i)
-            c.font = Font(bold=True, color="FFFFFF")
-            c.fill = header_fill
-            ws.column_dimensions[get_column_letter(i)].width = 24
-        for r, row in enumerate(frame.toLocalIterator(), 2):
+        rows: list[list] = [list(cols)]
+        row_heights: dict[int, int] = {}
+        hyperlinks: dict[tuple[int, int], str] = {}
+        for r, row in enumerate(frame.toLocalIterator(), 1):
             values = [row[c] for c in cols]
-            ws.append(values)
-            ws.row_dimensions[r].height = content_row_height(values)
-            for i in range(1, len(cols) + 1):
-                ws.cell(row=r, column=i).alignment = data_alignment
+            rows.append(values)
+            row_heights[r] = content_row_height(values)
             for i, url in hyperlink_targets(list(cols), values).items():
-                cell = ws.cell(row=r, column=i + 1)
-                cell.hyperlink = url
-                cell.font = link_font
-        ws.freeze_panes = "A2"  # frozen header row (excel_formatter.py)
-    wb.save(path)
+                hyperlinks[(r, i)] = url
+        sheets[sheet] = Sheet(
+            rows,
+            col_widths={i: 24 for i in range(len(cols))},
+            row_heights=row_heights,
+            hyperlinks=hyperlinks,
+            header=True,  # bold-on-fill header + freeze under row 1
+        )
+    write_xlsx(path, sheets, link_color=LINK_FONT_COLOR)
 
 
 def write_sheets_csv(df: DataFrame, out_dir: str) -> dict[str, str]:

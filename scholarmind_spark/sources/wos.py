@@ -24,9 +24,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from scholarmind_spark.schemas import RECORD_COLUMNS
 from scholarmind_spark.sources.base import empty_record, scan_files, stable_record_id
+from scholarmind_spark.xlsxlite import read_xlsx
 
 FIELD_RE = re.compile(r"^[A-Z][A-Z0-9] ")
 MULTI_TAGS = {"AU", "AF", "C1", "CR"}  # one element per line in WOS exports
@@ -61,6 +63,7 @@ CSV_MAP = {
     "Author Full Names": "full_authors",
     "Abstract": "abstract",
     "Journal": "journal",
+    "Source Title": "journal",  # header used by current WOS exports
     "DOI": "doi",
     "Publication Year": "publication_year",
     "Publication Date": "publication_date",
@@ -165,7 +168,12 @@ def normalize_wos_tabular(df: DataFrame) -> DataFrame:
     """Shared tabular normalize for the CSV and Excel scans: CSV_MAP rename
     (wos_parser.py:160-212), ';'-split + trim for multi-valued columns,
     fixed-schema back-fill, P3 source tag, P4 abstract filter, record_id."""
-    renames = {old: new for old, new in CSV_MAP.items() if old in df.columns}
+    # first matching export header wins per target (e.g. a file carrying
+    # both "Journal" and "Source Title" must not produce two `journal`s)
+    renames: dict[str, str] = {}
+    for old, new in CSV_MAP.items():
+        if old in df.columns and new not in renames.values():
+            renames[old] = new
     df = df.withColumnsRenamed(renames)
     array_cols = {"authors", "full_authors", "affiliation", "issn", "keywords",
                   "keywords_plus", "mesh_terms"}
@@ -213,18 +221,43 @@ def scan_wos_excel(spark: SparkSession, path: str) -> DataFrame:
     """WOS Excel export → standardized records (S4, wos_parser.py:141-148).
 
     The reference is a driver-side ``pd.read_excel`` passthrough; here the
-    driver parses the workbook (Excel is not a splittable format — exports
-    are small) and the rows enter Spark via ``createDataFrame``, after
-    which the CSV rename/normalize path applies.  Requires an Excel engine
-    (openpyxl/xlrd, not in this container) — gated with a clear error."""
-    import pandas as pd
+    driver parses the workbook (Excel is not a splittable format — WOS
+    exports cap at Excel's ~1M row limit) and the rows enter Spark via
+    ``createDataFrame``, after which the CSV rename/normalize path applies.
 
+    Parsing uses the vendored stdlib reader (:mod:`..xlsxlite`) so no
+    Excel engine is required; if pandas has one installed (openpyxl/xlrd —
+    the reference's exact path) it is preferred, since it also covers
+    legacy ``.xls``.  Every cell is surfaced as text (``normalize_wos_
+    tabular`` casts to string anyway, so the two paths converge): integral
+    floats print without the ``.0`` Excel's float storage would add."""
+    rows = None
     try:
+        import pandas as pd
+
         pdf = pd.read_excel(path)
-    except ImportError as e:
-        raise ImportError(
-            "WOS Excel scan needs an Excel engine (openpyxl for .xlsx, "
-            "xlrd for .xls); install one or export CSV and use scan_wos_csv"
-        ) from e
-    pdf = pdf.astype(object).where(pdf.notna(), None)
-    return normalize_wos_tabular(spark.createDataFrame(pdf))
+        pdf = pdf.astype(object).where(pdf.notna(), None)
+        header = [str(c) for c in pdf.columns]
+        rows = pdf.values.tolist()
+    except ImportError:
+        sheets = read_xlsx(path)
+        if not sheets:
+            raise ValueError(f"workbook has no sheets: {path}")
+        grid = next(iter(sheets.values()))  # first sheet, like pd.read_excel
+        if not grid:
+            raise ValueError(f"workbook sheet is empty: {path}")
+        header = ["" if c is None else str(c) for c in grid[0]]
+        rows = grid[1:]
+
+    def _text(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    data = [[_text(v) for v in r] for r in rows]
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in header])
+    return normalize_wos_tabular(spark.createDataFrame(data, schema))

@@ -1,16 +1,15 @@
 """Excel sink styling/hyperlink semantics (K1/K2,
-excel_formatter.py:280-345).  openpyxl is absent from the container, so the
-cell-level rules are pure helpers tested directly, and the workbook
-assembly is exercised against a minimal in-memory openpyxl stand-in."""
+excel_formatter.py:280-345).  The sink writes a REAL .xlsx through the
+vendored stdlib writer, so the workbook-assembly test round-trips an
+actual file via :func:`xlsxlite.read_xlsx` and inspects the hyperlink
+relationships in the zip parts directly."""
 
 from __future__ import annotations
 
-import sys
-import types
-
-import pytest
+import zipfile
 
 from scholarmind_spark.sinks.excel import content_row_height, hyperlink_targets
+from scholarmind_spark.xlsxlite import read_xlsx
 
 
 def test_content_row_height():
@@ -38,93 +37,7 @@ def test_hyperlink_targets():
     assert hyperlink_targets(["title"], ["T"]) == {}
 
 
-class _Cell:
-    def __init__(self):
-        self.value = None
-        self.font = self.fill = self.alignment = self.hyperlink = None
-
-
-class _Dim:
-    width = None
-    height = None
-
-
-class _WS:
-    def __init__(self, title):
-        self.title = title
-        self.rows = []
-        self._cells = {}
-        self.column_dimensions = {}
-        self.row_dimensions = {}
-        self.freeze_panes = None
-
-    def append(self, vals):
-        self.rows.append(list(vals))
-        r = len(self.rows)
-        for i, v in enumerate(vals, 1):
-            self.cell(row=r, column=i).value = v
-
-    def cell(self, row, column):
-        return self._cells.setdefault((row, column), _Cell())
-
-
-class _DimMap(dict):
-    def __getitem__(self, k):
-        return self.setdefault_dim(k)
-
-    def setdefault_dim(self, k):
-        if k not in self:
-            dict.__setitem__(self, k, _Dim())
-        return dict.get(self, k)
-
-
-class _WB:
-    def __init__(self):
-        self.active = _WS("default")
-        self.sheets = []
-        self.saved_to = None
-
-    def remove(self, ws):
-        pass
-
-    def create_sheet(self, name):
-        ws = _WS(name)
-        ws.column_dimensions = _DimMap()
-        ws.row_dimensions = _DimMap()
-        self.sheets.append(ws)
-        return ws
-
-    def save(self, path):
-        self.saved_to = path
-
-
-@pytest.fixture
-def fake_openpyxl(monkeypatch):
-    built = []
-
-    def workbook():
-        wb = _WB()
-        built.append(wb)
-        return wb
-
-    mod = types.ModuleType("openpyxl")
-    mod.Workbook = workbook
-    styles = types.ModuleType("openpyxl.styles")
-
-    class _Style:
-        def __init__(self, *a, **kw):
-            self.args, self.kw = a, kw
-
-    styles.Font = styles.PatternFill = styles.Alignment = _Style
-    utils = types.ModuleType("openpyxl.utils")
-    utils.get_column_letter = lambda i: chr(64 + i)
-    mod.styles, mod.utils = styles, utils
-    for name, m in [("openpyxl", mod), ("openpyxl.styles", styles), ("openpyxl.utils", utils)]:
-        monkeypatch.setitem(sys.modules, name, m)
-    return built
-
-
-def test_write_excel_workbook_assembly(spark, tmp_path, fake_openpyxl):
+def test_write_excel_workbook_assembly(spark, tmp_path):
     from scholarmind_spark.sinks.excel import write_excel
 
     df = spark.createDataFrame(
@@ -138,37 +51,49 @@ def test_write_excel_workbook_assembly(spark, tmp_path, fake_openpyxl):
     )
     out = str(tmp_path / "wb.xlsx")
     write_excel(df, out)
-    wb = fake_openpyxl[0]
-    assert wb.saved_to == out
-    assert [ws.title for ws in wb.sheets] == ["Results", "WOS", "PubMed", "ScienceDirect"]
 
-    results = wb.sheets[0]
-    assert results.freeze_panes == "A2"
-    cols = results.rows[0]
-    title_i = cols.index("title") + 1
-    doi_i = cols.index("doi_link") + 1
-    by_title = {results.cell(r, title_i).value: r for r in range(2, len(results.rows) + 1)}
+    sheets = read_xlsx(out)
+    assert list(sheets) == ["Results", "WOS", "PubMed", "ScienceDirect"]
 
-    ra = by_title["Paper A"]
-    assert results.cell(ra, title_i).hyperlink == "https://pubmed.gov/1"
-    assert results.cell(ra, doi_i).hyperlink == "https://doi.org/10.1/a"
-    assert results.cell(ra, title_i).font is not None
-    # long abstract scales the row height; short row clamps to 20
-    assert results.row_dimensions[ra].height > 20
-    rb = by_title["Paper B"]
-    assert results.cell(rb, title_i).hyperlink is None
-    assert results.row_dimensions[rb].height == 20
+    results = sheets["Results"]
+    cols = results[0]
+    title_i = cols.index("title")
+    rows = {r[title_i]: r for r in results[1:]}
+    assert set(rows) == {"Paper A", "Paper B"}
+    assert rows["Paper A"][cols.index("doi_link")] == "https://doi.org/10.1/a"
 
-    # per-source sheet filtered by source_type
-    pubmed = wb.sheets[2]
-    assert len(pubmed.rows) == 2 and pubmed.cell(2, cols.index("title") + 1).value == "Paper A"
+    # per-source sheet filtered by source_type (P6)
+    pubmed = sheets["PubMed"]
+    assert len(pubmed) == 2 and pubmed[1][pubmed[0].index("title")] == "Paper A"
+    assert len(sheets["ScienceDirect"]) == 1  # header only, no SD rows
+
+    with zipfile.ZipFile(out) as zf:
+        # sheet 1 = Results: title cell of Paper A links to its title_link,
+        # doi_link links to itself (K2) — both as external relationships
+        rels = zf.read("xl/worksheets/_rels/sheet1.xml.rels").decode()
+        assert "https://pubmed.gov/1" in rels
+        assert "https://doi.org/10.1/a" in rels
+        sheet1 = zf.read("xl/worksheets/sheet1.xml").decode()
+        assert "<hyperlink " in sheet1
+        assert 'state="frozen"' in sheet1  # frozen header pane (K1)
+        # content-scaled row heights: the 50×"abstract " row is tall,
+        # the short row clamps to the 20 minimum
+        assert 'customHeight="1"' in sheet1
+        # link font color in the style part (excel_formatter.py:319)
+        assert "0563C1" in zf.read("xl/styles.xml").decode()
+        # Paper B has empty links → no hyperlink part for a sheet with
+        # no linked cells (WOS sheet row has none)
+        wos_sheet = zf.read("xl/worksheets/sheet2.xml").decode()
+        assert "<hyperlink " not in wos_sheet
 
 
-def test_write_excel_import_error_without_openpyxl(spark):
+def test_write_excel_deterministic(spark, tmp_path):
     from scholarmind_spark.sinks.excel import write_excel
 
-    if "openpyxl" in sys.modules:
-        pytest.skip("real openpyxl present")
-    df = spark.createDataFrame([("t",)], "title string")
-    with pytest.raises(ImportError, match="write_sheets_csv"):
-        write_excel(df, "/tmp/never.xlsx")
+    df = spark.createDataFrame(
+        [("T", "pubmed", "a")], "title string, source_type string, abstract string"
+    )
+    a, b = str(tmp_path / "a.xlsx"), str(tmp_path / "b.xlsx")
+    write_excel(df, a)
+    write_excel(df, b)
+    assert open(a, "rb").read() == open(b, "rb").read()
