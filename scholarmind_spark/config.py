@@ -115,11 +115,14 @@ def make_llm_client(config: dict, fields: tuple[str, ...] = ()):
     """Build the chat client the config selects, or ``None`` when the LLM
     stage is disabled (main.py:471-487 wiring).
 
-    Provider mapping: every reference provider speaks an OpenAI-style chat
-    endpoint, so all three route to :class:`HTTPChatClient` with the
-    provider's url/key/model; ``type: mock`` (engine extension) yields the
-    deterministic mock (which needs the template's ``fields`` to fabricate
-    replies) for offline runs."""
+    Provider mapping mirrors the reference's three client classes
+    (``llm_api.py``): ``vllm`` → the OpenAI-compatible
+    :class:`HTTPChatClient` (3 retries, raise on exhaustion), ``siliconflow``
+    → :class:`SiliconFlowChatClient` (5 attempts, rate-limit-aware,
+    defaults on exhaustion), ``ollama`` → :class:`OllamaChatClient`
+    (native ``/chat`` endpoint + ``options`` payload).  ``type: mock``
+    (engine extension) yields the deterministic mock (which needs the
+    template's ``fields`` to fabricate replies) for offline runs."""
     llm = config["llm"]
     if not llm["enabled"]:
         return None
@@ -128,14 +131,20 @@ def make_llm_client(config: dict, fields: tuple[str, ...] = ()):
         from scholarmind_spark.llm.client import MockLLMClient
 
         return MockLLMClient(fields=fields, mode="json")
-    from scholarmind_spark.llm.client import HTTPChatClient
+    from scholarmind_spark.llm.client import (
+        HTTPChatClient,
+        OllamaChatClient,
+        SiliconFlowChatClient,
+    )
 
-    url, key, model = {
-        "vllm": ("vllm_api_url", "vllm_api_key", "vllm_model"),
-        "siliconflow": ("siliconflow_base_url", "siliconflow_api_key", "siliconflow_model"),
-        "ollama": ("ollama_api_url", "ollama_api_key", "ollama_model"),
-    }.get(llm["type"], ("vllm_api_url", "vllm_api_key", "vllm_model"))
-    return HTTPChatClient(
+    cls, url, key, model = {
+        "vllm": (HTTPChatClient, "vllm_api_url", "vllm_api_key", "vllm_model"),
+        "siliconflow": (SiliconFlowChatClient, "siliconflow_base_url",
+                        "siliconflow_api_key", "siliconflow_model"),
+        "ollama": (OllamaChatClient, "ollama_api_url", "ollama_api_key",
+                   "ollama_model"),
+    }.get(llm["type"], (HTTPChatClient, "vllm_api_url", "vllm_api_key", "vllm_model"))
+    return cls(
         base_url=llm[url],
         api_key=llm[key],
         model=llm[model],
