@@ -32,6 +32,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pubmed", help="PubMed tagged-text export path")
     p.add_argument("--wos", help="WOS tagged-text export path")
     p.add_argument("--wos-csv", help="WOS CSV export path")
+    p.add_argument("--wos-excel", help="WOS Excel (.xlsx) export path")
     p.add_argument("--sciencedirect", help="ScienceDirect citation export path")
     p.add_argument("--metrics-parquet", help="offline journal-metrics lookup (parquet)")
     p.add_argument("--template", help="prompt template YAML path")
@@ -41,6 +42,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-workers", type=int, default=4, help="in-partition LLM fan-out")
     p.add_argument("--output", required=True, help="parquet output dir")
     p.add_argument("--sheets", help="also write per-sheet CSVs here")
+    p.add_argument(
+        "--excel",
+        help="also write the styled multi-sheet .xlsx workbook here "
+        "(the reference's primary output, main.py:582-588)",
+    )
     p.add_argument("--master", default=None, help="Spark master override")
     return p
 
@@ -50,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from scholarmind_spark import get_spark
     from scholarmind_spark.pipeline import PipelineConfig, run_pipeline
-    from scholarmind_spark.sinks import write_parquet, write_sheets_csv
+    from scholarmind_spark.sinks import write_excel, write_parquet, write_sheets_csv
 
     sources = {
         k: v
@@ -58,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
             "pubmed": args.pubmed,
             "wos": args.wos,
             "wos_csv": args.wos_csv,
+            "wos_excel": args.wos_excel,
             "sciencedirect": args.sciencedirect,
         }.items()
         if v
@@ -116,6 +123,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.sheets:
         paths = write_sheets_csv(result, args.sheets)
         print(f"wrote sheets: {', '.join(sorted(paths))}")
+    if args.excel:
+        write_excel(result, args.excel)
+        print(f"wrote workbook: {args.excel}")
     return 0
 
 

@@ -36,6 +36,31 @@ def test_cli_requires_sources(capsys):
     assert main(["--output", "/tmp/x"]) == 2
 
 
+def test_cli_excel_workbook_and_wos_excel_source(spark, tmp_path):
+    """--wos-excel in, --excel out: the reference's primary I/O pair, end
+    to end over a real .xlsx on both sides (no Excel engine involved)."""
+    from scholarmind_spark.cli import main
+    from scholarmind_spark.xlsxlite import read_xlsx, write_xlsx
+
+    src = str(tmp_path / "savedrecs.xlsx")
+    write_xlsx(src, {"savedrecs": [
+        ["Article Title", "Authors", "Source Title", "Publication Year",
+         "DOI", "Abstract", "Author Keywords"],
+        ["Excel-borne paper", "Ada, B", "J CLI", 2023, "10.9/xlsx",
+         "Round trip.", "io; cli"],
+    ]})
+    out = str(tmp_path / "corpus")
+    wb = str(tmp_path / "report.xlsx")
+    rc = main(["--wos-excel", src, "--output", out, "--excel", wb])
+    assert rc == 0
+    sheets = read_xlsx(wb)
+    assert list(sheets) == ["Results", "WOS", "PubMed", "ScienceDirect"]
+    results = sheets["Results"]
+    title_i = results[0].index("title")
+    assert [r[title_i] for r in results[1:]] == ["Excel-borne paper"]
+    assert len(sheets["WOS"]) == 2 and len(sheets["PubMed"]) == 1
+
+
 def test_sql_surface(spark):
     from scholarmind_spark.sql import register_tables, sql
 
