@@ -2233,6 +2233,80 @@ _BOILERPLATE_SYNTH_SQL = (
 )
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-PII counts + redaction (operators/pii): the documents
+    corpus carries no digits, so the gate APPENDS deterministic doc_id-
+    keyed PII strings (email / phone / IP / card / SSN on different
+    modular classes) — both engines synthesize the identical input, then
+    the operator under test detects and redacts it.  Output: per-doc
+    category counts and the before/after lengths for every affected doc."""
+    from scholarmind_spark.operators.pii import redact_pii, with_pii_counts
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" server 10.0."), (did % 256).cast("string"),
+                            F.lit(".17"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" card 4111-1111-1111-1111")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" ssn 078-05-1120")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counted = with_pii_counts(seeded, "text").withColumn(
+        "len_raw", F.length("text")
+    )
+    redacted = redact_pii(counted, "text").withColumn(
+        "len_redacted", F.length("text")
+    )
+    return (
+        redacted.filter(F.col("n_pii") > 0)
+        .select("doc_id", "n_email", "n_ipv4", "n_card", "n_ssn", "n_phone",
+                "n_pii", "len_raw", "len_redacted")
+        .orderBy("doc_id")
+    )
+
+
+def _text_pii_redact_sql() -> str:
+    from scholarmind_spark.operators.pii import (
+        redact_pii_sql_expr,
+        with_pii_counts_sql,
+    )
+
+    seeded = """(
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+               THEN ' server 10.0.' || (doc_id % 256)::VARCHAR || '.17'
+               ELSE '' END
+       || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN ' ssn 078-05-1120' ELSE '' END
+       AS text
+FROM documents
+)"""
+    counted = f"({with_pii_counts_sql(seeded)})"
+    return f"""
+SELECT doc_id,
+       n_email::INT AS n_email, n_ipv4::INT AS n_ipv4, n_card::INT AS n_card,
+       n_ssn::INT AS n_ssn, n_phone::INT AS n_phone, n_pii::INT AS n_pii,
+       length(text)::INT AS len_raw,
+       length({redact_pii_sql_expr("text")})::INT AS len_redacted
+FROM {counted}
+WHERE n_pii > 0
+ORDER BY doc_id
+"""
+
+
 def text_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style repeated-span removal (operators/boilerplate): spans seen
     in ≥50 distinct docs are boilerplate; every occurrence is scrubbed,
@@ -4008,6 +4082,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
     "text_scrub_spans": text_scrub_spans,
+    "text_pii_redact": text_pii_redact,
     "text_span_hotlist": text_span_hotlist,
     "text_bm25_topk": text_bm25_topk,
     "text_char_entropy": text_char_entropy,
@@ -4142,6 +4217,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
+    "text_pii_redact": _text_pii_redact_sql(),
     "text_span_hotlist": _text_span_hotlist_sql(),
     "text_bm25_topk": _text_bm25_topk_sql(),
     "text_char_entropy": _text_char_entropy_sql(),
@@ -4209,6 +4285,8 @@ ORACLE_SQL: dict[str, str] = {
 # dicts get the same order so queries()/oracle_sql() stay aligned.
 
 _ROUND6_FRONT = [
+    # round-6 addition (newest = riskiest, must be driver-checked)
+    "text_pii_redact",
     # round-5 heavy additions (never driver-checked)
     "graph_pagerank",
     "dedup_containment",
