@@ -2233,6 +2233,36 @@ _BOILERPLATE_SYNTH_SQL = (
 )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/neardup.ngram_jaccard_against):
+    odd-doc_id documents play the incoming batch, even the standing
+    corpus — each new doc is matched against the corpus only, the
+    per-batch shape of a production ingest (corpus-internal pairs are
+    deliberately NOT re-listed)."""
+    from scholarmind_spark.operators.neardup import ngram_jaccard_against
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_against(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+    ).orderBy("new_id", "corpus_id")
+
+
+def _dedup_incremental_sql() -> str:
+    from scholarmind_spark.operators.neardup import ngram_jaccard_against_sql
+
+    return (
+        "SELECT * FROM ("
+        + ngram_jaccard_against_sql(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            threshold=0.5,
+        )
+        + ") ORDER BY new_id, corpus_id"
+    )
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural-PII counts + redaction (operators/pii): the documents
     corpus carries no digits, so the gate APPENDS deterministic doc_id-
@@ -4083,6 +4113,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_url_domains": text_url_domains,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
+    "dedup_incremental": dedup_incremental,
     "text_span_hotlist": text_span_hotlist,
     "text_bm25_topk": text_bm25_topk,
     "text_char_entropy": text_char_entropy,
@@ -4218,6 +4249,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_url_domains": _text_url_domains_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
+    "dedup_incremental": _dedup_incremental_sql(),
     "text_span_hotlist": _text_span_hotlist_sql(),
     "text_bm25_topk": _text_bm25_topk_sql(),
     "text_char_entropy": _text_char_entropy_sql(),
@@ -4285,8 +4317,9 @@ ORACLE_SQL: dict[str, str] = {
 # dicts get the same order so queries()/oracle_sql() stay aligned.
 
 _ROUND6_FRONT = [
-    # round-6 addition (newest = riskiest, must be driver-checked)
+    # round-6 additions (newest = riskiest, must be driver-checked)
     "text_pii_redact",
+    "dedup_incremental",
     # round-5 heavy additions (never driver-checked)
     "graph_pagerank",
     "dedup_containment",

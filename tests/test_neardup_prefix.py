@@ -71,6 +71,27 @@ def test_jaccard_prefix_filter_lossless(spark):
         assert got == _brute_jaccard(t), f"threshold {t}"
 
 
+def test_incremental_matches_self_join_cross_subset(spark):
+    """ngram_jaccard_against(new, corpus) must equal the cross-side subset
+    of ngram_jaccard_pairs(new ∪ corpus) — same df-cap base, same values —
+    and must NOT list new-vs-new or corpus-vs-corpus pairs."""
+    from scholarmind_spark.operators.neardup import ngram_jaccard_against
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    new = df.filter("doc_id % 2 = 1")
+    corpus = df.filter("doc_id % 2 = 0")
+    for t in (0.3, 0.6):
+        got = {
+            (r["new_id"], r["corpus_id"]): r["jaccard"]
+            for r in ngram_jaccard_against(new, corpus, threshold=t).collect()
+        }
+        want = {}
+        for (a, b), j in _brute_jaccard(t).items():
+            if a % 2 != b % 2:  # cross-side only, keyed new→corpus
+                want[(a, b) if a % 2 == 1 else (b, a)] = j
+        assert got == want, f"threshold {t}"
+
+
 def test_containment_prefix_filter_lossless(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     for tau in (500, 800, 1000):
