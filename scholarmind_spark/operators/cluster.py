@@ -167,6 +167,77 @@ def dedup_survivors(
     )
 
 
+def cluster_representatives(
+    pairs: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-based keep decision per duplicate cluster: for every
+    connected component of the near-dup pair graph, the member with the
+    HIGHEST ``score_col`` (ties → lowest id, fully deterministic) is the
+    representative.  Returns one row per cluster: ``component, keep,
+    n_members, best_score``.
+
+    This is the end step of a dedup pipeline — :func:`dedup_survivors`'
+    min-id policy keeps an arbitrary member; a curation pipeline keeps
+    the best one (e.g. ``textstats.quality_score``) and drops the rest.
+    Docs not in any pair are their own representatives by definition and
+    are deliberately NOT emitted (no join against the full corpus for
+    information the caller already has).
+
+    Plan shape: CC runs on the pair list (orders of magnitude smaller
+    than the corpus); ``scored`` joins once on the cluster MEMBERS only
+    (AQE broadcasts the member list when small), then one window per
+    component — the window's partition count is #clusters, not #docs."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    members = cc.join(
+        scored.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__s"), F.asc("node"))
+    out = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("node"))).alias("keep"),
+            F.count("*").alias("n_members"),
+            F.max("__s").alias("best_score"),
+        )
+    )
+    return _attach_caches(
+        out, getattr(cc, "_sm_caches", []) + list(getattr(pairs, "_sm_caches", []))
+    )
+
+
+def cluster_representatives_sql(
+    pairs_sql: str,
+    scored_sql: str,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> str:
+    """DuckDB twin of :func:`cluster_representatives` (same CC, same
+    window tiebreak, same aggregate shape)."""
+    cc = connected_components_sql(pairs_sql)
+    return f"""
+SELECT component,
+       max(CASE WHEN __rn = 1 THEN node END) AS keep,
+       count(*) AS n_members,
+       max(__s) AS best_score
+FROM (
+  SELECT m.node, m.component, s.__s,
+         row_number() OVER (PARTITION BY m.component
+                            ORDER BY s.__s DESC, m.node ASC) AS __rn
+  FROM ({cc}) m
+  JOIN (SELECT {id_col} AS node, {score_col} AS __s FROM ({scored_sql})) s
+    ON s.node = m.node
+)
+GROUP BY component
+"""
+
+
 def connected_components_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
     """DuckDB twin: min reachable id via a recursive CTE (UNION dedups the
     frontier, so the recursion terminates on cyclic graphs)."""

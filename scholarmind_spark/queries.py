@@ -3587,6 +3587,36 @@ def _dedup_clusters_sql() -> str:
     return f"SELECT node, component, node = component AS is_survivor FROM ({cc})"
 
 
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based cluster representative selection
+    (operators/cluster.cluster_representatives): near-dup clusters from
+    n-gram Jaccard pairs, keep = highest quality_score (ties → lowest
+    doc_id) — the dedup pipeline's final keep/drop decision."""
+    from scholarmind_spark.operators.cluster import cluster_representatives
+    from scholarmind_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.6)
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    return cluster_representatives(pairs, scored, "doc_id", "q").orderBy("component")
+
+
+def _dedup_cluster_reps_sql() -> str:
+    from scholarmind_spark.operators.cluster import cluster_representatives_sql
+    from scholarmind_spark.operators.textstats import quality_score_sql
+
+    return (
+        "SELECT * FROM ("
+        + cluster_representatives_sql(
+            ngram_jaccard_pairs_sql("documents", threshold=0.6),
+            f"SELECT doc_id, {quality_score_sql('text')} AS q FROM documents",
+            "doc_id",
+            "q",
+        )
+        + ") ORDER BY component"
+    )
+
+
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram: how many near-dup clusters have
     2, 3, ... members — the one-look summary of corpus duplication
@@ -4114,6 +4144,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
+    "dedup_cluster_reps": dedup_cluster_reps,
     "text_span_hotlist": text_span_hotlist,
     "text_bm25_topk": text_bm25_topk,
     "text_char_entropy": text_char_entropy,
@@ -4250,6 +4281,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
+    "dedup_cluster_reps": _dedup_cluster_reps_sql(),
     "text_span_hotlist": _text_span_hotlist_sql(),
     "text_bm25_topk": _text_bm25_topk_sql(),
     "text_char_entropy": _text_char_entropy_sql(),
@@ -4320,6 +4352,7 @@ _ROUND6_FRONT = [
     # round-6 additions (newest = riskiest, must be driver-checked)
     "text_pii_redact",
     "dedup_incremental",
+    "dedup_cluster_reps",
     # round-5 heavy additions (never driver-checked)
     "graph_pagerank",
     "dedup_containment",

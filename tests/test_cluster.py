@@ -117,3 +117,25 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_cluster_representatives_quality_keep(spark):
+    """Highest score per component wins; ties break to lowest id;
+    unpaired docs are not emitted; n_members counts the whole cluster."""
+    from scholarmind_spark.operators.cluster import cluster_representatives
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7),       # cluster {1,2,3} → keep 2
+         (10, 0.4), (11, 0.4),               # tie → keep 10
+         (20, 0.1), (21, 0.8),               # keep 21
+         (99, 1.0)],                          # unpaired → absent
+        "doc_id long, score double",
+    )
+    got = {
+        r["component"]: (r["keep"], r["n_members"], r["best_score"])
+        for r in cluster_representatives(pairs, scored).collect()
+    }
+    assert got == {1: (2, 3, 0.9), 10: (10, 2, 0.4), 20: (21, 2, 0.8)}
