@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "events_interarrival",
     "events_mad_outliers",
+    "text_pii_redact",
+    "dedup_incremental",
+    "dedup_cluster_reps",
 ]
 
 

@@ -200,6 +200,11 @@ class OllamaChatClient(HTTPChatClient):
 
     def _extract(self, data: dict) -> str:
         message = data.get("message")
-        if not isinstance(message, dict) or "content" not in message:
-            return ""  # invalid response shape → defaults (llm_api.py:520)
+        if not isinstance(message, dict) or not isinstance(
+            message.get("content"), str
+        ):
+            # invalid shape OR null content (some models emit it on
+            # tool-call turns) → defaults immediately, no retry burn
+            # (llm_api.py:520)
+            return ""
         return message["content"].strip()

@@ -184,7 +184,9 @@ def cluster_representatives(
     the best one (e.g. ``textstats.quality_score``) and drops the rest.
     Docs not in any pair are their own representatives by definition and
     are deliberately NOT emitted (no join against the full corpus for
-    information the caller already has).
+    information the caller already has).  Members missing from ``scored``
+    still count in ``n_members`` and sort after every scored member (an
+    all-unscored cluster keeps its lowest id with null ``best_score``).
 
     Plan shape: CC runs on the pair list (orders of magnitude smaller
     than the corpus); ``scored`` joins once on the cluster MEMBERS only
@@ -193,11 +195,17 @@ def cluster_representatives(
     from pyspark.sql import Window
 
     cc = connected_components(pairs)
+    # LEFT join: a member with no score row (filtered upstream) must still
+    # count in n_members and can still be kept (null scores sort last, so
+    # an all-unscored cluster keeps its lowest id and best_score is null)
     members = cc.join(
         scored.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
         "node",
+        "left",
     )
-    w = Window.partitionBy("component").orderBy(F.desc("__s"), F.asc("node"))
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("__s"), F.asc("node")
+    )
     out = (
         members.withColumn("__rn", F.row_number().over(w))
         .groupBy("component")
@@ -229,9 +237,9 @@ SELECT component,
 FROM (
   SELECT m.node, m.component, s.__s,
          row_number() OVER (PARTITION BY m.component
-                            ORDER BY s.__s DESC, m.node ASC) AS __rn
+                            ORDER BY s.__s DESC NULLS LAST, m.node ASC) AS __rn
   FROM ({cc}) m
-  JOIN (SELECT {id_col} AS node, {score_col} AS __s FROM ({scored_sql})) s
+  LEFT JOIN (SELECT {id_col} AS node, {score_col} AS __s FROM ({scored_sql})) s
     ON s.node = m.node
 )
 GROUP BY component

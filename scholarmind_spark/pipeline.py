@@ -50,20 +50,24 @@ def build_corpus(spark: SparkSession, sources: dict[str, str]) -> DataFrame:
     as a single lazy plan.
 
     ``record_id`` is unique only WITHIN a source scan; the corpus re-keys
-    it to ``(source_index << 40) | local_id`` so it is globally unique and
-    deterministic — every downstream keyed join (the LLM map's key-attach,
-    the dedup tiebreak) depends on this.  Positional alignment (reference
-    J2, main.py:331-335) is never used."""
+    it as ``xxhash64(source_type, local_id)`` so ids from different
+    sources live in statistically disjoint namespaces — every downstream
+    keyed join (the LLM map's key-attach, the dedup tiebreak) depends on
+    this.  (A ``source_index << 40`` scheme would be structurally unique,
+    but the per-source id is itself a full-range 64-bit content hash, so
+    shifted addition both voids the namespace split and can overflow;
+    re-hashing keeps the whole 64-bit domain — same ~5e9-record birthday
+    envelope as ``sources.base.stable_record_id`` — and stays
+    deterministic across retries/re-splits.)  Positional alignment
+    (reference J2, main.py:331-335) is never used."""
     if not sources:
         raise ValueError("no sources configured")
     dfs = []
-    for idx, (stype, path) in enumerate(sorted(sources.items())):
+    for stype, path in sorted(sources.items()):
         df = read_source(spark, stype, path)
         dfs.append(
             df.withColumn(
-                "record_id",
-                F.lit(idx + 1).cast("long") * F.lit(1 << 40).cast("long")
-                + F.col("record_id"),
+                "record_id", F.xxhash64(F.lit(stype), F.col("record_id"))
             )
         )
     return union_sources(dfs)

@@ -4388,7 +4388,6 @@ _ROUND6_FRONT = [
     "events_rolling_anomaly",
     "events_mutual_information",
     "events_session_paths",
-    "events_daily_drift",
     "source_vocab_overlap",
     "source_health_report",
     "skew_key_report",

@@ -108,9 +108,18 @@ def _user_stats_update_factory(timeout_ms: int | None):
         # round(sum(value), 6)).
         state.update((n, total, last))
         if timeout_ms is not None:
-            # re-arm on every touch: evict when the event-time watermark
-            # passes (now + horizon) with no new events for this key
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
+            # Re-arm from the key's LAST EVENT TIME, not the watermark:
+            # during the first microbatch the watermark is still 0, so
+            # (watermark + horizon) would mark batch-1-only keys for
+            # eviction the moment the watermark first advances — wiping
+            # cumulative state after one minute of idleness regardless of
+            # the configured horizon.  last_event + horizon is the actual
+            # idle definition; clamp above the watermark because Spark
+            # rejects timeout timestamps at or before it (a key whose
+            # horizon already passed evicts at the next watermark tick).
+            state.setTimeoutTimestamp(
+                max(last // 1000 + timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -163,10 +172,12 @@ def _anomaly_update_factory(
             return
         (recent,) = state.get if state.exists else ([],)
         recent = list(recent)
+        last_us = 0
         out: dict[str, list] = {c: [] for c in
                                 ("key", "event_id", "x_milli", "n",
                                  "mean_milli", "anomaly")}
         for pdf in pdfs:
+            last_us = max(last_us, _ts_max_us(pdf["ts"]))
             # event-time order within the batch: state semantics must not
             # depend on Arrow chunk arrival order
             pdf = pdf.sort_values(["ts", "event_id"])
@@ -193,7 +204,12 @@ def _anomaly_update_factory(
                     recent.pop(0)
         state.update((recent,))
         if timeout_ms is not None:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
+            # last-event + horizon, clamped above the watermark — see
+            # _user_stats_update_factory on why NOT watermark + horizon
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + timeout_ms,
+                    state.getCurrentWatermarkMs() + 1)
+            )
         if out["key"]:
             yield pd.DataFrame(out)
 
@@ -221,7 +237,8 @@ def stateful_anomaly(
 
     ``idle_timeout`` (e.g. ``'30 minutes'``) bounds state on an unbounded
     stream: an event-time watermark is applied to ``ts`` and every touch
-    re-arms the key's timeout to (watermark + horizon), so keys idle past
+    re-arms the key's timeout to (last event time + horizon), so keys idle
+    past
     the horizon are evicted (EventTimeTimeout requires the watermark)."""
     timeout_ms = None
     if idle_timeout:
@@ -253,7 +270,7 @@ def stateful_user_stats(events: DataFrame, idle_timeout: str | None = None) -> D
 
     ``idle_timeout`` (e.g. ``'30 minutes'``): applies an event-time
     watermark on ``ts`` and re-arms each key's timeout to
-    (watermark + horizon) on every touch, so idle keys are evicted and
+    (last event time + horizon) on every touch, so idle keys are evicted and
     state stays bounded (EventTimeTimeout requires the watermark)."""
     timeout_ms = None
     if idle_timeout:

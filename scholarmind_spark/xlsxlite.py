@@ -86,11 +86,18 @@ def _localname(tag: str) -> str:
 
 
 def _si_text(si: ET.Element) -> str:
-    """Text of one sharedStrings <si>: plain <t> or rich-text <r><t> runs."""
+    """Text of one sharedStrings <si>: plain <t> or rich-text <r><t> runs.
+    Phonetic-guide runs (<rPh>, written by Japanese-locale Excel) are NOT
+    part of the cell value and are skipped."""
     parts = []
-    for el in si.iter():
-        if _localname(el.tag) == "t":
-            parts.append(el.text or "")
+    for child in si:
+        name = _localname(child.tag)
+        if name == "t":
+            parts.append(child.text or "")
+        elif name == "r":  # rich-text run: one <t> inside
+            for el in child:
+                if _localname(el.tag) == "t":
+                    parts.append(el.text or "")
     return "".join(parts)
 
 
@@ -160,6 +167,13 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
             rows: list[list] = []
             root = ET.fromstring(zf.read(part))
             for row_el in root.iter(f"{{{_SSML}}}row"):
+                # honor the row's r= index: Excel omits empty rows from the
+                # XML entirely, so a gap must re-appear as all-None rows or
+                # every later row shifts up to the wrong position
+                r_attr = row_el.get("r")
+                if r_attr is not None:
+                    while len(rows) < int(r_attr) - 1:
+                        rows.append([])
                 cells: list = []
                 for cell in row_el:
                     if _localname(cell.tag) != "c":
@@ -234,6 +248,11 @@ def _cell_xml(ref: str, value, style: int) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        # SpreadsheetML has no NaN/Infinity numeric representation —
+        # Excel flags the workbook as corrupt; emit a blank cell instead
+        if isinstance(value, float) and (value != value or value in
+                                         (float("inf"), float("-inf"))):
+            return f'<c r="{ref}"{s}/>'
         return f'<c r="{ref}"{s}><v>{value!r}</v></c>'
     text = escape(str(value))
     # strip control chars Excel rejects (keep \t \n \r)

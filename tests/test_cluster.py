@@ -139,3 +139,17 @@ def test_cluster_representatives_quality_keep(spark):
         for r in cluster_representatives(pairs, scored).collect()
     }
     assert got == {1: (2, 3, 0.9), 10: (10, 2, 0.4), 20: (21, 2, 0.8)}
+
+
+def test_cluster_representatives_unscored_members_still_count(spark):
+    """A member missing from `scored` counts in n_members and sorts after
+    scored members; an all-unscored cluster keeps its lowest id."""
+    from scholarmind_spark.operators.cluster import cluster_representatives
+
+    pairs = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    scored = spark.createDataFrame([(2, 0.3)], "doc_id long, score double")
+    got = {
+        r["component"]: (r["keep"], r["n_members"], r["best_score"])
+        for r in cluster_representatives(pairs, scored).collect()
+    }
+    assert got == {1: (2, 2, 0.3), 5: (5, 2, None)}

@@ -166,3 +166,14 @@ def test_clients_are_picklable():
         c2 = pickle.loads(pickle.dumps(c))
         assert c2.base_url == c.base_url and c2.model == c.model
         assert c2._endpoint() == c._endpoint()
+
+
+def test_ollama_null_content_returns_defaults_without_retry(monkeypatch):
+    """content: null (tool-call turns) is a shape problem, not a transport
+    failure — '' immediately, no retry burn."""
+    c = OllamaChatClient("http://o/api", "m", max_retries=3)
+    t = Transport([json.dumps({"message": {"role": "assistant",
+                                           "content": None}}).encode()])
+    slept = _wire(c, t, monkeypatch)
+    assert c(MESSAGES) == ""
+    assert len(t.requests) == 1 and slept == []

@@ -142,11 +142,23 @@ def test_duration_ms():
 
 
 def test_stateful_idle_timeout_evicts_state(spark, tmp_path):
-    """idle_timeout must actually evict: a key idle past the horizon loses
-    its state, so its running count restarts when it reappears.  (r5 bug:
-    EventTimeTimeout was selected with no watermark and no
-    setTimeoutTimestamp — the query would fail at start and hasTimedOut
-    was dead code.)"""
+    """idle_timeout must evict a key idle past the horizon RELATIVE TO ITS
+    LAST EVENT — and must NOT evict a key whose idleness is within the
+    horizon.  (r5 bug: EventTimeTimeout was selected with no watermark and
+    no setTimeoutTimestamp — the query would fail at start and hasTimedOut
+    was dead code.  r6 bug: the first fix armed from the CURRENT WATERMARK,
+    which is 0 in batch 1, so batch-1-only keys were evicted the moment the
+    watermark first advanced, regardless of the horizon.)
+
+    Timeline (horizon 30 min; watermark for batch N = prior max ts − 30 min,
+    and a timer only fires in a batch where the key has NO data):
+      f1 12:00 u1+u2  → u2 armed for 12:30
+      f2 14:00 u1     → wm 11:30 < 12:30: u2 survives
+      f3 16:00 u1     → wm 13:30 > 12:30: u2 EVICTED (idle, timer fires)
+      f4 16:30 u1+u2  → u2 restarts at 1
+    u1 is touched every batch so its count reaches 4 — which also proves
+    no premature eviction: under watermark-based arming u1 would still
+    survive, but u2 would have been dropped between f1 and f2."""
     import os
     import time
 
@@ -154,9 +166,6 @@ def test_stateful_idle_timeout_evicts_state(spark, tmp_path):
 
     src = tmp_path / "src"
     src.mkdir()
-    t0 = "2024-01-01 12:00:00"
-    t2 = "2024-01-01 14:00:00"
-    t4 = "2024-01-01 16:00:00"
 
     def write_file(name, rows, mtime):
         df = spark.createDataFrame(rows, "user_id long, ts string, value double")
@@ -168,11 +177,12 @@ def test_stateful_idle_timeout_evicts_state(spark, tmp_path):
                 os.utime(os.path.join(root, f), (mtime, mtime))
 
     base = time.time() - 1000
-    # batch 1: both users; batch 2: only user 1 (user 2 goes idle and the
-    # watermark passes its timeout); batch 3: user 2 reappears
-    write_file("f1", [(1, t0, 1.0), (2, t0, 1.0)], base)
-    write_file("f2", [(1, t2, 1.0)], base + 10)
-    write_file("f3", [(1, t4, 1.0), (2, t4, 1.0)], base + 20)
+    write_file("f1", [(1, "2024-01-01 12:00:00", 1.0),
+                      (2, "2024-01-01 12:00:00", 1.0)], base)
+    write_file("f2", [(1, "2024-01-01 14:00:00", 1.0)], base + 10)
+    write_file("f3", [(1, "2024-01-01 16:00:00", 1.0)], base + 20)
+    write_file("f4", [(1, "2024-01-01 16:30:00", 1.0),
+                      (2, "2024-01-01 16:30:00", 1.0)], base + 30)
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, value double")
@@ -185,8 +195,8 @@ def test_stateful_idle_timeout_evicts_state(spark, tmp_path):
     n_by_user = {}
     for r in got.collect():
         n_by_user.setdefault(r.user_id, []).append(r.n_events)
-    # user 1 was touched every batch: running count reaches 3
-    assert max(n_by_user[1]) == 3
+    # user 1 was touched every batch and never evicted: count reaches 4
+    assert max(n_by_user[1]) == 4
     # user 2's state was evicted while idle: count restarts at 1, never 2
     assert max(n_by_user[2]) == 1 and len(n_by_user[2]) == 2
 

@@ -181,3 +181,38 @@ def test_scan_wos_excel_empty_workbook(spark, tmp_path, monkeypatch):
                         lambda *a, **kw: (_ for _ in ()).throw(ImportError()))
     with pytest.raises(ValueError, match="empty"):
         scan_wos_excel(spark, p)
+
+
+def test_nonfinite_floats_write_blank_cells(tmp_path):
+    p = str(tmp_path / "nf.xlsx")
+    write_xlsx(p, {"s": [["a", "b", "c", "d"],
+                         [float("nan"), float("inf"), float("-inf"), 1.5]]})
+    with zipfile.ZipFile(p) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+        assert "nan" not in xml and "inf" not in xml
+    assert read_xlsx(p)["s"][1] == [None, None, None, 1.5]
+
+
+def test_reader_honors_row_gaps_and_skips_phonetic_runs(tmp_path):
+    """Excel omits empty rows from the XML (r= indices jump) and stores
+    phonetic furigana in <rPh> runs — neither may corrupt the grid."""
+    ssml = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{ssml}"><sheetData>
+<row r="2"><c r="A2" t="s"><v>0</v></c></row>
+<row r="5"><c r="B5"><v>7</v></c></row>
+</sheetData></worksheet>"""
+    shared = f"""<?xml version="1.0"?>
+<sst xmlns="{ssml}"><si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si></sst>"""
+    wb = f"""<?xml version="1.0"?>
+<workbook xmlns="{ssml}"><sheets><sheet name="S" sheetId="1"/></sheets></workbook>"""
+    p = str(tmp_path / "gap.xlsx")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    got = read_xlsx(p)["S"]
+    assert len(got) == 5  # rows 1..5, gaps present
+    assert got[0] == [None, None] and got[2] == [None, None]
+    assert got[1][0] == "東京"  # phonetic run excluded
+    assert got[4][1] == 7
