@@ -26,9 +26,18 @@ def merge_upsert(
     updates: DataFrame,
     keys: str | list[str],
     version_col: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """One surviving row per key: the updates row unless the snapshot's
-    ``version_col`` is strictly higher (out-of-order increments)."""
+    ``version_col`` is strictly higher (out-of-order increments).
+
+    PRECONDITION (the standard SQL MERGE contract, where multiple update
+    matches per key are an error): ``updates`` carries at most one row
+    per ``(keys, version_col)``.  If a feed can violate that, pass
+    ``tiebreak`` (a column whose ascending order picks the winner) —
+    otherwise equal-version duplicates tie in the window and the survivor
+    follows physical row order, which changes under repartitioning or
+    task retry."""
     ks = [keys] if isinstance(keys, str) else list(keys)
     s = snapshot.withColumn("__side", F.lit(1))
     u = updates.withColumn("__side", F.lit(0))
@@ -37,6 +46,8 @@ def merge_upsert(
     if version_col:
         order.append(F.desc(version_col))
     order += [F.asc("__side")]  # updates (0) beat snapshot (1) on version tie
+    if tiebreak:
+        order.append(F.asc(tiebreak))
     w = Window.partitionBy(*ks).orderBy(*order)
     return (
         both.withColumn("__rn", F.row_number().over(w))
@@ -90,8 +101,15 @@ def scd2_history_sql(
     tiebreak: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`scd2_history` (same ordering, same null-safe
-    change suppression, same interval close)."""
-    order = f"{ts_col} ASC" + (f", {tiebreak} ASC" if tiebreak else "")
+    change suppression, same interval close).
+
+    Two dialect traps pinned here: Spark's ``ASC`` is NULLS FIRST while
+    DuckDB's default is NULLS LAST (a null-ts row would sort to opposite
+    ends and shift every interval), and the first-row test must be
+    ``row_number() = 1`` — ``lag(ts) IS NULL`` misfires on the row AFTER
+    a null-ts row."""
+    order = (f"{ts_col} ASC NULLS FIRST"
+             + (f", {tiebreak} ASC NULLS FIRST" if tiebreak else ""))
     attrs = ", ".join(attr_cols)
     # carry the tiebreak through `changed` — w2 orders by it
     extra = f", {tiebreak}" if tiebreak and tiebreak not in attr_cols else ""
@@ -101,7 +119,7 @@ def scd2_history_sql(
 WITH feed AS ({updates_sql}),
 marked AS (
   SELECT {key}, {attrs}, {ts_col}{extra},
-         (lag({ts_col}) OVER w IS NULL) AS __first, {prev}
+         (row_number() OVER w = 1) AS __first, {prev}
   FROM feed
   WINDOW w AS (PARTITION BY {key} ORDER BY {order})
 ),
@@ -118,11 +136,17 @@ WINDOW w2 AS (PARTITION BY {key} ORDER BY {order})
 
 
 def merge_upsert_sql(
-    snapshot_sql: str, updates_sql: str, keys: list[str], version_col: str | None = None
+    snapshot_sql: str,
+    updates_sql: str,
+    keys: list[str],
+    version_col: str | None = None,
+    tiebreak: str | None = None,
 ) -> str:
     """DuckDB twin: same union + one-winner-per-key window."""
     ks = ", ".join(keys)
     order = (f"{version_col} DESC, " if version_col else "") + "__side ASC"
+    if tiebreak:
+        order += f", {tiebreak} ASC"
     return f"""
 WITH both_sides AS (
   SELECT *, 1 AS __side FROM ({snapshot_sql})

@@ -98,7 +98,11 @@ def stratified_sample_sql(
     rate = f"{default_rate}"
     for cls, r in sorted(rates.items()):
         rate = f"CASE WHEN {class_expr} = '{cls}' THEN {r} ELSE {rate} END"
-    return f"{b} < (({rate}) * {buckets})::BIGINT"
+    # floor() before ::BIGINT: DuckDB's cast ROUNDS to nearest while
+    # Spark's .cast('bigint') truncates — at a rate whose rate*buckets
+    # lands on .5 the two engines would keep different bucket sets
+    # (mixture_sample_sql already guards this; same fix here)
+    return f"{b} < floor(({rate}) * {buckets})::BIGINT"
 
 
 def weighted_sample(
@@ -219,7 +223,6 @@ def mixture_sample_sql(
     w_case = "NULL"
     for cls, w in sorted(target_weights.items(), reverse=True):
         w_case = f"CASE WHEN {class_expr} = '{cls}' THEN {w / total_w!r} ELSE {w_case} END"
-    b = hash_bucket_sql(key_expr, buckets)
     return f"""
 WITH w AS (
   SELECT *, {w_case} AS __w FROM {table}

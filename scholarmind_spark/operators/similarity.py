@@ -60,8 +60,14 @@ def cosine_topk(
     # join instead of once per (row × query) pair.  sqrt(Σx²) is evaluated
     # with identical float ops either way, so results are bit-equal — this
     # only removes |queries|-fold redundant interpreted HOF work.
-    d = df.withColumn("__nv", _norm(F.col(vec_col)))
-    q = queries_df.withColumn("__nq", _norm(F.col(query_vec_col)))
+    # zero-norm vectors have no direction: cosine would be 0/0 = NaN, and
+    # NaN sorts GREATEST in both engines, so a single all-zeros embedding
+    # would rank as the #1 neighbor of every query — exclude them up front
+    # (mirrored in every SQL twin)
+    d = df.withColumn("__nv", _norm(F.col(vec_col))).filter(F.col("__nv") > 0)
+    q = queries_df.withColumn("__nq", _norm(F.col(query_vec_col))).filter(
+        F.col("__nq") > 0
+    )
     joined = d.crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(query_id_col).alias("query_id"),
@@ -96,7 +102,9 @@ def cosine_topk_sql(
     """DuckDB twin: same double-precision sequential dot/norm (explicit
     list_sum over products rather than list_cosine_similarity, so both
     engines accumulate in the same order and round identically)."""
-    ids = ", ".join(str(i) for i in (query_ids or []))
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list (IN () is not SQL)")
+    ids = ", ".join(str(i) for i in query_ids)
     dot = (
         f"list_sum(list_transform(list_zip(e.{vec_col}, q.{vec_col}),"
         f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
@@ -105,13 +113,16 @@ def cosine_topk_sql(
     norm_q = f"sqrt(list_sum(list_transform(q.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
     return f"""
 WITH q AS (
-  SELECT {id_col} AS query_id, {vec_col} FROM {table} WHERE {id_col} IN ({ids})
+  SELECT {id_col} AS query_id, {vec_col} FROM {table}
+  WHERE {id_col} IN ({ids})
+    AND list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
 ),
 scored AS (
   SELECT q.query_id, e.{id_col} AS neighbor_id,
          {dot} / ({norm_e} * {norm_q}) AS cos_raw
   FROM {table} e, q
   WHERE e.{id_col} <> q.query_id
+    AND list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
@@ -251,7 +262,7 @@ def ann_lsh_topk(
         F.col(vec_col).alias("__v"),
         _norm(F.col(vec_col)).alias("__nv"),
         F.explode(lsh_buckets_multi(vec_col, tables, planes, dim)).alias("__bucket"),
-    )
+    ).filter(F.col("__nv") > 0)  # zero-norm guard — see cosine_topk
     q = queries_df.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
@@ -259,7 +270,7 @@ def ann_lsh_topk(
         F.explode(
             lsh_buckets_multi(query_vec_col, tables, planes, dim)
         ).alias("__bucket"),
-    )
+    ).filter(F.col("__nq") > 0)
     joined = d.join(F.broadcast(q), on="__bucket")
     scored = (
         joined.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -386,12 +397,12 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
         _norm(F.col(vec_col)).alias("__na"),
-    )
+    ).filter(F.col("__na") > 0)  # zero-norm guard — see cosine_topk
     vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
         _norm(F.col(vec_col)).alias("__nb"),
-    )
+    ).filter(F.col("__nb") > 0)
     out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -423,6 +434,7 @@ def embedding_neardup_pairs_sql(
     return f"""
 WITH b AS (
   SELECT {id_col}, {vec_col}, unnest({buckets}) AS bucket FROM {table}
+  WHERE list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
 ),
 cand AS (
   SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
@@ -434,6 +446,8 @@ FROM cand
 JOIN {table} l ON l.{id_col} = id_a
 JOIN {table} r ON r.{id_col} = id_b
 WHERE {dot} / ({norm_l} * {norm_r}) >= {threshold}
+  AND list_sum(list_transform(l.{vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
+  AND list_sum(list_transform(r.{vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
 """
 
 
@@ -449,7 +463,9 @@ def ann_lsh_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`ann_lsh_topk` (same multi-table buckets,
     distinct candidates, same ranking)."""
-    ids = ", ".join(str(i) for i in (query_ids or []))
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list (IN () is not SQL)")
+    ids = ", ".join(str(i) for i in query_ids)
     buckets = lsh_buckets_multi_sql(vec_col, tables, planes, dim)
     dot = (
         f"list_sum(list_transform(list_zip(e.{vec_col}, q.{vec_col}),"
@@ -460,6 +476,7 @@ def ann_lsh_topk_sql(
     return f"""
 WITH b AS (
   SELECT {id_col}, {vec_col}, unnest({buckets}) AS bucket FROM {table}
+  WHERE list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
 ),
 qb AS (
   SELECT {id_col} AS query_id, bucket FROM b WHERE {id_col} IN ({ids})
@@ -543,7 +560,10 @@ def ivf_topk(
         )
 
     def assign(side: DataFrame, sid: str, svec: str, n: int, nrm: str) -> DataFrame:
-        scored = side.withColumn(nrm, _norm(F.col(svec))).crossJoin(centroids).select(
+        side = side.withColumn(nrm, _norm(F.col(svec))).filter(
+            F.col(nrm) > 0  # zero-norm guard — see cosine_topk
+        )
+        scored = side.crossJoin(centroids).select(
             F.col(sid),
             F.col(svec),
             F.col(nrm),
@@ -601,7 +621,9 @@ def ivf_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`ivf_topk` — same centroids, same (cos, cid)
     lexicographic assignment tiebreak (ORDER BY ccos DESC, cid DESC)."""
-    qids = ", ".join(str(i) for i in (query_ids or []))
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list (IN () is not SQL)")
+    qids = ", ".join(str(i) for i in query_ids)
     cids = ", ".join(str(i) for i in (centroid_ids or IVF_CENTROID_IDS))
 
     def cos(a: str, b: str) -> str:
@@ -620,10 +642,13 @@ data_assign AS (
          row_number() OVER (PARTITION BY {id_col}
                             ORDER BY {cos(vec_col, 'cvec')} DESC, cid DESC) AS rn
   FROM {table}, cents
+  WHERE list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
 ),
 data_cells AS (SELECT {id_col}, {vec_col}, cell FROM data_assign WHERE rn = 1),
 q AS (
-  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table} WHERE {id_col} IN ({qids})
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+  WHERE {id_col} IN ({qids})
+    AND list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE)) > 0
 ),
 probe_assign AS (
   SELECT query_id, qvec, cid AS cell,

@@ -251,7 +251,13 @@ def run_to_memory(
     ``spark.sql.shuffle.partitions`` at START (no AQE coalescing in
     streaming) — on a default session that is 200 state-store tasks per
     microbatch regardless of data size.  The conf is pinned for the start
-    and restored after the drain."""
+    and restored after the drain.
+
+    NOT concurrency-safe: the pin/restore mutates the SHARED session conf
+    non-atomically, so two concurrent drains (or a batch query started
+    inside the window) would race it.  This is a sequential
+    test/verification harness by design — production streams set the conf
+    once at query start and never restore."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -285,15 +291,31 @@ def stream_merge_to_snapshot(
     the merge is idempotent by key/version).
 
     The new snapshot is written to a staging directory and swapped in
-    with a rename, so the read of the OLD snapshot inside the merge plan
-    is never racing the overwrite of the same files."""
+    with renames ordered so EVERY failure point leaves a recoverable
+    state: stage → move current aside (``.old``) → move staging in →
+    drop ``.old``.  A crash between the two moves leaves ``.old``, which
+    the next batch restores before merging — the previous fixed-point
+    (rmtree then rename) lost the whole snapshot if the process died
+    between the calls, and the re-run batch would silently rebuild from
+    one microbatch's rows.
+
+    SCOPE: the swap uses driver-local ``os``/``shutil``, so
+    ``snapshot_path`` must be a path all of: the driver, the executors,
+    and the rename syscall can reach — i.e. a shared POSIX filesystem
+    (local disk, NFS).  For object stores (s3a://...) use a table format
+    with transactional commit instead; plain parquet-directory renames
+    are not atomic there."""
     import os
     import shutil
 
     from scholarmind_spark.operators.merge import merge_upsert
 
+    old_path = f"{snapshot_path}.old"
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if not os.path.isdir(snapshot_path) and os.path.isdir(old_path):
+            os.rename(old_path, snapshot_path)  # recover interrupted swap
         if os.path.isdir(snapshot_path) and any(
             f.endswith(".parquet") for f in os.listdir(snapshot_path)
         ):
@@ -305,9 +327,13 @@ def stream_merge_to_snapshot(
             )
         staging = f"{snapshot_path}.staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(old_path):  # leftover from an interrupted final step
+            shutil.rmtree(old_path)
         if os.path.isdir(snapshot_path):
-            shutil.rmtree(snapshot_path)
+            os.rename(snapshot_path, old_path)
         os.rename(staging, snapshot_path)
+        if os.path.isdir(old_path):
+            shutil.rmtree(old_path)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -120,3 +120,28 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     ids = {r.doc_id for r in weighted_sample(df, "doc_id", "w", n=10).collect()}
     assert ids == {3, 4}
+
+
+def test_stratified_sample_boundary_rate_cross_engine(spark):
+    """A rate whose rate*buckets lands exactly on .5: DuckDB's ::BIGINT
+    cast ROUNDS while Spark's cast truncates — the twin must floor() so
+    both engines keep the identical bucket set (r6 review finding)."""
+    import duckdb
+
+    from scholarmind_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_sql,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    rate = 0.0333335  # * 1_000_000 = 33333.5 — the rounding boundary
+    got = sorted(
+        r["k"] for r in stratified_sample(df, "k", "lang", {"en": rate, "de": rate}).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = stratified_sample_sql("k", "lang", {"en": rate, "de": rate})
+    want = sorted(k for (k,) in con.execute(f"SELECT k FROM t WHERE {pred}").fetchall())
+    assert got == want

@@ -71,3 +71,56 @@ def test_scd2_history_null_attr_change_detected(spark):
     assert sorted((r.valid_from, r.status) for r in out) == [
         (10, None), (30, "A"), (40, None),
     ]
+
+
+def test_merge_upsert_duplicate_updates_tiebreak(spark):
+    """Two update rows for one key with equal version: without a tiebreak
+    the winner follows physical row order; with one it is deterministic
+    (r6 review finding — the MERGE precondition, made enforceable)."""
+    from scholarmind_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame([(1, "old", 1, "z")],
+                                 "k long, v string, ver long, src string")
+    ups = spark.createDataFrame(
+        [(1, "dup-b", 5, "b"), (1, "dup-a", 5, "a")],
+        "k long, v string, ver long, src string",
+    )
+    for _ in range(3):  # stable across retries/replans
+        out = merge_upsert(snap, ups.repartition(7), "k",
+                           version_col="ver", tiebreak="src").collect()
+        assert len(out) == 1 and out[0]["v"] == "dup-a"  # lowest src wins
+
+
+def test_scd2_null_ts_cross_engine_parity(spark):
+    """NULL ts ordering: Spark ASC is NULLS FIRST, DuckDB default is NULLS
+    LAST, and lag-IS-NULL misfires after a null-ts row — the twin must pin
+    both (r6 review finding)."""
+    import duckdb
+
+    from scholarmind_spark.operators.merge import scd2_history, scd2_history_sql
+
+    rows = [
+        (1, None, "a"),
+        (1, "2024-01-02 00:00:00", "a"),  # unchanged after null-ts row
+        (1, "2024-01-03 00:00:00", "b"),
+        (2, "2024-01-01 00:00:00", "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, attr string").selectExpr(
+        "k", "CAST(ts AS timestamp) AS ts", "attr"
+    )
+    got = sorted(
+        (r["k"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"], r["attr"])
+        for r in scd2_history(df, "k", "ts", ["attr"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE feed_src (k BIGINT, ts TIMESTAMP, attr VARCHAR)")
+    con.executemany("INSERT INTO feed_src VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (k, str(vf), str(vt), cur, attr)
+        for k, attr, vf, vt, cur in con.execute(
+            scd2_history_sql("SELECT * FROM feed_src", "k", "ts", ["attr"])
+        ).fetchall()
+    )
+    assert got == want
+    # the unchanged row after the null-ts row is suppressed on BOTH engines
+    assert len([r for r in got if r[0] == 1]) == 2

@@ -47,3 +47,37 @@ def test_neardup_default_planes_matches_explicit_derivation(spark):
     release_caches(explicit)
     assert rows_auto == rows_explicit
     assert len(rows_auto) > 0
+
+
+def test_zero_norm_vectors_never_rank(spark):
+    """A zero vector has no direction: its cosine is 0/0 = NaN, and NaN
+    sorts GREATEST in Spark — without the norm guard it would be every
+    query's #1 neighbor (r6 review finding)."""
+    from scholarmind_spark.operators.similarity import cosine_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = cosine_topk(df, q, k=3).collect()
+    neighbors = [r["neighbor_id"] for r in got]
+    assert 3 not in neighbors  # zero vector excluded entirely
+    assert neighbors[0] == 2  # real nearest ranks first
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN emitted
+
+
+def test_sql_twins_reject_empty_query_ids():
+    import pytest
+
+    from scholarmind_spark.operators.similarity import (
+        ann_lsh_topk_sql,
+        cosine_topk_sql,
+        ivf_topk_sql,
+    )
+
+    for fn in (cosine_topk_sql, ann_lsh_topk_sql, ivf_topk_sql):
+        with pytest.raises(ValueError, match="non-empty"):
+            fn(query_ids=[])
+        with pytest.raises(ValueError, match="non-empty"):
+            fn()
