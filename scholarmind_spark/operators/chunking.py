@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from scholarmind_spark.operators.textstats import tokens, tokens_sql
+
 
 def chunk_documents(
     df: DataFrame,
@@ -24,12 +26,26 @@ def chunk_documents(
     """One row per (doc, window): ``id, chunk_id, n_tokens, chunk_text``.
     Windows start every ``chunk_tokens - overlap`` tokens; the final
     window may be shorter (it is kept — training pipelines pad, retrieval
-    pipelines keep the tail context)."""
+    pipelines keep the tail context).
+
+    A start is only emitted while the PREVIOUS window has not already
+    reached the document end (sequence bound ``n - overlap - 1``):
+    without that bound, any doc with ``step < n ≤ chunk_tokens`` got a
+    final chunk that was a pure subset of the previous one — injecting
+    exactly the duplicated text the dedup stages exist to remove.
+
+    Tokenization is :func:`textstats.tokens` — the SAME splitter the
+    token counts and pack coordinates use, so chunk boundaries stay
+    joinable with them."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = F.split(F.col(text_col), r"\s+")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
     ex = df.select(
         F.col(id_col).alias("id"),
         toks.alias("__toks"),
@@ -52,11 +68,11 @@ def chunk_documents_sql(
     overlap: int = 8,
 ) -> str:
     step = chunk_tokens - overlap
-    toks = f"string_split_regex({text_col}, '\\s+')"
+    toks = tokens_sql(text_col)
     return f"""
 WITH ex AS (
   SELECT {id_col} AS id, {toks} AS toks,
-         unnest(generate_series(0, greatest(len({toks}) - 1, 0), {step})) AS s
+         unnest(generate_series(0, greatest(len({toks}) - {overlap} - 1, 0), {step})) AS s
   FROM {table}
 )
 SELECT id, (s / {step})::BIGINT AS chunk_id,

@@ -97,7 +97,15 @@ def fuzzy_link(
 def fuzzy_link_sql(table: str, key_expr: str, max_dist: int = 2) -> str:
     """DuckDB twin of :func:`fuzzy_link` — the same pinned semantics as
     a brute-force pair scan (the oracle states the contract; the Spark
-    side is the scalable plan)."""
+    side is the scalable plan).
+
+    DIALECT LIMIT: DuckDB's ``levenshtein`` (and ``editdist3`` /
+    ``damerau_levenshtein``) counts BYTES, Spark's counts CODE POINTS —
+    ``levenshtein('日本語','日本酒')`` is 3 vs 1, ``('cafe','café')`` 2
+    vs 1.  Spark's code-point semantics are the operator's contract
+    (pinned by pytest); this twin is exact only over ASCII keys, and the
+    correctness gate restricts its vocabulary accordingly on BOTH
+    engines."""
     return f"""
 WITH __k AS (
   SELECT DISTINCT {key_expr}::VARCHAR AS k FROM {table}

@@ -69,10 +69,13 @@ def pack_sequences(
         "shard",
         "n_tok",
         "start_tok",
-        F.floor(F.col("start_tok") / c).alias("seq_first"),
+        # integer div, NOT floor(double /): the double quotient loses ulps
+        # past 2^53-ish offsets and could floor across an integer boundary
+        # where the DuckDB twin's exact // does not
+        F.expr(f"start_tok div {c}").alias("seq_first"),
         F.greatest(
-            F.floor(F.col("start_tok") / c),
-            F.floor((F.col("start_tok") + F.col("n_tok") - 1) / c),
+            F.expr(f"start_tok div {c}"),
+            F.expr(f"(start_tok + n_tok - 1) div {c}"),
         ).alias("seq_last"),
         (F.col("start_tok") % c).alias("offset_in_seq"),
     )
@@ -115,8 +118,11 @@ FROM o
 
 def pack_stats(packed: DataFrame, context_tokens: int = 512) -> DataFrame:
     """Per-shard packing summary: documents, tokens, sequences produced,
-    and the padding fraction of the LAST (partial) sequence — the
-    utilization number a dataloader owner actually reads."""
+    and ``pad_fraction`` — the SHARD-WIDE fraction of padded positions,
+    ``(n_sequences·context − total_tokens) / (n_sequences·context)``.
+    All padding lives in the shard's final partial sequence, but the
+    fraction is normalized over the whole shard (overall utilization =
+    ``1 − pad_fraction``), not over that one sequence."""
     c = int(context_tokens)
     return (
         packed.groupBy("shard")

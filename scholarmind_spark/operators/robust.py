@@ -65,7 +65,11 @@ def winsorize(
         .agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
     )
     return (
-        base.join(F.broadcast(bounds), "g")
+        # eqNullSafe: a NULL group is a real group (groupBy kept it in
+        # `bounds`), and an equi-join on g would silently DROP its rows
+        # from a per-row passthrough operator
+        base.join(F.broadcast(bounds), base["g"].eqNullSafe(bounds["g"]))
+        .drop(bounds["g"])
         .select(
             *id_cols,
             F.col("g").alias(group_col),
@@ -92,9 +96,13 @@ def weighted_median(
     ``2 * cumw >= total_w`` (no halving, no floats), and the chosen
     value is an actual data value.  One shuffle on the group key, one
     window pass — the same cost envelope as any per-group quantile.
-    Null values or weights are excluded (not rankable)."""
+    Null values or weights are excluded (not rankable); so are
+    NON-POSITIVE weights — the tie-order-free claim only holds when the
+    running weight is monotone, and a negative weight inside a tie run
+    would make the crossing row order-dependent (a zero weight can never
+    be "the" median row anyway, matching weighted_sample's w > 0 rule)."""
     base = df.filter(
-        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
     ).select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),
@@ -129,7 +137,7 @@ def weighted_median_sql(
 WITH __b AS (
   SELECT {group_col} AS g, {value_col} AS v, {weight_col}::BIGINT AS w
   FROM {table}
-  WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+  WHERE {value_col} IS NOT NULL AND {weight_col} > 0
 ),
 __r AS (
   SELECT g, v,
@@ -170,7 +178,7 @@ __bounds AS (
 )
 SELECT {ids}, t.{group_col}, t.{value_col},
        least(greatest(t.{value_col}, b.lo), b.hi) AS {value_col}_w
-FROM __t t JOIN __bounds b ON t.{group_col} = b.g"""
+FROM __t t JOIN __bounds b ON t.{group_col} IS NOT DISTINCT FROM b.g"""
 
 
 def interarrival_quantiles(
@@ -315,8 +323,11 @@ def mad_outliers(
         .filter(F.col("__rn") == k_med)
         .select("g", F.col("v").alias("__med"))
     )
-    dev = base.join(F.broadcast(med), "g").select(
-        "g", F.abs(F.col("v") - F.col("__med")).alias("d")
+    # eqNullSafe throughout: NULL is a real group (see winsorize)
+    dev = (
+        base.join(F.broadcast(med), base["g"].eqNullSafe(med["g"]))
+        .drop(med["g"])
+        .select("g", F.abs(F.col("v") - F.col("__med")).alias("d"))
     )
     wd = Window.partitionBy("g").orderBy("d")
     mad = (
@@ -329,9 +340,13 @@ def mad_outliers(
         .filter(F.col("__rn") == k_med)
         .select("g", F.col("d").alias("__mad"))
     )
+    joined = (
+        base.join(F.broadcast(med), base["g"].eqNullSafe(med["g"]))
+        .drop(med["g"])
+    )
     return (
-        base.join(F.broadcast(med), "g")
-        .join(F.broadcast(mad), "g")
+        joined.join(F.broadcast(mad), joined["g"].eqNullSafe(mad["g"]))
+        .drop(mad["g"])
         .select(
             *id_cols,
             F.col("g").alias(group_col),
@@ -373,9 +388,9 @@ __mad AS (
     SELECT b.g, abs(b.v - m.med) AS d,
            row_number() OVER (PARTITION BY b.g ORDER BY abs(b.v - m.med)) AS rn,
            count(*) OVER (PARTITION BY b.g)::BIGINT AS n
-    FROM __b b JOIN __med m ON b.g = m.g
+    FROM __b b JOIN __med m ON b.g IS NOT DISTINCT FROM m.g
   ) WHERE rn = (n + 1) // 2
 )
 SELECT {ids}, b.g AS {group_col}, b.v AS {value_col}, m.med, a.mad,
        (abs(b.v - m.med) * 1000 > {k_milli} * a.mad) AS outlier
-FROM __b b JOIN __med m ON b.g = m.g JOIN __mad a ON b.g = a.g"""
+FROM __b b JOIN __med m ON b.g IS NOT DISTINCT FROM m.g JOIN __mad a ON b.g IS NOT DISTINCT FROM a.g"""

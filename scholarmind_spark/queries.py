@@ -2518,7 +2518,11 @@ def link_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vocab = _t(spark, sf_dir, "documents").select(
         F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("word")
-    )
+    # the GATE pins its input to ASCII keys on both engines: DuckDB's
+    # levenshtein counts BYTES while Spark counts code points, so only
+    # the ASCII subset is oracle-comparable (the operator itself is
+    # Unicode-correct — see fuzzy_link_sql's dialect note + pytest)
+    ).filter(F.col("word").rlike(r"^[\x00-\x7F]*$"))
     return fuzzy_link(vocab, "word", max_dist=2).orderBy("a", "b")
 
 
@@ -2527,9 +2531,10 @@ def _link_fuzzy_vocab_sql() -> str:
     from scholarmind_spark.operators.textstats import tokens_sql
 
     vocab = (
-        "(SELECT unnest(list_transform("
+        "(SELECT word FROM (SELECT unnest(list_transform("
         + tokens_sql("text")
         + ", w -> lower(w))) AS word FROM documents)"
+        + " WHERE regexp_matches(word, '^[\\x00-\\x7f]*$'))"
     )
     return (
         "SELECT * FROM ("

@@ -99,3 +99,19 @@ def test_pagerank_releases_all_blocks(spark):
     out.collect()
     release_caches(out)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
+def test_pagerank_zero_iterations_returns_uniform(spark):
+    """iterations=0 must return the uniform initial ranks — the plan reads
+    the nodes checkpoint, which used to be unpersisted before the caller
+    could collect (r6 review finding: 'Checkpoint block not found')."""
+    from scholarmind_spark.operators.graph import pagerank
+    from scholarmind_spark.util import release_caches
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, weight long"
+    )
+    out = pagerank(edges, iterations=0)
+    got = {r["node"]: r["rank_micro"] for r in out.collect()}
+    assert got == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    release_caches(out)

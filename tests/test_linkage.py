@@ -51,3 +51,18 @@ def test_matches_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW keys AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(fuzzy_link_sql("keys", "k")).fetchall())
     assert got == want and len(got) >= 3
+
+
+def test_unicode_code_point_distances(spark):
+    """The operator's contract is CODE-POINT levenshtein (Spark built-in):
+    one edited CJK char or one accent is distance 1, not 3/2 bytes.  The
+    DuckDB twin is byte-based and therefore ASCII-scoped (see
+    fuzzy_link_sql's dialect note; the gate filters to ASCII)."""
+    from scholarmind_spark.operators.linkage import fuzzy_link
+
+    df = spark.createDataFrame(
+        [("cafe",), ("café",), ("日本語",), ("日本酒",)], "k string"
+    )
+    got = {(r["a"], r["b"]): r["dist"] for r in fuzzy_link(df, "k", max_dist=2).collect()}
+    assert got[("cafe", "café")] == 1
+    assert got[("日本語", "日本酒")] == 1
