@@ -45,6 +45,8 @@ def fk_integrity_audit(
                 orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
             )
         )
+    if not outs:
+        raise ValueError("fk_integrity_audit needs at least one edge")
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
@@ -65,6 +67,8 @@ SELECT '{name}' AS relationship,
 FROM {child}"""
         for name, child, fk, parent, pk in edges
     ]
+    if not parts:
+        raise ValueError("fk_integrity_audit_sql needs at least one edge")
     return "\nUNION ALL\n".join(parts)
 
 
@@ -175,11 +179,18 @@ def benford_audit(
     term = F.round(
         (F.col("obs_f") - exp) * (F.col("obs_f") - exp) / exp * F.lit(1000000.0)
     ).cast("bigint")
+    # eqNullSafe joins: a NULL group is a real audit bucket — plain
+    # equi-joins silently dropped it from the output on both engines
+    joined = spine.alias("s").join(
+        obs.alias("o"),
+        F.col("s.g").eqNullSafe(F.col("o.g")) & (F.col("s.d") == F.col("o.d")),
+        "left",
+    ).select(F.col("s.g").alias("g"), F.col("s.d").alias("d"), "obs")
     return (
-        spine.join(obs, ["g", "d"], "left")
-        .join(F.broadcast(n_g), "g")
+        joined.alias("j")
+        .join(F.broadcast(n_g).alias("t"), F.col("j.g").eqNullSafe(F.col("t.g")))
         .select(
-            "g",
+            F.col("j.g").alias("g"),
             "n",
             "d",
             F.coalesce(F.col("obs"), F.lit(0)).cast("double").alias("obs_f"),
@@ -217,6 +228,6 @@ SELECT s.g AS {group_col}, max(n.n) AS n,
                  / (n.n * (ln(1.0 + 1.0 / s.d) / ln(10.0)))
                  * 1000000.0)::BIGINT)::BIGINT AS chi2_micro
 FROM __spine s
-LEFT JOIN __obs o ON s.g = o.g AND s.d = o.d
-JOIN __n n ON s.g = n.g
+LEFT JOIN __obs o ON s.g IS NOT DISTINCT FROM o.g AND s.d = o.d
+JOIN __n n ON s.g IS NOT DISTINCT FROM n.g
 GROUP BY s.g"""

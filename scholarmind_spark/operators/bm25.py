@@ -52,11 +52,14 @@ def bm25_topk(
     (score in integer millionths; ties broken by ascending id)."""
     terms = sorted({t.lower() for t in query_terms})
     words = F.transform(tokens(F.col(text_col)), F.lower)
+    # persisted: the tokenized corpus feeds BOTH the stats aggregate and
+    # the hits explode — without the cache the split/lower of every
+    # document runs twice per action (the lm.py collocations pattern)
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(words).alias("dl"),
         words.alias("__w"),
-    )
+    ).persist()
     # corpus scalars: one row, broadcast into the scoring join
     stats = base.agg(
         F.count("*").alias("n_docs"),
@@ -92,11 +95,14 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("score_micro"), F.asc("id"))
     # the window runs on the k surviving rows only — single tiny partition
-    return top.select(
+    out = top.select(
         F.col("id").alias(id_col),
         "score_micro",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+    from scholarmind_spark.util import attach_caches
+
+    return attach_caches(out, [base])
 
 
 def bm25_topk_sql(
@@ -111,7 +117,10 @@ def bm25_topk_sql(
     """DuckDB twin of :func:`bm25_topk` (same tokens, same idf/tf math,
     same micro-int quantization and tie-breaks)."""
     terms = sorted({t.lower() for t in query_terms})
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    if not terms:
+        raise ValueError("query_terms must be non-empty (IN () is not SQL)")
+    # '' doubling: a term like "don't" must not break the generated SQL
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     toks = f"list_transform({tokens_sql(text_col)}, t -> lower(t))"
     # every numeric literal is cast ::DOUBLE: DuckDB parses bare decimal
     # literals as DECIMAL and would run exact-decimal arithmetic where

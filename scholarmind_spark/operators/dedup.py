@@ -93,7 +93,9 @@ def dedup_exact(
     window, so map-side partial aggregation applies."""
     content = F.col(content_col)
     if normalize:
-        content = F.lower(F.trim(F.regexp_replace(content, r"\s+", " ")))
+        from scholarmind_spark.operators.textstats import TOKEN_SPLIT_RE
+
+        content = F.lower(F.trim(F.regexp_replace(content, TOKEN_SPLIT_RE, " ")))
     digest = F.md5(content)
     keep_ids = (
         df.select(digest.alias("__h"), F.col(id_col))

@@ -40,9 +40,16 @@ def snapshot_diff(
     compare_cols: list[str] | None = None,
 ) -> DataFrame:
     """``*key_cols, status`` for every key whose state differs between
-    ``old`` and ``new`` (status in added/removed/changed)."""
+    ``old`` and ``new`` (status in added/removed/changed).
+
+    Default ``compare_cols`` is the INTERSECTION of both sides' non-key
+    columns: after schema evolution (a backfill adds a column to ``new``),
+    the diff compares what both snapshots actually carry instead of
+    crashing on the column ``old`` lacks; pass explicit ``compare_cols``
+    to force an error on schema drift instead."""
     if compare_cols is None:
-        compare_cols = [c for c in new.columns if c not in key_cols]
+        common = set(old.columns) & set(new.columns)
+        compare_cols = [c for c in new.columns if c not in key_cols and c in common]
     o = old.select(
         *[F.col(c).alias(f"__ko_{c}") for c in key_cols],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],

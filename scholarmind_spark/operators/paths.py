@@ -82,7 +82,7 @@ __sess AS (
 ),
 __paths AS (
   SELECT array_to_string(
-           (list(event_type ORDER BY ts, event_id))[1:{max_events}], '>'
+           (list(event_type ORDER BY ts, event_id, event_type))[1:{max_events}], '>'
          ) AS path
   FROM __sess GROUP BY user_id, session_id
 )

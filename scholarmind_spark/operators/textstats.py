@@ -12,10 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = r"\s+"
+# Explicit whitespace class instead of \s: Java's \s includes \x0B
+# (vertical tab) while RE2's does not, so every paired Spark/DuckDB regex
+# must spell the class out or the twins diverge on \x0B-bearing text.
+WS_CLASS = r" \t\n\x0B\f\r"
+TOKEN_SPLIT_RE = f"[{WS_CLASS}]+"
 # BPE-ish word/number/symbol pre-tokenizer (public GPT-2 style, simplified)
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-PUNCT_RE = r"[^\w\s]"
+BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
+PUNCT_RE = f"[^\\w{WS_CLASS}]"
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -76,10 +80,21 @@ def quality_score(col: Column) -> Column:
     return F.round((length_term + stop_term + punct_term) / F.lit(3.0), 6)
 
 
+CJK_RE = "[\u4e00-\u9fff]"  # literal Han range — valid in Java and RE2
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     toks = tokens(col)
     out = {}
     for lang in LANG_ORDER:
+        if lang == "zh":
+            # Chinese is not whitespace-segmented, so stopword TOKEN
+            # matching can never fire (the old zh entry was dead and
+            # Chinese prose scored 'und'); count Han characters instead
+            out[lang] = F.size(
+                F.regexp_extract_all(col, F.lit(CJK_RE), F.lit(0))
+            )
+            continue
         sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
         out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
     return out
@@ -104,7 +119,7 @@ def fingerprint(col: Column) -> Column:
 
 # Scrub patterns (applied in this order; identical RE2/Java-regex subset so
 # Spark and DuckDB rewrite byte-identically)
-URL_RE = r"https?://\S+"
+URL_RE = f"https?://[^{WS_CLASS}]+"
 EMAIL_RE = r"[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
 LONG_NUM_RE = r"[0-9]{7,}"
 
@@ -116,7 +131,7 @@ def clean_text(col: Column) -> Column:
     c = F.regexp_replace(col, URL_RE, "")
     c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     c = F.regexp_replace(c, LONG_NUM_RE, "<NUM>")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, TOKEN_SPLIT_RE, " "))
 
 
 def token_topk(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
@@ -154,7 +169,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------- SQL twins
 
 def tokens_sql(expr: str) -> str:
-    return f"string_split_regex({expr}, '\\s+')"
+    return f"string_split_regex({expr}, '{TOKEN_SPLIT_RE}')"
 
 
 def token_count_sql(expr: str) -> str:
@@ -162,12 +177,12 @@ def token_count_sql(expr: str) -> str:
 
 
 def bpe_token_count_sql(expr: str) -> str:
-    return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    return f"len(regexp_extract_all({expr}, '{BPE_RE}'))"
 
 
 def punct_ratio_sql(expr: str) -> str:
     return (
-        f"round(len(regexp_extract_all({expr}, '[^\\w\\s]'))::DOUBLE"
+        f"round(len(regexp_extract_all({expr}, '{PUNCT_RE}'))::DOUBLE"
         f" / greatest(length({expr}), 1), 6)"
     )
 
@@ -189,7 +204,7 @@ def stopword_ratio_sql(expr: str, lang: str = "en") -> str:
 
 def quality_score_sql(expr: str) -> str:
     n_tok = token_count_sql(expr)
-    punct = f"len(regexp_extract_all({expr}, '[^\\w\\s]'))"
+    punct = f"len(regexp_extract_all({expr}, '{PUNCT_RE}'))"
     return (
         "round(("
         f"least({n_tok} / 100.0, 1.0)"
@@ -203,6 +218,9 @@ def lang_id_sql(expr: str) -> str:
     toks = tokens_sql(expr)
     score = {}
     for lang in LANG_ORDER:
+        if lang == "zh":  # Han-char count — see lang_scores
+            score[lang] = f"len(regexp_extract_all({expr}, '{CJK_RE}'))"
+            continue
         words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         score[lang] = f"len(list_filter({toks}, t -> list_contains([{words}], lower(t))))"
     mx = f"greatest({', '.join(score.values())})"
@@ -217,10 +235,10 @@ def fingerprint_sql(expr: str) -> str:
 
 
 def clean_text_sql(expr: str) -> str:
-    c = f"regexp_replace({expr}, 'https?://\\S+', '', 'g')"
+    c = f"regexp_replace({expr}, '{URL_RE}', '', 'g')"
     c = f"regexp_replace({c}, '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+', '<EMAIL>', 'g')"
     c = f"regexp_replace({c}, '[0-9]{{7,}}', '<NUM>', 'g')"
-    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({c}, '{TOKEN_SPLIT_RE}', ' ', 'g'))"
 
 
 def token_topk_sql(table: str, text_col: str = "text", k: int = 20) -> str:
@@ -301,24 +319,30 @@ def doc_top_terms(
     Shape: explode → (doc, term) counts → vocabulary-sized document-
     frequency table joined back with a broadcast (vocabulary ≪ corpus) →
     per-doc window.  Returns ``id, term, tf, df, rank``."""
+    from scholarmind_spark.util import attach_caches
+
     w = (
         df.select(
             F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
         )
         .filter(F.col("term") != "")
     )
-    tf = w.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # persisted: tf (the corpus explode + aggregate, the dominant stages)
+    # feeds BOTH the document-frequency aggregate and the join's left
+    # side — same pattern as collocations/bm25
+    tf = w.groupBy("id", "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     win = Window.partitionBy("id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
-    return (
+    out = (
         tf.join(F.broadcast(dfreq), "term")
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("id", "term", "tf", "df", "rank")
         .orderBy("id", "rank")
     )
+    return attach_caches(out, [tf])
 
 
 def doc_top_terms_sql(
@@ -345,7 +369,7 @@ FROM ranked WHERE rank <= {k} ORDER BY id, rank
 """
 
 
-URL_HOST_RE = r"https?://([^/\s]+)"
+URL_HOST_RE = f"https?://([^/{WS_CLASS}]+)"
 
 
 def url_domain_stats(
@@ -380,7 +404,7 @@ def url_domain_stats_sql(
 WITH e AS (
   SELECT {id_col} AS id,
          regexp_replace(lower(unnest(
-           regexp_extract_all({text_col}, 'https?://([^/\\s]+)', 1)
+           regexp_extract_all({text_col}, '{URL_HOST_RE}', 1)
          )), '^www\\.', '') AS domain
   FROM {table}
 )
@@ -406,7 +430,9 @@ def char_entropy(
     Two shuffles of the (doc, char) relation — linear in corpus chars;
     the per-doc char alphabet is tiny so the second aggregate is
     map-side-combining on ≤ alphabet rows per doc."""
-    chars = F.regexp_extract_all(F.col(text_col), F.lit("."), F.lit(0))
+    # NOT "." — Java dot excludes \r/\u0085/\u2028/\u2029 while RE2 dot
+    # excludes only \n; [^\n] is the one class both dialects agree on
+    chars = F.regexp_extract_all(F.col(text_col), F.lit(r"[^\n]"), F.lit(0))
     e = df.select(F.col(id_col).alias("id"), F.explode(chars).alias("ch"))
     per_char = e.groupBy("id", "ch").agg(F.count("*").alias("cnt"))
     term_micro = F.round(
@@ -433,7 +459,7 @@ def char_entropy_sql(
     two-level micro-int quantization, same fixed-order float math)."""
     return f"""
 WITH e AS (
-  SELECT {id_col} AS id, unnest(regexp_extract_all({text_col}, '.')) AS ch
+  SELECT {id_col} AS id, unnest(regexp_extract_all({text_col}, '[^\n]')) AS ch
   FROM {table}
 ),
 per_char AS (

@@ -1469,7 +1469,7 @@ DEDUP_EXACT_SQL = """
 SELECT doc_id FROM (
   SELECT doc_id,
          row_number() OVER (
-           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           PARTITION BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
            ORDER BY doc_id ASC) AS rn
   FROM documents
 ) WHERE rn = 1
