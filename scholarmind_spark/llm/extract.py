@@ -65,5 +65,13 @@ def llm_extract(
                     out[f] = [r[f] for r in results]
                 yield pd.DataFrame(out, columns=[key_col, *fields], dtype=object)
 
-    ai = df.select(key_col, text_col).mapInPandas(run, schema=out_schema)
+    # ONE LLM call and ONE ai row per key: byte-identical records share a
+    # content-addressed record_id by design (sources/base.stable_record_id),
+    # so without the dropDuplicates N duplicate keys would fan the left
+    # join out to N×N rows AND burn N redundant LLM calls per duplicate
+    ai = (
+        df.select(key_col, text_col)
+        .dropDuplicates([key_col])
+        .mapInPandas(run, schema=out_schema)
+    )
     return df.join(ai, on=key_col, how="left")

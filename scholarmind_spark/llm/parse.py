@@ -30,6 +30,8 @@ def parse_llm_response(text: str | None, template: PromptTemplate) -> dict[str, 
             for f in template.fields:
                 if f in data:
                     v = data.get(f)
+                    if v is None:
+                        continue  # JSON null = missing → keep the default
                     result[f] = v if isinstance(v, str) else json.dumps(v, ensure_ascii=False)
             return True
         return False

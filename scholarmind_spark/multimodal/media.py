@@ -153,7 +153,9 @@ def decode_images(df: DataFrame) -> DataFrame:
                 for mid, media, content in zip(
                     pdf["media_id"], pdf["media"], pdf["content"]
                 )
-                if media["media_type"] == "image"
+                # callers may hand in pre-filtered frames: a null media
+                # struct must degrade, not TypeError the whole task
+                if media is not None and media["media_type"] == "image"
             ]
             yield pd.DataFrame(
                 rows,
@@ -181,9 +183,11 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, media, content in zip(pdf["media_id"], pdf["media"], pdf["content"]):
+                if media is None:
+                    continue  # null metadata struct: nothing to resize
                 w, h = media["width"], media["height"]
-                if w is None or h is None:
-                    continue
+                if w is None or h is None or max(w, h) <= 0:
+                    continue  # absent/degenerate dims (0×0 would div-zero)
                 scale = min(1.0, max_side / max(w, h))
                 out.append((mid, int(w * scale), int(h * scale), content))
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "content"])
@@ -230,6 +234,8 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, media, content in zip(pdf["media_id"], pdf["media"], pdf["content"]):
+                if media is None:
+                    continue  # null metadata struct — see decode_images
                 content = content or b""
                 dur = media["duration_ms"] or 0
                 step = max(1, len(content) // n_frames)

@@ -109,10 +109,16 @@ def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
         elif col == "mesh_terms":
             rec[col] = values
         elif col == "doi":
-            # LID list → first element (D4), trailing marker stripped (the
-            # reference intends this in preprocess, pubmed_parser.py:179-184,
-            # but misses it because the value is a list at that point)
-            rec[col] = re.sub(r"\s*\[(doi|pii)\]$", "", values[0])
+            # LID can carry BOTH '...[pii]' and '...[doi]' entries (common
+            # MEDLINE shape); only a [doi]-tagged value — or an untagged
+            # one — is a DOI.  Taking values[0] blindly put the PII string
+            # in the doi column and broke cross-source dedup keying.
+            chosen = next(
+                (v for v in values if v.rstrip().endswith("[doi]")),
+                next((v for v in values if not v.rstrip().endswith("[pii]")), None),
+            )
+            if chosen is not None:
+                rec[col] = re.sub(r"\s*\[(doi|pii)\]$", "", chosen)
         else:
             rec[col] = values  # scalar columns flatten to first in records_to_pdf
     if rec.get("doi") is None and aid_doi:

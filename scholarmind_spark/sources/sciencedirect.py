@@ -21,12 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from scholarmind_spark.sources.base import empty_record, scan_files
 
-DOI_RE = re.compile(r"(?:https://doi\.org/|[Dd][Oo][Ii]:|/)(10\.[0-9.]+/[^\s,]+)")
+DOI_RE = re.compile(r"(?:https://doi\.org/|[Dd][Oo][Ii]:\s*|/)(10\.[0-9.]+/[^\s,]+)")
 URL_RE = re.compile(r"(https?://[^\s)]+)")
 VOL_ISSUE_RE = re.compile(r"Volume\s+(\d+),\s+Issue\s+(\d+)")
 VOL_RE = re.compile(r"Volume\s+(\d+)")
 ISSUE_RE = re.compile(r"Issue\s+(\d+)")
-YEAR_RE = re.compile(r"(\d{4})")
+# bounded years only: this regex scans arbitrary citation lines (unlike
+# functions/text.py's D2 YEAR_RE, which reads a DATE field), so a bare
+# \d{4} would grab "2010" from a title range or "1016" from a DOI
+YEAR_RE = re.compile(r"\b((?:19|20)\d{2})\b")
+YEAR_LINE_RE = re.compile(r"^\s*((?:19|20)\d{2})\s*,?\s*$")
 PAGES_RE = re.compile(r"(?:pages|Pages)\s+([A-Za-z0-9-]+)")
 # Documented deviation: the reference's article-id fallback
 # (r'([0-9a-zA-Z]+),' + startswith, sciencedirect_parser.py:144,187-192)
@@ -55,8 +59,17 @@ def parse_sd_entry(entry: str) -> dict[str, Any] | None:
     rec["title"] = lines[1].strip()
     rec["journal"] = lines[2].strip().rstrip(",").strip()
 
+    # bibliographic fields live in the citation HEADER; scanning past the
+    # Abstract marker let Volume/Pages/year-shaped strings inside the
+    # abstract body overwrite the real values
+    header_end = len(lines)
+    for i, line in enumerate(lines):
+        if line.startswith("Abstract:") or line == "Abstract":
+            header_end = i
+            break
     year = None
-    for line in lines:
+    year_is_from_line = False
+    for line in lines[:header_end]:
         if "https://doi.org/" in line or "doi:" in line.lower() or "/10." in line:
             m = DOI_RE.search(line)
             if m:
@@ -75,7 +88,14 @@ def parse_sd_entry(entry: str) -> dict[str, Any] | None:
             m = ISSUE_RE.search(line)
             if m:
                 rec["issue"] = m.group(1)
-        if year is None:
+        # a line that IS a year (SD's citation format puts it alone,
+        # "2024,") always wins; a year-shaped run inside another line
+        # (title ranges like "Trends 2010-2023") is only the fallback
+        m = YEAR_LINE_RE.match(line)
+        if m and not year_is_from_line:
+            year = m.group(1)
+            year_is_from_line = True
+        elif year is None:
             m = YEAR_RE.search(line)
             if m:
                 year = m.group(1)

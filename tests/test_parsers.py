@@ -183,3 +183,54 @@ def test_record_id_stable_wos_tabular(spark):
         for r in scan_wos_csv(spark, path).repartition(5).collect()
     }
     assert a == b and len(set(a.values())) == len(a) > 0
+
+
+def test_pubmed_lid_pii_not_taken_as_doi():
+    """MEDLINE records commonly carry 'LID x [pii]' before 'LID y [doi]':
+    only a [doi]-tagged (or untagged) LID is a DOI (r6 review finding —
+    the PII string was keying cross-source dedup)."""
+    from scholarmind_spark.sources.pubmed import parse_pubmed_file
+
+    rec = parse_pubmed_file(
+        "PMID- 1\n"
+        "TI  - T\n"
+        "LID - S2213-2600(20)30079-5 [pii]\n"
+        "LID - 10.1016/S2213-2600(20)30079-5 [doi]\n"
+        "AB  - Abstract text.\n"
+    )[0]
+    assert rec["doi"] == "10.1016/S2213-2600(20)30079-5"
+
+    # pii-only LID: fall through to AID [doi]
+    rec = parse_pubmed_file(
+        "PMID- 2\n"
+        "TI  - T\n"
+        "LID - S1-2(3)4-5 [pii]\n"
+        "AID - 10.9999/abc [doi]\n"
+        "AB  - A.\n"
+    )[0]
+    assert rec["doi"] == "10.9999/abc"
+
+
+def test_sciencedirect_header_scan_and_bounded_year():
+    """Field extraction must stop at the Abstract marker, accept
+    'doi: 10.x' with a space, and never take a title range or DOI prefix
+    as the publication year (r6 review findings, all repro-confirmed)."""
+    from scholarmind_spark.sources.sciencedirect import parse_sd_entry
+
+    entry = "\n".join([
+        "Smith, J., Jones, K.,",
+        "Trends 2010-2023 in example research,",
+        "Journal of Examples,",
+        "Volume 7,",
+        "2024,",
+        "Pages 100-110,",
+        "doi: 10.1000/jex.2024.7",
+        "Abstract: The cohort covered Volume 12 of the registry and "
+        "Pages 55 of notes from 1999.",
+        "Keywords: a; b",
+    ])
+    rec = parse_sd_entry(entry)
+    assert rec["volume"] == "7"           # not the abstract's "Volume 12"
+    assert rec["pages"] == "100-110"      # not the abstract's "Pages 55"
+    assert rec["publication_year"] == "2024"  # the year LINE beats the title range
+    assert rec["doi"] == "10.1000/jex.2024.7"  # space after 'doi:' accepted
