@@ -142,9 +142,13 @@ def make_fetch_one(
             return {}  # journal_metrics.py:59-66
         try:
             data = get(EASYSCHOLAR_URL, {"secretKey": api_key, "publicationName": journal_name})
+            # parse INSIDE the boundary: a code-200 payload with a
+            # malformed shape (select as a list, rankInfo as a scalar)
+            # raised out of fetch_one and aborted the whole driver fetch
+            # loop — the contract is degrade-to-empty, never an exception
+            return parse_metrics_response(data, metrics_to_fetch, metrics_column_mapping)
         except Exception:
             return empty_metrics(metrics_to_fetch, metrics_column_mapping)
-        return parse_metrics_response(data, metrics_to_fetch, metrics_column_mapping)
 
     # declared output columns, consumed by fetch_metrics_df's dynamic schema
     fetch_one.columns = [metrics_column_mapping.get(m, m) for m in metrics_to_fetch]

@@ -77,8 +77,16 @@ def fetch_metrics_df(
 
 
 def enrich_with_metrics(df: DataFrame, metrics_df: DataFrame) -> DataFrame:
-    """Broadcast left join on journal_norm + ``''``-fill (reference J1)."""
+    """Broadcast left join on journal_norm + ``''``-fill (reference J1).
+
+    Idempotent: metric columns already present on ``df`` (a corpus read
+    back from a previously enriched parquet) are dropped first and
+    re-derived from ``metrics_df`` — without the drop the join produced
+    two same-named columns and the ''-fill raised AMBIGUOUS_REFERENCE."""
     metric_cols = [c for c in metrics_df.columns if c != "journal_norm"]
+    stale = [c for c in metric_cols if c in df.columns]
+    if stale:
+        df = df.drop(*stale)
     out = (
         df.withColumn("journal_norm", journal_norm(F.col("journal")))
         .join(F.broadcast(metrics_df), on="journal_norm", how="left")

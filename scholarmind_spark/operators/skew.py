@@ -55,7 +55,14 @@ def two_phase_distinct_count(
     built-in until a single key's distinct set stops fitting in a task."""
     key_c = F.col(key) if isinstance(key, str) else key
     val_c = F.col(value) if isinstance(value, str) else value
-    pairs = df.select(key_c.alias("__k"), val_c.alias("__v")).distinct()
+    # NULL values are not distinct values: countDistinct ignores them, so
+    # the two-phase twin must too (it silently inflated counts by one on
+    # any nullable value column)
+    pairs = (
+        df.select(key_c.alias("__k"), val_c.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
     return pairs.groupBy(F.col("__k").alias(key if isinstance(key, str) else "key")).agg(
         F.count("*").alias(out_col)
     )
@@ -89,9 +96,15 @@ def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
         "n_rows",
         "max_freq",
         # max/mean in per-mille, all-integer: mean = n_rows/n_keys
-        F.expr("(max_freq * n_keys * 1000) div n_rows").alias(
-            "skew_permille"
-        ),
+        # decimal(38,0) intermediate: the int64 product max_freq·n_keys·1000
+        # overflows (ANSI: ARITHMETIC_OVERFLOW) at ~1e10 keys × 1e6 hot rows
+        # — exactly the diagnostic's target scale; floor(decimal/) equals
+        # integer div for the non-negative operands here
+        F.floor(
+            F.expr(
+                "(cast(max_freq as decimal(38,0)) * n_keys * 1000) / n_rows"
+            )
+        ).cast("bigint").alias("skew_permille"),
     )
     hot_list = hot.agg(
         F.sort_array(
@@ -127,6 +140,6 @@ __hot_list AS (
   )
 )
 SELECT n_keys, n_rows, max_freq,
-       (max_freq * n_keys * 1000) // n_rows AS skew_permille,
+       ((max_freq::HUGEINT * n_keys * 1000) // n_rows)::BIGINT AS skew_permille,
        hot_keys, hot_freqs
 FROM __stats, __hot_list"""

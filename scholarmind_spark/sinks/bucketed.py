@@ -36,7 +36,15 @@ def write_bucketed(
         import shutil
 
         local = warehouse.removeprefix("file:")
-        shutil.rmtree(f"{local}/{table.lower()}", ignore_errors=True)
+        # managed location is <warehouse>/<db>.db/<table> for qualified
+        # names and <warehouse>/<table> for unqualified-in-default — the
+        # old f"{table.lower()}" path silently missed 'db.table' orphans
+        if "." in table:
+            db, _, name = table.lower().rpartition(".")
+            rel = f"{db}.db/{name}"
+        else:
+            rel = table.lower()
+        shutil.rmtree(f"{local}/{rel}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

@@ -48,6 +48,13 @@ def compact_parquet(
         )
     n_files = max(1, -(-_dir_bytes(path) // target_bytes))
     df = spark.read.parquet(path)
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            "refusing to compact a streaming-sink dataset: rewriting the "
+            "directory would destroy the _spark_metadata commit log and "
+            "drop files committed by concurrent microbatches — stop the "
+            "stream and write through a batch copy instead"
+        )
     staging = f"{path}.compacting"
     df.coalesce(n_files).write.mode("overwrite").parquet(staging)
     # two renames, not rmtree-then-rename: the old rmtree left a window as

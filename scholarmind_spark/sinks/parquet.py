@@ -31,7 +31,10 @@ def flatten_for_presentation(df: DataFrame) -> DataFrame:
         if name in JOINED_ARRAY_FIELDS:
             cols[name] = F.array_join(F.col(name), ", ")
         else:
-            cols[name] = F.element_at(F.col(name), 1)
+            # F.get (0-based) returns null for empty arrays; element_at
+            # THROWS under Spark 4's default ANSI mode — an empty issn
+            # list aborted the whole presentation write
+            cols[name] = F.get(F.col(name), 0)
     out = df.withColumns(cols)
     return out.select(
         [

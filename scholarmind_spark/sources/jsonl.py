@@ -39,7 +39,16 @@ def read_jsonl(
         .json(path)
     )
     if not keep_corrupt:
-        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        # the quarantine filter references _corrupt_record at the scan, so
+        # a downstream query that prunes every data column (df.count())
+        # hits UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
+        # documented workaround is materializing the parse first — cache
+        # is attached for release_caches()
+        from scholarmind_spark.util import attach_caches
+
+        df = df.cache()
+        out = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        return attach_caches(out, [df])
     return df
 
 
@@ -49,14 +58,21 @@ def corrupt_line_stats(df: DataFrame) -> DataFrame:
     Caches the input first: Spark refuses queries whose referenced columns
     are ONLY the internal corrupt-record column on a raw scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented
-    workaround is materializing before the aggregate."""
+    workaround is materializing before the aggregate.  (Caching a
+    corrupt-column-only projection would itself trip the restriction —
+    the rule fires at analysis, before the cache materializes — so the
+    full rows are cached; the cache is attached for
+    ``release_caches()`` instead of leaking for the session.)"""
+    from scholarmind_spark.util import attach_caches
+
     df = df.cache()
-    return df.agg(
+    out = df.agg(
         F.count("*").alias("n_lines"),
         F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
             "n_corrupt"
         ),
     )
+    return attach_caches(out, [df])
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:

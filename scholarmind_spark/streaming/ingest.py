@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scholarmind_spark.schemas import RECORD_COLUMNS
+from scholarmind_spark.sources.base import stable_record_id
 from scholarmind_spark.sources.base import _PARSE_SCHEMA, records_to_pdf
 
 
@@ -44,14 +45,16 @@ def _parse_stream(
         parsed.withColumn("source_type", F.lit(source_type))
         .filter(F.col("abstract").isNotNull())
         .withColumn(
+            # FULL-record content hash (sources/base.stable_record_id):
+            # the previous title+abstract-only md5 collided for distinct
+            # records sharing both (same paper re-exported, versions
+            # differing only in doi/authors/journal), and a colliding key
+            # fans out the LLM attach join — the bug class the keyed
+            # attach exists to kill.  Byte-identical records still share
+            # an id by design (the batch path's documented semantics; the
+            # LLM map dedups keys, priority-dedup collapses them).
             "record_id",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("\x1f", F.coalesce("title", F.lit("")), "abstract")),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long"),
+            stable_record_id(),
         )
     )
     return parsed.select(*RECORD_COLUMNS)
