@@ -160,16 +160,28 @@ def main() -> None:
     # Per-rep detail is diagnostics, not the machine-readable result:
     # keep it off stdout so the driver's capture never truncates the line.
     print("# reps: " + json.dumps(reps), file=sys.stderr)
-    line = json.dumps(
-        {
-            "metric": "headline-query wall-clock total",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    # The driver keeps only the LAST ~2 KB of stdout (tail-biased): a
+    # single full-queries JSON line (~4-5 KB for 97 queries) loses its
+    # HEAD, so "parsed" came back null in r4-r6.  Emit the per-query map
+    # as many short stdout lines first (greppable, individually intact),
+    # then make the FINAL line a <1 KB summary JSON that always survives.
+    full = {k: round(v, 3) for k, v in timings.items()}
+    items = sorted(full.items())
+    for i in range(0, len(items), 8):
+        print("#q " + json.dumps(dict(items[i : i + 8]), separators=(",", ":")))
+    slowest = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    summary = {
+        "metric": "headline-query wall-clock total",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(slowest),
+        "n_queries": len(full),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    while len(line) > 950 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary, separators=(",", ":"))
     print(line)
     sys.stdout.flush()
     spark.stop()

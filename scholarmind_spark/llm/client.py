@@ -186,6 +186,12 @@ class OllamaChatClient(HTTPChatClient):
         kwargs.setdefault("on_exhausted", "empty")
         super().__init__(*args, **kwargs)
 
+    def _attempts(self) -> int:
+        # reference Ollama loop is `for attempt in range(self.max_retries)`
+        # (llm_api.py:505): exactly max_retries requests, same attempt
+        # counting as SiliconFlow, NOT vLLM's retries-after-the-first
+        return self.max_retries
+
     def _endpoint(self) -> str:
         return f"{self.base_url}/chat"
 

@@ -168,10 +168,11 @@ def dedup_survivors(
 
 
 def cluster_representatives(
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     scored: DataFrame,
     id_col: str = "doc_id",
     score_col: str = "score",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-based keep decision per duplicate cluster: for every
     connected component of the near-dup pair graph, the member with the
@@ -191,10 +192,20 @@ def cluster_representatives(
     Plan shape: CC runs on the pair list (orders of magnitude smaller
     than the corpus); ``scored`` joins once on the cluster MEMBERS only
     (AQE broadcasts the member list when small), then one window per
-    component — the window's partition count is #clusters, not #docs."""
+    component — the window's partition count is #clusters, not #docs.
+
+    ``components``: a precomputed ``node, component`` labeling (from
+    :func:`connected_components` over the same pairs) — pass it when
+    several consumers share one CC run in a job (the battery's three
+    cluster gates do); ``pairs`` may then be None."""
     from pyspark.sql import Window
 
-    cc = connected_components(pairs)
+    if components is not None:
+        cc = components
+    else:
+        if pairs is None:
+            raise ValueError("need pairs or components")
+        cc = connected_components(pairs)
     # LEFT join: a member with no score row (filtered upstream) must still
     # count in n_members and can still be kept (null scores sort last, so
     # an all-unscored cluster keeps its lowest id and best_score is null)

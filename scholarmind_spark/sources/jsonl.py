@@ -21,9 +21,18 @@ def read_jsonl(
     path: str,
     schema: T.StructType,
     keep_corrupt: bool = True,
+    cache_for_count: bool = False,
 ) -> DataFrame:
     """Schema-enforced JSONL read; corrupt lines surface in
-    ``_corrupt_record`` when ``keep_corrupt`` (else they are dropped)."""
+    ``_corrupt_record`` when ``keep_corrupt`` (else they are dropped).
+
+    ``cache_for_count``: a downstream query that prunes EVERY data column
+    (a bare ``count()``) from the quarantine-filtered read trips
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN, whose documented
+    workaround is materializing the parse first.  Only such callers
+    should pass True — the cache materializes the whole corpus into
+    executor storage, a real cost at 100 TB, so the ordinary projecting
+    read must not pay it."""
     full = T.StructType(
         schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
     )
@@ -39,16 +48,18 @@ def read_jsonl(
         .json(path)
     )
     if not keep_corrupt:
-        # the quarantine filter references _corrupt_record at the scan, so
-        # a downstream query that prunes every data column (df.count())
-        # hits UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
-        # documented workaround is materializing the parse first — cache
-        # is attached for release_caches()
-        from scholarmind_spark.util import attach_caches
+        if cache_for_count:
+            # cache attached for release_caches()
+            from scholarmind_spark.util import attach_caches
 
-        df = df.cache()
-        out = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-        return attach_caches(out, [df])
+            df = df.cache()
+            out = df.filter(F.col("_corrupt_record").isNull()).drop(
+                "_corrupt_record"
+            )
+            return attach_caches(out, [df])
+        return df.filter(F.col("_corrupt_record").isNull()).drop(
+            "_corrupt_record"
+        )
     return df
 
 

@@ -34,3 +34,19 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.text) for r in back.collect()) == sorted(
         (r.id, r.text) for r in df.collect()
     )
+
+
+def test_bare_count_requires_cache_for_count(spark, tmp_path):
+    # A bare count() on the quarantine-filtered read prunes every data
+    # column, leaving only _corrupt_record referenced at the scan —
+    # Spark refuses that (QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
+    # parse is materialized first, which cache_for_count opts into.
+    p = tmp_path / "corpus.jsonl"
+    p.write_text('{"id": 1, "text": "a"}\n{broken\n{"id": 2, "text": "b"}\n')
+    counted = read_jsonl(
+        spark, str(p), SCHEMA, keep_corrupt=False, cache_for_count=True
+    )
+    assert counted.count() == 2
+    # the default (uncached) filtered read still projects fine
+    plain = read_jsonl(spark, str(p), SCHEMA, keep_corrupt=False)
+    assert sorted(r.id for r in plain.select("id").collect()) == [1, 2]

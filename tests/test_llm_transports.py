@@ -126,10 +126,13 @@ def test_ollama_invalid_shape_and_exhaustion_return_defaults(monkeypatch):
     _wire(c, t, monkeypatch)
     assert c(MESSAGES) == ""
 
-    c2 = OllamaChatClient("http://o/api", "m", max_retries=1)
-    t2 = Transport([_http_error(500), _http_error(500)])
+    c2 = OllamaChatClient("http://o/api", "m", max_retries=2)
+    t2 = Transport([_http_error(500), _http_error(500), _http_error(500)])
     _wire(c2, t2, monkeypatch)
     assert c2(MESSAGES) == ""  # defaults contract on exhaustion
+    # reference counts ATTEMPTS against max_retries (llm_api.py:505
+    # `for attempt in range(self.max_retries)`): exactly 2 requests,
+    # not vLLM's retries-after-the-first 3
     assert len(t2.requests) == 2
 
 

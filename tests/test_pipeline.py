@@ -148,3 +148,19 @@ def test_progress_monotone_two_stage(spark):
     assert "journal_metrics" in stages
     assert "sink" in stages
     assert pcts[-1] == 100.0
+
+
+def test_corpus_record_ids_unique(spark, cfg):
+    # record_id is a probabilistic 64-bit content-hash key (pipeline.py
+    # build_corpus docstring): a collision silently MERGES two records in
+    # every downstream keyed join (LLM attach dropDuplicates, dedup
+    # tiebreak).  This assertion turns a collision — or an upstream
+    # id-generation regression — into a loud failure instead.
+    corpus = build_corpus(spark, cfg.sources)
+    stats = corpus.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("record_id").alias("n_ids"),
+    ).collect()[0]
+    assert stats.n == stats.n_ids, (
+        f"record_id collision: {stats.n} records, {stats.n_ids} distinct ids"
+    )

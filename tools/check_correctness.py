@@ -91,11 +91,21 @@ def lint_oracle_types(con, oracles: dict[str, str], only: set[str]) -> int:
             if "HUGEINT" in t.upper()
             or (t.upper().startswith("DECIMAL") and name not in LINT_DECIMAL_ALLOWLIST)
         ]
+        # array/struct/map outputs: the DRIVER's pandas canonicalizer sorts
+        # cells and dies on unhashable lists ("TypeError: unhashable type:
+        # 'list'", r6's only two reds).  Serialize at the gate boundary
+        # (array_join / array_to_string) before returning.
+        offend += [
+            (c, t)
+            for c, t, *_ in desc
+            if "[]" in t or "STRUCT" in t.upper() or "MAP(" in t.upper()
+        ]
         if offend:
             cols = ", ".join(f"{c}:{t}" for c, t in offend)
             print(
                 f"FAIL {name}: oracle type lint — {cols} "
-                f"(cast to ::BIGINT/::DOUBLE in the oracle SQL)"
+                f"(cast to ::BIGINT/::DOUBLE; serialize arrays/structs "
+                f"with array_to_string at the gate boundary)"
             )
             failures += 1
     return failures
