@@ -25,10 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference's end-to-end pipeline shape over the
     sf0.001 corpus — synthesize literature-shaped records from documents,
     priority-dedup by normalized DOI (A1), enrich via broadcast lookup
-    (J1), attach link columns (D6/D7/A2) and text-quality metrics, and
-    return per-source corpus statistics."""
+    (J1), attach link columns (D6/D7/A2), run the U1/J2 LLM
+    abstract-understanding map (deterministic mock client, keyed attach)
+    and text-quality metrics, and return per-source corpus statistics."""
     from scholarmind_spark.operators.textstats import quality_score, token_count
-    from scholarmind_spark.queries import _lit_records, lit_enrich_join, lit_priority_dedup
+    from scholarmind_spark.queries import (
+        _lit_records,
+        lit_enrich_join,
+        lit_llm_extract,
+        lit_priority_dedup,
+    )
 
     sf_dir = "/root/testdata/sf0.001"
     kept = lit_priority_dedup(spark, sf_dir)
@@ -39,15 +45,23 @@ def entry(spark: SparkSession) -> DataFrame:
         quality_score(F.col("text")).alias("quality_score"),
     )
     enriched = lit_enrich_join(spark, sf_dir).select("record_id", "impact_factor")
+    # U1/J2 end-to-end each round: the mapInPandas LLM map with the
+    # deterministic mock + keyed attach; the summary field is non-empty
+    # by construction, so counting its prefix checks the whole path
+    llm = lit_llm_extract(spark, sf_dir).select("record_id", "summary")
     out = (
         kept.join(stats, "record_id")
         .join(enriched, "record_id")
+        .join(llm, "record_id")
         .groupBy("source_type")
         .agg(
             F.count("*").alias("n_records"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
             F.round(F.avg("quality_score"), 4).alias("avg_quality"),
             F.sum(F.when(F.col("doi_norm") != "", 1).otherwise(0)).alias("n_with_doi"),
+            F.sum(
+                F.when(F.col("summary").startswith("summary-"), 1).otherwise(0)
+            ).alias("n_llm_ok"),
         )
         .orderBy("source_type")
     )

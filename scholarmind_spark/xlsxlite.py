@@ -197,6 +197,44 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
         return out
 
 
+def read_xlsx_hyperlinks(path: str) -> dict[str, dict[str, str]]:
+    """``{sheet_name: {cell_ref: url}}`` for every external hyperlink —
+    the structural companion to :func:`read_xlsx` (golden tests assert
+    title-link priority on real workbook bytes with it)."""
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        rels = {}
+        rels_part = "xl/_rels/workbook.xml.rels"
+        if rels_part in names:
+            for rel in ET.fromstring(zf.read(rels_part)):
+                target = rel.get("Target", "").lstrip("/")
+                if not target.startswith("xl/"):
+                    target = "xl/" + target
+                rels[rel.get("Id")] = target
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        out: dict[str, dict[str, str]] = {}
+        for el in wb.iter():
+            if _localname(el.tag) != "sheet":
+                continue
+            rid = el.get(f"{{{_REL_DOC}}}id") or el.get("id")
+            part = rels.get(rid, f"xl/worksheets/sheet{el.get('sheetId')}.xml")
+            links: dict[str, str] = {}
+            sheet_rels = {}
+            rp = part.rsplit("/", 1)
+            rel_part = f"{rp[0]}/_rels/{rp[1]}.rels"
+            if rel_part in names:
+                for rel in ET.fromstring(zf.read(rel_part)):
+                    sheet_rels[rel.get("Id")] = rel.get("Target")
+            root = ET.fromstring(zf.read(part))
+            for h in root.iter(f"{{{_SSML}}}hyperlink"):
+                rid_h = h.get(f"{{{_REL_DOC}}}id") or h.get("id")
+                url = sheet_rels.get(rid_h)
+                if url:
+                    links[h.get("ref")] = url
+            out[el.get("name")] = links
+        return out
+
+
 # ---------------------------------------------------------------------------
 # writer
 
