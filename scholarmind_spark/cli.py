@@ -39,7 +39,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--llm-endpoint", help="OpenAI-compatible chat endpoint")
     p.add_argument("--llm-model", default="default", help="model name for the endpoint")
     p.add_argument("--mock-llm", action="store_true", help="deterministic mock LLM")
-    p.add_argument("--max-workers", type=int, default=4, help="in-partition LLM fan-out")
+    p.add_argument(
+        "--max-workers",
+        type=int,
+        default=None,
+        help="in-partition LLM fan-out (default 4, or the config's "
+        "processing.max_workers when --config is given)",
+    )
     p.add_argument("--output", required=True, help="parquet output dir")
     p.add_argument("--sheets", help="also write per-sheet CSVs here")
     p.add_argument(
@@ -93,9 +99,11 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = pipeline_config_from(config, spark=spark, sources=sources)
     else:
-        cfg = PipelineConfig(sources=sources, llm_max_workers=args.max_workers)
+        cfg = PipelineConfig(sources=sources)
 
     # explicit flags override config-derived settings
+    if args.max_workers is not None:
+        cfg.llm_max_workers = args.max_workers
     if args.metrics_parquet:
         cfg.metrics_df = spark.read.parquet(args.metrics_parquet)
     if args.template:

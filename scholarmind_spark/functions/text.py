@@ -32,8 +32,12 @@ def join_authors(authors: Column) -> Column:
 def flatten_array_field(col: Column, joined: bool) -> Column:
     """Presentation flattening policy (reference D4,
     parsers_manager.py:198-230): configured array fields are comma-joined;
-    every other list-valued column takes its first element."""
-    return F.array_join(col, ", ") if joined else F.element_at(col, 1)
+    every other list-valued column takes its first element.
+
+    ``F.get`` (0-based), not ``element_at``: the latter THROWS on an
+    empty array under Spark 4's default ANSI mode (same crash fixed in
+    ``sinks/parquet.flatten_for_presentation``); ``get`` returns null."""
+    return F.array_join(col, ", ") if joined else F.get(col, 0)
 
 
 def split_sd_authors(authors: Column) -> Column:

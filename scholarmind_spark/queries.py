@@ -75,11 +75,18 @@ def _tune(spark: SparkSession) -> None:
       with this setting).
     - UTC session timezone, matching the factory pin and DuckDB's naive
       timestamp arithmetic."""
+    # independent settings, independent try blocks: if the ICU conf is
+    # immutable on a deployment, the UTC pin must still land (a shared
+    # block silently skipped it and every timestamp gate shifted by the
+    # driver host's timezone)
     try:
         spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    except Exception:
+        pass  # immutable on some deployments; pure perf either way
+    try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass  # immutable on some deployments; the factory session already matches
+        pass  # factory session already pins UTC
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -636,13 +643,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part")
     rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1) - F.col("l_discount"))
+    # divide in DOUBLE, not DECIMAL: DuckDB executes decimal/decimal in
+    # double while Spark does exact decimal division truncated under
+    # allowPrecisionLoss — double-rounding divergence (same rule as Q8).
+    # The SUMS stay decimal (exact, order-free); only the quotient is FP,
+    # and both engines then run the identical IEEE ops on identical sums.
     return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
         F.round(
-            (
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
-                * 100
-                / F.sum(rev)
-            ).cast("double"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double")
+            * 100
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_pct"),
         F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
@@ -650,10 +664,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT round((sum(CASE WHEN p_type = 'PROMO'
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
                        THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)
-                       ELSE 0::DECIMAL(18,2) END) * 100
-              / sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)))::DOUBLE, 4) AS promo_pct,
+                       ELSE 0::DECIMAL(18,2) END)::DOUBLE * 100
+              / sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 4) AS promo_pct,
        round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 2) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -757,13 +771,18 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-degenerate), per-nation aggregate."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    # quantize the threshold to 6 dp on BOTH engines: the engines sum the
-    # avg in different orders, and a last-ulp difference in the raw double
-    # could flip a customer sitting exactly on the boundary
-    avg_bal = round(
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0], 6
+    # the threshold comparison is cleared of division entirely:
+    # bal > sum/n  ⟺  bal·n > sum  with bal/sum in exact DECIMAL and n a
+    # bigint — no float avg (engine accumulation order), no rounding
+    # algorithm (Python HALF_EVEN vs DuckDB's multiply-based round), no
+    # boundary sliver.  The scalar still collects to the driver once —
+    # the reference pattern for scalar subqueries.
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    rich = c.filter(
+        _dec(F.col("c_acctbal")) * F.lit(int(pos["n"])) > F.lit(pos["s"])
     )
-    rich = c.filter(F.col("c_acctbal") > avg_bal)
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return (
         idle.groupBy("c_nationkey")
@@ -779,7 +798,9 @@ Q22_SQL = """
 SELECT c_nationkey, count(*) AS n_cust,
        round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal::DECIMAL(18,2)
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT sum(c_acctbal::DECIMAL(18,2)) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_nationkey ORDER BY c_nationkey
@@ -2008,7 +2029,10 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")  # unique per (key, ts) for determinism
-        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+        # max over DECIMAL then one cast: engine round() algorithms differ
+        # on raw doubles (Spark shortest-repr HALF_UP vs DuckDB FP
+        # multiply); the decimal path is bit-exact on both
+        .agg(F.max(_dec(F.col("value"))).cast("double").alias("purchase_value"))
     )
     out = asof_join(clicks, purchases, key="user_id", ts="ts")
     return out.select(
@@ -2025,7 +2049,7 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ),
 purchases AS (
-  SELECT user_id, ts, round(max(value), 4) AS purchase_value
+  SELECT user_id, ts, max(value::DECIMAL(18,2))::DOUBLE AS purchase_value
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id,
@@ -2112,9 +2136,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SESSION_SQL = """
 WITH marked AS (
+  -- floor(epoch()) matches Spark's unix_timestamp (whole seconds); the
+  -- raw epoch() is a fractional DOUBLE here (ts carries micros), and a
+  -- gap within 1s of the 1800 threshold would split sessions differently
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2682,7 +2709,7 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scholarmind_spark.operators.robust import winsorize
 
     return winsorize(
-        _t(spark, sf_dir, "events"), "event_type", "value", ["event_id"]
+        _events(spark, sf_dir), "event_type", "value", ["event_id"]
     ).orderBy("event_id")
 
 
@@ -2702,7 +2729,7 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe over the events table."""
     from scholarmind_spark.operators.mi import mutual_information
 
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return mutual_information(
         e, F.col("event_type"), F.floor(F.col("value") / 10.0)
     )
@@ -2967,7 +2994,7 @@ def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scholarmind_spark.operators.audit import benford_audit
 
     return benford_audit(
-        _t(spark, sf_dir, "events"), "event_type", "value"
+        _events(spark, sf_dir), "event_type", "value"
     ).orderBy("event_type")
 
 
@@ -3008,7 +3035,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scholarmind_spark.operators.robust import mad_outliers
 
     return mad_outliers(
-        _t(spark, sf_dir, "events"), "event_type", "value", ["event_id"]
+        _events(spark, sf_dir), "event_type", "value", ["event_id"]
     ).orderBy("event_id")
 
 
@@ -3030,7 +3057,7 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # gate boundary: hot_keys/hot_freqs are arrays the driver canonicalizer
     # cannot hash (r6 driver-red) — serialize; library callers keep arrays
-    return skew_report(_t(spark, sf_dir, "events"), "user_id").select(
+    return skew_report(_events(spark, sf_dir), "user_id").select(
         "n_keys",
         "n_rows",
         "max_freq",
@@ -3154,15 +3181,18 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us FROM events
 ),
 marked AS (
-  SELECT user_id, us,
+  SELECT user_id, event_id, us,
          CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 sess AS (
+  -- event_id tiebreak must match marked's window: without it, two
+  -- same-user events in the same microsecond could running-sum in the
+  -- other order and split a session Spark merges
   SELECT user_id, us,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )
@@ -3282,7 +3312,10 @@ def events_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_STATEFUL_SQL = """
 SELECT user_id,
        count(*) AS n_events,
-       round(sum(value), 6) AS total_value,
+       -- per-row micro quantization + int sum + one division: the exact
+       -- mirror of the state function's integer accumulation (a raw
+       -- double sum would be accumulation-order dependent vs pandas)
+       (sum(floor(value * 1000000 + 0.5))::BIGINT / 1000000.0) AS total_value,
        max(epoch_us(ts)) AS last_seen_us
 FROM events
 GROUP BY user_id
@@ -3783,8 +3816,10 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
+            # decimal min/max, one cast out: exact on both engines (raw-
+            # double round() algorithms differ between Spark and DuckDB)
+            F.min(_dec(F.col("value"))).cast("double").alias("min_value"),
+            F.max(_dec(F.col("value"))).cast("double").alias("max_value"),
         )
         .orderBy("event_type")
     )
@@ -3792,7 +3827,8 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARTITIONED_PRUNE_SQL = """
 SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+       min(value::DECIMAL(18,2))::DOUBLE AS min_value,
+       max(value::DECIMAL(18,2))::DOUBLE AS max_value
 FROM events WHERE event_type IN ('click', 'purchase')
 GROUP BY event_type ORDER BY event_type
 """
@@ -4483,86 +4519,6 @@ _ROUND7_FRONT = [
     "text_lang_id",
     "diag_curation_stages",
 ]
-
-_ROUND6_FRONT = [
-    # round-6 additions (newest = riskiest, must be driver-checked)
-    "text_pii_redact",
-    "dedup_incremental",
-    "dedup_cluster_reps",
-    # round-5 heavy additions (never driver-checked)
-    "graph_pagerank",
-    "dedup_containment",
-    "dedup_cluster_sizes",
-    # streaming gates (real readStream paths; riskiest under the driver)
-    "events_stream_anomaly",
-    "events_stream_dedup",
-    "events_stream_interval_join",
-    "events_stateful_user_stats",
-    "events_stream_enrich",
-    "events_sliding_stream",
-    "events_session_stream",
-    # robust stats / audits (round 4-5)
-    "lineitem_weighted_median",
-    "events_mad_outliers",
-    "events_winsorize",
-    "events_interarrival",
-    "events_benford_audit",
-    "orders_fd_audit",
-    "events_daily_drift",
-    "fk_audit",
-    "orders_snapshot_diff",
-    "orders_scd2_history",
-    # graph/text/LM family
-    "text_lm_score",
-    "text_collocations",
-    "text_bm25_topk",
-    "text_char_entropy",
-    "text_hash_features",
-    "link_fuzzy_vocab",
-    "embed_centroid_classify",
-    "embed_quantize_int8",
-    "events_rolling_anomaly",
-    "events_mutual_information",
-    "events_session_paths",
-    "source_vocab_overlap",
-    "source_health_report",
-    "skew_key_report",
-    "dataset_shuffle_order",
-    # mid-age gates still unswept
-    "kmeans_assign_cells",
-    "text_chunk_documents",
-    "text_pack_sequences",
-    "text_pack_stats",
-    "dataset_mixture",
-    "dataset_weighted_sample",
-    "text_url_domains",
-    "text_scrub_spans",
-    "text_span_hotlist",
-    "events_sliding",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_value_histogram",
-    "media_resize",
-    # remaining unswept (past the 50-window this round; front of r7)
-    "events_range_join",
-    "skew_salted_join",
-    "skew_two_phase_distinct",
-    "dataset_split",
-    "stratified_sample",
-    "lit_flatten_presentation",
-    "bucketed_join_revenue",
-    "partitioned_prune_events",
-    "cube_order_stats",
-    "pivot_status_counts",
-    "lit_incremental_merge",
-    "events_json_props",
-    "profile_documents",
-    "sql_surface_revenue",
-    "text_word_repetition",
-    "text_top_terms",
-    "decontam_overlap",
-]
-
 
 def _rotated(d: dict) -> dict:
     front = {k: d[k] for k in _ROUND7_FRONT if k in d}

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -35,7 +36,12 @@ from pyspark.sql.types import (
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        # running sum in integer MICRO units: a float running sum would be
+        # pairwise-accumulated by pandas while the oracle sums sequentially
+        # — last-ulp drift that a 6-dp round can't always absorb.  Values
+        # are micro-quantized per row with floor(v*1e6 + 0.5) (identical
+        # IEEE ops on both engines, non-negative values), summed as int64.
+        StructField("total_micro", LongType()),
         StructField("last_seen_us", LongType()),
     ]
 )
@@ -97,15 +103,14 @@ def _user_stats_update_factory(timeout_ms: int | None):
             # idle horizon passed: emit nothing, drop the state row
             state.remove()
             return
-        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        n, total, last = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # exact integer micro accumulation (see STATE_SCHEMA note);
+            # np.floor(x + 0.5) matches the oracle's floor(value*1e6 + 0.5)
+            v = pdf["value"].to_numpy(dtype="float64")
+            total += int(np.floor(v * 1_000_000.0 + 0.5).astype("int64").sum())
             last = max(last, _ts_max_us(pdf["ts"]))
-        # State carries the UNROUNDED running sum; rounding happens only at
-        # emit, so later batches never accumulate on top of a rounded value
-        # (batch-by-batch round-then-add drifts from the oracle's one global
-        # round(sum(value), 6)).
         state.update((n, total, last))
         if timeout_ms is not None:
             # Re-arm from the key's LAST EVENT TIME, not the watermark:
@@ -124,7 +129,9 @@ def _user_stats_update_factory(timeout_ms: int | None):
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 6)],
+                # exact int ÷ exact power of ten: one IEEE division, the
+                # same double the oracle's sum(...)::BIGINT / 1000000.0 makes
+                "total_value": [total / 1_000_000.0],
                 "last_seen_us": [last],
             }
         )

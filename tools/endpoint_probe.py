@@ -1,0 +1,98 @@
+"""Focused 3-rep median endpoint probe for the near-dup pair family.
+
+The full probe (``scale_probe.py``) showed single-run x10/x1 ratios for
+these operators are session-noise-dominated (the same binary measured
+1.3/1.6/2.7 across runs).  This tool runs the four pair listers at
+1x/10x/20x with 3 reps per point, takes per-point MEDIANS, and fits
+``t = a + b·N`` by least squares over the three medians — the 20x
+endpoint pins the slope, which the 1x/10x pair alone could not (the
+fixed overhead a ≈ 4.5 s is ~half of the 10x measurement, so its split
+between a and b was fragile).
+
+With 3 points and 2 parameters the fit has ONE residual degree of
+freedom; the reported ±slope uncertainty is the 1-dof standard error —
+honest but wide, meant to bound "is it linear," not to 3-digit the
+slope.  Run serially (no concurrent Spark work) or the medians are
+garbage.
+
+Usage: python tools/endpoint_probe.py [sf_dir]   (default sf0.1)
+Prints a markdown table to paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KS = (1, 10, 20)
+REPS = 3
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.operators.neardup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from tools.scale_probe import replicated_docs
+
+    spark = get_spark(app_name="endpoint-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ops = {
+        "ngram_jaccard": lambda df: ngram_jaccard_pairs(df, threshold=0.6).count(),
+        "minhash_lsh": lambda df: minhash_lsh_pairs(df, threshold=0.6).count(),
+        "simhash": lambda df: simhash_pairs(df, max_distance=3).count(),
+        "containment": lambda df: containment_pairs(df, tau_permille=800).count(),
+    }
+
+    medians: dict[str, dict[int, float]] = {n: {} for n in ops}
+    for k in KS:
+        df = replicated_docs(spark, sf_dir, k).persist()
+        n_rows = df.count()
+        for name, fn in ops.items():
+            per = []
+            for _ in range(REPS):
+                t0 = time.time()
+                fn(df)
+                per.append(time.time() - t0)
+                spark.catalog.clearCache()
+                df.persist()
+                df.count()
+            per.sort()
+            medians[name][k] = per[len(per) // 2]
+            print(
+                f"# k={k} {name}: median {medians[name][k]:.2f}s of "
+                f"{[round(p, 2) for p in per]}",
+                file=sys.stderr,
+            )
+        df.unpersist()
+        print(f"k={k} rows={n_rows} done", file=sys.stderr)
+
+    print("| operator | 1x med | 10x med | 20x med | fixed a | slope b ± se |")
+    print("|---|---|---|---|---|---|")
+    for name, by_k in medians.items():
+        xs = list(KS)
+        ys = [by_k[k] for k in KS]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        sxx = sum((x - mx) ** 2 for x in xs)
+        b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+        a = my - b * mx
+        resid = [y - (a + b * x) for x, y in zip(xs, ys)]
+        # 1 residual dof: se(b) = sqrt(SSR / (n-2) / Sxx)
+        se = (sum(r * r for r in resid) / (n - 2) / sxx) ** 0.5
+        print(
+            f"| {name} | {by_k[1]:.1f}s | {by_k[10]:.1f}s | {by_k[20]:.1f}s "
+            f"| {a:.1f}s | {b:.2f} ± {se:.2f} s/unit |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ALPHA = "etaonrislcd"  # most-frequent letters: rotating these rewrites most shingles
+# Full alphabet: rotations are distinct for every copy up to k=26.  The
+# previous 11-letter frequent-letter alphabet made copy i and copy i+11
+# IDENTICAL up to doc_id — at k=20 nine copy-pairs near-dup-matched by
+# construction and the 20x endpoint measured the data, not the algorithm
+# (the exact failure mode this replicator exists to avoid).
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def replicated_docs(spark, sf_dir: str, k: int):
