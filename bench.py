@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_clean",
     "token_topk",
     "text_word_repetition",
+    "text_gopher_flags",
     "text_top_terms",
     "text_chunk_documents",
     "text_pack_sequences",

@@ -3986,6 +3986,28 @@ def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_repetition(_t(spark, sf_dir, "documents"))
 
 
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality rule battery (operators/quality): per-doc
+    booleans for the seven canonical filters + the combined keep flag,
+    every ratio threshold cleared to an integer predicate — one codegen
+    projection, zero shuffles, zero floats."""
+    from scholarmind_spark.operators.quality import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def _text_gopher_flags_sql() -> str:
+    from scholarmind_spark.operators.quality import gopher_quality_flags_sql
+
+    return (
+        "SELECT * FROM ("
+        + gopher_quality_flags_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥2 word-3-grams with
     the 50-doc 'benchmark' slice.  The benchmark shingle set broadcasts;
@@ -4304,6 +4326,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "profile_documents": profile_documents,
     "sql_surface_revenue": sql_surface_revenue,
     "text_word_repetition": text_word_repetition,
+    "text_gopher_flags": text_gopher_flags,
     "text_top_terms": text_top_terms,
     "decontam_overlap": decontam_overlap,
     "lit_llm_extract": lit_llm_extract,
@@ -4441,6 +4464,7 @@ ORACLE_SQL: dict[str, str] = {
     "profile_documents": _profile_documents_sql(),
     "sql_surface_revenue": SQL_SURFACE_TEXT,
     "text_word_repetition": word_repetition_sql("documents"),
+    "text_gopher_flags": _text_gopher_flags_sql(),
     "text_top_terms": doc_top_terms_sql("documents", k=3),
     "decontam_overlap": _decontam_overlap_sql(),
     "lit_llm_extract": LIT_LLM_SQL,
@@ -4463,6 +4487,8 @@ ORACLE_SQL: dict[str, str] = {
 # registered gate has been driver-green at least once in r5-r7.
 
 _ROUND7_FRONT = [
+    # new this round — riskiest, must be driver-checked
+    "text_gopher_flags",
     # r6 driver-reds, fixed this round — must re-check first
     "embed_quantize_int8",
     "skew_key_report",

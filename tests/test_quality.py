@@ -1,0 +1,93 @@
+"""Gopher quality rule battery (operators/quality): each of the seven
+rules tripped by a purpose-built document, plus the integer-cleared
+threshold boundaries."""
+
+from __future__ import annotations
+
+import pytest
+
+from scholarmind_spark.operators.quality import gopher_quality_flags
+
+GOOD = (
+    "The results of this study show that models trained with curated "
+    "data have better downstream quality and that filtering rules be "
+    "applied consistently to each of the corpus slices with care . "
+) * 3  # ~90 words, mean len in range, stopwords present
+
+
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return gopher_quality_flags(df, **kw).collect()[0]
+
+
+def test_good_document_keeps(spark):
+    r = _flags(spark, GOOD)
+    assert r.keep, r
+    assert all(
+        getattr(r, f)
+        for f in [
+            "f_word_count",
+            "f_mean_word_len",
+            "f_symbol",
+            "f_bullet",
+            "f_ellipsis",
+            "f_alpha",
+            "f_stop",
+        ]
+    )
+
+
+def test_word_count_bounds(spark):
+    r = _flags(spark, "the of and that be short text with")
+    assert not r.f_word_count and not r.keep  # 8 words < 50
+    # boundary: exactly min_words passes (>=)
+    text = " ".join(["the", "of", "and", "have", "with"] * 10)  # 50 words
+    assert _flags(spark, text).f_word_count
+
+
+def test_mean_word_length_rule(spark):
+    # 1-char words -> mean 1 < 3: 3*n <= chars fails
+    assert not _flags(spark, " ".join(["a"] * 60)).f_mean_word_len
+    # 12-char words -> mean 12 > 10 fails
+    assert not _flags(spark, " ".join(["abcdefghijkl"] * 60)).f_mean_word_len
+    # exactly 3 chars passes (inclusive bound)
+    assert _flags(spark, " ".join(["abc"] * 60)).f_mean_word_len
+
+
+def test_symbol_word_rule(spark):
+    # 10% of 60 words symbol-ish is NOT < 0.1 (strict)
+    words = ["word"] * 54 + ["#tag"] * 6
+    assert not _flags(spark, " ".join(words)).f_symbol
+    words = ["word"] * 55 + ["..."] * 5
+    assert _flags(spark, " ".join(words)).f_symbol
+
+
+def test_bullet_and_ellipsis_line_rules(spark):
+    bullets = "\n".join(["- item %d" % i for i in range(9)] + ["plain"])
+    assert not _flags(spark, bullets).f_bullet  # 9/10 not < 0.9
+    ell = "\n".join(["line %d ..." % i for i in range(3)] + ["x"] * 7)
+    assert not _flags(spark, ell).f_ellipsis  # 3/10 not < 0.3
+    ell_ok = "\n".join(["line ..."] + ["x"] * 9)  # 1/10 < 0.3
+    assert _flags(spark, ell_ok).f_ellipsis
+    # unicode ellipsis counts too
+    assert not _flags(spark, "\n".join(["a …"] * 10)).f_ellipsis
+
+
+def test_alpha_word_rule(spark):
+    words = ["word"] * 48 + ["1234"] * 12  # 80% exactly -> passes (>=)
+    assert _flags(spark, " ".join(words)).f_alpha
+    words = ["word"] * 47 + ["1234"] * 13
+    assert not _flags(spark, " ".join(words)).f_alpha
+
+
+def test_stopword_rule(spark):
+    # only one distinct Gopher stopword present -> fails
+    text = " ".join(["the"] * 25 + ["lorem"] * 30)
+    assert not _flags(spark, text).f_stop
+    text = " ".join(["the", "with"] + ["lorem"] * 55)
+    assert _flags(spark, text).f_stop
+
+
+def test_empty_text_drops_not_crashes(spark):
+    r = _flags(spark, "")
+    assert not r.keep and r.n_words == 0
