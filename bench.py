@@ -137,11 +137,19 @@ def main() -> None:
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    from scholarmind_spark.queries import reset_shared_components
+
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
         per_rep: list[float] = []
         n = 0
         for _ in range(n_reps):
+            if name == "dedup_cluster_sizes":
+                # first cluster-family query: pay the shared CC cost inside
+                # the timed window every rep (honest median); the later
+                # family members (dedup_cluster_reps) then measure the
+                # shared-consumer path the memo exists for
+                reset_shared_components()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

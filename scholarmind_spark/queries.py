@@ -3656,22 +3656,45 @@ def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k[0] is not spark:  # stale session: free its tiny entry
             del _CC_MEMO[k]
     key = (spark, sf_dir)
-    comp = _CC_MEMO.get(key)
-    if comp is None:
+    entry = _CC_MEMO.get(key)
+    if entry is None:
         from scholarmind_spark.operators.cluster import connected_components
 
         pairs = ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), threshold=0.6
         )
         comp = connected_components(pairs.select("id_a", "id_b"))
+        caches = list(getattr(comp, "_sm_caches", []))
         comp.count()  # materialize the labels (lineage is already truncated)
         # the pair-lister's intermediates are no longer reachable from the
         # checkpointed labels plan — free them now
         for c in getattr(pairs, "_sm_caches", []):
             unpersist_any(c)
         comp._sm_caches = []  # shared state: consumers must not release it
-        _CC_MEMO[key] = comp
-    return comp
+        # keep the labels' own block handles privately so
+        # reset_shared_components can free them
+        _CC_MEMO[key] = (comp, caches)
+        return comp
+    return entry[0]
+
+
+def reset_shared_components() -> None:
+    """Drop the memoized CC labels and free their blocks.
+
+    The bench harness calls this before each timed rep of the cluster
+    family's FIRST query so that query's median honestly includes the CC
+    cost (otherwise rep 1 pays it and the median of the warm reps hides
+    it); the later family members then measure the shared-consumer path —
+    which is the production composition the memo exists for."""
+    from scholarmind_spark.util import unpersist_any
+
+    for comp, caches in _CC_MEMO.values():
+        for c in caches:
+            try:
+                unpersist_any(c)
+            except Exception:
+                pass  # session may already be stopped
+    _CC_MEMO.clear()
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
