@@ -188,7 +188,9 @@ def benford_audit(
     ).select(F.col("s.g").alias("g"), F.col("s.d").alias("d"), "obs")
     return (
         joined.alias("j")
-        .join(F.broadcast(n_g).alias("t"), F.col("j.g").eqNullSafe(F.col("t.g")))
+        # no broadcast hint: n_g has one row per group — unbounded by
+        # this API (AQE broadcasts it when actually small)
+        .join(n_g.alias("t"), F.col("j.g").eqNullSafe(F.col("t.g")))
         .select(
             F.col("j.g").alias("g"),
             "n",

@@ -70,7 +70,7 @@ def repeated_span_stats(
             F.count("*").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .orderBy(F.desc("n_docs"), "span")
+        # no terminal orderBy: inventory consumers order their own views
     )
 
 
@@ -94,7 +94,11 @@ def scrub_repeated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("span")
     )
-    kept = s.join(F.broadcast(hot), on="span", how="left_anti")
+    # NO broadcast hint: the hot-span list is data-dependent — at
+    # min_docs=2 on a real crawl (30%+ duplication) every span with one
+    # copy qualifies, a corpus-scale relation.  AQE broadcasts when it is
+    # actually small and falls back to a shuffled anti-join when not.
+    kept = s.join(hot, on="span", how="left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(

@@ -52,12 +52,15 @@ def chunk_documents(
         F.explode(starts).alias("s"),
     )
     piece = F.slice(F.col("__toks"), F.col("s") + 1, chunk_tokens)
+    # no terminal orderBy: a global sort of the rewritten corpus text is
+    # a full extra shuffle for presentational row order no distributed
+    # consumer can rely on (callers/gates order their own small outputs)
     return ex.select(
         "id",
         (F.col("s") / step).cast("bigint").alias("chunk_id"),
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
-    ).orderBy("id", "chunk_id")
+    )
 
 
 def chunk_documents_sql(

@@ -54,7 +54,8 @@ def decontamination_overlap(
         .groupBy("id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
-        .orderBy("id")
+        # no terminal orderBy (corpus-scale presentation sort); gates and
+        # presentation callers order their own bounded outputs
     )
 
 

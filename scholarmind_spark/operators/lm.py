@@ -189,8 +189,12 @@ def collocations(
     ).cast("bigint")
     out = (
         counts.filter(F.col("c_uv") >= min_count)
-        .join(F.broadcast(left), "u")
-        .join(F.broadcast(right), "v")
+        # NO broadcast hint on the margins: left/right have one row per
+        # distinct token — vocabulary-sized, unbounded in the data (a web
+        # corpus reaches 1e8+ tokens with junk/URLs).  AQE broadcasts them
+        # when they are actually small; the hint forced a driver collect.
+        .join(left, "u")
+        .join(right, "v")
         .crossJoin(F.broadcast(total))
         .select("u", "v", "c_uv", pmi.alias("pmi_micro"))
         .orderBy(F.desc("pmi_micro"), F.asc("u"), F.asc("v"))

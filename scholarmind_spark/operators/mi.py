@@ -65,8 +65,12 @@ def mutual_information(
         * F.lit(float(MICRO))
     ).cast("bigint")
     scored = (
-        cells.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
+        # no broadcast hints on the margins: mx/my have one row per
+        # distinct value, and the advertised use (label-leakage screening
+        # of arbitrary metadata columns) includes near-unique columns
+        # where the margin is input-sized.  AQE broadcasts when small.
+        cells.join(mx, "x")
+        .join(my, "y")
         .crossJoin(F.broadcast(n))
         .select("__n", "__cells", term.alias("__term"))
     )
@@ -145,8 +149,9 @@ def drift_kl(
         * F.lit(1000000.0)
     ).cast("bigint")
     return (
-        cells.join(F.broadcast(mg), "g")
-        .join(F.broadcast(mt), "t")
+        # margins un-hinted for the same reason as mutual_information
+        cells.join(mg, "g")
+        .join(mt, "t")
         .crossJoin(F.broadcast(n))
         .select("g", "n_g", term.alias("__term"))
         .groupBy("g")

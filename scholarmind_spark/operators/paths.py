@@ -37,16 +37,21 @@ def session_paths(
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     sess = events.withColumn("session_id", F.sum(is_new).over(w))
+    # cap BEFORE the collect: row_number within (user, session) drops
+    # everything past max_events, so the aggregate buffers at most
+    # max_events structs per session — a never-idle bot session of 1e8
+    # events previously materialized entirely in one task just to keep
+    # its first 20 event types
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    capped = sess.withColumn("__rn", F.row_number().over(ws)).filter(
+        F.col("__rn") <= max_events
+    )
     ordered = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
-    per_sess = sess.groupBy("user_id", "session_id").agg(
+    per_sess = capped.groupBy("user_id", "session_id").agg(
         F.array_join(
-            F.slice(
-                F.transform(ordered, lambda s: s["event_type"]),
-                1,
-                max_events,
-            ),
+            F.transform(ordered, lambda s: s["event_type"]),
             ">",
         ).alias("path")
     )

@@ -68,7 +68,10 @@ def winsorize(
         # eqNullSafe: a NULL group is a real group (groupBy kept it in
         # `bounds`), and an equi-join on g would silently DROP its rows
         # from a per-row passthrough operator
-        base.join(F.broadcast(bounds), base["g"].eqNullSafe(bounds["g"]))
+        # no broadcast hint: bounds has one row per group, and the group
+        # key's cardinality is unbounded by this API (winsorize by user_id
+        # is a legitimate call); AQE broadcasts when actually small
+        base.join(bounds, base["g"].eqNullSafe(bounds["g"]))
         .drop(bounds["g"])
         .select(
             *id_cols,
@@ -323,9 +326,11 @@ def mad_outliers(
         .filter(F.col("__rn") == k_med)
         .select("g", F.col("v").alias("__med"))
     )
-    # eqNullSafe throughout: NULL is a real group (see winsorize)
+    # eqNullSafe throughout: NULL is a real group (see winsorize).  The
+    # per-group relations (med/mad) carry NO broadcast hint — group-key
+    # cardinality is unbounded by this API; AQE broadcasts when small.
     dev = (
-        base.join(F.broadcast(med), base["g"].eqNullSafe(med["g"]))
+        base.join(med, base["g"].eqNullSafe(med["g"]))
         .drop(med["g"])
         .select("g", F.abs(F.col("v") - F.col("__med")).alias("d"))
     )
@@ -341,11 +346,11 @@ def mad_outliers(
         .select("g", F.col("d").alias("__mad"))
     )
     joined = (
-        base.join(F.broadcast(med), base["g"].eqNullSafe(med["g"]))
+        base.join(med, base["g"].eqNullSafe(med["g"]))
         .drop(med["g"])
     )
     return (
-        joined.join(F.broadcast(mad), joined["g"].eqNullSafe(mad["g"]))
+        joined.join(mad, joined["g"].eqNullSafe(mad["g"]))
         .drop(mad["g"])
         .select(
             *id_cols,

@@ -288,7 +288,7 @@ def word_repetition(
             F.round(F.col("top_c").cast("double") / F.col("n_words").cast("double"), 6).alias("top_word_frac"),
             F.round(F.col("dup_c").cast("double") / F.col("n_words").cast("double"), 6).alias("dup_word_frac"),
         )
-        .orderBy("id")
+        # no terminal orderBy: corpus-sized presentation sort
     )
 
 
@@ -317,8 +317,9 @@ def doc_top_terms(
     no float idf, so both engines rank identically; term ASC breaks ties).
 
     Shape: explode → (doc, term) counts → vocabulary-sized document-
-    frequency table joined back with a broadcast (vocabulary ≪ corpus) →
-    per-doc window.  Returns ``id, term, tf, df, rank``."""
+    frequency table joined back (AQE broadcasts it when small; no forced
+    hint — web-scale vocabularies are unbounded) → per-doc window.
+    Returns ``id, term, tf, df, rank``."""
     from scholarmind_spark.util import attach_caches
 
     w = (
@@ -336,11 +337,13 @@ def doc_top_terms(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
     out = (
-        tf.join(F.broadcast(dfreq), "term")
+        # no broadcast hint: dfreq is vocabulary-sized (unbounded in the
+        # data); AQE broadcasts it only when actually small
+        tf.join(dfreq, "term")
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("id", "term", "tf", "df", "rank")
-        .orderBy("id", "rank")
+        # no terminal orderBy: the top-k relation is still corpus-sized
     )
     return attach_caches(out, [tf])
 
@@ -393,7 +396,8 @@ def url_domain_stats(
             F.countDistinct("id").alias("n_docs"),
             F.count("*").alias("n_urls"),
         )
-        .orderBy(F.desc("n_docs"), "domain")
+        # no terminal orderBy: presentation sort (gates/CLI order their
+        # own bounded outputs)
     )
 
 

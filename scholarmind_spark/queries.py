@@ -1837,7 +1837,10 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 24) — flat projection, no shuffle."""
     from scholarmind_spark.operators.chunking import chunk_documents
 
-    return chunk_documents(_t(spark, sf_dir, "documents"))
+    # gate-boundary ordering (the operator no longer global-sorts)
+    return chunk_documents(_t(spark, sf_dir, "documents")).orderBy(
+        "id", "chunk_id"
+    )
 
 
 def _text_chunk_sql() -> str:
@@ -2219,7 +2222,7 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
         ).alias("text"),
     )
-    return url_domain_stats(d)
+    return url_domain_stats(d).orderBy(F.desc("n_docs"), "domain")
 
 
 def _text_url_domains_sql() -> str:
@@ -2392,7 +2395,7 @@ def text_span_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return repeated_span_stats(
         _boilerplate_docs(spark, sf_dir), span_words=5, min_docs=50
-    )
+    ).orderBy(F.desc("n_docs"), "span")
 
 
 def _text_span_hotlist_sql() -> str:
@@ -3997,7 +4000,9 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys: tf desc, df asc) — vocabulary-sized df table broadcasts."""
     from scholarmind_spark.operators.textstats import doc_top_terms
 
-    return doc_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return doc_top_terms(_t(spark, sf_dir, "documents"), k=3).orderBy(
+        "id", "rank"
+    )
 
 
 def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4006,7 +4011,7 @@ def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     word level rather than lines)."""
     from scholarmind_spark.operators.textstats import word_repetition
 
-    return word_repetition(_t(spark, sf_dir, "documents"))
+    return word_repetition(_t(spark, sf_dir, "documents")).orderBy("id")
 
 
 def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4040,7 +4045,9 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < 50)
     corpus = d.filter(F.col("doc_id") >= 50)
-    return decontamination_overlap(corpus, bench, k=3, min_overlap=2)
+    return decontamination_overlap(corpus, bench, k=3, min_overlap=2).orderBy(
+        "id"
+    )
 
 
 def _decontam_overlap_sql() -> str:
