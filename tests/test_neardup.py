@@ -119,3 +119,32 @@ def test_containment_matches_duckdb(spark, tmp_path):
     con.sql(f"CREATE VIEW d AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(containment_pairs_sql("d", tau_permille=700)).fetchall())
     assert got == want and got
+
+
+def test_band_cap_drops_duplicate_cluster_buckets(spark):
+    """A cluster of identical docs shares EVERY band key — with a cap
+    below the cluster size the band self-join skips those buckets (exact
+    dedup owns identical docs), while a distinct near-dup pair that only
+    collides in an uncapped bucket still surfaces."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, "clone text " + base) for i in range(25)]  # 25-identical cluster
+    # the standalone near-dup pair shares NO tokens with the cluster, so
+    # its band keys cannot land in the capped buckets; 60 shared tokens
+    # + 1 differing keeps the hamming distance low (majority margins are
+    # wide at this length)
+    other = " ".join(f"tok{i}" for i in range(60))
+    rows += [(100, other + " extra"), (101, other + " extrb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = simhash_pairs(df, max_distance=10, band_max_df=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    release_caches(capped)
+    # the identical-cluster pairs are gone (their buckets exceed the cap)
+    assert not any(a < 25 and b < 25 for a, b in got)
+    # the small-bucket near-dup pair survives
+    assert (100, 101) in got
+
+    uncapped = simhash_pairs(df, max_distance=10, band_max_df=None)
+    got_u = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    release_caches(uncapped)
+    assert any(a < 25 and b < 25 for a, b in got_u)
