@@ -1,4 +1,4 @@
-"""Blocked fuzzy record linkage (edit-distance entity resolution).
+"""Segment-blocked fuzzy record linkage (edit-distance entity resolution).
 
 Engine extension (SURVEY §2 — the reference normalizes journal keys
 with exact lower/trim matching, src/core/data_processor.py D11; this
@@ -7,33 +7,35 @@ distance without an all-pairs comparison.  Training-data uses: typo
 / variant detection across metadata keys (journal names, author
 spellings, domain names), and query-side vocabulary correction.
 
-Semantics (pinned, identical in the DuckDB oracle): emit ``a, b,
-dist`` with ``a < b`` for distinct non-empty keys where
+Semantics (LOSSLESS, identical in the DuckDB oracle): emit ``a, b,
+dist`` with ``a < b`` for all distinct non-empty keys where
 
     levenshtein(a, b) <= max_dist
-    AND abs(len(a) - len(b)) <= max_dist
-    AND (first_char(a) = first_char(b) OR last_char(a) = last_char(b))
 
-The first/last-char condition is the *blocking contract*, not an
-implementation detail: pairs whose edits touch both the first and the
-last character are out of scope (the standard recall tradeoff of
-char-anchor blocking; tighten with q-gram prefix blocking if those
-matter).
+Candidate generation is PassJoin-style segment blocking (Li, Deng,
+Wang & Feng, "PassJoin: a partition-based method for similarity joins",
+PVLDB 2011): every key of length ``n > max_dist`` is split into
+``max_dist + 1`` contiguous segments (a pure function of ``n``); by
+pigeonhole, ``max_dist`` edits leave at least one segment UNTOUCHED, so
+a qualifying pair must agree on one segment string at a position shift
+of at most ``max_dist``.  The probe side therefore enumerates, per key,
+each partner length within ±``max_dist``, each segment index, and each
+shift in ±``max_dist`` — a CONSTANT ~(2d+1)²(d+1) ≈ 75 probe rows per
+key at d = 2 — and the join key is the SEGMENT STRING itself.
 
-Spark-first shape, sized for web-scale key sets:
+Why this scales where char-anchor blocking did not: an anchor scheme
+(first/last char × length) has O(alphabet × max-length) buckets — a
+constant independent of data size, so bucket SIZES grow linearly and
+the self-join quadratically.  Segment strings are high-cardinality and
+data-dependent: bucket sizes track how often a ~n/3-char substring
+repeats across keys, which for real vocabularies keeps the join
+near-linear.  Keys of length ≤ ``max_dist`` cannot guarantee a
+non-empty untouched segment; they pair against the (alphabet-bounded)
+set of keys of length ≤ 2·``max_dist`` directly.
 
-- each key emits 2 block rows (first-char family, last-char family);
-  candidates come from two EQUI-joins — the length tolerance is folded
-  into the join key by emitting ``len + k`` (k in 0..max_dist) on one
-  side, so no inequality join and no all-pairs blow-up;
-- block sizes are bounded by (alphabet x length) buckets; the skew
-  risk is hot (char, len) buckets for short common keys — AQE's skew
-  split handles those, and ``levenshtein(_, _, threshold)``-style
-  early-exit is unnecessary because the length prefilter already ran
-  inside the join key;
-- the exact ``levenshtein`` runs only on candidates (JVM built-in,
-  whole-stage codegen), then the two families are deduplicated with
-  one ``distinct`` on the (a, b) pair.
+The exact ``levenshtein`` (Spark built-in, code-point semantics) runs
+only on candidates; verified pairs are deduplicated on the oriented
+(a, b) pair.
 """
 
 from __future__ import annotations
@@ -42,60 +44,120 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _segments_expr(n_col: str, d: int) -> str:
+    """SQL expr: array<struct<i,start,len>> — the pinned even-partition
+    scheme for a string of length ``n_col`` into ``d + 1`` segments
+    (short segments first, remainder distributed to the tail; start/len
+    are pure integer functions of n)."""
+    m = d + 1
+    return (
+        f"transform(sequence(0, {d}), i -> named_struct("
+        f"'i', i, "
+        f"'start', i * ({n_col} div {m}) + greatest(0, i - ({m} - {n_col} % {m})), "
+        f"'len', ({n_col} div {m}) + (CASE WHEN i >= {m} - {n_col} % {m} THEN 1 ELSE 0 END)))"
+    )
+
+
 def fuzzy_link(
     df: DataFrame, key_col: str, max_dist: int = 2
 ) -> DataFrame:
-    """``a, b, dist`` fuzzy self-linkage of the distinct values of
-    ``key_col`` under the blocking contract above."""
+    """``a, b, dist`` lossless fuzzy self-linkage of the distinct values
+    of ``key_col``: every pair within ``max_dist`` edits, no all-pairs
+    comparison (PassJoin segment blocking — see module docstring)."""
+    d = max_dist
     keys = (
         df.select(F.col(key_col).cast("string").alias("k"))
         .filter(F.col("k").isNotNull() & (F.col("k") != ""))
         .distinct()
         .select("k", F.length("k").alias("n"))
     )
-    fams = keys.select(
-        "k",
-        "n",
-        F.explode(
-            F.array(
-                F.struct(F.lit("f").alias("fam"), F.substring("k", 1, 1).alias("ch")),
-                F.struct(F.lit("l").alias("fam"), F.expr("substring(k, -1, 1)").alias("ch")),
-            )
-        ).alias("b"),
-    ).select("k", "n", F.col("b.fam").alias("fam"), F.col("b.ch").alias("ch"))
-    # fold the ±max_dist length tolerance into the equi-join key: the
-    # left side emits (len + k) for k in -max_dist..max_dist, the right
-    # side its exact len — every pair with |la-lb| <= max_dist meets in
-    # a (fam, ch, len) bucket regardless of which key the lexicographic
-    # a < b orientation puts on the left.
-    left = fams.select(
-        F.col("k").alias("a"),
-        F.col("n").alias("na"),
-        "fam",
-        "ch",
-        F.explode(
-            F.array(
-                *[F.col("n") + F.lit(k) for k in range(-max_dist, max_dist + 1)]
-            )
-        ).alias("nb"),
+
+    # --- main path: both keys longer than d (all segments non-empty)
+    idx = (
+        keys.filter(F.col("n") > d)
+        .select(
+            F.col("k").alias("b"),
+            F.col("n").alias("nb"),
+            F.explode(F.expr(_segments_expr("n", d))).alias("s"),
+        )
+        .select(
+            "b",
+            "nb",
+            F.col("s.i").alias("i"),
+            F.expr("substring(b, s.start + 1, s.len)").alias("seg"),
+        )
     )
-    right = fams.select(
-        F.col("k").alias("b"), F.col("n").alias("nb"), "fam", "ch"
+    probes = (
+        keys.select(
+            F.col("k").alias("a"),
+            F.col("n").alias("na"),
+            # partner lengths within tolerance whose scheme has non-empty
+            # segments (partners of length <= d are the tiny path's job)
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("n") - d, F.lit(d + 1)), F.col("n") + d
+                )
+            ).alias("nb"),
+        )
+        .select(
+            "a",
+            "na",
+            "nb",
+            F.explode(F.expr(_segments_expr("nb", d))).alias("s"),
+        )
+        .select(
+            "a",
+            "na",
+            "nb",
+            F.col("s.i").alias("i"),
+            F.col("s.start").alias("st"),
+            F.col("s.len").alias("ln"),
+            # an untouched segment's copy in `a` starts within ±d of its
+            # position in the partner (edits shift positions by <= d)
+            F.explode(F.sequence(F.lit(-d), F.lit(d))).alias("sh"),
+        )
+        .withColumn("j", F.col("st") + F.col("sh"))
+        .filter((F.col("j") >= 0) & (F.col("j") + F.col("ln") <= F.col("na")))
+        .select(
+            "a",
+            "nb",
+            "i",
+            F.expr("substring(a, j + 1, ln)").alias("seg"),
+        )
     )
-    cand = (
-        left.join(right, ["fam", "ch", "nb"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.abs(F.col("na") - F.col("nb")) <= max_dist)
+    main = probes.join(idx, ["nb", "i", "seg"]).select("a", "b")
+
+    # --- tiny path: keys of length <= d pair against keys of length
+    # <= 2d (length tolerance); both sets are alphabet-bounded because
+    # `keys` is DISTINCT — there are at most |charset|^d such strings
+    tiny = keys.filter(F.col("n") <= d).select(
+        F.col("k").alias("a"), F.col("n").alias("na")
+    )
+    small = keys.filter(F.col("n") <= 2 * d).select(
+        F.col("k").alias("b"), F.col("n").alias("nb")
+    )
+    tiny_pairs = (
+        tiny.crossJoin(small)
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.abs(F.col("na") - F.col("nb")) <= d)
         .select("a", "b")
+    )
+
+    cand = (
+        main.unionByName(tiny_pairs)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
         .distinct()
     )
     return cand.select(
         "a", "b", F.levenshtein("a", "b").alias("dist")
-    ).filter(F.col("dist") <= max_dist)
+    ).filter(F.col("dist") <= d)
 
 
 def fuzzy_link_sql(table: str, key_expr: str, max_dist: int = 2) -> str:
-    """DuckDB twin of :func:`fuzzy_link` — the same pinned semantics as
+    """DuckDB twin of :func:`fuzzy_link` — the same LOSSLESS semantics as
     a brute-force pair scan (the oracle states the contract; the Spark
     side is the scalable plan).
 
@@ -114,6 +176,4 @@ WITH __k AS (
 SELECT x.k AS a, y.k AS b, levenshtein(x.k, y.k)::BIGINT AS dist
 FROM __k x JOIN __k y ON x.k < y.k
 WHERE abs(len(x.k) - len(y.k)) <= {max_dist}
-  AND (substring(x.k, 1, 1) = substring(y.k, 1, 1)
-       OR substring(x.k, -1, 1) = substring(y.k, -1, 1))
   AND levenshtein(x.k, y.k) <= {max_dist}"""

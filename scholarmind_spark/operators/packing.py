@@ -51,7 +51,15 @@ def pack_sequences(
     the first/last ``context_tokens``-sized sequence it lands in, and
     ``offset_in_seq`` its offset within ``seq_first``.  Empty documents
     occupy zero tokens: they report the sequence where they would start
-    (``seq_last = seq_first``)."""
+    (``seq_last = seq_first``).
+
+    ``shards`` CAPS the job's parallelism: each shard's running-offset
+    window is one sorted task, so the default 8 means 8 tasks sorting
+    corpus/8 rows each — fine for gates, a multi-hour bottleneck at
+    100 TB.  It cannot be auto-scaled because every output coordinate
+    depends on it: choose it ONCE per dataset (≈ a few × the executor
+    count, or the dataloader's worker count) and keep it fixed across
+    incremental rebuilds."""
     c = int(context_tokens)
     t = df.select(
         F.col(id_col),

@@ -2540,9 +2540,10 @@ def _text_lm_score_sql() -> str:
 
 
 def link_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy record linkage (operators/linkage.fuzzy_link): edit-
-    distance-≤2 pairs among the corpus vocabulary — typo/variant
-    detection with char-anchor blocking, no all-pairs comparison."""
+    """Segment-blocked fuzzy record linkage (operators/linkage.fuzzy_link):
+    ALL edit-distance-≤2 pairs among the corpus vocabulary (lossless
+    PassJoin segment blocking) — typo/variant detection with no all-pairs
+    comparison and no anchor-blocking recall loss."""
     from scholarmind_spark.operators.linkage import fuzzy_link
     from scholarmind_spark.operators.textstats import tokens
 

@@ -18,10 +18,37 @@ def test_simple_typo_pair(spark):
     assert got == {("tabel", "table", 2)}
 
 
-def test_blocking_contract_drops_double_anchor_edits(spark):
-    # "cat" -> "bats": dist 2 but BOTH first and last char differ — out
-    # of the documented blocking scope.
-    assert _pairs(spark, ["cat", "bats"]) == set()
+def test_double_anchor_edits_now_found(spark):
+    # "cat" -> "bats": dist 2 with BOTH first and last char differing —
+    # the old char-anchor blocking documented this as out of scope; the
+    # PassJoin segment blocking is lossless and must find it.
+    assert _pairs(spark, ["cat", "bats"]) == {("bats", "cat", 2)}
+
+
+def test_lossless_vs_bruteforce(spark):
+    import itertools
+
+    keys = [
+        "stream", "steam", "stream2", "spark", "spars", "sparse",
+        "joiner", "joined", "join", "jon", "j", "xy", "yx",
+        "aaaa", "aaab", "abab", "bbbb", "window", "widow", "winnow",
+    ]
+    got = _pairs(spark, keys)
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+    want = {
+        (min(x, y), max(x, y), lev(x, y))
+        for x, y in itertools.combinations(sorted(set(keys)), 2)
+        if lev(x, y) <= 2
+    }
+    assert got == want
 
 
 def test_length_tolerance_survives_lexicographic_orientation(spark):
