@@ -32,6 +32,10 @@ BNLJ_OK = {
     "embed_centroid_classify", "source_vocab_overlap", "fk_audit",
     "events_mutual_information", "skew_key_report", "text_collocations",
     "events_daily_drift",
+    # fuzzy_link's tiny-key path: keys of length <= d cross keys of
+    # length <= 2d — both sets are DISTINCT strings, so alphabet-bounded
+    # regardless of corpus size (the main PassJoin path is an equi-join)
+    "link_fuzzy_vocab",
 }
 
 
