@@ -77,11 +77,11 @@ def probe(spark, sf_dir: str):
     from scholarmind_spark.operators.textstats import char_entropy, tokens
 
     def t_fuzzy(df):
-        # NOTE: the rotated replication multiplies the vocabulary into a
-        # FIXED number of (char, len) blocks, so candidate pairs grow
-        # ~quadratically BY CONSTRUCTION here; the algorithm is linear in
-        # candidate volume, which real-world key sets spread across far
-        # more blocks.
+        # Since round 7, fuzzy_link blocks on PassJoin SEGMENT STRINGS
+        # (data-dependent, high-cardinality keys) instead of fixed
+        # (char, len) buckets, so the rotated-replica vocabulary no
+        # longer collapses into a constant block count — candidate
+        # volume tracks segment-string frequency, near-linear here too.
         vocab = df.select(
             F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("w")
         )
