@@ -110,12 +110,25 @@ def load_template_yaml(text: str) -> PromptTemplate:
     import yaml
 
     data = yaml.safe_load(text)
+    fields = data["fields"]
+    # validate BEFORE registering: a scalar string here (`fields: summary`,
+    # the natural typo for a one-item list) would explode into
+    # per-character columns via tuple(); non-string items would register
+    # fine and crash later inside the Spark job's output schema
+    if isinstance(fields, str) or not isinstance(fields, (list, tuple)):
+        raise ValueError(
+            f"template 'fields' must be a list of names, got {fields!r}"
+        )
+    if not fields or not all(isinstance(f, str) and f for f in fields):
+        raise ValueError(
+            f"template 'fields' must be non-empty strings, got {fields!r}"
+        )
     t = PromptTemplate(
         type=data["type"],
         name=data.get("name", data["type"]),
         system=data.get("system", data.get("system_prompt", "")),
         user_template=data.get("user_template", data.get("user_prompt", "{abstract}")),
-        fields=tuple(data["fields"]),
+        fields=tuple(fields),
         default_values=dict(data.get("default_values", {})),
     )
     register_template(t)

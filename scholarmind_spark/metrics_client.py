@@ -74,7 +74,16 @@ def parse_metrics_response(
     for metric in metrics_to_fetch:
         if metric.startswith("custom_"):
             continue  # handled from customRank below
-        result[mapping.get(metric, metric)] = official.get(metric, "")
+        v = official.get(metric, "")
+        # the API (or a hostile server) may encode values as JSON numbers;
+        # the metrics schema is all-StringType, and a float here aborts
+        # the whole enrichment loop at createDataFrame — coerce scalars,
+        # blank non-scalars
+        if v is None or isinstance(v, (list, dict)):
+            v = ""
+        elif not isinstance(v, str):
+            v = str(v)
+        result[mapping.get(metric, metric)] = v
 
     custom_rank = api.get("customRank")
     if (

@@ -29,7 +29,34 @@ from scholarmind_spark.sources.base import empty_record, records_to_pdf, scan_fi
 MULTI_FIELDS = {"IS", "LID", "FAU", "AU", "AD", "OT", "PHST"}  # pubmed_parser.py:32
 
 TAG_RE = re.compile(r"^([A-Z0-9]+)\s*-\s*(.*)")
-AID_RE = re.compile(r"^(.*?)\s+\[(doi|pii)\]$", re.IGNORECASE)
+
+
+def _split_marker(value: str) -> tuple[str, str] | None:
+    """``"10.1/x [doi]" → ("10.1/x", "DOI")`` — the AID marker split.
+
+    Plain string ops, NOT the old ``^(.*?)\s+\[(doi|pii)\]$`` regex:
+    the lazy-dot/``\s+`` combination backtracked quadratically on a long
+    whitespace run (a 1 MB-of-spaces AID value pinned the mapInPandas
+    task for hours with no exception to retry on)."""
+    v = value.rstrip()
+    low = v.lower()
+    for marker in ("[doi]", "[pii]"):
+        if low.endswith(marker):
+            head = v[: -len(marker)]
+            if head and head[-1].isspace():
+                return head.strip(), marker[1:-1].upper()
+    return None
+
+
+def _strip_marker(value: str) -> str:
+    """Drop a trailing ``[doi]``/``[pii]`` marker (whitespace-tolerant);
+    same backtracking-free rationale as :func:`_split_marker`."""
+    r = value.rstrip()
+    low = r.lower()
+    for marker in ("[doi]", "[pii]"):
+        if low.endswith(marker):
+            return r[: -len(marker)].rstrip()
+    return value
 
 # native tag → standard column (pubmed_parser.py:118-145)
 TAG_MAP = {
@@ -80,17 +107,23 @@ def parse_pubmed_tags(text: str) -> list[dict[str, list[str]]]:
         if m:
             tag, value = m.group(1), m.group(2).strip()
             if tag == "AID":
-                am = AID_RE.match(value)
+                am = _split_marker(value)
                 if am:
-                    tag, value = am.group(2).upper(), am.group(1).strip()
-            record.setdefault(tag, []).append(value)
+                    value, tag = am
+            record.setdefault(tag, []).append([value])
             current = tag
         elif current and current in record:
-            # continuation line → append to the last value
-            record[current][-1] += " " + line.strip()
+            # continuation line → collect the part; values join at flush
+            # (in-place += on a list element rebuilt the accumulated
+            # string per line — O(n²) on a pathological million-line
+            # continuation record)
+            record[current][-1].append(line.strip())
     if record:
         records.append(record)
-    return records
+    return [
+        {t: [" ".join(parts) for parts in vals] for t, vals in r.items()}
+        for r in records
+    ]
 
 
 def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
@@ -118,7 +151,7 @@ def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
                 next((v for v in values if not v.rstrip().endswith("[pii]")), None),
             )
             if chosen is not None:
-                rec[col] = re.sub(r"\s*\[(doi|pii)\]$", "", chosen)
+                rec[col] = _strip_marker(chosen)
         else:
             rec[col] = values  # scalar columns flatten to first in records_to_pdf
     if rec.get("doi") is None and aid_doi:

@@ -103,19 +103,25 @@ def parse_wos_tags(text: str) -> list[dict[str, list[str]]]:
         if line.startswith("PT "):
             if record:
                 records.append(record)
-            record = {"PT": [line[3:].strip()]}
+            record = {"PT": [[line[3:].strip()]]}
             current = "PT"
         elif FIELD_RE.match(line):
             current = line[:2]
-            record.setdefault(current, []).append(line[3:].strip())
+            record.setdefault(current, []).append([line[3:].strip()])
         elif current and line.startswith("   ") and current in record:
             if current in MULTI_TAGS:
-                record[current].append(stripped)
+                record[current].append([stripped])
             else:
-                record[current][-1] += " " + stripped
+                # collect parts; joined at return (in-place += rebuilt the
+                # accumulated string per line — O(n²) on a pathological
+                # million-continuation-line record)
+                record[current][-1].append(stripped)
     if record:
         records.append(record)
-    return records
+    return [
+        {t: [" ".join(parts) for parts in vals] for t, vals in r.items()}
+        for r in records
+    ]
 
 
 def _to_record(tags: dict[str, list[str]]) -> dict[str, Any]:
@@ -150,9 +156,18 @@ def sniff_csv_dialect(sample: bytes) -> tuple[str, str]:
     import io
 
     for encoding in ("utf-8", "latin1", "iso-8859-1"):
-        try:
-            text = sample.decode(encoding)
-        except UnicodeDecodeError:
+        # the sample is a byte-offset cut: a UTF-8 char straddling the cut
+        # must not disqualify utf-8 (it silently demoted whole valid-UTF-8
+        # corpora to latin1 mojibake) — trim up to 3 trailing bytes before
+        # giving up on the encoding
+        text = None
+        for trim in range(4):
+            try:
+                text = sample[: len(sample) - trim or None].decode(encoding)
+                break
+            except UnicodeDecodeError:
+                continue
+        if text is None:
             continue
         for sep in (",", "\t", ";"):
             try:
@@ -168,11 +183,23 @@ def normalize_wos_tabular(df: DataFrame) -> DataFrame:
     """Shared tabular normalize for the CSV and Excel scans: CSV_MAP rename
     (wos_parser.py:160-212), ';'-split + trim for multi-valued columns,
     fixed-schema back-fill, P3 source tag, P4 abstract filter, record_id."""
+    # duplicate export headers make every BY-NAME reference ambiguous
+    # (AMBIGUOUS_REFERENCE kills the scan): uniquify physical names first
+    # by position, so later occurrences become inert `__dupN` columns
+    if len(set(df.columns)) != len(df.columns):
+        seen_raw: dict[str, int] = {}
+        uniq = []
+        for name in df.columns:
+            k = seen_raw.get(name, 0)
+            seen_raw[name] = k + 1
+            uniq.append(name if k == 0 else f"{name}__dup{k}")
+        df = df.toDF(*uniq)
     # first matching export header wins per target (e.g. a file carrying
-    # both "Journal" and "Source Title" must not produce two `journal`s)
+    # both "Journal" and "Source Title" must not produce two `journal`s);
+    # a raw column already bearing the target name wins over a rename
     renames: dict[str, str] = {}
     for old, new in CSV_MAP.items():
-        if old in df.columns and new not in renames.values():
+        if old in df.columns and new not in renames.values() and new not in df.columns:
             renames[old] = new
     df = df.withColumnsRenamed(renames)
     array_cols = {"authors", "full_authors", "affiliation", "issn", "keywords",

@@ -58,6 +58,26 @@ _ZIP_DATE = (1980, 1, 1, 0, 0, 0)
 
 _CELL_REF = re.compile(r"([A-Z]+)([0-9]+)")
 
+# Excel's own sheet limits (XFD = 16384 columns, 1048576 rows).  The reader
+# densifies sparse refs into lists, so an UNVALIDATED hostile ref like
+# r="ZZZZZZZZ1" (col index ~2e11) or <row r="2000000000"> would allocate
+# hundreds of GB from a 1 KB file — indexes past these caps raise.
+MAX_COLS = 16_384
+MAX_ROWS = 1_048_576
+# Decompressed-size cap per zip part: sheet XML deflates ~1000:1, so a
+# 50 KB zip-bomb workbook could inflate to GBs before any cell logic runs.
+MAX_PART_BYTES = 256 * 1024 * 1024
+
+
+def _read_part(zf, name: str) -> bytes:
+    info = zf.getinfo(name)
+    if info.file_size > MAX_PART_BYTES:
+        raise ValueError(
+            f"xlsx part {name} declares {info.file_size} decompressed bytes "
+            f"(cap {MAX_PART_BYTES}) — refusing (zip bomb?)"
+        )
+    return zf.read(name)
+
 
 def col_letter(idx: int) -> str:
     """0-based column index → A1-style letters (0→A, 25→Z, 26→AA)."""
@@ -118,14 +138,30 @@ def _cell_value(cell: ET.Element, shared: list[str]):
         return None
     raw = v_el.text
     if ctype == "s":
-        return shared[int(raw)]
+        # validate the shared-string index: out-of-range/garbage raised
+        # IndexError/ValueError out of the whole scan, and a NEGATIVE
+        # index silently resolved to the wrong string via Python slicing
+        try:
+            idx = int(raw)
+        except ValueError as e:
+            raise ValueError(f"bad shared-string index {raw!r}") from e
+        if not 0 <= idx < len(shared):
+            raise ValueError(
+                f"shared-string index {idx} out of range ({len(shared)})"
+            )
+        return shared[idx]
     if ctype == "str":  # formula's cached string result
         return raw
     if ctype == "b":
         return raw == "1"
     if ctype == "e":  # error cell (#DIV/0! etc.)
         return None
-    num = float(raw)
+    try:
+        num = float(raw)
+    except ValueError:
+        # hostile non-numeric <v> in a default-typed cell: surface the raw
+        # text instead of crashing the scan (lossless, caller casts)
+        return raw
     return int(num) if num.is_integer() and abs(num) < 2**53 else num
 
 
@@ -140,7 +176,7 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
 
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
-            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            root = ET.fromstring(_read_part(zf, "xl/sharedStrings.xml"))
             shared = [_si_text(si) for si in root
                       if _localname(si.tag) == "si"]
 
@@ -148,12 +184,12 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
         rels = {}
         rels_part = "xl/_rels/workbook.xml.rels"
         if rels_part in names:
-            for rel in ET.fromstring(zf.read(rels_part)):
+            for rel in ET.fromstring(_read_part(zf, rels_part)):
                 target = rel.get("Target", "").lstrip("/")
                 if not target.startswith("xl/"):
                     target = "xl/" + target
                 rels[rel.get("Id")] = target
-        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        wb = ET.fromstring(_read_part(zf, "xl/workbook.xml"))
         sheets: list[tuple[str, str]] = []
         for el in wb.iter():
             if _localname(el.tag) != "sheet":
@@ -165,14 +201,22 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
         out: dict[str, list[list]] = {}
         for sheet_name, part in sheets:
             rows: list[list] = []
-            root = ET.fromstring(zf.read(part))
+            root = ET.fromstring(_read_part(zf, part))
             for row_el in root.iter(f"{{{_SSML}}}row"):
                 # honor the row's r= index: Excel omits empty rows from the
                 # XML entirely, so a gap must re-appear as all-None rows or
                 # every later row shifts up to the wrong position
                 r_attr = row_el.get("r")
                 if r_attr is not None:
-                    while len(rows) < int(r_attr) - 1:
+                    try:
+                        r_no = int(r_attr)
+                    except ValueError as e:
+                        raise ValueError(f"bad row ref r={r_attr!r}") from e
+                    if not 1 <= r_no <= MAX_ROWS:
+                        raise ValueError(
+                            f"row ref {r_no} outside Excel limits"
+                        )
+                    while len(rows) < r_no - 1:
                         rows.append([])
                 cells: list = []
                 for cell in row_el:
@@ -180,8 +224,14 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
                         continue
                     ref = cell.get("r")
                     if ref:
-                        m = _CELL_REF.match(ref)
+                        m = _CELL_REF.fullmatch(ref)
+                        if m is None:
+                            raise ValueError(f"bad cell ref {ref!r}")
                         ci = col_index(m.group(1))
+                        if ci >= MAX_COLS:
+                            raise ValueError(
+                                f"cell ref {ref!r} outside Excel limits"
+                            )
                     else:  # ref-less cells are sequential
                         ci = len(cells)
                     while len(cells) < ci:
@@ -206,12 +256,12 @@ def read_xlsx_hyperlinks(path: str) -> dict[str, dict[str, str]]:
         rels = {}
         rels_part = "xl/_rels/workbook.xml.rels"
         if rels_part in names:
-            for rel in ET.fromstring(zf.read(rels_part)):
+            for rel in ET.fromstring(_read_part(zf, rels_part)):
                 target = rel.get("Target", "").lstrip("/")
                 if not target.startswith("xl/"):
                     target = "xl/" + target
                 rels[rel.get("Id")] = target
-        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        wb = ET.fromstring(_read_part(zf, "xl/workbook.xml"))
         out: dict[str, dict[str, str]] = {}
         for el in wb.iter():
             if _localname(el.tag) != "sheet":
@@ -223,9 +273,9 @@ def read_xlsx_hyperlinks(path: str) -> dict[str, dict[str, str]]:
             rp = part.rsplit("/", 1)
             rel_part = f"{rp[0]}/_rels/{rp[1]}.rels"
             if rel_part in names:
-                for rel in ET.fromstring(zf.read(rel_part)):
+                for rel in ET.fromstring(_read_part(zf, rel_part)):
                     sheet_rels[rel.get("Id")] = rel.get("Target")
-            root = ET.fromstring(zf.read(part))
+            root = ET.fromstring(_read_part(zf, part))
             for h in root.iter(f"{{{_SSML}}}hyperlink"):
                 rid_h = h.get(f"{{{_REL_DOC}}}id") or h.get("id")
                 url = sheet_rels.get(rid_h)

@@ -93,3 +93,16 @@ def test_llm_extract_cycle_modes_all_parse(spark):
     assert len(out) == 24
     for r in out:
         assert r.research_purpose  # never null/empty: value or default
+
+
+def test_template_fields_must_be_string_list():
+    import pytest
+
+    from scholarmind_spark.llm.templates import load_template_yaml
+
+    with pytest.raises(ValueError, match="list of names"):
+        load_template_yaml("type: t1\nfields: summary\n")  # scalar typo
+    with pytest.raises(ValueError, match="non-empty strings"):
+        load_template_yaml("type: t2\nfields: [1, 2]\n")
+    with pytest.raises(ValueError, match="non-empty strings"):
+        load_template_yaml("type: t3\nfields: []\n")

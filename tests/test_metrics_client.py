@@ -148,3 +148,15 @@ def test_pipeline_online_fetch_with_custom_columns(spark):
     for r in rows:
         if not r["journal"]:
             assert r["impact_factor"] == ""
+
+
+def test_numeric_api_values_coerced_to_strings():
+    """JSON numbers (or a hostile server's lists/dicts) in officialRank
+    must not abort the all-StringType createDataFrame downstream."""
+    from scholarmind_spark.metrics_client import parse_metrics_response
+
+    data = {"code": 200, "data": {"officialRank": {"all": {
+        "sciif": 4.32, "sci": ["Q1"], "jci": None}}}}
+    out = parse_metrics_response(data, ["sciif", "sci", "jci"], {})
+    assert out["sciif"] == "4.32"
+    assert out["sci"] == "" and out["jci"] == ""

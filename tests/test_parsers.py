@@ -234,3 +234,74 @@ def test_sciencedirect_header_scan_and_bounded_year():
     assert rec["pages"] == "100-110"      # not the abstract's "Pages 55"
     assert rec["publication_year"] == "2024"  # the year LINE beats the title range
     assert rec["doi"] == "10.1000/jex.2024.7"  # space after 'doi:' accepted
+
+
+def test_pubmed_pathological_continuation_completes_fast():
+    """A million continuation lines must parse in O(n), not O(n²) string
+    rebuilds (one hostile record previously pinned the task for hours)."""
+    import time
+
+    from scholarmind_spark.sources.pubmed import parse_pubmed_tags
+
+    text = "PMID- 1\nAB  - start\n" + ("      more words\n" * 200_000)
+    t0 = time.time()
+    recs = parse_pubmed_tags(text)
+    assert time.time() - t0 < 20
+    assert len(recs) == 1
+    ab = recs[0]["AB"][0]
+    assert ab.startswith("start more words") and ab.count("more words") == 200_000
+
+
+def test_pubmed_aid_marker_split_no_backtracking():
+    from scholarmind_spark.sources.pubmed import _split_marker, _strip_marker
+    import time
+
+    # the old lazy-dot regex went quadratic on a long whitespace run
+    hostile = " " * 500_000 + "[doi]X"  # trailing X: must NOT match
+    t0 = time.time()
+    assert _split_marker(hostile) is None
+    assert _strip_marker(hostile) == hostile
+    assert time.time() - t0 < 1
+    # semantics preserved
+    assert _split_marker("10.1/x [doi]") == ("10.1/x", "DOI")
+    assert _split_marker("S123 [pii]") == ("S123", "PII")
+    assert _split_marker("10.1/x[doi]") is None  # needs whitespace before
+    assert _strip_marker("10.1/x  [doi]") == "10.1/x"
+    assert _strip_marker("10.1/x") == "10.1/x"
+
+
+def test_wos_pathological_continuation_completes_fast():
+    import time
+
+    from scholarmind_spark.sources.wos import parse_wos_tags
+
+    text = "PT J\nAB start\n" + ("   more words\n" * 200_000) + "ER\n"
+    t0 = time.time()
+    recs = parse_wos_tags(text)
+    assert time.time() - t0 < 20
+    assert len(recs) == 1
+    assert recs[0]["AB"][0].count("more words") == 200_000
+
+
+def test_wos_sniff_survives_multibyte_cut():
+    from scholarmind_spark.sources.wos import sniff_csv_dialect
+
+    body = ("DOI,Article Title\n10.1/x,caf" + "é" * 10).encode("utf-8")
+    # cut mid 'é' (2-byte char): must still sniff utf-8, not fall to latin1
+    cut = body[:-1]
+    assert cut[-1:] != b""
+    enc, sep = sniff_csv_dialect(cut)
+    assert enc == "utf-8" and sep == ","
+
+
+def test_wos_tabular_duplicate_headers_survive(spark):
+    from scholarmind_spark.sources.wos import normalize_wos_tabular
+
+    df = spark.createDataFrame(
+        [("t", "a1", "a2", "10.1/x")], ["Article Title", "Abstract", "Abstract", "DOI"]
+    )
+    out = normalize_wos_tabular(df)
+    rows = out.collect()
+    # first duplicate header wins; the scan completes instead of
+    # AMBIGUOUS_REFERENCE
+    assert len(rows) == 1 and rows[0]["abstract"] == "a1"

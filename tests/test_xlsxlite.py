@@ -216,3 +216,82 @@ def test_reader_honors_row_gaps_and_skips_phonetic_runs(tmp_path):
     assert got[0] == [None, None] and got[2] == [None, None]
     assert got[1][0] == "東京"  # phonetic run excluded
     assert got[4][1] == 7
+
+
+def _hostile_xlsx(tmp_path, sheet_xml, shared_xml=None):
+    import zipfile
+
+    p = str(tmp_path / "hostile.xlsx")
+    ssml = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml",
+            f'<workbook xmlns="{ssml}" xmlns:r="{rel}">'
+            f'<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        zf.writestr("xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pkg}">'
+            f'<Relationship Id="rId1" Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/>'
+            f'</Relationships>')
+        zf.writestr("xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ssml}"><sheetData>{sheet_xml}</sheetData></worksheet>')
+        if shared_xml is not None:
+            zf.writestr("xl/sharedStrings.xml",
+                f'<sst xmlns="{ssml}">{shared_xml}</sst>')
+    return p
+
+
+def test_hostile_row_ref_raises_not_ooms(tmp_path):
+    import pytest
+
+    from scholarmind_spark.xlsxlite import read_xlsx
+
+    p = _hostile_xlsx(tmp_path, '<row r="2000000000"><c t="str"><v>x</v></c></row>')
+    with pytest.raises(ValueError, match="outside Excel limits"):
+        read_xlsx(p)
+
+
+def test_hostile_col_ref_raises_not_ooms(tmp_path):
+    import pytest
+
+    from scholarmind_spark.xlsxlite import read_xlsx
+
+    p = _hostile_xlsx(tmp_path, '<row r="1"><c r="ZZZZZZZZ1" t="str"><v>x</v></c></row>')
+    with pytest.raises(ValueError, match="outside Excel limits"):
+        read_xlsx(p)
+    p2 = _hostile_xlsx(tmp_path, '<row r="1"><c r="a1" t="str"><v>x</v></c></row>')
+    with pytest.raises(ValueError, match="bad cell ref"):
+        read_xlsx(p2)
+
+
+def test_shared_string_index_validated(tmp_path):
+    import pytest
+
+    from scholarmind_spark.xlsxlite import read_xlsx
+
+    bad = _hostile_xlsx(tmp_path, '<row r="1"><c t="s"><v>99</v></c></row>',
+                        shared_xml="<si><t>only</t></si>")
+    with pytest.raises(ValueError, match="out of range"):
+        read_xlsx(bad)
+    neg = _hostile_xlsx(tmp_path, '<row r="1"><c t="s"><v>-1</v></c></row>',
+                        shared_xml="<si><t>only</t></si>")
+    with pytest.raises(ValueError, match="out of range"):
+        read_xlsx(neg)
+
+
+def test_non_numeric_default_cell_surfaces_as_text(tmp_path):
+    from scholarmind_spark.xlsxlite import read_xlsx
+
+    p = _hostile_xlsx(tmp_path, '<row r="1"><c r="A1"><v>notanumber</v></c></row>')
+    assert read_xlsx(p) == {"S": [["notanumber"]]}
+
+
+def test_zip_part_size_cap(tmp_path, monkeypatch):
+    import pytest
+
+    from scholarmind_spark import xlsxlite
+
+    p = _hostile_xlsx(tmp_path, '<row r="1"><c r="A1" t="str"><v>x</v></c></row>')
+    monkeypatch.setattr(xlsxlite, "MAX_PART_BYTES", 10)
+    with pytest.raises(ValueError, match="zip bomb"):
+        xlsxlite.read_xlsx(p)
