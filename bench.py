@@ -6,9 +6,11 @@ timing arrays go to stderr — the driver's stdout capture truncates long
 lines (BENCH_r04/r05 recorded "parsed": null), so stdout carries medians
 only and stays well under a few KB.
 
-Each query is executed as Spark would in production — full plan to a
-count/collect action — and timed wall-clock.  A warmup pass on a trivial
-query absorbs one-time JVM/codegen costs so numbers reflect steady state.
+Each query is executed as Spark would in production — the FULL plan into
+a noop sink (count() would let the optimizer prune every computed column
+and drop sorts, timing a bare row count for projection-shaped queries) —
+and timed wall-clock.  A warmup pass on a trivial query absorbs one-time
+JVM/codegen costs so numbers reflect steady state.
 
 Every query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
 the MEDIAN, keeping the per-rep values — two rounds of single-rep bench
@@ -152,7 +154,14 @@ def main() -> None:
                 reset_shared_components()
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            # Timed action is a NOOP SINK, not count(): under count() the
+            # optimizer prunes every computed column (and EliminateSorts
+            # drops orderBys), so projection-shaped queries (text_clean,
+            # doc_fingerprint, embed_quantize_int8, ...) timed a
+            # column-less parquet row count — a 100x regression in the
+            # projection itself would have been invisible.  The noop
+            # format executes the full plan and discards rows.
+            df.write.mode("overwrite").format("noop").save()
             per_rep.append(round(time.time() - t0, 3))
             # Steady-state isolation: drop cached relations and nudge the
             # JVM to release accumulated broadcast/shuffle state.  Without
@@ -162,6 +171,7 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         reps[name] = per_rep
         timings[name] = sorted(per_rep)[len(per_rep) // 2]
+        n = fn(spark, sf_dir).count()  # row count for the log, untimed
         print(f"# {name}: {timings[name]}s median of {per_rep} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

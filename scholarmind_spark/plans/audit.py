@@ -58,5 +58,8 @@ def plan_digest(df_or_plan: DataFrame | str) -> dict[str, object]:
         "python_stages": sum(
             nodes.count(n) for n in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
         ),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # formatted-mode plans annotate codegen as "[codegen id : N]" on
+        # detail headers; "WholeStageCodegen (N)" only appears in
+        # simple/codegen modes, so the old pattern always counted 0
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
     }

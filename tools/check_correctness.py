@@ -32,22 +32,39 @@ TABLES = [
 
 
 def canon_value(v) -> str:
+    """Injective canonicalization: every distinct value class gets a
+    distinct string.  Type-TAGGED (``s:``/``n:``/``b:``/``t:``) so a
+    string ``'2'`` never hash-equals the number ``2`` and a NULL never
+    equals the literal string ``'NULL'``; strings escape the ``\\x1f``
+    field separator so a hostile cell cannot shift field boundaries and
+    align two different rows.  Ints and floats deliberately SHARE the
+    numeric tag (cross-engine int64-vs-double for equal values is the
+    one unification the gate wants); bools are their own tag (Python
+    ``bool`` is an ``int`` subclass — untagged, ``True`` == ``1``)."""
     import datetime
     import math
 
     if v is None:
-        return "NULL"
+        return "\x00"
+    if isinstance(v, bool):
+        return "b:1" if v else "b:0"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "n:NaN"
+        if math.isinf(v):  # int(inf) raises OverflowError mid-gate
+            return "n:inf" if v > 0 else "n:-inf"
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+            return f"n:{int(v)}"
+        return f"n:{v!r}"
+    if isinstance(v, int):
+        return f"n:{v}"
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+        return f"t:{v.isoformat()}"
     if isinstance(v, list):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "y:" + bytes(v).hex()
+    return "s:" + str(v).replace("\\", "\\\\").replace("\x1f", "\\x1f")
 
 
 def hash_rows(cols: list[str], rows: list[tuple]) -> str:
@@ -138,9 +155,16 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # a typo'd query name previously filtered out EVERYTHING and printed
+    # ALL PASS with exit 0 — a false green on zero executed checks
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = lint_oracle_types(con, oracles, only)
     if failures == 0:
         print(f"oracle type lint: clean over {len(oracles)} oracles")
+    n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -155,6 +179,7 @@ def main() -> int:
             continue
         spark_t = time.time() - t0
         if name not in oracles:
+            n_rows_only += 1
             print(f"ok?  {name}: rows-only check, {len(srows)} rows ({spark_t:.1f}s)")
             continue
         t0 = time.time()
@@ -216,7 +241,13 @@ def main() -> int:
                 f"PASS {name}: {len(srows)} rows (spark {spark_t:.1f}s, duckdb {duck_t:.2f}s)"
             )
     spark.stop()
-    print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
+    if failures == 0:
+        # rows-only entries ran but verified NOTHING beyond "it executes";
+        # say so instead of letting them blend into the green line
+        suffix = f" ({n_rows_only} rows-only, unverified)" if n_rows_only else ""
+        print("ALL PASS" + suffix)
+    else:
+        print(f"{failures} FAILURES")
     return 1 if failures else 0
 
 

@@ -144,6 +144,19 @@ def probe(spark, sf_dir: str):
     }
 
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
+    # warmup: run every op once on a tiny slice, untimed — otherwise the
+    # FIRST op's k=1 cell absorbs session/codegen warmup, deflating its
+    # x10/x1 ratio (SCALE.md previously showed pagerank 6.9s@1x vs
+    # 2.8s@10x purely from this)
+    tiny = replicated_docs(spark, sf_dir, 1).limit(200).persist()
+    tiny.count()
+    for fn in ops.values():
+        try:
+            fn(tiny)
+        except Exception:
+            pass  # warmup only; the timed run surfaces real failures
+    tiny.unpersist()
+    spark.catalog.clearCache()
     for k in (1, 2, 5, 10):
         df = replicated_docs(spark, sf_dir, k).persist()
         n = df.count()  # materialize input outside the timed window
@@ -172,9 +185,14 @@ def replicated_embeddings(spark, sf_dir: str, k: int):
 
     def _flip(copy: int):
         # closure factory: F.transform dispatches on lambda ARITY, so the
-        # copy index must be captured, not passed as a default arg
+        # copy index must be captured, not passed as a default arg.
+        # Pattern ((j+1)·(copy+1)) % 31 < 13: DISTINCT sign masks for all
+        # copies up to k=30 — the old (j+copy) % 3 had period 3 in the
+        # copy index, so copies i and i+3 were bit-identical and the
+        # probe partially measured constructed duplicates, not the
+        # algorithm (the artifact this replicator exists to avoid)
         return lambda x, j: x * F.when(
-            (j + F.lit(copy)) % 3 == 0, F.lit(-1.0)
+            ((j + 1) * F.lit(copy + 1)) % 31 < 13, F.lit(-1.0)
         ).otherwise(F.lit(1.0))
 
     copies = []
@@ -193,6 +211,14 @@ def probe_embeddings(spark, sf_dir: str):
     from scholarmind_spark.util import release_caches
 
     results: dict[int, float] = {}
+    tiny = replicated_embeddings(spark, sf_dir, 1).limit(200).persist()
+    tiny.count()
+    try:
+        embedding_neardup_pairs(tiny, threshold=0.25).count()
+    except Exception:
+        pass
+    tiny.unpersist()
+    spark.catalog.clearCache()
     for k in (1, 2, 5, 10):
         df = replicated_embeddings(spark, sf_dir, k).persist()
         df.count()
