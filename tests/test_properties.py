@@ -256,3 +256,37 @@ def test_wos_tag_parse_round_trips(records, split):
             rec["AU"] = list(aus)
         want.append(rec)
     assert got == want
+
+
+# --- PassJoin fuzzy_link losslessness (operators/linkage.py) ------------
+
+_key = st.text(alphabet="abcxyz", min_size=1, max_size=8)
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_key, min_size=2, max_size=14, unique=True))
+def test_fuzzy_link_lossless_property(spark, keys):
+    """Segment blocking must emit EXACTLY the brute-force lev<=2 pair set
+    — short keys over a tiny alphabet stress the tiny-key path, segment
+    boundaries, and length tolerance simultaneously."""
+    import itertools
+
+    from scholarmind_spark.operators.linkage import fuzzy_link
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {(r["a"], r["b"], r["dist"]) for r in fuzzy_link(df, "k").collect()}
+    want = {
+        (min(x, y), max(x, y), _lev(x, y))
+        for x, y in itertools.combinations(sorted(keys), 2)
+        if _lev(x, y) <= 2
+    }
+    assert got == want
