@@ -90,6 +90,7 @@ def connected_components(
         ).collect()[0][0]
 
     converged = False
+    ok = False
     try:
         prev_sum = _label_digest(labels)
         for _ in range(max_iter):
@@ -143,9 +144,14 @@ def connected_components(
         out = labels.select("node", F.col("label").alias("component"))
         # the final labels round was materialized by its convergence count;
         # the caller releases it via release_caches() after consuming `out`
+        ok = True
         return _attach_caches(out, [labels])
     finally:
         edges.unpersist()
+        if not ok:
+            # a failure mid-loop (digest collect, checkpoint action) must
+            # not strand the current round's blocks for the session
+            _unpersist_any(labels)
 
 
 def dedup_survivors(
@@ -226,6 +232,12 @@ def cluster_representatives(
             F.max("__s").alias("best_score"),
         )
     )
+    if components is not None:
+        # the caller owns a SHARED labeling (and its caches) — attaching
+        # them here would let release_caches() on ONE consumer's output
+        # destroy the localCheckpoint blocks every other consumer still
+        # reads ("Checkpoint block not found" on the next action)
+        return _attach_caches(out, list(getattr(pairs, "_sm_caches", [])))
     return _attach_caches(
         out, getattr(cc, "_sm_caches", []) + list(getattr(pairs, "_sm_caches", []))
     )

@@ -90,27 +90,35 @@ def kmeans_fit(
 
     cents = _materialize(cents)
     inertia: list[float] = []
-    for _ in range(iters):
-        assigned = _assign(df, cents, id_col, vec_col).persist()
-        inertia.append(assigned.agg(F.sum("dist")).collect()[0][0] or 0.0)
-        ex = assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
-        means = ex.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
-        new_cents = (
-            means.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                F.col("cell").alias("cid"),
-                F.transform("pm", lambda p: p["m"]).alias("cvec"),
+    assigned = None
+    try:
+        for _ in range(iters):
+            assigned = _assign(df, cents, id_col, vec_col).persist()
+            inertia.append(assigned.agg(F.sum("dist")).collect()[0][0] or 0.0)
+            ex = assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            means = ex.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            new_cents = (
+                means.groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select(
+                    F.col("cell").alias("cid"),
+                    F.transform("pm", lambda p: p["m"]).alias("cvec"),
+                )
             )
-        )
-        # empty cells (no assigned vectors) keep their previous centroid
-        kept = cents.join(new_cents, "cid", "left_anti")
-        refreshed = _materialize(new_cents.unionByName(kept))
-        assigned.unpersist()
-        cents = refreshed
-        if len(inertia) >= 2 and inertia[-2] > 0:
-            if (inertia[-2] - inertia[-1]) / inertia[-2] < tol:
-                break
+            # empty cells (no assigned vectors) keep their previous centroid
+            kept = cents.join(new_cents, "cid", "left_anti")
+            refreshed = _materialize(new_cents.unionByName(kept))
+            assigned.unpersist()
+            assigned = None
+            cents = refreshed
+            if len(inertia) >= 2 and inertia[-2] > 0:
+                if (inertia[-2] - inertia[-1]) / inertia[-2] < tol:
+                    break
+    finally:
+        # a mid-iteration failure (inertia collect, centroid collect) must
+        # not strand the corpus-sized assignment cache for the session
+        if assigned is not None:
+            assigned.unpersist()
     return cents, inertia
 
 

@@ -3443,6 +3443,7 @@ def _md5_mod(col) -> "F.Column":
 def _jsonl_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSONL sink → JSONL source, shared by the roundtrip gate
     query and its per-column diagnostic twins."""
+    import os
     import tempfile
 
     from pyspark.sql import types as T
@@ -3450,7 +3451,9 @@ def _jsonl_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scholarmind_spark.sources.jsonl import read_jsonl, write_jsonl
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    out = tempfile.mkdtemp(prefix="sm_jsonl_")
+    # per-process FIXED path, overwritten each call: a fresh mkdtemp per
+    # battery/bench rep accumulated corpus-sized copies in /tmp forever
+    out = os.path.join(tempfile.gettempdir(), f"sm_jsonl_{os.getpid()}")
     write_jsonl(d, out)
     schema = T.StructType(
         [
@@ -3535,6 +3538,7 @@ FROM documents GROUP BY lang ORDER BY lang
 def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem slice → ORC sink → ORC source, shared by the roundtrip gate
     query and its per-column diagnostic twins."""
+    import os
     import tempfile
 
     from pyspark.sql import types as T
@@ -3544,7 +3548,7 @@ def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag"
     )
-    out = tempfile.mkdtemp(prefix="sm_orc_")
+    out = os.path.join(tempfile.gettempdir(), f"sm_orc_{os.getpid()}")  # see _jsonl_back
     write_orc(l, out)
     schema = T.StructType(
         [
@@ -3657,7 +3661,12 @@ def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scholarmind_spark.util import unpersist_any
 
     for k in list(_CC_MEMO):
-        if k[0] is not spark:  # stale session: free its tiny entry
+        if k[0] is not spark:  # stale session: free its blocks AND entry
+            try:
+                for c in _CC_MEMO[k][1]:
+                    unpersist_any(c)
+            except Exception:
+                pass  # the old session may already be stopped
             del _CC_MEMO[k]
     key = (spark, sf_dir)
     entry = _CC_MEMO.get(key)
@@ -3787,6 +3796,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (one shuffle paid at write), then join the bucketed tables — the
     join itself is exchange-free (asserted in tests/test_bucketed.py) and
     the RESULT is checked here against the plain-join oracle."""
+    import os
+
     from scholarmind_spark.sinks.bucketed import write_bucketed
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -3795,9 +3806,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderstatus"
     )
-    write_bucketed(li, "sm_gate_li", "okey", buckets=8)
-    write_bucketed(o, "sm_gate_o", "okey", buckets=8)
-    j = spark.table("sm_gate_li").join(spark.table("sm_gate_o"), "okey")
+    # pid-suffixed table names: two batteries on one host previously
+    # clobbered each other's fixed sm_gate_* tables mid-read
+    tli, to = f"sm_gate_li_{os.getpid()}", f"sm_gate_o_{os.getpid()}"
+    write_bucketed(li, tli, "okey", buckets=8)
+    write_bucketed(o, to, "okey", buckets=8)
+    j = spark.table(tli).join(spark.table(to), "okey")
     return (
         j.groupBy("o_orderstatus")
         .agg(
@@ -3833,7 +3847,11 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
-    path = os.path.join(tempfile.gettempdir(), "sm_gate_partitioned_events")
+    # pid-suffixed: a concurrent battery's overwrite of a SHARED fixed
+    # path raced this one's read-back scan
+    path = os.path.join(
+        tempfile.gettempdir(), f"sm_gate_partitioned_events_{os.getpid()}"
+    )
     write_partitioned(e, path, "event_type", sort_within="user_id")
     r = read_partitioned(spark, path).filter(
         F.col("event_type").isin("click", "purchase")

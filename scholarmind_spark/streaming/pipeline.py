@@ -25,6 +25,7 @@ streaming results equal the batch oracle.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -49,10 +50,20 @@ def read_events_stream(
     import os
 
     # FileStreamSource requires a directory; wrap a lone file in a temp dir
-    # of symlinks (testdata is read-only, so no copy).
+    # of symlinks (testdata is read-only, so no copy).  The wrapper dir is
+    # REUSED per (process, source path) — a fresh mkdtemp per call leaked
+    # one directory per battery/bench rep for the life of the machine.
     if os.path.isfile(path):
-        d = tempfile.mkdtemp(prefix="evstream_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        import hashlib
+
+        tag = hashlib.md5(path.encode()).hexdigest()[:8]
+        d = os.path.join(
+            tempfile.gettempdir(), f"evstream_{os.getpid()}_{tag}"
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.lexists(link):
+            os.symlink(path, link)
         path = d
     # Probe the events schema. A watched dir may hold OTHER tables too
     # (the stream reads them null-filled, and null-ts rows drop at the
@@ -262,19 +273,30 @@ def run_to_memory(
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    ck = tempfile.mkdtemp(prefix="smck_")
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="smck_"))
+            .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # Copy the drained rows OUT of the memory sink, then drop the sink's
+    # temp view and the checkpoint dir: each drain previously leaked the
+    # full result in the driver's MemorySink (every battery/bench rep
+    # accumulated another mem_<uuid> table for the session's life) plus a
+    # state-store checkpoint directory on disk.  Result relations here are
+    # drained aggregates — driver-sized by contract.
+    t = spark.table(name)
+    out = spark.createDataFrame(t.collect(), t.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ck, ignore_errors=True)
+    return out
 
 
 def stream_merge_to_snapshot(
@@ -306,7 +328,6 @@ def stream_merge_to_snapshot(
     with transactional commit instead; plain parquet-directory renames
     are not atomic there."""
     import os
-    import shutil
 
     from scholarmind_spark.operators.merge import merge_upsert
 
@@ -326,7 +347,13 @@ def stream_merge_to_snapshot(
                 batch_df.limit(0), batch_df, keys, version_col=version_col
             )
         staging = f"{snapshot_path}.staging-{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+        except BaseException:
+            # a failed batch write must not strand the staging dir: the
+            # retried batch re-stages from scratch
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if os.path.isdir(old_path):  # leftover from an interrupted final step
             shutil.rmtree(old_path)
         if os.path.isdir(snapshot_path):
