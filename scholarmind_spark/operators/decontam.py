@@ -39,7 +39,8 @@ def decontamination_overlap(
     """Per corpus document, the number of distinct k-gram shingles it
     shares with ANY benchmark document; rows with ``n_shared >=
     min_overlap`` (the contamination candidates to drop or review).
-    Returns ``id, n_shared`` sorted by id."""
+    Returns ``id, n_shared`` (unordered; gates/presentation callers
+    sort their own bounded outputs)."""
     cand = corpus.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s")
     ).select("id", minhash_base(F.col("s")).alias("sh"))
