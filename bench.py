@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "token_topk",
     "text_word_repetition",
     "text_gopher_flags",
+    "text_gopher_repetition",
     "text_top_terms",
     "text_chunk_documents",
     "text_pack_sequences",

@@ -180,3 +180,263 @@ SELECT {id_col}, n_words, n_lines,
         AND 5 * n_alpha >= 4 * n_words
         AND stop_hits >= 2) AS keep
 FROM __m"""
+
+
+# --- Gopher repetition battery (Rae et al. 2021, Table A1) ---------------
+
+# thresholds as integer PERCENTS (a doc is dropped when its fraction
+# EXCEEDS the threshold): top n-gram char fraction for n=2..4, duplicate
+# n-gram char fraction for n=5..10
+GOPHER_TOP_THR = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_THR = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+# rolling-polynomial gram-hash constants (same on BOTH engines): token
+# hashes reduced mod the Mersenne prime M, combined with powers of W
+GOPHER_HASH_M = (1 << 31) - 1
+GOPHER_W = 1_000_003
+GOPHER_W_POW = [pow(GOPHER_W, j, GOPHER_HASH_M) for j in range(10)]
+
+
+def gopher_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher's repetition filters: per document, the character fraction
+    of the MOST FREQUENT word n-gram (n = 2..4) and of ALL DUPLICATED
+    word n-grams (n = 5..10), plus the combined ``keep`` flag.
+
+    Pinned definitions (cross-engine exact, all integers):
+
+    - gram chars = characters of the joined n-gram (token lengths + n−1
+      separators); doc chars = ``length(text)`` (≥ 1 guard);
+    - top fraction  = count(top gram) · len(top gram) / doc_chars, top
+      gram chosen by (count, len, hash) descending — deterministic ties;
+    - dup fraction  = Σ over grams with count > 1 of count · len / doc
+      chars (occurrences counted without overlap dedup — the common
+      reimplementation, e.g. NVIDIA NeMo Curator; the paper's wording is
+      ambiguous on overlaps and this choice is documented);
+    - fractions are reported in integer MICRO units (``· 1e6 div
+      chars``), and each flag is the division-free comparison
+      ``chars_metric · 100 ≤ thr_pct · doc_chars``.
+
+    Spark-first shape — built for whole-stage codegen, NOT higher-order
+    array lambdas (an earlier gram-string explode spent 24 s at sf0.1
+    inside interpreted ``transform``/``slice`` evaluation): ONE token
+    posexplode, md5-hash each token once, then a single window pass per
+    doc computes all nine gram identities as ROLLING POLYNOMIAL HASHES
+    of the next n token hashes (``Σ th_j · W^j mod M`` over ``lead()``
+    columns — pure codegen integer math; both engines run the identical
+    formula, so grams align bit-for-bit).  ``stack`` unpivots the nine
+    (n, hash, len) triples, one count shuffle on 8-byte keys, one tiny
+    window per (doc, n), two aggregates back to a row per doc.  Gram
+    identity is the 31-bit rolling hash: two distinct grams colliding
+    within one (doc, n) group would merge (p ≈ grams²/2³² per doc —
+    negligible, and identical on both engines).  Docs shorter than n
+    tokens (or empty) rejoin from the spine with zero metrics and
+    ``keep`` true.
+    """
+    from pyspark.sql.window import Window
+
+    from scholarmind_spark.operators.neardup import minhash_base
+    from scholarmind_spark.operators.textstats import TOKEN_SPLIT_RE as _TSR
+
+    toks = F.filter(F.split(F.col(text_col), _TSR), lambda t: t != F.lit(""))
+    spine = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("n_chars"),
+    )
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("n_chars"),
+        F.posexplode(toks).alias("pos", "tok"),
+    ).select(
+        "id",
+        "n_chars",
+        "pos",
+        (minhash_base(F.col("tok")) % GOPHER_HASH_M).alias("th"),
+        F.length("tok").cast("long").alias("tl"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = []
+    for j in range(10):
+        lead_cols.append(F.lead("th", j).over(w).alias(f"__th{j}"))
+        lead_cols.append(F.lead("tl", j).over(w).alias(f"__tl{j}"))
+    led = t.select("id", "n_chars", *lead_cols)
+    stack_args = []
+    for n in range(2, 11):
+        h = " + ".join(
+            f"((__th{j} * {GOPHER_W_POW[j]}) % {GOPHER_HASH_M})"
+            for j in range(n)
+        )
+        glen = " + ".join(f"__tl{j}" for j in range(n))
+        stack_args.append(f"{n}, (({h}) % {GOPHER_HASH_M}), ({glen} + {n - 1})")
+    stacked = led.selectExpr(
+        "id",
+        "n_chars",
+        f"stack(9, {', '.join(stack_args)}) AS (n, h, glen)",
+    ).filter(F.col("glen").isNotNull())  # lead past doc end → incomplete gram
+    counted = stacked.groupBy("id", "n_chars", "n", "glen", "h").agg(
+        F.count("*").alias("c")
+    )
+    wr = Window.partitionBy("id", "n").orderBy(
+        F.desc("c"), F.desc("glen"), F.desc("h")
+    )
+    per_n = (
+        counted.withColumn("rn", F.row_number().over(wr))
+        .groupBy("id", "n")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("c") * F.col("glen"))
+            ).alias("top_chars"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("c") > 1, F.col("c") * F.col("glen"))
+                ),
+                F.lit(0),
+            ).alias("dup_chars"),
+        )
+    )
+    aggs = []
+    for n in GOPHER_TOP_THR:
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0)
+            ).alias(f"__t{n}")
+        )
+    for n in GOPHER_DUP_THR:
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0)
+            ).alias(f"__d{n}")
+        )
+    collapsed = per_n.groupBy("id").agg(F.max("n_chars").alias("__nc"), *aggs)
+    joined = spine.join(collapsed, "id", "left")
+    nc = F.coalesce(F.col("__nc"), F.col("n_chars"))
+    out_cols = [F.col("id").alias(id_col)]
+    keep = F.lit(True)
+    for n, thr in GOPHER_TOP_THR.items():
+        chars = F.coalesce(F.col(f"__t{n}"), F.lit(0))
+        out_cols.append((chars * 1_000_000).cast("long").alias(f"__m_t{n}"))
+        keep = keep & (chars * 100 <= F.lit(thr) * nc)
+    for n, thr in GOPHER_DUP_THR.items():
+        chars = F.coalesce(F.col(f"__d{n}"), F.lit(0))
+        out_cols.append((chars * 1_000_000).cast("long").alias(f"__m_d{n}"))
+        keep = keep & (chars * 100 <= F.lit(thr) * nc)
+    step = joined.select(*out_cols, nc.alias("__nc2"), keep.alias("keep"))
+    final_cols = [id_col]
+    for n in GOPHER_TOP_THR:
+        final_cols.append(F.expr(f"__m_t{n} div __nc2").alias(f"top{n}_micro"))
+    for n in GOPHER_DUP_THR:
+        final_cols.append(F.expr(f"__m_d{n} div __nc2").alias(f"dup{n}_micro"))
+    final_cols.append("keep")
+    return step.select(*final_cols)
+
+
+def gopher_repetition_stats_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition_stats` — the identical
+    rolling-polynomial gram hashes (same W, M, powers), tie-break, and
+    cleared-integer flags."""
+    from scholarmind_spark.operators.textstats import TOKEN_SPLIT_RE as _TSR
+
+    lead_cols = ",\n         ".join(
+        f"lead(th, {j}) OVER w AS th{j}, lead(tl, {j}) OVER w AS tl{j}"
+        for j in range(10)
+    )
+    arms = []
+    for n in range(2, 11):
+        h = " + ".join(
+            f"((th{j} * {GOPHER_W_POW[j]}) % {GOPHER_HASH_M})" for j in range(n)
+        )
+        glen = " + ".join(f"tl{j}" for j in range(n))
+        arms.append(
+            f"SELECT id, n_chars, {n} AS n, (({h}) % {GOPHER_HASH_M}) AS h,"
+            f" ({glen} + {n - 1}) AS glen FROM __led"
+        )
+    unpivot = "\n  UNION ALL\n  ".join(arms)
+    t_aggs = ",\n       ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0) AS t{n}"
+        for n in GOPHER_TOP_THR
+    )
+    d_aggs = ",\n       ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0) AS d{n}"
+        for n in GOPHER_DUP_THR
+    )
+    t_micro = ",\n       ".join(
+        f"((coalesce(t{n}, 0) * 1000000) // nc)::BIGINT AS top{n}_micro"
+        for n in GOPHER_TOP_THR
+    )
+    d_micro = ",\n       ".join(
+        f"((coalesce(d{n}, 0) * 1000000) // nc)::BIGINT AS dup{n}_micro"
+        for n in GOPHER_DUP_THR
+    )
+    keep_terms = " AND ".join(
+        [
+            f"coalesce(t{n}, 0) * 100 <= {thr} * nc"
+            for n, thr in GOPHER_TOP_THR.items()
+        ]
+        + [
+            f"coalesce(d{n}, 0) * 100 <= {thr} * nc"
+            for n, thr in GOPHER_DUP_THR.items()
+        ]
+    )
+    toks = f"list_filter(string_split_regex({text_col}, '{_TSR}'), x -> x <> '')"
+    return f"""
+WITH __tok AS (
+  SELECT id, n_chars, pos,
+         (('0x' || substring(md5(tok), 1, 15))::BIGINT % {GOPHER_HASH_M}) AS th,
+         length(tok)::BIGINT AS tl
+  FROM (
+    SELECT id, n_chars,
+           unnest(toks) AS tok,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM (SELECT {id_col} AS id,
+                 greatest(length({text_col}), 1)::BIGINT AS n_chars,
+                 {toks} AS toks FROM {table})
+  )
+),
+__led AS (
+  SELECT id, n_chars,
+         {lead_cols}
+  FROM __tok
+  WINDOW w AS (PARTITION BY id ORDER BY pos)
+),
+__g AS (
+  {unpivot}
+),
+__c AS (
+  SELECT id, n_chars, n, glen, h, count(*)::BIGINT AS c
+  FROM __g WHERE glen IS NOT NULL GROUP BY id, n_chars, n, glen, h
+),
+__r AS (
+  SELECT id, n_chars, n, c, glen,
+         row_number() OVER (PARTITION BY id, n
+                            ORDER BY c DESC, glen DESC, h DESC) AS rn
+  FROM __c
+),
+__pn AS (
+  SELECT id, n, max(n_chars) AS n_chars,
+         max(CASE WHEN rn = 1 THEN c * glen END) AS top_chars,
+         coalesce(sum(CASE WHEN c > 1 THEN c * glen END), 0) AS dup_chars
+  FROM __r GROUP BY id, n
+),
+__col AS (
+  SELECT id, max(n_chars) AS gnc,
+       {t_aggs},
+       {d_aggs}
+  FROM __pn GROUP BY id
+),
+__j AS (
+  SELECT s.id, coalesce(c.gnc, s.n_chars) AS nc,
+         c.* EXCLUDE (id, gnc)
+  FROM (SELECT {id_col} AS id, greatest(length({text_col}), 1)::BIGINT AS n_chars
+        FROM {table}) s
+  LEFT JOIN __col c ON s.id = c.id
+)
+SELECT id AS {id_col},
+       {t_micro},
+       {d_micro},
+       ({keep_terms}) AS keep
+FROM __j"""

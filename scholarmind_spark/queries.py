@@ -4055,6 +4055,28 @@ def _text_gopher_flags_sql() -> str:
     )
 
 
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition battery (operators/quality.gopher_repetition_stats):
+    per-doc top n-gram (n=2..4) and duplicate n-gram (n=5..10) character
+    fractions in integer micros + the combined keep flag — one tagged-gram
+    explode, one count shuffle, division-free thresholds."""
+    from scholarmind_spark.operators.quality import gopher_repetition_stats
+
+    return gopher_repetition_stats(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def _text_gopher_repetition_sql() -> str:
+    from scholarmind_spark.operators.quality import gopher_repetition_stats_sql
+
+    return (
+        "SELECT * FROM ("
+        + gopher_repetition_stats_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥2 word-3-grams with
     the 50-doc 'benchmark' slice.  The benchmark shingle set broadcasts;
@@ -4376,6 +4398,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sql_surface_revenue": sql_surface_revenue,
     "text_word_repetition": text_word_repetition,
     "text_gopher_flags": text_gopher_flags,
+    "text_gopher_repetition": text_gopher_repetition,
     "text_top_terms": text_top_terms,
     "decontam_overlap": decontam_overlap,
     "lit_llm_extract": lit_llm_extract,
@@ -4514,6 +4537,7 @@ ORACLE_SQL: dict[str, str] = {
     "sql_surface_revenue": SQL_SURFACE_TEXT,
     "text_word_repetition": word_repetition_sql("documents"),
     "text_gopher_flags": _text_gopher_flags_sql(),
+    "text_gopher_repetition": _text_gopher_repetition_sql(),
     "text_top_terms": doc_top_terms_sql("documents", k=3),
     "decontam_overlap": _decontam_overlap_sql(),
     "lit_llm_extract": LIT_LLM_SQL,
@@ -4537,6 +4561,7 @@ ORACLE_SQL: dict[str, str] = {
 
 _ROUND7_FRONT = [
     # new this round — riskiest, must be driver-checked
+    "text_gopher_repetition",
     "text_gopher_flags",
     # r6 driver-reds, fixed this round — must re-check first
     "embed_quantize_int8",

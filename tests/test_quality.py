@@ -91,3 +91,65 @@ def test_stopword_rule(spark):
 def test_empty_text_drops_not_crashes(spark):
     r = _flags(spark, "")
     assert not r.keep and r.n_words == 0
+
+
+def test_repetition_top_ngram_flags(spark):
+    from scholarmind_spark.operators.quality import gopher_repetition_stats
+
+    # "spam ham " * 30: the top bigram "spam ham" covers nearly all chars
+    spammy = " ".join(["spam ham"] * 30)
+    clean = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, spammy), (2, clean), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_repetition_stats(df).collect()}
+    assert not rows[1].keep
+    assert rows[1].top2_micro > 200_000  # > 20% of chars
+    assert rows[2].keep
+    assert rows[2].dup5_micro == 0
+    # empty doc: zero metrics, kept
+    assert rows[3].keep and rows[3].top2_micro == 0
+
+
+def test_repetition_duplicate_ngram_fraction(spark):
+    from scholarmind_spark.operators.quality import gopher_repetition_stats
+
+    # a 6-word phrase repeated twice inside otherwise-unique text: its
+    # 5-grams occur twice each -> dup5 fraction > 0; with 250 unique
+    # filler words the ~130 duplicated chars stay under the 15% threshold
+    phrase = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"u{i}" for i in range(250))
+    text = f"{phrase} {filler} {phrase}"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_repetition_stats(df).collect()[0]
+    assert r.dup5_micro > 0 and r.dup6_micro > 0
+    assert r.keep
+    # the short-filler variant trips the duplicate-5-gram threshold
+    short = f"{phrase} {' '.join(f'u{i}' for i in range(80))} {phrase}"
+    df2 = spark.createDataFrame([(1, short)], "doc_id long, text string")
+    assert not gopher_repetition_stats(df2).collect()[0].keep
+
+
+def test_repetition_matches_duckdb_twin(spark, tmp_path):
+    import duckdb
+
+    from scholarmind_spark.operators.quality import (
+        gopher_repetition_stats,
+        gopher_repetition_stats_sql,
+    )
+
+    rows = [
+        (1, " ".join(["spam ham"] * 20)),
+        (2, " ".join(f"w{i}" for i in range(40))),
+        (3, "tiny"),
+        (4, ""),
+        (5, "a b a b a b a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = sorted(tuple(r) for r in gopher_repetition_stats(df).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    want = sorted(con.sql(gopher_repetition_stats_sql("documents")).fetchall())
+    assert got == want
