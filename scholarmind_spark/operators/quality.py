@@ -67,9 +67,19 @@ def gopher_quality_flags(
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).alias(
             "n_alpha"
         ),
-        F.size(
-            F.filter(words, lambda w: w.contains("#") | w.contains("..."))
-        ).alias("n_symbol"),
+        # symbol OCCURRENCES (Gopher's symbol-to-word ratio counts each
+        # '#' / '...' hit, not each word containing one); neither pattern
+        # can span the whitespace token split, so counting over the raw
+        # text equals the per-word sum — and skips the array filter.
+        # replace() removal is left-to-right non-overlapping in both
+        # engines, so the '...' count ('....' → 1) matches the twin.
+        (
+            (F.length(col) - F.length(F.replace(col, F.lit("#"))))
+            + (
+                (F.length(col) - F.length(F.replace(col, F.lit("..."))))
+                / F.lit(3)
+            ).cast("long")
+        ).cast("long").alias("n_symbol"),
         F.size(lines).alias("n_lines"),
         F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))).alias(
             "n_bullet"
@@ -140,6 +150,7 @@ def gopher_quality_flags_sql(
     return f"""
 WITH __w AS (
   SELECT {id_col},
+         {text_col},
          list_filter({tokens_sql(text_col)}, t -> t <> '') AS words,
          list_transform(list_filter({tokens_sql(text_col)}, t -> t <> ''),
                         w -> lower(w)) AS lw,
@@ -153,8 +164,9 @@ __m AS (
            AS n_chars,
          len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
            AS n_alpha,
-         len(list_filter(words,
-             w -> contains(w, '#') OR contains(w, '...')))::BIGINT AS n_symbol,
+         ((length({text_col}) - length(replace({text_col}, '#', '')))
+          + (length({text_col}) - length(replace({text_col}, '...', ''))) // 3
+         )::BIGINT AS n_symbol,
          len(lines)::BIGINT AS n_lines,
          len(list_filter(lines,
              l -> regexp_matches(trim(l), '^[-*•]')))::BIGINT AS n_bullet,

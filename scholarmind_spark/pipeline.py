@@ -41,6 +41,9 @@ class PipelineConfig:
     llm_template: PromptTemplate | None = None
     llm_client: object | None = None  # ChatClient; None disables U1
     llm_max_workers: int = 4  # reference config.yaml:78
+    # opt-in: run assert_unique_record_ids on the parsed corpus (one extra
+    # aggregation pass) before processing — CI/harness use, off by default
+    check_id_collisions: bool = False
 
 
 def build_corpus(spark: SparkSession, sources: dict[str, str]) -> DataFrame:
@@ -71,6 +74,34 @@ def build_corpus(spark: SparkSession, sources: dict[str, str]) -> DataFrame:
             )
         )
     return union_sources(dfs)
+
+
+def assert_unique_record_ids(df: DataFrame, id_col: str = "record_id") -> None:
+    """Loud-failure guard for ``record_id`` hash collisions.
+
+    ``build_corpus``'s ``xxhash64(source_type, local_id)`` re-key is
+    collision-SILENT: inside the ~5e9-record birthday envelope a collision
+    is astronomically unlikely, but if one ever lands it would corrupt
+    every downstream keyed join (LLM attach, dedup tiebreak) without a
+    symptom.  This check makes that failure loud instead.  It costs one
+    aggregation over the corpus (a real shuffle at 100 TB), so it is
+    opt-in harness/CI machinery, not part of the lazy pipeline plan —
+    mirrors the reference's implicit per-source uniqueness assumption
+    (parsers_manager.py keys rows by list position, which cannot collide).
+    """
+    dup = (
+        df.groupBy(id_col)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        keys = ", ".join(str(r[id_col]) for r in dup)
+        raise AssertionError(
+            f"duplicate {id_col} values detected (hash collision or "
+            f"double-ingest): {keys}"
+        )
 
 
 def process(
@@ -134,6 +165,8 @@ def run_pipeline(
         reporter = ProgressReporter(progress_callback)
         reporter.update("parse", 0, 1)
     corpus = build_corpus(spark, cfg.sources)
+    if cfg.check_id_collisions:
+        assert_unique_record_ids(corpus)
     if reporter is not None:
         reporter.stage_done("parse")
     return process(corpus, cfg, reporter=reporter)

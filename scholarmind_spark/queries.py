@@ -3451,9 +3451,13 @@ def _jsonl_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scholarmind_spark.sources.jsonl import read_jsonl, write_jsonl
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    # per-process FIXED path, overwritten each call: a fresh mkdtemp per
-    # battery/bench rep accumulated corpus-sized copies in /tmp forever
-    out = os.path.join(tempfile.gettempdir(), f"sm_jsonl_{os.getpid()}")
+    # FIXED name under the per-process 0700 mkdtemp base, overwritten each
+    # call: a fresh mkdtemp per battery/bench rep accumulated corpus-sized
+    # copies in /tmp forever, and a bare /tmp/sm_jsonl_<pid> was
+    # pre-creatable by another local user
+    from scholarmind_spark.util import proc_tmp_dir
+
+    out = proc_tmp_dir("sm_jsonl")
     write_jsonl(d, out)
     schema = T.StructType(
         [
@@ -3548,7 +3552,9 @@ def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag"
     )
-    out = os.path.join(tempfile.gettempdir(), f"sm_orc_{os.getpid()}")  # see _jsonl_back
+    from scholarmind_spark.util import proc_tmp_dir
+
+    out = proc_tmp_dir("sm_orc")  # see _jsonl_back
     write_orc(l, out)
     schema = T.StructType(
         [
@@ -3847,11 +3853,11 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
-    # pid-suffixed: a concurrent battery's overwrite of a SHARED fixed
-    # path raced this one's read-back scan
-    path = os.path.join(
-        tempfile.gettempdir(), f"sm_gate_partitioned_events_{os.getpid()}"
-    )
+    # under the per-process base: a concurrent battery's overwrite of a
+    # SHARED fixed path raced this one's read-back scan
+    from scholarmind_spark.util import proc_tmp_dir
+
+    path = proc_tmp_dir("sm_gate_partitioned_events")
     write_partitioned(e, path, "event_type", sort_within="user_id")
     r = read_partitioned(spark, path).filter(
         F.col("event_type").isin("click", "purchase")

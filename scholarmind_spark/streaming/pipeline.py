@@ -56,11 +56,13 @@ def read_events_stream(
     if os.path.isfile(path):
         import hashlib
 
+        from scholarmind_spark.util import proc_tmp_dir
+
         tag = hashlib.md5(path.encode()).hexdigest()[:8]
-        d = os.path.join(
-            tempfile.gettempdir(), f"evstream_{os.getpid()}_{tag}"
-        )
-        os.makedirs(d, exist_ok=True)
+        # fixed name under the per-process 0700 mkdtemp base (not a bare
+        # predictable /tmp/evstream_<pid>_<tag>, which another local user
+        # could pre-create or symlink)
+        d = proc_tmp_dir(f"evstream_{tag}")
         link = os.path.join(d, os.path.basename(path))
         if not os.path.lexists(link):
             os.symlink(path, link)

@@ -2,7 +2,29 @@
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame
+
+_PROC_TMP_BASE: str | None = None
+
+
+def proc_tmp_dir(name: str) -> str:
+    """A fixed-named reuse directory under a per-process private base.
+
+    The base is one ``mkdtemp`` (mode 0700, unpredictable name) created
+    lazily per process — so fixed names like ``sm_jsonl`` stay reusable
+    across battery/bench reps (no per-rep leak) without the pre-create /
+    symlink-plant exposure of predictable ``/tmp/sm_jsonl_<pid>`` paths,
+    and a recycled pid can never pick up a stale dir from an unrelated
+    earlier process."""
+    global _PROC_TMP_BASE
+    if _PROC_TMP_BASE is None or not os.path.isdir(_PROC_TMP_BASE):
+        _PROC_TMP_BASE = tempfile.mkdtemp(prefix="sm_proc_")
+    d = os.path.join(_PROC_TMP_BASE, name)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def spread(df: DataFrame) -> DataFrame:

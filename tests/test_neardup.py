@@ -148,3 +148,41 @@ def test_band_cap_drops_duplicate_cluster_buckets(spark):
     got_u = {(r.id_a, r.id_b) for r in uncapped.collect()}
     release_caches(uncapped)
     assert any(a < 25 and b < 25 for a, b in got_u)
+
+
+def test_uncapped_sql_twins_match_uncapped_spark(spark, tmp_path):
+    """band_max_df=None must emit VALID SQL (no `HAVING count(*) > None`)
+    and match the uncapped Spark path pair-for-pair on both LSH variants."""
+    import duckdb
+
+    from scholarmind_spark.operators.neardup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_sql,
+        simhash_pairs,
+        simhash_pairs_sql,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, base + " tail one"), (2, base + " tail two"),
+            (3, " ".join(f"z{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "d.parquet")
+    df.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW d AS SELECT * FROM '{p}/*.parquet'")
+
+    mh = minhash_lsh_pairs(df, threshold=0.5, band_max_df=None)
+    got_mh = {(r.id_a, r.id_b) for r in mh.collect()}
+    release_caches(mh)
+    want_mh = {(a, b) for a, b, _ in con.sql(
+        minhash_lsh_pairs_sql("d", threshold=0.5, band_max_df=None)
+    ).fetchall()}
+    assert got_mh == want_mh and got_mh
+
+    sh = simhash_pairs(df, max_distance=15, band_max_df=None)
+    got_sh = {(r.id_a, r.id_b) for r in sh.collect()}
+    release_caches(sh)
+    want_sh = {(a, b) for a, b, _ in con.sql(
+        simhash_pairs_sql("d", max_distance=15, band_max_df=None)
+    ).fetchall()}
+    assert got_sh == want_sh and got_sh

@@ -164,3 +164,16 @@ def test_corpus_record_ids_unique(spark, cfg):
     assert stats.n == stats.n_ids, (
         f"record_id collision: {stats.n} records, {stats.n_ids} distinct ids"
     )
+
+
+def test_assert_unique_record_ids_pass_and_fail(spark, cfg):
+    from scholarmind_spark.pipeline import assert_unique_record_ids
+
+    corpus = build_corpus(spark, cfg.sources)
+    assert_unique_record_ids(corpus)  # real corpus: no collisions
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "record_id long, title string"
+    )
+    with pytest.raises(AssertionError, match="duplicate record_id"):
+        assert_unique_record_ids(dup)

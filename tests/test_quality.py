@@ -62,6 +62,18 @@ def test_symbol_word_rule(spark):
     assert _flags(spark, " ".join(words)).f_symbol
 
 
+def test_symbol_rule_counts_occurrences_not_words(spark):
+    # Gopher's symbol-to-word ratio counts each '#'/'...' OCCURRENCE: one
+    # word carrying 7 '#'s contributes 7 hits, so 7/60 > 0.1 trips the
+    # rule even though only 1/60 words contains a symbol (the word-level
+    # count would keep it).
+    words = ["word"] * 59 + ["#######"]
+    assert not _flags(spark, " ".join(words)).f_symbol
+    # occurrence parity check: '....' counts ONE non-overlapping '...'
+    words = ["word"] * 55 + ["...."] * 5  # 5 occurrences → 50 < 60 keeps
+    assert _flags(spark, " ".join(words)).f_symbol
+
+
 def test_bullet_and_ellipsis_line_rules(spark):
     bullets = "\n".join(["- item %d" % i for i in range(9)] + ["plain"])
     assert not _flags(spark, bullets).f_bullet  # 9/10 not < 0.9
