@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "distinct_users_per_type",
     "lit_parse_pubmed",
     "lit_priority_dedup",
+    "lit_fuzzy_dedup",
     "lit_enrich_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -138,11 +139,23 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
 
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — isolated-measure mode for anchor
+    # medians (SCALE.md "noop-basis anchors"): a query timed alone in a
+    # fresh session is free of the late-session heap/position effects the
+    # full 95-query run carries, so it anchors round-over-round drift.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    bench_queries = BENCH_QUERIES
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in SPARK_QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        bench_queries = wanted
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     from scholarmind_spark.queries import reset_shared_components
 
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = SPARK_QUERIES[name]
         per_rep: list[float] = []
         n = 0

@@ -37,18 +37,37 @@ def source_priority(source_type: Column) -> Column:
     return expr
 
 
+def title_norm(title: Column) -> Column:
+    """Conservative title key: lower, collapse whitespace runs, trim —
+    the D11 journal-key normalization style applied to titles.  No
+    punctuation stripping: the fuzzy pass's edit-distance tolerance
+    absorbs small punctuation/typo deltas, and stripping would silently
+    merge genuinely distinct titles ('Part I.' vs 'Part II.')."""
+    return F.trim(F.regexp_replace(F.lower(title), "\\s+", " "))
+
+
 def priority_dedup(
     df: DataFrame,
     key: Column | None = None,
     priority: Column | None = None,
     tiebreak: str = "record_id",
     keep_key: bool = False,
+    fuzzy_nodoi: bool = False,
+    title_col: str = "title",
+    fuzzy_max_dist: int = 2,
 ) -> DataFrame:
     """Reference A1 as a single window pass.
 
     Parameters mirror the generalized operator: ``key`` defaults to
     ``doi_norm(doi)``, ``priority`` to the reference source ranking.
-    """
+
+    ``fuzzy_nodoi=True`` adds the second pass the reference lacks
+    (``main.py:104-151`` never dedups null/empty-DOI records — the #1 gap
+    a real bibliometrics user hits, since preprints and ScienceDirect
+    citations often carry no DOI): empty-key survivors of the first pass
+    are near-dup'd on the normalized ``title_col`` within
+    ``fuzzy_max_dist`` edits (:func:`fuzzy_title_dedup`), same
+    source-priority survivor rule, same tiebreak."""
     key = doi_norm(F.col("doi")) if key is None else key
     priority = source_priority(F.col("source_type")) if priority is None else priority
 
@@ -78,7 +97,92 @@ def priority_dedup(
             ),
         )
         drop.append("__dedup_key")
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    if fuzzy_nodoi:
+        out = fuzzy_title_dedup(
+            out,
+            title_col=title_col,
+            priority=priority,
+            tiebreak=tiebreak,
+            max_dist=fuzzy_max_dist,
+            subset=key_is_empty,
+        )
+    return out
+
+
+def fuzzy_title_dedup(
+    df: DataFrame,
+    title_col: str = "title",
+    priority: Column | None = None,
+    tiebreak: str = "record_id",
+    max_dist: int = 2,
+    subset: Column | None = None,
+) -> DataFrame:
+    """Drop every row (within ``subset``) that has a strictly-better
+    near-duplicate title; all other rows pass through untouched.
+
+    Semantics (single-pass DOMINANCE, not connected components): row *r*
+    is dropped iff some other eligible row *s* exists with
+
+        title_key(s) == title_key(r)  OR  lev(title_key(s), title_key(r)) <= max_dist
+
+    and ``(prio_s, -tiebreak_s) > (prio_r, -tiebreak_r)``.  For the real
+    duplicate shape (the same paper from 2-3 sources — every pair inside
+    the cluster matches) this equals the CC-survivor rule; on threshold-
+    boundary CHAINS (a~b, b~c, a!~c) dominance deliberately keeps both
+    undominated endpoints instead of transitively merging records that
+    never matched each other — and it stays one declarative join, no
+    iterative fixpoint.  Null/empty title keys are exempt (cannot match
+    anything), mirroring the DOI pass's null exemption.
+
+    Scale: candidate pairs come from the lossless PassJoin segment
+    blocking in :func:`~scholarmind_spark.operators.linkage.fuzzy_link`
+    (never all-pairs); the dominance join shuffles on the high-cardinality
+    title key.  One aggregation-free anti-join closes it out.
+    """
+    from scholarmind_spark.operators.linkage import fuzzy_link
+
+    priority = source_priority(F.col("source_type")) if priority is None else priority
+    in_subset = F.lit(True) if subset is None else subset
+
+    elig = (
+        df.withColumn("__tk", title_norm(F.col(title_col)))
+        .withColumn("__fprio", priority)
+        .filter(in_subset & F.col("__tk").isNotNull() & (F.col("__tk") != ""))
+        .select(F.col(tiebreak).alias("__fid"), "__tk", "__fprio")
+    )
+    pairs = fuzzy_link(elig, "__tk", max_dist=max_dist)
+    # both orientations of each fuzzy value-pair + the identity edge per
+    # distinct key (exact-equal titles are pairs fuzzy_link excludes)
+    edges = (
+        pairs.select(F.col("a").alias("__ka"), F.col("b").alias("__kb"))
+        .unionByName(pairs.select(F.col("b").alias("__ka"), F.col("a").alias("__kb")))
+        .unionByName(
+            elig.select(F.col("__tk").alias("__ka"))
+            .distinct()
+            .select("__ka", F.col("__ka").alias("__kb"))
+        )
+    )
+    loser = elig
+    winner = elig.select(
+        F.col("__fid").alias("__wid"),
+        F.col("__tk").alias("__wtk"),
+        F.col("__fprio").alias("__wprio"),
+    )
+    dominated = (
+        loser.join(edges, loser["__tk"] == F.col("__ka"))
+        .join(winner, F.col("__kb") == F.col("__wtk"))
+        .filter(
+            (F.col("__wprio") > F.col("__fprio"))
+            | (
+                (F.col("__wprio") == F.col("__fprio"))
+                & (F.col("__wid") < F.col("__fid"))
+            )
+        )
+        .select(F.col("__fid").alias(tiebreak))
+        .distinct()
+    )
+    return df.join(dominated, on=tiebreak, how="left_anti")
 
 
 def dedup_exact(

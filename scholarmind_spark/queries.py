@@ -330,6 +330,21 @@ _LIT_BASE_SQL = (
     "'10.' || ((doc_id % 50) + 1000)::VARCHAR || '/x' || (doc_id % 50)::VARCHAR"
 )
 
+# Synthesized title: 60 letter-coded groups (repeated-letter tokens keep
+# cross-group edit distance >= 3, beyond the fuzzy pass's max_dist=2),
+# three within-group variants ('' / ' draft' / ' draf' — the latter two 1
+# edit apart), upper-cased on even ids and a doubled space on %7 rows to
+# exercise the lower/collapse normalization, NULL on %11 rows to exercise
+# the no-title exemption.  ASCII-only by construction (fuzzy_link_sql's
+# levenshtein counts bytes).
+_LIT_TITLE_SQL = (
+    "'study' || CASE WHEN doc_id % 7 = 0 THEN '  of ' ELSE ' of ' END"
+    " || repeat(chr((97 + (doc_id % 60) % 26)::INTEGER), 4)"
+    " || repeat(chr((97 + (doc_id % 60) // 26)::INTEGER), 3)"
+    " || ' corpus analysis'"
+    " || CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ' draft' ELSE ' draf' END"
+)
+
 _LIT_REC_SQL = f"""
   SELECT doc_id AS record_id,
          CASE doc_id % 4 WHEN 0 THEN 'wos' WHEN 1 THEN 'pubmed'
@@ -340,7 +355,10 @@ _LIT_REC_SQL = f"""
               WHEN doc_id % 5 = 2 THEN 'doi:' || {_LIT_BASE_SQL} || ' '
               WHEN doc_id % 5 = 3 THEN {_LIT_BASE_SQL} || ' [doi]'
               WHEN doc_id % 5 = 4 THEN 'pii0, ' || {_LIT_BASE_SQL}
-              ELSE {_LIT_BASE_SQL} END AS doi
+              ELSE {_LIT_BASE_SQL} END AS doi,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 2 = 0 THEN upper({_LIT_TITLE_SQL})
+              ELSE {_LIT_TITLE_SQL} END AS title
   FROM documents
 """
 
@@ -372,10 +390,25 @@ def _lit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(doc_id % 5 == 4, F.concat(F.lit("pii0, "), base))
         .otherwise(base)
     )
+    g = doc_id % 60
+    title_base = F.concat(
+        F.lit("study"),
+        F.when(doc_id % 7 == 0, F.lit("  of ")).otherwise(F.lit(" of ")),
+        F.repeat(F.char(F.lit(97) + g % 26), 4),
+        F.repeat(F.char(F.lit(97) + F.expr("(doc_id % 60) div 26")), 3),
+        F.lit(" corpus analysis"),
+        F.when(doc_id % 3 == 0, F.lit(""))
+        .when(doc_id % 3 == 1, F.lit(" draft"))
+        .otherwise(F.lit(" draf")),
+    )
+    title = F.when(doc_id % 11 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(doc_id % 2 == 0, F.upper(title_base)).otherwise(title_base)
+    )
     return d.select(
         doc_id.alias("record_id"),
         source_type.alias("source_type"),
         doi.alias("doi"),
+        title.alias("title"),
     )
 
 
@@ -419,6 +452,66 @@ ranked AS (
 )
 SELECT record_id, source_type, coalesce(doi_norm, '') AS doi_norm
 FROM ranked WHERE rn = 1
+"""
+
+
+def lit_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + the null-DOI second pass the reference lacks (main.py:104-151
+    never dedups records without a DOI): no-DOI survivors of the priority
+    pass are near-dup'd on the normalized title within 2 edits
+    (operators.dedup.fuzzy_title_dedup — lossless PassJoin candidates,
+    single-pass dominance, same source-priority survivor rule)."""
+    rec = _lit_records(spark, sf_dir)
+    return priority_dedup(
+        rec, tiebreak="record_id", keep_key=True, fuzzy_nodoi=True
+    ).select("record_id", "source_type", "doi_norm")
+
+
+def _lit_fuzzy_dedup_sql() -> str:
+    from scholarmind_spark.operators.linkage import fuzzy_link_sql
+
+    tk = "trim(regexp_replace(lower(title), '\\s+', ' ', 'g'))"
+    return f"""
+WITH rec AS ({_LIT_REC_SQL}),
+norm AS (
+  SELECT record_id, source_type, title, {doi_norm_sql('doi')} AS doi_norm,
+         CASE source_type WHEN 'wos' THEN 3 WHEN 'pubmed' THEN 2
+              WHEN 'sciencedirect' THEN 1 ELSE 0 END AS prio
+  FROM rec
+),
+ranked AS (
+  SELECT record_id, source_type, title, doi_norm, prio,
+         CASE WHEN doi_norm IS NULL OR doi_norm = '' THEN 1
+              ELSE row_number() OVER (PARTITION BY doi_norm
+                                      ORDER BY prio DESC, record_id ASC)
+         END AS rn
+  FROM norm
+),
+pass1 AS (
+  SELECT record_id, source_type, title, doi_norm, prio FROM ranked WHERE rn = 1
+),
+nodoi AS (
+  SELECT record_id, prio, {tk} AS tk
+  FROM pass1
+  WHERE (doi_norm IS NULL OR doi_norm = '')
+        AND title IS NOT NULL AND {tk} <> ''
+),
+pairs AS ({fuzzy_link_sql('nodoi', 'tk', max_dist=2)}),
+edges AS (
+  SELECT a AS ka, b AS kb FROM pairs
+  UNION ALL SELECT b AS ka, a AS kb FROM pairs
+  UNION ALL SELECT DISTINCT tk AS ka, tk AS kb FROM nodoi
+),
+dom AS (
+  SELECT DISTINCT l.record_id
+  FROM nodoi l
+  JOIN edges e ON l.tk = e.ka
+  JOIN nodoi r ON r.tk = e.kb
+  WHERE r.prio > l.prio OR (r.prio = l.prio AND r.record_id < l.record_id)
+)
+SELECT record_id, source_type, coalesce(doi_norm, '') AS doi_norm
+FROM pass1
+WHERE record_id NOT IN (SELECT record_id FROM dom)
 """
 
 
@@ -4297,6 +4390,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "distinct_users_per_type": q_distinct_users,
     "lit_doi_norm": lit_doi_norm,
     "lit_priority_dedup": lit_priority_dedup,
+    "lit_fuzzy_dedup": lit_fuzzy_dedup,
     "lit_links": lit_links,
     "lit_year_extract": lit_year_extract,
     "lit_union_sources": lit_union_sources,
@@ -4436,6 +4530,7 @@ ORACLE_SQL: dict[str, str] = {
     "distinct_users_per_type": Q_DISTINCT_SQL,
     "lit_doi_norm": LIT_DOI_NORM_SQL,
     "lit_priority_dedup": LIT_DEDUP_SQL,
+    "lit_fuzzy_dedup": _lit_fuzzy_dedup_sql(),
     "lit_links": LIT_LINKS_SQL,
     "lit_year_extract": LIT_YEAR_SQL,
     "lit_union_sources": LIT_UNION_SQL,
@@ -4559,75 +4654,70 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-7 window: the 2 r6 driver-reds (array outputs, now serialized at
-# the gate boundary), the 19 gates never driver-checked through r6, the
-# 15 gates last checked in r1/r3, then the §2 literature core (last
-# checked r5) to keep the reference-parity gates fresh.  After r7 every
-# registered gate has been driver-green at least once in r5-r7.
+# Round-8 window: the second full sweep begins — the new gate first
+# (lit_fuzzy_dedup, never driver-checked), then the 49 gates whose driver
+# signal is OLDEST (all last checked in r5), in registration order.  The
+# judge's standing rule: no gate's driver signal goes stale for more than
+# ~3 rounds.
 
-_ROUND7_FRONT = [
-    # new this round — riskiest, must be driver-checked
-    "text_gopher_repetition",
-    "text_gopher_flags",
-    # r6 driver-reds, fixed this round — must re-check first
-    "embed_quantize_int8",
-    "skew_key_report",
-    # never driver-checked through r6 (19)
-    "events_value_histogram",
-    "media_resize",
-    "events_range_join",
-    "skew_salted_join",
-    "skew_two_phase_distinct",
-    "dataset_split",
-    "stratified_sample",
-    "lit_flatten_presentation",
-    "bucketed_join_revenue",
-    "partitioned_prune_events",
-    "cube_order_stats",
-    "pivot_status_counts",
-    "lit_incremental_merge",
-    "events_json_props",
-    "profile_documents",
-    "sql_surface_revenue",
-    "text_word_repetition",
-    "text_top_terms",
-    "decontam_overlap",
-    # last driver-checked in r1 (10)
-    "events_asof_join",
-    "events_sessionize",
-    "events_tumbling",
-    "events_tumbling_stream",
-    "lit_llm_extract",
-    "media_byte_stats",
-    "media_decode",
-    "media_features",
-    "media_frame_sample",
-    "order_price_quantiles",
-    # last driver-checked in r3 (5)
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "doc_fingerprint",
-    # §2 literature core, last checked r5 — keep parity gates fresh
-    "lit_parse_pubmed",
-    "lit_parse_wos",
-    "lit_parse_wos_csv",
-    "lit_parse_sciencedirect",
-    "lit_priority_dedup",
-    "lit_doi_norm",
-    "lit_enrich_join",
-    "lit_union_sources",
-    "lit_links",
-    "lit_year_extract",
-    "corpus_curation",
-    "dedup_exact",
+_ROUND8_FRONT = [
+    # new this round — never driver-checked
+    "lit_fuzzy_dedup",
+    # last driver-checked in r5 (49)
     "text_lang_id",
     "diag_curation_stages",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "top_customers_per_nation",
+    "rollup_order_stats",
+    "q4_returned_orders",
+    "customers_without_orders",
+    "q14_promo_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_customers",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_bracket_revenue",
+    "q21_waiting_suppliers",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "orders_running_total",
+    "distinct_users_per_type",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "diag_jsonl_len",
+    "diag_jsonl_hash",
+    "diag_orc_ints",
+    "diag_orc_price",
+    "text_quality_stats",
+    "text_clean",
+    "token_topk",
+    "events_sliding",
+    "events_funnel",
+    "events_cohort_retention",
+    "kmeans_assign_cells",
+    "text_chunk_documents",
+    "events_sliding_stream",
+    "events_session_stream",
+    "text_pack_sequences",
+    "text_pack_stats",
+    "dataset_mixture",
+    "dataset_weighted_sample",
 ]
 
+
 def _rotated(d: dict) -> dict:
-    front = {k: d[k] for k in _ROUND7_FRONT if k in d}
+    front = {k: d[k] for k in _ROUND8_FRONT if k in d}
     front.update({k: v for k, v in d.items() if k not in front})
     return front
 

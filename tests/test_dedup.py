@@ -99,3 +99,43 @@ def test_dedup_exact(spark):
     )
     out = dedup_exact(df)
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_fuzzy_nodoi_pass_collapses_near_dup_titles(spark):
+    from scholarmind_spark.operators.dedup import fuzzy_title_dedup
+
+    df = mk(
+        spark,
+        [
+            # same paper, no DOI, three sources: titles within 2 edits
+            (1, "sciencedirect", None, "Graph Sampling at Scale"),
+            (2, "wos", "", "graph sampling at scale"),   # exact after lower
+            (3, "pubmed", None, "Graph Samplng at Scale"),  # 1 edit
+            # distinct no-DOI paper: far from everything, survives
+            (4, "pubmed", None, "Quantum Error Correction Basics"),
+            # DOI rows are exempt from the fuzzy pass even with near titles
+            (5, "pubmed", "10.1/x", "Graph Sampling at Scale"),
+            # null-title no-DOI rows are exempt (cannot match anything)
+            (6, "sciencedirect", None, None),
+            (7, "wos", None, ""),
+        ],
+    )
+    out = priority_dedup(df, keep_key=True, fuzzy_nodoi=True)
+    # wos (prio 3) wins the fuzzy cluster {1,2,3}; DOI row 5 untouched
+    assert surviving_ids(out) == [2, 4, 5, 6, 7]
+
+
+def test_fuzzy_pass_equal_priority_tiebreak_and_exact_titles(spark):
+    from scholarmind_spark.operators.dedup import fuzzy_title_dedup
+
+    df = mk(
+        spark,
+        [
+            (10, "pubmed", None, "Same   Title"),  # whitespace collapses
+            (11, "pubmed", None, "same title"),
+            (12, "pubmed", None, "same titel"),  # 2 edits, same prio
+        ],
+    )
+    out = fuzzy_title_dedup(df)
+    # equal priority: smallest record_id dominates the whole cluster
+    assert surviving_ids(out) == [10]
