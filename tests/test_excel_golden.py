@@ -100,3 +100,54 @@ def test_title_link_priority_golden(spark, tmp_path):
         cell = links["Results"].get(f"{col}{ri}")
         want = row[d_idx] if row[d_idx] else None
         assert cell == want, (row[0], cell, want)
+
+
+def test_sink_does_not_rederive_title_link_pubmed_first(spark, tmp_path):
+    """The reference computes title_link twice with CONTRADICTORY priority:
+    main.py:280-306 (wos > pubmed > sciencedirect > doi) when building the
+    column, then excel_formatter.py:326-338 re-derives the hyperlink at
+    render time with PUBMED first (pubmed > wos > sciencedirect > doi),
+    silently overriding main.py whenever both links coexist.  The rebuild
+    resolves the inconsistency to main.py semantics: title_link is computed
+    ONCE upstream (functions/links.py with_link_columns) and the sink
+    consumes it verbatim — no second derivation.
+
+    The divergence is only observable on a row carrying BOTH wos_link and
+    pubmed_link (impossible through the per-source builders, which is why
+    the reference bug stayed latent): a re-deriving sink would emit the
+    PubMed URL, the faithful sink emits title_link's WOS URL."""
+    row = {
+        "title": "Both links",
+        "journal": "j",
+        "source_type": "wos",
+        "doi": "10.1/b",
+        "doi_link": "https://doi.org/10.1/b",
+        "pubmed_link": "https://pubmed.ncbi.nlm.nih.gov/999/",
+        "wos_link": "https://www.webofscience.com/wos/woscc/full-record/WOS:9",
+        "sciencedirect_link": "",
+        # upstream main.py-priority resolution: wos wins
+        "title_link": "https://www.webofscience.com/wos/woscc/full-record/WOS:9",
+        "wos_id": "WOS:9",
+    }
+    df = spark.createDataFrame([tuple(row.values())], list(row.keys()))
+    out = str(tmp_path / "divergence.xlsx")
+    write_excel(df, out)
+    links = read_xlsx_hyperlinks(out)
+    # title cell (A2) carries the upstream WOS link, NOT the PubMed link an
+    # excel_formatter.py:326-338-style render pass would have substituted
+    assert links["Results"].get("A2") == row["wos_link"]
+
+    # and the upstream chain itself is wos-first when both are non-empty
+    from scholarmind_spark.functions.links import first_non_empty
+
+    got = (
+        spark.range(1)
+        .select(
+            first_non_empty(
+                F.lit(row["wos_link"]), F.lit(row["pubmed_link"])
+            ).alias("tl")
+        )
+        .collect()[0]
+        .tl
+    )
+    assert got == row["wos_link"]

@@ -36,6 +36,10 @@ BNLJ_OK = {
     # length <= 2d — both sets are DISTINCT strings, so alphabet-bounded
     # regardless of corpus size (the main PassJoin path is an equi-join)
     "link_fuzzy_vocab",
+    # same tiny-key path via fuzzy_title_dedup: title keys of <= 2 chars
+    # are the only BNLJ participants (the dominance join is an equi-join
+    # on the high-cardinality normalized title)
+    "lit_fuzzy_dedup",
 }
 
 
@@ -74,3 +78,31 @@ def test_no_cartesian_products(spark):
 )
 def test_plan_properties(spark, name, needle):
     assert needle in _plan(SPARK_QUERIES[name](spark, SF))
+
+
+def test_scrub_hot_span_anti_join_broadcasts_via_aqe(spark):
+    """boilerplate.scrub_repeated_spans deliberately carries NO broadcast
+    hint on the hot-span anti-join: at min_docs=2 on a real crawl the
+    hot-span list is corpus-scale, and a forced broadcast is a driver OOM
+    at 100 TB.  The flip side must also hold: at gate scale the list is
+    genuinely small, so AQE (not a hint) must still land the anti-join on
+    a broadcast — bounding the hint-removal's local cost to
+    genuinely-large hot lists.  Post-AQE plans only exist after
+    execution, so this executes the gate query first."""
+    df = SPARK_QUERIES["text_scrub_spans"](spark, SF)
+    # execute the Dataset's OWN QueryExecution (a write would spawn a
+    # separate one and leave this plan un-finalized); collect() retains
+    # every output column, so nothing is pruned
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in final
+    anti = [
+        ln
+        for ln in final.splitlines()
+        if "LeftAnti" in ln or "left_anti" in ln.lower()
+    ]
+    assert anti, f"no anti-join in final plan:\n{final[:2000]}"
+    assert all("BroadcastHashJoin" in ln for ln in anti), (
+        "hot-span anti-join did not resolve to broadcast via AQE:\n"
+        + "\n".join(anti)
+    )

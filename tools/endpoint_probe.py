@@ -15,8 +15,8 @@ honest but wide, meant to bound "is it linear," not to 3-digit the
 slope.  Run serially (no concurrent Spark work) or the medians are
 garbage.
 
-Usage: python tools/endpoint_probe.py [sf_dir]   (default sf0.1)
-Prints a markdown table to paste into SCALE.md.
+Usage: python tools/endpoint_probe.py [sf_dir] [op ...]   (default sf0.1,
+all ops).  Prints a markdown table to paste into SCALE.md.
 """
 
 from __future__ import annotations
@@ -40,7 +40,14 @@ def main() -> None:
         ngram_jaccard_pairs,
         simhash_pairs,
     )
+    from scholarmind_spark.operators.quality import (
+        gopher_quality_flags,
+        gopher_repetition_stats,
+    )
     from tools.scale_probe import replicated_docs
+
+    def _noop(df):
+        df.write.mode("overwrite").format("noop").save()
 
     spark = get_spark(app_name="endpoint-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,7 +57,17 @@ def main() -> None:
         "minhash_lsh": lambda df: minhash_lsh_pairs(df, threshold=0.6).count(),
         "simhash": lambda df: simhash_pairs(df, max_distance=3).count(),
         "containment": lambda df: containment_pairs(df, tau_permille=800).count(),
+        # the two Gopher batteries are PROJECTION-shaped (count() would
+        # prune the whole computation) — time the full plan into a noop sink
+        "gopher_flags": lambda df: _noop(gopher_quality_flags(df)),
+        "gopher_repetition": lambda df: _noop(gopher_repetition_stats(df)),
     }
+    wanted = sys.argv[2:]
+    if wanted:
+        unknown = [w for w in wanted if w not in ops]
+        if unknown:
+            raise SystemExit(f"unknown ops {unknown}; have {sorted(ops)}")
+        ops = {k: v for k, v in ops.items() if k in wanted}
 
     medians: dict[str, dict[int, float]] = {n: {} for n in ops}
     for k in KS:
