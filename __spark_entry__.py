@@ -24,20 +24,22 @@ from pyspark.sql import functions as F
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference's end-to-end pipeline shape over the
     sf0.001 corpus — synthesize literature-shaped records from documents,
-    priority-dedup by normalized DOI (A1), enrich via broadcast lookup
-    (J1), attach link columns (D6/D7/A2), run the U1/J2 LLM
-    abstract-understanding map (deterministic mock client, keyed attach)
-    and text-quality metrics, and return per-source corpus statistics."""
+    priority-dedup by normalized DOI (A1) plus the null-DOI fuzzy-title
+    second pass (lit_fuzzy_dedup — the capability the reference lacks),
+    enrich via broadcast lookup (J1), attach link columns (D6/D7/A2),
+    run the U1/J2 LLM abstract-understanding map (deterministic mock
+    client, keyed attach) and text-quality metrics, and return
+    per-source corpus statistics."""
     from scholarmind_spark.operators.textstats import quality_score, token_count
     from scholarmind_spark.queries import (
         _lit_records,
         lit_enrich_join,
+        lit_fuzzy_dedup,
         lit_llm_extract,
-        lit_priority_dedup,
     )
 
     sf_dir = "/root/testdata/sf0.001"
-    kept = lit_priority_dedup(spark, sf_dir)
+    kept = lit_fuzzy_dedup(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stats = docs.select(
         F.col("doc_id").alias("record_id"),
