@@ -51,19 +51,37 @@ def _sheet_frames(df: DataFrame) -> dict[str, DataFrame]:
 
 LINK_FONT_COLOR = "0563C1"  # excel_formatter.py:319,342 link style
 
+# Per-column widths (excel_formatter.py:227-251 column_width_mapping,
+# default 20 for unlisted columns — :260).  Reference-only metric columns
+# (中科院分区 etc.) are kept for parity with enriched frames that carry them.
+COLUMN_WIDTHS = {
+    "title": 60, "abstract": 60, "ai_summary": 60, "authors": 30,
+    "full_authors": 40, "journal": 25, "publication_year": 20, "pmid": 15,
+    "doi": 15, "wos_id": 15, "affiliation": 40, "keywords": 30,
+    "mesh_terms": 30, "publication_type": 20, "source_type": 15,
+    "doi_link": 25, "pubmed_link": 25, "wos_link": 25,
+    "sciencedirect_link": 25, "impact_factor": 15, "中科院分区": 15,
+    "sciif": 15, "sci": 15, "sciUp": 15,
+}
+DEFAULT_COLUMN_WIDTH = 20
+
 # Columns whose cell value IS a URL — each links to itself
 # (excel_formatter.py:313-319 does this for doi_link).
 SELF_LINK_COLUMNS = {"doi_link", "pubmed_link", "wos_link", "sciencedirect_link"}
 
 
-def content_row_height(values: list[object]) -> int:
-    """Content-scaled row height (excel_formatter.py:280-290): +15 units
+def content_row_height(values: list[object]) -> int | None:
+    """Content-scaled row height (excel_formatter.py:275-290): +15 units
     per 100 chars of the longest string cell (capped +100), clamped to
-    [20, 150]."""
+    [20, 150].  Rows with NO non-empty string cell get ``None`` — the
+    reference only sets a custom height when ``row_height > 0``
+    (excel_formatter.py:289), leaving Excel's default otherwise."""
     height = 0
     for v in values:
         if isinstance(v, str) and v:
             height = max(height, 15 + min(len(v) // 100 * 15, 100))
+    if height == 0:
+        return None
     return min(max(height, 20), 150)
 
 
@@ -86,9 +104,10 @@ def hyperlink_targets(cols: list[str], values: list[object]) -> dict[int, str]:
 
 def write_excel(df: DataFrame, path: str) -> None:
     """Styled multi-sheet workbook (driver-side): solid-fill bold header +
-    frozen panes, content-scaled row heights, 24-unit column widths,
-    wrap-text data cells, and REAL hyperlink cells for titles and link
-    columns (K1/K2, excel_formatter.py:280-345).
+    frozen panes, content-scaled row heights, the reference's per-column
+    width mapping (excel_formatter.py:227-260, default 20), wrap-text data
+    cells, and REAL hyperlink cells for titles and link columns (K1/K2,
+    excel_formatter.py:280-345).
 
     Written with the vendored stdlib xlsx writer (:mod:`..xlsxlite`) —
     deterministic output, no openpyxl dependency.  Rows stream to the
@@ -101,17 +120,23 @@ def write_excel(df: DataFrame, path: str) -> None:
     for sheet, frame in _sheet_frames(df).items():
         cols = frame.columns
         rows: list[list] = [list(cols)]
-        row_heights: dict[int, int] = {}
+        # header row height 25 (excel_formatter.py:263)
+        row_heights: dict[int, int] = {0: 25}
         hyperlinks: dict[tuple[int, int], str] = {}
         for r, row in enumerate(frame.toLocalIterator(), 1):
             values = [row[c] for c in cols]
             rows.append(values)
-            row_heights[r] = content_row_height(values)
+            h = content_row_height(values)
+            if h is not None:
+                row_heights[r] = h
             for i, url in hyperlink_targets(list(cols), values).items():
                 hyperlinks[(r, i)] = url
         sheets[sheet] = Sheet(
             rows,
-            col_widths={i: 24 for i in range(len(cols))},
+            col_widths={
+                i: COLUMN_WIDTHS.get(c, DEFAULT_COLUMN_WIDTH)
+                for i, c in enumerate(cols)
+            },
             row_heights=row_heights,
             hyperlinks=hyperlinks,
             header=True,  # bold-on-fill header + freeze under row 1

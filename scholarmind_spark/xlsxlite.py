@@ -303,7 +303,9 @@ _ROOT_RELS = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 
 # Two fonts / two cell styles: 0 = default, 1 = hyperlink (blue, underline —
 # excel_formatter.py:319,342), 2 = bold white header on solid fill
-# (excel_formatter.py header style).  Wrap-text on style 3 for data cells.
+# (excel_formatter.py:215-216 — fill 366092).  Wrap-text on style 3 for
+# data cells; every style carries the reference's all-cell thin border
+# (excel_formatter.py:267-279).
 _STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <styleSheet xmlns="{ns}">
 <fonts count="3">
@@ -314,15 +316,17 @@ _STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <fills count="3">
 <fill><patternFill patternType="none"/></fill>
 <fill><patternFill patternType="gray125"/></fill>
-<fill><patternFill patternType="solid"><fgColor rgb="FF4472C4"/><bgColor indexed="64"/></patternFill></fill>
+<fill><patternFill patternType="solid"><fgColor rgb="FF{fill}"/><bgColor indexed="64"/></patternFill></fill>
 </fills>
-<borders count="1"><border/></borders>
+<borders count="2"><border/>
+<border><left style="thin"/><right style="thin"/><top style="thin"/><bottom style="thin"/></border>
+</borders>
 <cellStyleXfs count="1"><xf/></cellStyleXfs>
 <cellXfs count="4">
-<xf xfId="0"/>
-<xf fontId="1" applyFont="1" xfId="0"/>
-<xf fontId="2" fillId="2" applyFont="1" applyFill="1" xfId="0"/>
-<xf applyAlignment="1" xfId="0"><alignment wrapText="1" vertical="top"/></xf>
+<xf borderId="1" applyBorder="1" xfId="0"/>
+<xf fontId="1" borderId="1" applyFont="1" applyBorder="1" xfId="0"/>
+<xf fontId="2" fillId="2" borderId="1" applyFont="1" applyFill="1" applyBorder="1" xfId="0"/>
+<xf borderId="1" applyAlignment="1" applyBorder="1" xfId="0"><alignment wrapText="1" vertical="top"/></xf>
 </cellXfs>
 </styleSheet>"""
 
@@ -418,7 +422,8 @@ class Sheet:
 
 
 def write_xlsx(path: str, sheets: dict[str, "Sheet | list[list]"],
-               link_color: str = "0563C1") -> None:
+               link_color: str = "0563C1",
+               header_fill: str = "366092") -> None:
     """Write ``{sheet_name: Sheet-or-rows}`` as a valid .xlsx workbook."""
     norm: dict[str, Sheet] = {
         name: s if isinstance(s, Sheet) else Sheet(s, header=False)
@@ -458,7 +463,8 @@ def write_xlsx(path: str, sheets: dict[str, "Sheet | list[list]"],
         add("_rels/.rels", _ROOT_RELS)
         add("xl/workbook.xml", workbook)
         add("xl/_rels/workbook.xml.rels", wb_rels)
-        add("xl/styles.xml", _STYLES.format(ns=_SSML, link=link_color))
+        add("xl/styles.xml",
+            _STYLES.format(ns=_SSML, link=link_color, fill=header_fill))
         for i, sheet in enumerate(norm.values(), 1):
             xml, rels = sheet._xml()
             add(f"xl/worksheets/sheet{i}.xml", xml)

@@ -13,8 +13,10 @@ from scholarmind_spark.xlsxlite import read_xlsx
 
 
 def test_content_row_height():
-    # no strings → minimum 20 (excel_formatter.py:289-290)
-    assert content_row_height([None, 5, ""]) == 20
+    # no non-empty strings → no CUSTOM height at all: the reference only
+    # sets one when row_height > 0 (excel_formatter.py:289), keeping
+    # Excel's default row height for purely numeric/empty rows
+    assert content_row_height([None, 5, ""]) is None
     # short string → base 15, clamped up to 20
     assert content_row_height(["short"]) == 20
     # 250 chars → 15 + 2*15 = 45

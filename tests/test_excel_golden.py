@@ -151,3 +151,26 @@ def test_sink_does_not_rederive_title_link_pubmed_first(spark, tmp_path):
         .tl
     )
     assert got == row["wos_link"]
+
+
+def test_header_fill_and_column_widths_match_reference(spark, tmp_path):
+    """Styling parity: header fill 366092 (excel_formatter.py:215-216) and
+    the per-column width mapping with default 20 (excel_formatter.py:
+    227-260) — title=60, journal=25, source_type=15, doi=15, links=25."""
+    import zipfile
+
+    df = _corpus(spark)
+    out = str(tmp_path / "style.xlsx")
+    write_excel(df, out)
+    with zipfile.ZipFile(out) as z:
+        styles = z.read("xl/styles.xml").decode()
+        sheet1 = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "FF366092" in styles and "FF4472C4" not in styles
+    # Results sheet columns: title, journal, doi, doi_link, title_link,
+    # source_type → widths 60, 25, 15, 25, 20 (default), 15
+    for col_idx, width in [(1, 60), (2, 25), (3, 15), (4, 25), (5, 20), (6, 15)]:
+        assert f'min="{col_idx}" max="{col_idx}" width="{width}"' in sheet1, (
+            col_idx,
+            width,
+            sheet1[:800],
+        )
