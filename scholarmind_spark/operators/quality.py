@@ -452,3 +452,45 @@ SELECT id AS {id_col},
        {d_micro},
        ({keep_terms}) AS keep
 FROM __j"""
+
+
+def gopher_keep(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher §A1.1 keep decision: rule battery AND repetition
+    battery (Rae et al. 2021 apply both before training).
+
+    Output: ``id_col, keep_rules, keep_repetition, keep``.
+
+    Shape: the two batteries scan the text independently (the rule battery
+    is a pure zero-shuffle projection; the repetition battery carries its
+    one count shuffle) and meet in a single equi-join on the id — at
+    100 TB that is two source scans, which beats entangling the
+    projection-only battery into the repetition battery's shuffle (the
+    join key is the high-entropy doc id; AQE picks the strategy)."""
+    flags = gopher_quality_flags(df, id_col, text_col).select(
+        id_col, F.col("keep").alias("keep_rules")
+    )
+    rep = gopher_repetition_stats(df, id_col, text_col).select(
+        id_col, F.col("keep").alias("keep_repetition")
+    )
+    return flags.join(rep, id_col).select(
+        id_col,
+        "keep_rules",
+        "keep_repetition",
+        (F.col("keep_rules") & F.col("keep_repetition")).alias("keep"),
+    )
+
+
+def gopher_keep_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`gopher_keep`."""
+    return f"""
+SELECT f.{id_col},
+       f.keep AS keep_rules,
+       r.keep AS keep_repetition,
+       (f.keep AND r.keep) AS keep
+FROM ({gopher_quality_flags_sql(table, id_col, text_col)}) f
+JOIN ({gopher_repetition_stats_sql(table, id_col, text_col)}) r
+  USING ({id_col})"""

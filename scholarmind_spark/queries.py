@@ -4176,6 +4176,26 @@ def _text_gopher_repetition_sql() -> str:
     )
 
 
+def text_gopher_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher §A1.1 keep decision (operators/quality.gopher_keep):
+    rule battery AND repetition battery, met in one id equi-join — Rae et
+    al. apply both before training; this is the single-column verdict a
+    corpus pipeline actually filters on."""
+    from scholarmind_spark.operators.quality import gopher_keep
+
+    return gopher_keep(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _text_gopher_keep_sql() -> str:
+    from scholarmind_spark.operators.quality import gopher_keep_sql
+
+    return (
+        "SELECT * FROM ("
+        + gopher_keep_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥2 word-3-grams with
     the 50-doc 'benchmark' slice.  The benchmark shingle set broadcasts;
@@ -4499,6 +4519,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_word_repetition": text_word_repetition,
     "text_gopher_flags": text_gopher_flags,
     "text_gopher_repetition": text_gopher_repetition,
+    "text_gopher_keep": text_gopher_keep,
     "text_top_terms": text_top_terms,
     "decontam_overlap": decontam_overlap,
     "lit_llm_extract": lit_llm_extract,
@@ -4639,6 +4660,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_word_repetition": word_repetition_sql("documents"),
     "text_gopher_flags": _text_gopher_flags_sql(),
     "text_gopher_repetition": _text_gopher_repetition_sql(),
+    "text_gopher_keep": _text_gopher_keep_sql(),
     "text_top_terms": doc_top_terms_sql("documents", k=3),
     "decontam_overlap": _decontam_overlap_sql(),
     "lit_llm_extract": LIT_LLM_SQL,
@@ -4654,16 +4676,18 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-8 window: the second full sweep begins — the new gate first
-# (lit_fuzzy_dedup, never driver-checked), then the 49 gates whose driver
-# signal is OLDEST (all last checked in r5), in registration order.  The
+# Round-8 window: the second full sweep begins — the two new gates first
+# (lit_fuzzy_dedup, text_gopher_keep — never driver-checked), then the 48
+# gates whose driver signal is OLDEST (all last checked in r5), in
+# registration order.  The
 # judge's standing rule: no gate's driver signal goes stale for more than
 # ~3 rounds.
 
 _ROUND8_FRONT = [
     # new this round — never driver-checked
     "lit_fuzzy_dedup",
-    # last driver-checked in r5 (49)
+    "text_gopher_keep",
+    # last driver-checked in r5 (48)
     "text_lang_id",
     "diag_curation_stages",
     "q1_pricing_summary",
@@ -4712,7 +4736,6 @@ _ROUND8_FRONT = [
     "text_pack_sequences",
     "text_pack_stats",
     "dataset_mixture",
-    "dataset_weighted_sample",
 ]
 
 

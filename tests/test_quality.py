@@ -165,3 +165,15 @@ def test_repetition_matches_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
     want = sorted(con.sql(gopher_repetition_stats_sql("documents")).fetchall())
     assert got == want
+
+
+def test_gopher_keep_requires_both_batteries(spark):
+    from scholarmind_spark.operators.quality import gopher_keep
+
+    # GOOD passes the rule battery but is "... " * 3 of the same sentence
+    # — its top 2-gram/dup 5-gram char fractions blow every repetition
+    # threshold, so the combined verdict must be False while keep_rules
+    # stays True.
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    r = gopher_keep(df).collect()[0]
+    assert r.keep_rules and not r.keep_repetition and not r.keep
