@@ -142,7 +142,7 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_ONLY=a,b,c — isolated-measure mode for anchor
     # medians (SCALE.md "noop-basis anchors"): a query timed alone in a
     # fresh session is free of the late-session heap/position effects the
-    # full 95-query run carries, so it anchors round-over-round drift.
+    # full-list run carries, so it anchors round-over-round drift.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     bench_queries = BENCH_QUERIES
     if only:

@@ -41,8 +41,10 @@ def title_norm(title: Column) -> Column:
     """Conservative title key: lower, collapse whitespace runs, trim —
     the D11 journal-key normalization style applied to titles.  No
     punctuation stripping: the fuzzy pass's edit-distance tolerance
-    absorbs small punctuation/typo deltas, and stripping would silently
-    merge genuinely distinct titles ('Part I.' vs 'Part II.')."""
+    already absorbs small punctuation/typo deltas.  Note normalization
+    alone cannot protect versioned titles ('Part I.' vs 'Part II.' are 1
+    edit apart however normalized) — that is the numeral-sequence
+    guard's job in :func:`fuzzy_title_dedup`."""
     return F.trim(F.regexp_replace(F.lower(title), "\\s+", " "))
 
 
@@ -110,6 +112,28 @@ def priority_dedup(
     return out
 
 
+# Tokens that are pure numbering — arabic digits or roman numerals.  A
+# fuzzy title pair whose NUMERAL-TOKEN sequences differ is never a
+# duplicate: 'part i' vs 'part ii', 'vol 1' vs 'vol 2', 'study 1' vs
+# 'study 2' are all 1-2 edits apart yet name DISTINCT works, and an
+# edit-distance threshold alone cannot tell them from typos.
+NUMERAL_TOKEN_RE = "^([0-9]+|[ivxlcdm]+)$"
+
+# Hot-title cap for the fuzzy side: normalized-title keys carried by more
+# rows than this are degenerate boilerplate ('editorial', 'introduction',
+# '[no title]'), not real paper titles — they are excluded from FUZZY
+# matching (exact-equal dedup still applies via the per-key aggregate,
+# which is skew-free).  The banding analogue of neardup.BAND_MAX_DF.
+TITLE_MAX_DF = 10_000
+
+
+def _numeral_seq(col: Column) -> Column:
+    """Space-joined sequence of the pure-numbering tokens of a title key."""
+    return F.array_join(
+        F.filter(F.split(col, " "), lambda t: t.rlike(NUMERAL_TOKEN_RE)), " "
+    )
+
+
 def fuzzy_title_dedup(
     df: DataFrame,
     title_col: str = "title",
@@ -117,6 +141,7 @@ def fuzzy_title_dedup(
     tiebreak: str = "record_id",
     max_dist: int = 2,
     subset: Column | None = None,
+    max_title_df: int = TITLE_MAX_DF,
 ) -> DataFrame:
     """Drop every row (within ``subset``) that has a strictly-better
     near-duplicate title; all other rows pass through untouched.
@@ -124,21 +149,34 @@ def fuzzy_title_dedup(
     Semantics (single-pass DOMINANCE, not connected components): row *r*
     is dropped iff some other eligible row *s* exists with
 
-        title_key(s) == title_key(r)  OR  lev(title_key(s), title_key(r)) <= max_dist
+        title_key(s) == title_key(r)
+        OR (lev(title_key(s), title_key(r)) <= max_dist
+            AND numeral_seq(s) == numeral_seq(r))
 
-    and ``(prio_s, -tiebreak_s) > (prio_r, -tiebreak_r)``.  For the real
-    duplicate shape (the same paper from 2-3 sources — every pair inside
-    the cluster matches) this equals the CC-survivor rule; on threshold-
-    boundary CHAINS (a~b, b~c, a!~c) dominance deliberately keeps both
-    undominated endpoints instead of transitively merging records that
-    never matched each other — and it stays one declarative join, no
-    iterative fixpoint.  Null/empty title keys are exempt (cannot match
-    anything), mirroring the DOI pass's null exemption.
+    and ``(prio_s, -tiebreak_s) > (prio_r, -tiebreak_r)``.  The numeral
+    guard blocks the classic versioned-title false merge ('Part I.' vs
+    'Part II.', 'Vol. 1' vs 'Vol. 2' — within 2 edits of each other but
+    distinct works); an edit threshold alone cannot distinguish those
+    from typos, so fuzzy pairs must agree on their numbering tokens
+    (:data:`NUMERAL_TOKEN_RE`).  For the real duplicate shape (the same
+    paper from 2-3 sources — every pair inside the cluster matches) this
+    equals the CC-survivor rule; on threshold-boundary CHAINS (a~b, b~c,
+    a!~c) dominance deliberately keeps both undominated endpoints instead
+    of transitively merging records that never matched each other — and
+    it stays declarative, no iterative fixpoint.  Null/empty title keys
+    are exempt (cannot match anything), mirroring the DOI pass's null
+    exemption.
 
-    Scale: candidate pairs come from the lossless PassJoin segment
-    blocking in :func:`~scholarmind_spark.operators.linkage.fuzzy_link`
-    (never all-pairs); the dominance join shuffles on the high-cardinality
-    title key.  One aggregation-free anti-join closes it out.
+    Scale: dominance never joins rows against rows — each key's BEST
+    candidate ``(max prio, then min tiebreak)`` is reduced to ONE row by
+    aggregation (map-side partial agg, skew-free even for a degenerate
+    key carried by millions of rows), and losers compare against their
+    own key's best (exact pass) or a fuzzy-matched key's best (fuzzy
+    pass, candidates from the lossless PassJoin segment blocking in
+    :func:`~scholarmind_spark.operators.linkage.fuzzy_link`, hot keys
+    excluded by ``max_title_df``).  The old shape — an identity-edge
+    self-join of rows on the title key — was d² on a hot key, the exact
+    skew failure the A1 pass's synthetic null keys exist to prevent.
     """
     from scholarmind_spark.operators.linkage import fuzzy_link
 
@@ -151,36 +189,51 @@ def fuzzy_title_dedup(
         .filter(in_subset & F.col("__tk").isNotNull() & (F.col("__tk") != ""))
         .select(F.col(tiebreak).alias("__fid"), "__tk", "__fprio")
     )
-    pairs = fuzzy_link(elig, "__tk", max_dist=max_dist)
-    # both orientations of each fuzzy value-pair + the identity edge per
-    # distinct key (exact-equal titles are pairs fuzzy_link excludes)
-    edges = (
-        pairs.select(F.col("a").alias("__ka"), F.col("b").alias("__kb"))
-        .unionByName(pairs.select(F.col("b").alias("__ka"), F.col("a").alias("__kb")))
-        .unionByName(
-            elig.select(F.col("__tk").alias("__ka"))
-            .distinct()
-            .select("__ka", F.col("__ka").alias("__kb"))
-        )
+    # per-key best: (max prio, then min tiebreak) — two aggregations, both
+    # map-side combinable, ONE row per distinct key regardless of key df
+    maxp = elig.groupBy("__tk").agg(F.max("__fprio").alias("__bp"))
+    best = (
+        elig.join(maxp, "__tk")
+        .filter(F.col("__fprio") == F.col("__bp"))
+        .groupBy("__tk", "__bp")
+        .agg(F.min("__fid").alias("__bid"))
     )
-    loser = elig
-    winner = elig.select(
-        F.col("__fid").alias("__wid"),
-        F.col("__tk").alias("__wtk"),
-        F.col("__fprio").alias("__wprio"),
+    beats = (F.col("__bp") > F.col("__fprio")) | (
+        (F.col("__bp") == F.col("__fprio")) & (F.col("__bid") < F.col("__fid"))
+    )
+    # exact pass: a row loses to its OWN key's best
+    dom_exact = (
+        elig.join(best, "__tk").filter(beats).select(F.col("__fid"))
+    )
+    # fuzzy pass: distinct keys under the hot-title cap, PassJoin pairs,
+    # numeral-sequence guard, then losers vs the PARTNER key's best
+    keys_ok = (
+        elig.groupBy("__tk")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_title_df)
+        .select("__tk")
+    )
+    pairs = fuzzy_link(keys_ok, "__tk", max_dist=max_dist).filter(
+        _numeral_seq(F.col("a")) == _numeral_seq(F.col("b"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("__ka"), F.col("b").alias("__kb")
+    ).unionByName(
+        pairs.select(F.col("b").alias("__ka"), F.col("a").alias("__kb"))
+    )
+    partner_best = best.select(
+        F.col("__tk").alias("__kb"), "__bp", "__bid"
+    )
+    dom_fuzzy = (
+        elig.join(edges, elig["__tk"] == F.col("__ka"))
+        .join(partner_best, "__kb")
+        .filter(beats)
+        .select(F.col("__fid"))
     )
     dominated = (
-        loser.join(edges, loser["__tk"] == F.col("__ka"))
-        .join(winner, F.col("__kb") == F.col("__wtk"))
-        .filter(
-            (F.col("__wprio") > F.col("__fprio"))
-            | (
-                (F.col("__wprio") == F.col("__fprio"))
-                & (F.col("__wid") < F.col("__fid"))
-            )
-        )
-        .select(F.col("__fid").alias(tiebreak))
+        dom_exact.unionByName(dom_fuzzy)
         .distinct()
+        .select(F.col("__fid").alias(tiebreak))
     )
     return df.join(dominated, on=tiebreak, how="left_anti")
 

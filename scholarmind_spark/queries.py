@@ -468,9 +468,20 @@ def lit_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lit_fuzzy_dedup_sql() -> str:
+    from scholarmind_spark.operators.dedup import (
+        NUMERAL_TOKEN_RE,
+        TITLE_MAX_DF,
+    )
     from scholarmind_spark.operators.linkage import fuzzy_link_sql
 
     tk = "trim(regexp_replace(lower(title), '\\s+', ' ', 'g'))"
+
+    def nums(c: str) -> str:
+        return (
+            f"array_to_string(list_filter(string_split({c}, ' '),"
+            f" t -> regexp_matches(t, '{NUMERAL_TOKEN_RE}')), ' ')"
+        )
+
     return f"""
 WITH rec AS ({_LIT_REC_SQL}),
 norm AS (
@@ -496,18 +507,31 @@ nodoi AS (
   WHERE (doi_norm IS NULL OR doi_norm = '')
         AND title IS NOT NULL AND {tk} <> ''
 ),
-pairs AS ({fuzzy_link_sql('nodoi', 'tk', max_dist=2)}),
+best AS (  -- per-key (max prio, then min id) survivor candidate
+  SELECT n.tk, b.bp, min(n.record_id) AS bid
+  FROM nodoi n
+  JOIN (SELECT tk, max(prio) AS bp FROM nodoi GROUP BY tk) b
+    ON n.tk = b.tk AND n.prio = b.bp
+  GROUP BY n.tk, b.bp
+),
+keys_ok AS (  -- hot-title cap: degenerate keys skip the fuzzy side
+  SELECT tk FROM nodoi GROUP BY tk HAVING count(*) <= {TITLE_MAX_DF}
+),
+pairs0 AS ({fuzzy_link_sql('keys_ok', 'tk', max_dist=2)}),
+pairs AS (  -- numeral guard: 'part i' vs 'part ii' never merges
+  SELECT a, b FROM pairs0 WHERE {nums('a')} = {nums('b')}
+),
 edges AS (
   SELECT a AS ka, b AS kb FROM pairs
   UNION ALL SELECT b AS ka, a AS kb FROM pairs
-  UNION ALL SELECT DISTINCT tk AS ka, tk AS kb FROM nodoi
 ),
 dom AS (
-  SELECT DISTINCT l.record_id
-  FROM nodoi l
-  JOIN edges e ON l.tk = e.ka
-  JOIN nodoi r ON r.tk = e.kb
-  WHERE r.prio > l.prio OR (r.prio = l.prio AND r.record_id < l.record_id)
+  SELECT l.record_id FROM nodoi l JOIN best b ON l.tk = b.tk
+  WHERE b.bp > l.prio OR (b.bp = l.prio AND b.bid < l.record_id)
+  UNION
+  SELECT l.record_id
+  FROM nodoi l JOIN edges e ON l.tk = e.ka JOIN best b ON b.tk = e.kb
+  WHERE b.bp > l.prio OR (b.bp = l.prio AND b.bid < l.record_id)
 )
 SELECT record_id, source_type, coalesce(doi_norm, '') AS doi_norm
 FROM pass1
@@ -3536,9 +3560,6 @@ def _md5_mod(col) -> "F.Column":
 def _jsonl_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSONL sink → JSONL source, shared by the roundtrip gate
     query and its per-column diagnostic twins."""
-    import os
-    import tempfile
-
     from pyspark.sql import types as T
 
     from scholarmind_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -3635,9 +3656,6 @@ FROM documents GROUP BY lang ORDER BY lang
 def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem slice → ORC sink → ORC source, shared by the roundtrip gate
     query and its per-column diagnostic twins."""
-    import os
-    import tempfile
-
     from pyspark.sql import types as T
 
     from scholarmind_spark.sources.orc import read_orc, write_orc
@@ -3937,9 +3955,6 @@ def partitioned_prune_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unpartitioned oracle.  Aggregates are order-independent (counts,
     distinct, min/max) because ``value`` is a raw double whose sum depends
     on accumulation order."""
-    import os
-    import tempfile
-
     from scholarmind_spark.sinks.partitioned import (
         read_partitioned,
         write_partitioned,

@@ -22,6 +22,13 @@ def proc_tmp_dir(name: str) -> str:
     global _PROC_TMP_BASE
     if _PROC_TMP_BASE is None or not os.path.isdir(_PROC_TMP_BASE):
         _PROC_TMP_BASE = tempfile.mkdtemp(prefix="sm_proc_")
+        # unlike the old fixed /tmp/<name>_<pid> paths, a random base can
+        # never be reclaimed by a LATER process overwriting it — remove it
+        # on exit or every run leaks its corpus-sized sink copies
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, _PROC_TMP_BASE, ignore_errors=True)
     d = os.path.join(_PROC_TMP_BASE, name)
     os.makedirs(d, exist_ok=True)
     return d

@@ -139,3 +139,36 @@ def test_fuzzy_pass_equal_priority_tiebreak_and_exact_titles(spark):
     out = fuzzy_title_dedup(df)
     # equal priority: smallest record_id dominates the whole cluster
     assert surviving_ids(out) == [10]
+
+
+def test_fuzzy_pass_numeral_guard_keeps_versioned_titles(spark):
+    from scholarmind_spark.operators.dedup import fuzzy_title_dedup
+
+    df = mk(
+        spark,
+        [
+            # 1 edit apart but DISTINCT works: numeral sequences differ
+            (20, "wos", None, "Graph Mining Part i"),
+            (21, "pubmed", None, "Graph Mining Part ii"),
+            (22, "wos", None, "Methods Study 1"),
+            (23, "pubmed", None, "Methods Study 2"),
+            # a real typo with equal (empty) numeral sequences still merges
+            (24, "wos", None, "Graph Sampling at Scale"),
+            (25, "pubmed", None, "Graph Samplng at Scale"),
+        ],
+    )
+    out = fuzzy_title_dedup(df)
+    assert surviving_ids(out) == [20, 21, 22, 23, 24]
+
+
+def test_fuzzy_pass_hot_title_cap_skips_fuzzy_keeps_exact(spark):
+    from scholarmind_spark.operators.dedup import fuzzy_title_dedup
+
+    rows = [(100 + i, "pubmed", None, "editorial") for i in range(6)]
+    rows += [(200, "wos", None, "editoriaX")]  # 1 edit from the hot key
+    df = mk(spark, rows)
+    out = fuzzy_title_dedup(df, max_title_df=5)
+    # exact-equal dedup still collapses the hot cluster (per-key best,
+    # skew-free aggregation), but the hot key is excluded from FUZZY
+    # matching, so the 1-edit neighbor survives
+    assert surviving_ids(out) == [100, 200]
