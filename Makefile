@@ -1,8 +1,9 @@
 # Single entry point for the full verification battery.
 #
 #   make check     — everything the round gets graded on, in one command:
-#                    vanilla full gate (97 query/oracle pairs + oracle type
-#                    lint), the same gate under TZ/locale/JVM-encoding
+#                    vanilla full gate (every registered query/oracle pair
+#                    + oracle type lint), the same gate under TZ/locale/
+#                    JVM-encoding
 #                    perturbation, then the pytest suite.
 #   make gate      — vanilla gate only (sf0.01, bare session)
 #   make gate-hard — perturbed gate only
