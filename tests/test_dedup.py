@@ -172,3 +172,67 @@ def test_fuzzy_pass_hot_title_cap_skips_fuzzy_keeps_exact(spark):
     # skew-free aggregation), but the hot key is excluded from FUZZY
     # matching, so the 1-edit neighbor survives
     assert surviving_ids(out) == [100, 200]
+
+
+def test_fuzzy_pass_matches_brute_force_dominance(spark):
+    """Semantics pin, independent of PassJoin candidate generation: on a
+    seeded random corpus, fuzzy_title_dedup must equal the brute-force
+    dominance rule — drop r iff some s has (equal key OR (lev <= 2 AND
+    equal numeral sequences)) and better (prio, -id)."""
+    import random
+    import re as _re
+
+    from scholarmind_spark.operators.dedup import fuzzy_title_dedup
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 2:
+            return 3  # bounded early exit, enough for max_dist=2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t.lower()).strip()
+
+    def nums(tk):
+        return " ".join(
+            t for t in tk.split(" ")
+            if _re.fullmatch(r"[0-9]+|[ivxlcdm]+", t)
+        )
+
+    rng = random.Random(8)
+    words = ["graph", "mining", "scale", "study", "deep", "data"]
+    rows = []
+    for i in range(40):
+        t = " ".join(rng.sample(words, 3))
+        styled = t.upper() if rng.random() < 0.3 else t
+        if rng.random() < 0.3:
+            styled += " " + rng.choice(["i", "ii", "1", "2"])
+        if rng.random() < 0.3:  # 1-char typo
+            p = rng.randrange(len(styled))
+            styled = styled[:p] + rng.choice("xyz") + styled[p + 1:]
+        src = rng.choice(["wos", "pubmed", "sciencedirect", "other"])
+        rows.append((i, src, None, styled))
+    prio = {"wos": 3, "pubmed": 2, "sciencedirect": 1, "other": 0}
+
+    elig = [(i, norm(t), prio[s]) for i, s, _, t in rows if norm(t)]
+    dropped = set()
+    for i, tk, p in elig:
+        for j, tk2, p2 in elig:
+            if i == j:
+                continue
+            match = tk == tk2 or (
+                lev(tk, tk2) <= 2 and nums(tk) == nums(tk2)
+            )
+            if match and (p2 > p or (p2 == p and j < i)):
+                dropped.add(i)
+                break
+    want = sorted(i for i, *_ in rows if i not in dropped)
+
+    out = fuzzy_title_dedup(mk(spark, rows))
+    assert surviving_ids(out) == want
