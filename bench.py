@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "decontam_overlap",
     "text_scrub_spans",
+    "text_url_canonical",
     "dataset_mixture",
     "events_json_props",
     "profile_documents",

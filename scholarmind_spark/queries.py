@@ -2354,6 +2354,58 @@ def _text_url_domains_sql() -> str:
     return url_domain_stats_sql(synth)
 
 
+def text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + revisit grouping (operators/urls): six
+    deterministic spellings of each page URL (host case, www, default
+    port, fragment, tracking params, param order) collapse to one
+    canonical key; output is the per-key revisit inventory that URL-level
+    crawl dedup keys on."""
+    from scholarmind_spark.operators.urls import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    g = (F.col("doc_id") % 25).cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://Example.org/p"), g, F.lit("/")))
+        .when(m == 1, F.concat(F.lit("https://www.example.org/p"), g))
+        .when(
+            m == 2,
+            F.concat(F.lit("https://example.org:443/p"), g, F.lit("?utm_source=x")),
+        )
+        .when(m == 3, F.concat(F.lit("https://example.org/p"), g, F.lit("#frag")))
+        .when(m == 4, F.concat(F.lit("https://example.org/p"), g, F.lit("?b=2&a=1")))
+        .otherwise(
+            F.concat(F.lit("https://example.org/p"), g, F.lit("?a=1&b=2&utm_campaign=z"))
+        )
+    )
+    return (
+        d.select("doc_id", canonical_url(url).alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("first_id"))
+        .orderBy("canonical")
+    )
+
+
+def _text_url_canonical_sql() -> str:
+    from scholarmind_spark.operators.urls import canonical_url_sql
+
+    g = "(doc_id % 25)::VARCHAR"
+    url = f"""CASE doc_id % 6
+      WHEN 0 THEN 'https://Example.org/p' || {g} || '/'
+      WHEN 1 THEN 'https://www.example.org/p' || {g}
+      WHEN 2 THEN 'https://example.org:443/p' || {g} || '?utm_source=x'
+      WHEN 3 THEN 'https://example.org/p' || {g} || '#frag'
+      WHEN 4 THEN 'https://example.org/p' || {g} || '?b=2&a=1'
+      ELSE 'https://example.org/p' || {g} || '?a=1&b=2&utm_campaign=z' END"""
+    return f"""
+WITH u AS (
+  SELECT doc_id, {canonical_url_sql(url)} AS canonical FROM documents
+)
+SELECT canonical, count(*) AS n_urls, min(doc_id) AS first_id
+FROM u GROUP BY canonical ORDER BY canonical
+"""
+
+
 def _boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus has no natural cross-document boilerplate, so
     the span-scrub gates prepend a deterministic 5-word banner to every
@@ -4478,6 +4530,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dataset_weighted_sample": dataset_weighted_sample,
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
+    "text_url_canonical": text_url_canonical,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
@@ -4619,6 +4672,7 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
+    "text_url_canonical": _text_url_canonical_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
@@ -4691,10 +4745,10 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-8 window: the second full sweep begins — the two new gates first
-# (lit_fuzzy_dedup, text_gopher_keep — never driver-checked), then the 48
-# gates whose driver signal is OLDEST (all last checked in r5), in
-# registration order.  The
+# Round-8 window: the second full sweep begins — the three new gates
+# first (lit_fuzzy_dedup, text_gopher_keep, text_url_canonical — never
+# driver-checked), then the 47 gates whose driver signal is OLDEST (all
+# last checked in r5), in registration order.  The
 # judge's standing rule: no gate's driver signal goes stale for more than
 # ~3 rounds.
 
@@ -4702,6 +4756,7 @@ _ROUND8_FRONT = [
     # new this round — never driver-checked
     "lit_fuzzy_dedup",
     "text_gopher_keep",
+    "text_url_canonical",
     # last driver-checked in r5 (48)
     "text_lang_id",
     "diag_curation_stages",
@@ -4750,7 +4805,6 @@ _ROUND8_FRONT = [
     "events_session_stream",
     "text_pack_sequences",
     "text_pack_stats",
-    "dataset_mixture",
 ]
 
 
