@@ -31,7 +31,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # one regex, five capture groups: scheme, host[:port], path, ?query, #frag
-URL_PARTS_RE = r"^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+# — the scheme group is case-insensitive ('HTTPS://x' is a valid spelling;
+# Java regex and RE2 both accept the inline (?i:...) group)
+URL_PARTS_RE = r"^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
 
 TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=.*)?$"
 

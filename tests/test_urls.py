@@ -48,3 +48,8 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = url_dedup(df)
     assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+
+
+def test_uppercase_scheme_canonicalizes(spark):
+    assert canon(spark, "HTTPS://Example.org/a/") == "https://example.org/a"
+    assert canon(spark, "HTTP://example.org:80/a") == "http://example.org/a"
