@@ -112,12 +112,16 @@ def priority_dedup(
     return out
 
 
-# Tokens that are pure numbering — arabic digits or roman numerals.  A
-# fuzzy title pair whose NUMERAL-TOKEN sequences differ is never a
-# duplicate: 'part i' vs 'part ii', 'vol 1' vs 'vol 2', 'study 1' vs
-# 'study 2' are all 1-2 edits apart yet name DISTINCT works, and an
-# edit-distance threshold alone cannot tell them from typos.
-NUMERAL_TOKEN_RE = "^([0-9]+|[ivxlcdm]+)$"
+# Tokens that are pure numbering — arabic digits or roman numerals 1-39
+# (the title-numbering range; x{0,3}(ix|iv|v?i{0,3}) is the proper roman
+# grammar, so ordinary words spelled only with roman letters — 'did',
+# 'mild', 'civil', 'vivid', 'dim', 'mill' — are NOT classified as
+# numbering and a typo inside them still merges).  A fuzzy title pair
+# whose NUMERAL-TOKEN sequences differ is never a duplicate: 'part i' vs
+# 'part ii', 'vol 1' vs 'vol 2', 'study 1' vs 'study 2' are all 1-2
+# edits apart yet name DISTINCT works, and an edit-distance threshold
+# alone cannot tell them from typos.
+NUMERAL_TOKEN_RE = "^([0-9]+|x{0,3}(ix|iv|v?i{1,3})|x{1,3}(ix|iv|v?i{0,3})|v)$"
 
 # Hot-title cap for the fuzzy side: normalized-title keys carried by more
 # rows than this are degenerate boilerplate ('editorial', 'introduction',

@@ -32,10 +32,14 @@ from pyspark.sql import functions as F
 
 # one regex, five capture groups: scheme, host[:port], path, ?query, #frag
 # — the scheme group is case-insensitive ('HTTPS://x' is a valid spelling;
-# Java regex and RE2 both accept the inline (?i:...) group)
-URL_PARTS_RE = r"^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+# Java regex and RE2 both accept the inline (?i:...) group).  End anchors
+# are \z (true end-of-text in BOTH Java and RE2), never $: Java '$'
+# matches before a trailing newline while RE2's does not, so a URL field
+# with a stray trailing '\n' would canonicalize on Spark but pass through
+# on the DuckDB twin — an engine-divergent key.
+URL_PARTS_RE = r"^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#(?s:.)*)?\z"
 
-TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=.*)?$"
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=(?s:.)*)?\z"
 
 
 def canonical_url(col: Column) -> Column:
@@ -44,10 +48,10 @@ def canonical_url(col: Column) -> Column:
         F.lower(F.regexp_extract(col, URL_PARTS_RE, 2)), "^www\\.", ""
     )
     host = F.when(
-        scheme == "http", F.regexp_replace(host0, ":80$", "")
-    ).otherwise(F.regexp_replace(host0, ":443$", ""))
+        scheme == "http", F.regexp_replace(host0, ":80\\z", "")
+    ).otherwise(F.regexp_replace(host0, ":443\\z", ""))
     path = F.regexp_replace(
-        F.regexp_extract(col, URL_PARTS_RE, 3), "/+$", ""
+        F.regexp_extract(col, URL_PARTS_RE, 3), "/+\\z", ""
     )
     qraw = F.regexp_extract(col, URL_PARTS_RE, 4)
     kept = F.array_sort(
@@ -73,12 +77,12 @@ def canonical_url_sql(expr: str) -> str:
     )
     host = (
         f"CASE WHEN {scheme} = 'http'"
-        f" THEN regexp_replace({host0}, ':80$', '')"
-        f" ELSE regexp_replace({host0}, ':443$', '') END"
+        f" THEN regexp_replace({host0}, ':80\\z', '')"
+        f" ELSE regexp_replace({host0}, ':443\\z', '') END"
     )
     path = (
         f"regexp_replace(regexp_extract({expr}, '{URL_PARTS_RE}', 3),"
-        f" '/+$', '')"
+        f" '/+\\z', '')"
     )
     qraw = f"regexp_extract({expr}, '{URL_PARTS_RE}', 4)"
     kept = (
@@ -101,8 +105,21 @@ def url_dedup(
     """Keep one row per canonical URL (minimum ``id_col`` wins) — the
     crawl-revisit dedup that runs before any content dedup.  One shuffle
     on the canonical key; survivor choice is an aggregation (map-side
-    combinable), then a semi-join back, same shape as ``dedup_exact``."""
-    keyed = df.withColumn("__cu", canonical_url(F.col(url_col)))
+    combinable), then a semi-join back, same shape as ``dedup_exact``.
+
+    Null/empty URLs are EXEMPT — a row that merely lacks a URL is not a
+    revisit of every other URL-less row.  Each gets a unique synthetic
+    key (\\x00 + id; NUL cannot appear in a real URL), the same
+    single-row-group device as ``priority_dedup``'s empty-DOI handling —
+    which also keeps the groupBy skew-free where null URLs are common."""
+    cu = canonical_url(F.col(url_col))
+    keyed = df.withColumn(
+        "__cu",
+        F.when(
+            cu.isNull() | (cu == ""),
+            F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+        ).otherwise(cu),
+    )
     keep = (
         keyed.groupBy("__cu")
         .agg(F.min(id_col).alias(id_col))

@@ -474,7 +474,10 @@ def _lit_fuzzy_dedup_sql() -> str:
     )
     from scholarmind_spark.operators.linkage import fuzzy_link_sql
 
-    tk = "trim(regexp_replace(lower(title), '\\s+', ' ', 'g'))"
+    # Java's \s explicitly ([ \t\n\x0B\f\r]) — RE2's \s lacks \x0B, and
+    # the Spark side (title_norm) runs Java \s+; spelling the class out
+    # keeps the twins aligned on vertical-tab whitespace
+    tk = "trim(regexp_replace(lower(title), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
     def nums(c: str) -> str:
         return (
@@ -4757,7 +4760,7 @@ _ROUND8_FRONT = [
     "lit_fuzzy_dedup",
     "text_gopher_keep",
     "text_url_canonical",
-    # last driver-checked in r5 (48)
+    # last driver-checked in r5 (47)
     "text_lang_id",
     "diag_curation_stages",
     "q1_pricing_summary",

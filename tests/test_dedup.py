@@ -202,7 +202,9 @@ def test_fuzzy_pass_matches_brute_force_dominance(spark):
     def nums(tk):
         return " ".join(
             t for t in tk.split(" ")
-            if _re.fullmatch(r"[0-9]+|[ivxlcdm]+", t)
+            if _re.fullmatch(
+                r"[0-9]+|x{0,3}(ix|iv|v?i{1,3})|x{1,3}(ix|iv|v?i{0,3})|v", t
+            )
         )
 
     rng = random.Random(8)
