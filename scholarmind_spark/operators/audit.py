@@ -233,3 +233,94 @@ FROM __spine s
 LEFT JOIN __obs o ON s.g IS NOT DISTINCT FROM o.g AND s.d = o.d
 JOIN __n n ON s.g IS NOT DISTINCT FROM n.g
 GROUP BY s.g"""
+
+
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Re-identification risk audit: partition ``df`` into equivalence
+    classes on the quasi-identifier columns and report how many records
+    sit in classes smaller than ``k`` (Sweeney 2002 k-anonymity — a
+    released dataset is k-anonymous iff every class has ≥ k members).
+
+    Output: ``risk_rank, band, n_classes, n_records, pct_records`` —
+    three bands (unique / below-k / at-least-k), pct over all rows,
+    round(2).  ``risk_rank`` (1 = worst) pins the row order.
+
+    Engine extension (SURVEY §2): the pre-release privacy gate a corpus
+    publisher runs next to PII redaction (operators/pii) — redaction
+    removes direct identifiers; this measures the joinable-QI risk that
+    survives it.
+
+    Spark-first shape, 100 TB posture: ONE shuffle — groupBy(QI) with
+    map-side partial counts — then the banding runs on class-level rows
+    (≤ #classes) and the totals are one-row aggregates broadcast back
+    via crossJoin; no collect(), no second pass over the data.  NULL QI
+    values form their own class (groupBy null-safe equality), matching
+    the release semantics: rows with a suppressed QI cell are
+    indistinguishable from each other, not from everything.
+    """
+    if not qi_cols:
+        raise ValueError("k_anonymity_report needs at least one QI column")
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 bands every class anonymous)")
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("csize"))
+    banded = classes.select(
+        F.when(F.col("csize") == 1, F.lit(1))
+        .when(F.col("csize") < k, F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("risk_rank"),
+        "csize",
+    )
+    per_band = banded.groupBy("risk_rank").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("csize").alias("n_records"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        per_band.crossJoin(total)
+        .select(
+            "risk_rank",
+            F.when(F.col("risk_rank") == 1, F.lit("unique (size=1)"))
+            .when(F.col("risk_rank") == 2, F.lit(f"small (2<=size<{k})"))
+            .otherwise(F.lit(f"anonymous (size>={k})"))
+            .alias("band"),
+            "n_classes",
+            "n_records",
+            F.round(
+                F.lit(100) * F.col("n_records").cast("double")
+                / F.col("__total"),
+                2,
+            ).alias("pct_records"),
+        )
+        .orderBy("risk_rank")
+    )
+
+
+def k_anonymity_report_sql(table: str, qi_exprs: list[str], k: int = 5) -> str:
+    """DuckDB twin of :func:`k_anonymity_report` over QI expressions."""
+    qi = ", ".join(qi_exprs)
+    return f"""
+WITH __classes AS (
+  SELECT count(*)::BIGINT AS csize FROM {table} GROUP BY {qi}
+),
+__banded AS (
+  SELECT CASE WHEN csize = 1 THEN 1 WHEN csize < {k} THEN 2 ELSE 3 END
+           AS risk_rank,
+         csize
+  FROM __classes
+),
+__per AS (
+  SELECT risk_rank, count(*)::BIGINT AS n_classes,
+         sum(csize)::BIGINT AS n_records
+  FROM __banded GROUP BY risk_rank
+),
+__tot AS (SELECT count(*)::BIGINT AS __total FROM {table})
+SELECT risk_rank,
+       CASE risk_rank WHEN 1 THEN 'unique (size=1)'
+                      WHEN 2 THEN 'small (2<=size<{k})'
+                      ELSE 'anonymous (size>={k})' END AS band,
+       n_classes, n_records,
+       round(100 * n_records::DOUBLE / __total, 2) AS pct_records
+FROM __per, __tot ORDER BY risk_rank
+"""

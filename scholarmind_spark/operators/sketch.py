@@ -1,0 +1,239 @@
+"""KMV (k-minimum-values) cardinality and overlap sketches.
+
+Engine extension (SURVEY §2 — the reference is a literature ETL tool
+with no approximate-analytics surface): distinct-count and set-overlap
+ESTIMATION with fixed O(k) state per set, the shape a 100 TB corpus
+audit needs when the exact answer would shuffle every distinct value.
+Canonical uses: vocabulary size per crawl snapshot, distinct-URL counts
+per domain, and cross-corpus contamination screening (estimated token
+Jaccard between a training shard and a benchmark) — all without
+materializing a distinct set.
+
+KMV (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 "distinct sampling"):
+hash every value uniformly into [0, M); keep only the k smallest DISTINCT
+hashes.  If the k-th smallest is ``kth``, the density of distinct hashes
+is ≈ k / kth, so
+
+    D̂ = (k-1) · M / kth          (unbiased form; exact when n_min < k)
+
+Two sketches of DIFFERENT sets built with the SAME hash are mergeable:
+the k smallest of (A ∪ B) is a uniform distinct-sample of the union, so
+counting how many of those k survivors sit in BOTH input sketches
+estimates Jaccard directly (the theta-sketch intersection device,
+Dasgupta et al. 2016).
+
+Determinism across engines: the hash is the repo's 60-bit md5 device
+(``neardup.minhash_base`` — 15 hex chars of md5 → bigint, identical in
+Spark and DuckDB), so the k minima, the estimate, and the overlap counts
+are bit-reproducible; the only float is the single final division,
+evaluated in a pinned order and round()-ed on both engines.
+
+Spark-first shape, sized for 100 TB:
+
+- the scale path (``prefilter=True``) bounds the shuffle at O(P·k)
+  rows INDEPENDENT of input size: a ``mapInPandas`` partial keeps the
+  k smallest distinct hashes per partition (running numpy unique-merge
+  over Arrow batches, O(k) state), and only those P·k candidates reach
+  the global distinct + top-k.  This is the custom-partial-aggregate
+  tier — Catalyst has no "distinct top-k" partial, and without it the
+  distinct shuffle carries EVERY distinct value (the cost the sketch
+  exists to avoid);
+- the pure-Catalyst form (``prefilter=False``) is kept as the semantic
+  definition for tests: distinct → TakeOrderedAndProject(k) — correct,
+  map-side-combined, but shuffle ∝ distinct values;
+- both produce the SAME k minima (the global k smallest distinct hashes
+  are contained in the union of per-partition k smallest), so the
+  estimate does not depend on which path ran or how rows partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.neardup import minhash_base, minhash_base_sql
+
+# hash space of the 60-bit md5 device: values are uniform on [0, 2^60)
+M_SPACE = 1 << 60
+DEFAULT_K = 256
+
+
+def _value_col(df: DataFrame, col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def kmv_minima(
+    df: DataFrame,
+    col: str | Column,
+    k: int = DEFAULT_K,
+    prefilter: bool = True,
+) -> DataFrame:
+    """The sketch itself: one column ``h`` holding the k smallest
+    distinct 60-bit hashes of ``col`` (fewer if the set has fewer than
+    k distinct values).  NULLs are not set members and are dropped."""
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
+    v = _value_col(df, col)
+    hashed = df.select(minhash_base(v).alias("h")).where(F.col("h").isNotNull())
+    if prefilter:
+        hashed = _partition_minima(hashed, k)
+    return hashed.distinct().orderBy("h").limit(k)
+
+
+def _partition_minima(hashed: DataFrame, k: int) -> DataFrame:
+    """Per-partition k smallest DISTINCT hashes via an Arrow-batched
+    running merge — emits ≤ k rows per partition, so the downstream
+    global distinct shuffles O(P·k) rows regardless of input size.
+
+    numpy.unique returns a SORTED unique array, so ``[:k]`` after a
+    concat-unique is exactly "k smallest distinct seen so far"; state
+    stays O(k) per partition no matter how many batches stream through.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def part(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        best = None
+        for pdf in batches:
+            vals = pdf["h"].to_numpy()
+            merged = vals if best is None else np.concatenate([best, vals])
+            best = np.unique(merged)[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    return hashed.mapInPandas(part, schema="h bigint")
+
+
+def _estimate_expr(n_min: Column, kth: Column, k: int) -> Column:
+    """D̂ as bigint: exact n_min when the set is smaller than k, else
+    (k-1)·M/kth in double with a pinned evaluation order.  The numerator
+    (k-1)·M is materialized as one Python float literal so both engines
+    start the division from the identical IEEE value."""
+    numer = float(k - 1) * float(M_SPACE)
+    est = F.round(F.lit(numer) / kth.cast("double"), 0).cast("bigint")
+    return F.when(n_min < k, n_min.cast("bigint")).otherwise(est)
+
+
+def _estimate_sql(n_min: str, kth: str, k: int) -> str:
+    numer = repr(float(k - 1) * float(M_SPACE))
+    return (
+        f"CASE WHEN {n_min} < {k} THEN ({n_min})::BIGINT "
+        f"ELSE round({numer} / ({kth})::DOUBLE, 0)::BIGINT END"
+    )
+
+
+def kmv_distinct_report(
+    df: DataFrame,
+    col: str | Column,
+    k: int = DEFAULT_K,
+    prefilter: bool = True,
+) -> DataFrame:
+    """One row: ``k, n_minima, kth_hash, est_distinct``.
+
+    ``kth_hash`` is the largest retained minimum (= the k-th smallest
+    distinct hash when the set has ≥ k members)."""
+    minima = kmv_minima(df, col, k, prefilter=prefilter)
+    agg = minima.agg(
+        F.count("*").alias("n_minima"), F.max("h").alias("kth_hash")
+    )
+    return agg.select(
+        F.lit(k).alias("k"),
+        "n_minima",
+        "kth_hash",
+        _estimate_expr(F.col("n_minima"), F.col("kth_hash"), k).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def kmv_minima_sql(values_query: str, k: int = DEFAULT_K) -> str:
+    """DuckDB twin of :func:`kmv_minima` over a subquery yielding one
+    column ``v`` (string)."""
+    h = minhash_base_sql("v")
+    return (
+        f"(SELECT DISTINCT {h} AS h FROM ({values_query}) "
+        f"WHERE v IS NOT NULL ORDER BY h LIMIT {k})"
+    )
+
+
+def kmv_distinct_report_sql(values_query: str, k: int = DEFAULT_K) -> str:
+    """DuckDB twin of :func:`kmv_distinct_report`."""
+    est = _estimate_sql("n_minima", "kth_hash", k)
+    return f"""
+WITH minima AS (SELECT * FROM {kmv_minima_sql(values_query, k)}),
+magg AS (SELECT count(*) AS n_minima, max(h) AS kth_hash FROM minima)
+SELECT {k} AS k, n_minima, kth_hash, {est} AS est_distinct FROM magg
+"""
+
+
+def kmv_overlap_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str | Column,
+    k: int = DEFAULT_K,
+    prefilter: bool = True,
+) -> DataFrame:
+    """One row: ``k, n_union_minima, n_common, jaccard_est,
+    est_union, est_intersection`` — set overlap of the two sides'
+    ``col`` values from two O(k) sketches.
+
+    The k smallest of (minima_A ∪ minima_B) IS the KMV sketch of A ∪ B
+    (mergeability), and each survivor present in both input sketches is
+    a uniform distinct-sample hit on the intersection, so
+
+        Ĵ = n_common / n_union_minima,   |A∩B|^ = round(Ĵ · |A∪B|^).
+
+    Everything after the two scans runs on ≤ 2k rows."""
+    a = kmv_minima(df_a, col, k, prefilter=prefilter)
+    b = kmv_minima(df_b, col, k, prefilter=prefilter)
+    union_min = a.unionByName(b).distinct().orderBy("h").limit(k)
+    # survivors present in BOTH sketches: intersect the tiny frames
+    common = union_min.join(a, "h", "left_semi").join(b, "h", "left_semi")
+    u = union_min.agg(
+        F.count("*").alias("n_union_minima"), F.max("h").alias("kth_hash")
+    )
+    c = common.agg(F.count("*").alias("n_common"))
+    est_union = _estimate_expr(F.col("n_union_minima"), F.col("kth_hash"), k)
+    jac = F.col("n_common").cast("double") / F.col("n_union_minima")
+    return (
+        u.crossJoin(c)
+        .select(
+            F.lit(k).alias("k"),
+            "n_union_minima",
+            "n_common",
+            F.round(jac, 4).alias("jaccard_est"),
+            est_union.alias("est_union"),
+            F.round(jac * est_union.cast("double"), 0)
+            .cast("bigint")
+            .alias("est_intersection"),
+        )
+    )
+
+
+def kmv_overlap_report_sql(
+    values_a: str, values_b: str, k: int = DEFAULT_K
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap_report` over two subqueries each
+    yielding one column ``v``."""
+    est_union = _estimate_sql("n_union_minima", "kth_hash", k)
+    return f"""
+WITH ma AS (SELECT * FROM {kmv_minima_sql(values_a, k)}),
+mb AS (SELECT * FROM {kmv_minima_sql(values_b, k)}),
+umin AS (
+  SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
+  ORDER BY h LIMIT {k}
+),
+uagg AS (SELECT count(*) AS n_union_minima, max(h) AS kth_hash FROM umin),
+cagg AS (
+  SELECT count(*) AS n_common FROM umin
+  WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)
+)
+SELECT {k} AS k, n_union_minima, n_common,
+       round(n_common::DOUBLE / n_union_minima, 4) AS jaccard_est,
+       {est_union} AS est_union,
+       round((n_common::DOUBLE / n_union_minima)
+             * ({est_union})::DOUBLE, 0)::BIGINT AS est_intersection
+FROM uagg, cagg
+"""

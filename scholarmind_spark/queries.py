@@ -4454,6 +4454,191 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 # ---------------------------------------------------------------- registry
 
+# ----------------------------------------------- sketches / graph census /
+# time-series / privacy (round-8 batch 2)
+
+def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch): distinct lineitem
+    order keys (~15k at sf0.01 — well past k, so the gate exercises the
+    ESTIMATOR branch, not the exact small-set one) from the 256 smallest
+    distinct 60-bit key hashes — O(k) state, O(P·k) shuffle via the
+    mapInPandas partial — next to the exact count so the gate also
+    audits the estimator's error.  (The synthetic documents vocabulary
+    is only ~31 tokens, so keys, not tokens, are the fixture.)"""
+    from scholarmind_spark.operators.sketch import kmv_distinct_report
+
+    keys = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("v")
+    )
+    rep = kmv_distinct_report(keys, "v", k=256)
+    exact = keys.agg(F.countDistinct("v").alias("exact_distinct"))
+    return rep.crossJoin(exact).select(
+        "k",
+        "n_minima",
+        "kth_hash",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.lit(100)
+            * (F.col("est_distinct") - F.col("exact_distinct")).cast("double")
+            / F.col("exact_distinct"),
+            2,
+        ).alias("rel_err_pct"),
+    )
+
+
+def _sketch_distinct_kmv_sql() -> str:
+    from scholarmind_spark.operators.sketch import kmv_distinct_report_sql
+
+    keys = "SELECT l_orderkey::VARCHAR AS v FROM lineitem"
+    rep = kmv_distinct_report_sql(keys, k=256)
+    return f"""
+WITH rep AS ({rep}),
+ex AS (SELECT count(DISTINCT v)::BIGINT AS exact_distinct
+       FROM ({keys}))
+SELECT k, n_minima, kth_hash, est_distinct, exact_distinct,
+       round(100 * (est_distinct - exact_distinct)::DOUBLE / exact_distinct,
+             2) AS rel_err_pct
+FROM rep, ex
+"""
+
+
+def sketch_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV overlap sketch (operators/sketch.kmv_overlap_report): Jaccard
+    between the sets of customers who ordered in 1995 vs 1996 (~1.2k
+    distinct each, true overlap ~0.64 — both sides past k, partial
+    overlap) from two mergeable O(k) sketches — the repeat-audience /
+    cross-corpus-contamination shape — with the exact Jaccard alongside
+    as the error audit."""
+    from scholarmind_spark.operators.sketch import kmv_overlap_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_custkey").cast("string").alias("v"),
+    )
+    even = o.where(F.col("yr") == 1995).select("v")
+    odd = o.where(F.col("yr") == 1996).select("v")
+    rep = kmv_overlap_report(even, odd, "v", k=256)
+    ea = even.distinct()
+    ob = odd.distinct()
+    inter = ea.join(ob, "v", "left_semi").agg(F.count("*").alias("n_inter"))
+    sizes = ea.agg(F.count("*").alias("n_a")).crossJoin(
+        ob.agg(F.count("*").alias("n_b"))
+    )
+    exact = sizes.crossJoin(inter).select(
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            4,
+        ).alias("exact_jaccard")
+    )
+    return rep.crossJoin(exact)
+
+
+def _sketch_overlap_kmv_sql() -> str:
+    from scholarmind_spark.operators.sketch import kmv_overlap_report_sql
+
+    half0 = (
+        "SELECT o_custkey::VARCHAR AS v FROM orders"
+        " WHERE year(o_orderdate) = 1995"
+    )
+    half1 = (
+        "SELECT o_custkey::VARCHAR AS v FROM orders"
+        " WHERE year(o_orderdate) = 1996"
+    )
+    rep = kmv_overlap_report_sql(half0, half1, k=256)
+    return f"""
+WITH rep AS ({rep}),
+ea AS (SELECT DISTINCT v FROM ({half0})),
+ob AS (SELECT DISTINCT v FROM ({half1})),
+ex AS (
+  SELECT round(
+    (SELECT count(*) FROM ea WHERE v IN (SELECT v FROM ob))::DOUBLE
+    / ((SELECT count(*) FROM ea) + (SELECT count(*) FROM ob)
+       - (SELECT count(*) FROM ea WHERE v IN (SELECT v FROM ob))),
+    4) AS exact_jaccard
+)
+SELECT rep.*, ex.exact_jaccard FROM rep, ex
+"""
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient
+    (operators/graph.triangle_stats) over the word co-occurrence graph —
+    degree-oriented counting (Suri & Vassilvitskii WWW'11), the
+    hot-vertex-safe 100 TB plan."""
+    from scholarmind_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_stats,
+    )
+
+    return triangle_stats(
+        cooccurrence_edges(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _graph_triangles_sql() -> str:
+    from scholarmind_spark.operators.graph import (
+        cooccurrence_edges_sql,
+        triangle_stats_sql,
+    )
+
+    return triangle_stats_sql(cooccurrence_edges_sql("documents"))
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume ACF at lags 1..7 (operators/acf.autocorrelation):
+    Pearson autocorrelation of the per-day event count series — the
+    seasonality diagnostic; TZ-free integer epoch-day key, int64 sums,
+    one pinned float per lag."""
+    from scholarmind_spark.operators.acf import autocorrelation
+
+    e = _events(spark, sf_dir)
+    series = e.groupBy(
+        F.expr("unix_timestamp(ts) div 86400").alias("t")
+    ).agg(F.count("*").alias("y"))
+    return autocorrelation(series, "t", "y", max_lag=7)
+
+
+def _events_autocorrelation_sql() -> str:
+    from scholarmind_spark.operators.acf import autocorrelation_sql
+
+    series = (
+        "SELECT floor(epoch(ts))::BIGINT // 86400 AS t, "
+        "count(*)::BIGINT AS y FROM events GROUP BY 1"
+    )
+    return autocorrelation_sql(series, max_lag=7)
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/audit.k_anonymity_report): customer
+    equivalence classes on (mktsegment, nation, 500-unit balance band),
+    banded by re-identification risk at k=5 — the pre-release privacy
+    gate next to PII redaction."""
+    from scholarmind_spark.operators.audit import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("acct_band"),
+    )
+    return k_anonymity_report(
+        c, ["c_mktsegment", "c_nationkey", "acct_band"], k=5
+    )
+
+
+def _privacy_k_anonymity_sql() -> str:
+    from scholarmind_spark.operators.audit import k_anonymity_report_sql
+
+    qi = [
+        "c_mktsegment",
+        "c_nationkey",
+        "floor(c_acctbal / 500)::BIGINT",
+    ]
+    return k_anonymity_report_sql("customer", qi, k=5)
+
+
+
 SPARK_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -4534,6 +4719,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
     "text_url_canonical": text_url_canonical,
+    "sketch_distinct_kmv": sketch_distinct_kmv,
+    "sketch_overlap_kmv": sketch_overlap_kmv,
+    "graph_triangles": graph_triangles,
+    "events_autocorrelation": events_autocorrelation,
+    "privacy_k_anonymity": privacy_k_anonymity,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
@@ -4676,6 +4866,11 @@ ORACLE_SQL: dict[str, str] = {
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
     "text_url_canonical": _text_url_canonical_sql(),
+    "sketch_distinct_kmv": _sketch_distinct_kmv_sql(),
+    "sketch_overlap_kmv": _sketch_overlap_kmv_sql(),
+    "graph_triangles": _graph_triangles_sql(),
+    "events_autocorrelation": _events_autocorrelation_sql(),
+    "privacy_k_anonymity": _privacy_k_anonymity_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
@@ -4748,18 +4943,27 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-8 window: the second full sweep begins — the three new gates
-# first (lit_fuzzy_dedup, text_gopher_keep, text_url_canonical — never
-# driver-checked), then the 47 gates whose driver signal is OLDEST (all
-# last checked in r5), in registration order.  The
-# judge's standing rule: no gate's driver signal goes stale for more than
-# ~3 rounds.
+# Round-8 window: the second full sweep begins — the eight new gates
+# first (lit_fuzzy_dedup, text_gopher_keep, text_url_canonical from the
+# first half of the round; sketch_distinct_kmv, sketch_overlap_kmv,
+# graph_triangles, events_autocorrelation, privacy_k_anonymity from the
+# second — never driver-checked), then the 42 gates whose driver signal
+# is OLDEST (all last checked in r5), in registration order; the 5
+# r5-aged gates the new entries displace (text_chunk_documents,
+# events_sliding_stream, events_session_stream, text_pack_sequences,
+# text_pack_stats) lead the r9 window.  The judge's standing rule: no
+# gate's driver signal goes stale for more than ~3 rounds.
 
 _ROUND8_FRONT = [
     # new this round — never driver-checked
     "lit_fuzzy_dedup",
     "text_gopher_keep",
     "text_url_canonical",
+    "sketch_distinct_kmv",
+    "sketch_overlap_kmv",
+    "graph_triangles",
+    "events_autocorrelation",
+    "privacy_k_anonymity",
     # last driver-checked in r5 (47)
     "text_lang_id",
     "diag_curation_stages",
@@ -4803,11 +5007,6 @@ _ROUND8_FRONT = [
     "events_funnel",
     "events_cohort_retention",
     "kmeans_assign_cells",
-    "text_chunk_documents",
-    "events_sliding_stream",
-    "events_session_stream",
-    "text_pack_sequences",
-    "text_pack_stats",
 ]
 
 

@@ -175,3 +175,75 @@ def test_benford_subnormal_nan_inf_match_duckdb(spark, tmp_path):
     assert got == want
     # n counts only the 5 rows with a real first significant digit
     assert next(iter(got))[1] == 5
+
+
+# ------------------------------------------------------- k-anonymity
+
+def _kanon(spark, rows, qi, k=5):
+    from scholarmind_spark.operators.audit import k_anonymity_report
+
+    df = spark.createDataFrame(rows, ["seg", "nat", "extra"])
+    out = k_anonymity_report(df, qi, k=k).collect()
+    return {r["risk_rank"]: r.asDict() for r in out}
+
+
+def test_k_anonymity_bands(spark):
+    # classes: ('a',1)x1, ('a',2)x1, ('b',1)x3, ('c',1)x7  → unique: 2
+    # classes/2 rows; small: 1 class/3 rows; anonymous: 1 class/7 rows
+    rows = (
+        [("a", 1, 0), ("a", 2, 0)]
+        + [("b", 1, i) for i in range(3)]
+        + [("c", 1, i) for i in range(7)]
+    )
+    bands = _kanon(spark, rows, ["seg", "nat"], k=5)
+    assert bands[1]["n_classes"] == 2 and bands[1]["n_records"] == 2
+    assert bands[2]["n_classes"] == 1 and bands[2]["n_records"] == 3
+    assert bands[3]["n_classes"] == 1 and bands[3]["n_records"] == 7
+    assert bands[1]["pct_records"] == round(100 * 2 / 12, 2)
+    assert sum(b["n_records"] for b in bands.values()) == 12
+
+
+def test_k_anonymity_null_qi_is_its_own_class(spark):
+    # two NULL-segment rows group together (one class of 2), not with
+    # everything — groupBy null-safe semantics
+    rows = [(None, 1, 0), (None, 1, 1), ("a", 1, 0)]
+    bands = _kanon(spark, rows, ["seg", "nat"], k=2)
+    assert bands[1]["n_records"] == 1  # only ('a',1)
+    assert bands[3]["n_classes"] == 1 and bands[3]["n_records"] == 2
+
+
+def test_k_anonymity_validates_inputs(spark):
+    import pytest
+
+    from scholarmind_spark.operators.audit import k_anonymity_report
+
+    df = spark.createDataFrame([("a", 1)], ["seg", "nat"])
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["seg"], k=1)
+
+
+def test_k_anonymity_duckdb_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.audit import (
+        k_anonymity_report,
+        k_anonymity_report_sql,
+    )
+
+    rows = [("s" + str(i % 4), i % 3, i) for i in range(29)]
+    df = spark.createDataFrame(rows, ["seg", "nat", "extra"])
+    srows = [
+        tuple(r) for r in k_anonymity_report(df, ["seg", "nat"], k=3).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (seg VARCHAR, nat INT, extra INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    orows = [
+        tuple(r)
+        for r in con.execute(
+            k_anonymity_report_sql("t", ["seg", "nat"], k=3)
+        ).fetchall()
+    ]
+    assert srows == orows

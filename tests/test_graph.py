@@ -115,3 +115,104 @@ def test_pagerank_zero_iterations_returns_uniform(spark):
     got = {r["node"]: r["rank_micro"] for r in out.collect()}
     assert got == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
     release_caches(out)
+
+
+# ------------------------------------------------------- triangle census
+
+def _tri(spark, pairs):
+    from scholarmind_spark.operators.graph import triangle_stats
+    from scholarmind_spark.util import release_caches
+
+    df = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], ["src", "dst", "weight"]
+    )
+    out = triangle_stats(df)
+    row = out.collect()[0].asDict()
+    release_caches(out)
+    return row
+
+
+def test_triangle_with_pendant(spark):
+    # a-b-c triangle plus pendant c-d: wedges = 1+1+3+0 = 5, coeff 3/5
+    r = _tri(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    assert r == {
+        "n_nodes": 4,
+        "n_edges": 4,
+        "n_wedges": 5,
+        "n_triangles": 1,
+        "clustering_coeff": 0.6,
+    }
+
+
+def test_complete_k4(spark):
+    import itertools
+
+    nodes = ["a", "b", "c", "d"]
+    r = _tri(spark, list(itertools.combinations(nodes, 2)))
+    assert r["n_triangles"] == 4
+    assert r["n_wedges"] == 12
+    assert r["clustering_coeff"] == 1.0
+
+
+def test_reversed_duplicate_and_self_edges_collapse(spark):
+    # the underlying simple graph is a single triangle regardless of
+    # direction, multiplicity, or self-loops in the input
+    pairs = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("c", "a"), ("a", "a"),
+    ]
+    r = _tri(spark, pairs)
+    assert r["n_edges"] == 3
+    assert r["n_triangles"] == 1
+
+
+def test_triangle_free_graph(spark):
+    # 4-cycle: wedges but no triangles; coefficient 0, not NULL
+    r = _tri(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert r["n_triangles"] == 0
+    assert r["clustering_coeff"] == 0.0
+
+
+def test_census_matches_bruteforce(spark):
+    # deterministic pseudo-random graph on 14 nodes
+    import itertools
+
+    nodes = [f"n{i}" for i in range(14)]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(nodes)
+        for j, b in enumerate(nodes)
+        if i < j and (i * 31 + j * 17) % 5 < 2
+    ]
+    adj = set(pairs)
+    expect = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if ((a, b) in adj) and ((b, c) in adj) and ((a, c) in adj)
+    )
+    r = _tri(spark, pairs)
+    assert r["n_triangles"] == expect
+
+
+def test_triangle_duckdb_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.graph import triangle_stats_sql
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+        ("c", "e"), ("b", "e"), ("e", "a"),
+    ]
+    srow = _tri(spark, pairs)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    orow = (
+        con.execute(triangle_stats_sql("SELECT src, dst FROM e"))
+        .df()
+        .iloc[0]
+        .to_dict()
+    )
+    assert srow["n_triangles"] == orow["n_triangles"]
+    assert srow["n_wedges"] == orow["n_wedges"]
+    assert srow["clustering_coeff"] == orow["clustering_coeff"]

@@ -1,0 +1,130 @@
+"""KMV sketch tests: prefilter/definition equivalence, exact small-set
+branch, estimator accuracy envelope, overlap on constructed sets, and
+DuckDB twin parity on data with NULLs and cross-partition duplicates."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.sketch import (
+    kmv_distinct_report,
+    kmv_distinct_report_sql,
+    kmv_minima,
+    kmv_overlap_report,
+    kmv_overlap_report_sql,
+)
+
+
+def _vals(spark, values, partitions=7):
+    return spark.createDataFrame(
+        [(v,) for v in values], ["v"]
+    ).repartition(partitions)
+
+
+def test_prefilter_matches_semantic_definition(spark):
+    # duplicates deliberately spread across partitions: the per-partition
+    # mapInPandas partial and the pure-Catalyst distinct-top-k must agree
+    vals = [f"x{i % 50}" for i in range(400)]
+    df = _vals(spark, vals)
+    fast = [r["h"] for r in kmv_minima(df, "v", k=16, prefilter=True).collect()]
+    slow = [r["h"] for r in kmv_minima(df, "v", k=16, prefilter=False).collect()]
+    assert fast == slow
+    assert len(fast) == 16
+    assert fast == sorted(fast)
+
+
+def test_small_set_is_exact(spark):
+    df = _vals(spark, [f"v{i}" for i in range(10)] * 3)
+    row = kmv_distinct_report(df, "v", k=256).collect()[0]
+    assert row["n_minima"] == 10
+    assert row["est_distinct"] == 10  # n_min < k → exact branch
+
+
+def test_nulls_are_not_set_members(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], ["v"]
+    )
+    row = kmv_distinct_report(df, "v", k=8).collect()[0]
+    assert row["est_distinct"] == 2
+
+
+def test_estimator_error_envelope(spark):
+    # 5000 distinct, k=256: std error ≈ 1/√k ≈ 6%; 25% is a ~4σ bound —
+    # deterministic fixture, so this either always passes or never does.
+    df = _vals(spark, [f"key-{i}" for i in range(5000)], partitions=11)
+    row = kmv_distinct_report(df, "v", k=256).collect()[0]
+    assert row["n_minima"] == 256
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.25
+
+
+def test_overlap_constructed_thirds(spark):
+    # A = 0..999, B = 500..1499 → true Jaccard = 500/1500 = 1/3
+    a = _vals(spark, [f"u{i}" for i in range(1000)])
+    b = _vals(spark, [f"u{i}" for i in range(500, 1500)])
+    row = kmv_overlap_report(a, b, "v", k=256).collect()[0]
+    assert row["n_union_minima"] == 256
+    assert 0 < row["n_common"] < 256
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.15
+    assert 0 < row["est_intersection"] < row["est_union"]
+
+
+def test_distinct_report_duckdb_twin(spark):
+    vals = [f"t{i % 97}" for i in range(300)] + [None, None]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(5)
+    srow = kmv_distinct_report(df, "v", k=32).collect()[0].asDict()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tv (v VARCHAR)"
+    )
+    con.executemany("INSERT INTO tv VALUES (?)", [(v,) for v in vals])
+    orow = (
+        con.execute(kmv_distinct_report_sql("SELECT v FROM tv", k=32))
+        .df()
+        .iloc[0]
+        .to_dict()
+    )
+    assert srow["n_minima"] == orow["n_minima"]
+    assert srow["kth_hash"] == orow["kth_hash"]
+    assert srow["est_distinct"] == orow["est_distinct"]
+
+
+def test_overlap_report_duckdb_twin(spark):
+    va = [f"a{i}" for i in range(200)] + [f"c{i}" for i in range(100)]
+    vb = [f"b{i}" for i in range(150)] + [f"c{i}" for i in range(100)]
+    a = _vals(spark, va)
+    b = _vals(spark, vb)
+    srow = kmv_overlap_report(a, b, "v", k=64).collect()[0].asDict()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (v VARCHAR); CREATE TABLE tb (v VARCHAR)")
+    con.executemany("INSERT INTO ta VALUES (?)", [(v,) for v in va])
+    con.executemany("INSERT INTO tb VALUES (?)", [(v,) for v in vb])
+    orow = (
+        con.execute(
+            kmv_overlap_report_sql(
+                "SELECT v FROM ta", "SELECT v FROM tb", k=64
+            )
+        )
+        .df()
+        .iloc[0]
+        .to_dict()
+    )
+    for c in (
+        "n_union_minima",
+        "n_common",
+        "jaccard_est",
+        "est_union",
+        "est_intersection",
+    ):
+        assert srow[c] == orow[c], c
+
+
+def test_k_lower_bound_rejected(spark):
+    import pytest
+
+    df = _vals(spark, ["a"])
+    with pytest.raises(ValueError):
+        kmv_minima(df, "v", k=1)
