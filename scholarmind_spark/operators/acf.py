@@ -52,18 +52,24 @@ def autocorrelation(
     with integer time key ``t`` and integer value ``y``."""
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
+    from scholarmind_spark.util import attach_caches
+
     spark = series.sparkSession
     lags = spark.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
+    # floor() before the bigint cast: Spark's cast TRUNCATES doubles while
+    # DuckDB's ::BIGINT rounds to nearest, so a non-integer series (mean
+    # latency per day) would silently diverge between the twins; floor is
+    # identical IEEE on both and a no-op for the documented integer inputs.
+    # The cast series is persist()-ed: BOTH self-join sides read it, and
+    # uncached each side re-runs the caller's upstream aggregation (the
+    # DuckDB twin pins __series MATERIALIZED for the same reason).
     a = series.select(
-        F.col(t_col).cast("bigint").alias("t"),
-        F.col(y_col).cast("bigint").alias("x"),
-    )
-    b = series.select(
-        F.col(t_col).cast("bigint").alias("t2"),
-        F.col(y_col).cast("bigint").alias("yv"),
-    )
+        F.floor(F.col(t_col)).cast("bigint").alias("t"),
+        F.floor(F.col(y_col)).cast("bigint").alias("x"),
+    ).persist()
+    b = a.select(F.col("t").alias("t2"), F.col("x").alias("yv"))
     pairs = (
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("t2") == F.col("t") + F.col("lag"))
@@ -80,13 +86,14 @@ def autocorrelation(
     vary = g["n"] * g["syy"] - g["sy"] * g["sy"]
     num = (g["n"] * g["sxy"] - g["sx"] * g["sy"]).cast("double")
     denom = F.sqrt(varx.cast("double") * vary.cast("double"))
-    return g.select(
+    out = g.select(
         "lag",
         F.col("n").alias("n_pairs"),
         F.when(
             (varx > 0) & (vary > 0), F.round(num / denom, 4)
         ).alias("acf"),
     ).orderBy("lag")
+    return attach_caches(out, [a])
 
 
 def autocorrelation_sql(
@@ -98,7 +105,8 @@ def autocorrelation_sql(
     in int64 so an overflow would fail loudly on either side rather
     than diverge silently)."""
     return f"""
-WITH __series AS MATERIALIZED (SELECT t::BIGINT AS t, y::BIGINT AS y
+WITH __series AS MATERIALIZED (SELECT floor(t)::BIGINT AS t,
+                                      floor(y)::BIGINT AS y
                                FROM ({series_sql})),
 __pairs AS (
   SELECT l.lag, a.y AS x, b.y AS yv

@@ -4964,7 +4964,7 @@ _ROUND8_FRONT = [
     "graph_triangles",
     "events_autocorrelation",
     "privacy_k_anonymity",
-    # last driver-checked in r5 (47)
+    # last driver-checked in r5 (42)
     "text_lang_id",
     "diag_curation_stages",
     "q1_pricing_summary",

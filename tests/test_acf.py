@@ -79,3 +79,24 @@ def test_max_lag_validated(spark):
 
     with pytest.raises(ValueError):
         autocorrelation(_series(spark, [(0, 1)]), max_lag=0)
+
+
+def test_non_integer_series_floors_identically_on_both_engines(spark):
+    # Spark's bigint cast truncates doubles, DuckDB's ::BIGINT rounds —
+    # the operator floors on both sides, so a fractional series (mean
+    # latency per day) cannot silently diverge between the twins.
+    pts = [(float(t), 2.7 + t) for t in range(8)]
+    df = spark.createDataFrame(pts, ["t", "y"])
+    srows = [tuple(r) for r in autocorrelation(df, max_lag=2).collect()]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (t DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", pts)
+    orows = [
+        tuple(r)
+        for r in con.execute(
+            autocorrelation_sql("SELECT t, y FROM s", max_lag=2)
+        ).fetchall()
+    ]
+    assert srows == orows
