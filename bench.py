@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "dedup_incremental",
     "dedup_cluster_reps",
+    "graph_triangles",
+    "sketch_distinct_kmv",
 ]
 
 

@@ -3708,6 +3708,48 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (Common Crawl) sink→source round-trip (sources/wet): write
+    documents as WARC/1.0 conversion records, re-parse with the
+    delimiter-framed byte-exact reader, recover doc_id/lang from the
+    target URI, and aggregate — the oracle aggregates the original
+    parquet directly, so any payload byte lost to the record framing or
+    the Content-Length slice breaks the hash."""
+    from scholarmind_spark.sources.wet import read_wet, write_wet
+    from scholarmind_spark.util import proc_tmp_dir
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://example.org/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        "text",
+    )
+    out = proc_tmp_dir("sm_wet")  # see _jsonl_back
+    write_wet(d, out)
+    back = read_wet(spark, out).select(
+        F.regexp_extract(F.col("uri"), r"example\.org/([a-z]+)/", 1).alias(
+            "lang"
+        ),
+        F.regexp_extract(F.col("uri"), r"/([0-9]+)\z", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "text",
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.sum(_md5_mod(F.col("text"))).cast("bigint").alias("text_h"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem slice → ORC sink → ORC source, shared by the roundtrip gate
     query and its per-column diagnostic twins."""
@@ -4610,6 +4652,78 @@ def _events_autocorrelation_sql() -> str:
     return autocorrelation_sql(series, max_lag=7)
 
 
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage audit: near-duplicate pairs that CROSS a
+    deterministic 80/20 split boundary (operators/sampling
+    deterministic_split × operators/neardup ngram_jaccard_against).
+    Random splits of a deduplicated-but-not-perfectly corpus leak
+    near-copies of training docs into eval (Lee et al. 2021 §6.2 — the
+    eval-inflation failure mode); this is the audit a pipeline runs
+    before trusting held-out metrics.  One row: split sizes, leaked-pair
+    count, distinct leaked eval docs, leak percentage."""
+    from scholarmind_spark.operators.neardup import ngram_jaccard_against
+    from scholarmind_spark.operators.sampling import deterministic_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = deterministic_split(
+        d, "doc_id", {"train": 0.8, "eval": 0.2}
+    ).persist()
+    train = s.where(F.col("split") == "train")
+    ev = s.where(F.col("split") == "eval")
+    pairs = ngram_jaccard_against(ev, train, threshold=0.5)
+    leaks = pairs.agg(
+        F.count("*").alias("n_leak_pairs"),
+        F.countDistinct("new_id").alias("n_leaked_eval_docs"),
+    )
+    counts = train.agg(F.count("*").alias("n_train")).crossJoin(
+        ev.agg(F.count("*").alias("n_eval"))
+    )
+    from scholarmind_spark.util import attach_caches
+
+    out = counts.crossJoin(leaks).select(
+        "n_train",
+        "n_eval",
+        "n_leak_pairs",
+        "n_leaked_eval_docs",
+        F.round(
+            F.lit(100) * F.col("n_leaked_eval_docs").cast("double")
+            / F.col("n_eval"),
+            2,
+        ).alias("leak_pct"),
+    )
+    return attach_caches(out, [s])
+
+
+def _dataset_split_leakage_sql() -> str:
+    from scholarmind_spark.operators.neardup import ngram_jaccard_against_sql
+    from scholarmind_spark.operators.sampling import deterministic_split_sql
+
+    case = deterministic_split_sql("doc_id", {"train": 0.8, "eval": 0.2})
+    pairs = ngram_jaccard_against_sql(
+        f"(SELECT doc_id, text FROM documents WHERE ({case}) = 'eval')",
+        f"(SELECT doc_id, text FROM documents WHERE ({case}) = 'train')",
+        threshold=0.5,
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+leaks AS (
+  SELECT count(*)::BIGINT AS n_leak_pairs,
+         count(DISTINCT new_id)::BIGINT AS n_leaked_eval_docs
+  FROM pairs
+),
+counts AS (
+  SELECT sum(CASE WHEN ({case}) = 'train' THEN 1 ELSE 0 END)::BIGINT
+           AS n_train,
+         sum(CASE WHEN ({case}) = 'eval' THEN 1 ELSE 0 END)::BIGINT
+           AS n_eval
+  FROM documents
+)
+SELECT n_train, n_eval, n_leak_pairs, n_leaked_eval_docs,
+       round(100 * n_leaked_eval_docs::DOUBLE / n_eval, 2) AS leak_pct
+FROM counts, leaks
+"""
+
+
 def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators/audit.k_anonymity_report): customer
     equivalence classes on (mktsegment, nation, 500-unit balance band),
@@ -4724,6 +4838,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "graph_triangles": graph_triangles,
     "events_autocorrelation": events_autocorrelation,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "dataset_split_leakage": dataset_split_leakage,
+    "wet_roundtrip": wet_roundtrip,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
@@ -4871,6 +4987,8 @@ ORACLE_SQL: dict[str, str] = {
     "graph_triangles": _graph_triangles_sql(),
     "events_autocorrelation": _events_autocorrelation_sql(),
     "privacy_k_anonymity": _privacy_k_anonymity_sql(),
+    "dataset_split_leakage": _dataset_split_leakage_sql(),
+    "wet_roundtrip": JSONL_ROUNDTRIP_SQL,
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
@@ -4964,6 +5082,8 @@ _ROUND8_FRONT = [
     "graph_triangles",
     "events_autocorrelation",
     "privacy_k_anonymity",
+    "dataset_split_leakage",
+    "wet_roundtrip",
     # last driver-checked in r5 (42)
     "text_lang_id",
     "diag_curation_stages",

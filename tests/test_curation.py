@@ -145,3 +145,33 @@ def test_stratified_sample_boundary_rate_cross_engine(spark):
     pred = stratified_sample_sql("k", "lang", {"en": rate, "de": rate})
     want = sorted(k for (k,) in con.execute(f"SELECT k FROM t WHERE {pred}").fetchall())
     assert got == want
+
+
+def test_split_leakage_audit_counts(spark):
+    # construct a corpus where doc B is a near-copy of doc A and the
+    # split is forced by key choice; the audit must count exactly the
+    # cross-split near-dup pairs
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.neardup import ngram_jaccard_against
+    from scholarmind_spark.operators.sampling import deterministic_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, base if i < 2 else f"totally different text number {i} " * 3)
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = deterministic_split(d, "doc_id", {"train": 0.5, "eval": 0.5})
+    splits = {r["doc_id"]: r["split"] for r in s.collect()}
+    train = s.where(F.col("split") == "train")
+    ev = s.where(F.col("split") == "eval")
+    pairs = ngram_jaccard_against(ev, train, threshold=0.9).collect()
+    if splits[0] != splits[1]:
+        # the near-identical pair crosses the boundary → exactly one leak
+        assert len(pairs) == 1
+        leaked = {p["new_id"] for p in pairs} | {p["corpus_id"] for p in pairs}
+        assert leaked == {0, 1}
+    else:
+        # both landed on the same side → nothing crosses
+        assert pairs == []

@@ -49,6 +49,30 @@ def main() -> None:
     def _noop(df):
         df.write.mode("overwrite").format("noop").save()
 
+    def _triangle(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.graph import (
+            cooccurrence_edges,
+            triangle_stats,
+        )
+        from scholarmind_spark.util import release_caches
+
+        out = triangle_stats(cooccurrence_edges(df))
+        out.collect()
+        release_caches(out)
+
+    def _kmv(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.sketch import kmv_distinct_report
+        from scholarmind_spark.operators.textstats import tokens
+
+        toks = df.select(
+            F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("v")
+        ).where(F.col("v") != "")
+        kmv_distinct_report(toks, "v", k=256).collect()
+
     spark = get_spark(app_name="endpoint-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -61,6 +85,13 @@ def main() -> None:
         # prune the whole computation) — time the full plan into a noop sink
         "gopher_flags": lambda df: _noop(gopher_quality_flags(df)),
         "gopher_repetition": lambda df: _noop(gopher_repetition_stats(df)),
+        # round-8 batch 2: graph census + KMV sketch.  Rotated replicas
+        # have disjoint vocabularies, so the co-occurrence graph is k
+        # disjoint components — census work must track k linearly.  The
+        # KMV report is ONE row; .collect() materializes the full
+        # scan+prefilter pipeline (nothing prunable upstream of the agg).
+        "triangle_census": _triangle,
+        "kmv_distinct": _kmv,
     }
     wanted = sys.argv[2:]
     if wanted:
