@@ -3645,7 +3645,14 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec breaks the hash.  All aggregates are integers (counts, sums,
     md5-mod checksums); nothing in the output depends on string ordering
     or float formatting."""
-    back = _jsonl_back(spark, sf_dir)
+    return _docs_lang_agg(_jsonl_back(spark, sf_dir))
+
+
+def _docs_lang_agg(back: DataFrame) -> DataFrame:
+    """Shared per-lang roundtrip aggregate (n, id_sum, text_chars,
+    text_h) — jsonl_roundtrip and wet_roundtrip both compare against the
+    single oracle JSONL_ROUNDTRIP_SQL, so they must aggregate through
+    ONE code path or an edit to either silently decouples the other."""
     return (
         back.groupBy("lang")
         .agg(
@@ -3738,16 +3745,7 @@ def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "text",
     )
-    return (
-        back.groupBy("lang")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("doc_id").alias("id_sum"),
-            F.sum(F.length("text")).alias("text_chars"),
-            F.sum(_md5_mod(F.col("text"))).cast("bigint").alias("text_h"),
-        )
-        .orderBy("lang")
-    )
+    return _docs_lang_agg(back)
 
 
 def _orc_back(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4680,6 +4678,10 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from scholarmind_spark.util import attach_caches
 
+    # propagate the shingle-array cache ngram_jaccard_against attached to
+    # `pairs` — attaching only [s] would leak the corpus-wide docs cache
+    # past release_caches(out)
+    inner = list(getattr(pairs, "_sm_caches", []))
     out = counts.crossJoin(leaks).select(
         "n_train",
         "n_eval",
@@ -4691,7 +4693,7 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("leak_pct"),
     )
-    return attach_caches(out, [s])
+    return attach_caches(out, [s, *inner])
 
 
 def _dataset_split_leakage_sql() -> str:

@@ -64,11 +64,21 @@ def write_wet(
     """Serialize ``df(uri, text)`` as WET records into text part files.
     ``Content-Length`` is the payload's octet length (WARC spec), so a
     byte-exact reader can recover the payload regardless of trailing
-    separators."""
+    separators.
+
+    CR/LF in the URI are percent-encoded before serialization (RFC 3986
+    forbids raw control chars in URIs anyway): a verbatim embed would
+    let one row FORGE header lines — ``uri = 'https://x/a\\r\\n``
+    ``Content-Length: 999999'`` injects a second Content-Length whose
+    value the reader's regex would match first, over-reading the slice
+    and desynchronizing the shard."""
+    safe_uri = F.regexp_replace(
+        F.regexp_replace(F.col(uri_col), "\r", "%0D"), "\n", "%0A"
+    )
     rec = F.concat(
         F.lit(WET_DELIM),
         F.lit("WARC-Type: conversion\r\n"),
-        F.lit("WARC-Target-URI: "), F.col(uri_col), F.lit("\r\n"),
+        F.lit("WARC-Target-URI: "), safe_uri, F.lit("\r\n"),
         F.lit(f"WARC-Date: {date}\r\n"),
         F.lit("Content-Type: text/plain\r\n"),
         F.lit("Content-Length: "),
@@ -89,17 +99,22 @@ def read_wet(
     raw = spark.read.option("lineSep", WET_DELIM).text(path)
     rec = raw.filter(F.trim(F.col("value")) != "")
     header = F.substring_index(F.col("value"), "\r\n\r\n", 1)
+    # every field regex is LINE-ANCHORED ((?m)^): an unanchored
+    # 'Content-Length:' would also match the same byte sequence occurring
+    # mid-line in another header's VALUE (e.g. a URI containing the
+    # percent-encoded remains of an injection attempt) and silently take
+    # the wrong length
     parsed = rec.select(
-        F.regexp_extract(header, r"WARC-Type: ([^\r\n]+)", 1).alias(
+        F.regexp_extract(header, r"(?m)^WARC-Type: ([^\r\n]+)", 1).alias(
             "warc_type"
         ),
-        F.regexp_extract(header, r"WARC-Target-URI: ([^\r\n]+)", 1).alias(
-            "uri"
-        ),
-        F.regexp_extract(header, r"WARC-Date: ([^\r\n]+)", 1).alias(
+        F.regexp_extract(
+            header, r"(?m)^WARC-Target-URI: ([^\r\n]+)", 1
+        ).alias("uri"),
+        F.regexp_extract(header, r"(?m)^WARC-Date: ([^\r\n]+)", 1).alias(
             "warc_date"
         ),
-        F.regexp_extract(header, r"Content-Length: ([0-9]+)", 1)
+        F.regexp_extract(header, r"(?m)^Content-Length: ([0-9]+)", 1)
         .cast("long")
         .alias("content_length"),
         # payload starts after header + the blank line (4 chars \r\n\r\n);

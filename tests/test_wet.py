@@ -105,3 +105,18 @@ def test_every_part_file_is_self_delimiting(spark, tmp_path):
         if head:  # empty partitions produce empty files — also valid
             assert head == b"WARC/1.0\r"
     assert len(read_wet(spark, path).collect()) == 20
+
+
+def test_writer_percent_encodes_header_injection(spark, tmp_path):
+    # a URI carrying CR/LF must not forge header lines (e.g. a second
+    # Content-Length) — the writer percent-encodes the control chars and
+    # the record round-trips intact
+    evil = "https://a.example/x\r\nContent-Length: 999999"
+    rows = [(evil, "payload"), ("https://a.example/ok", "fine")]
+    path = str(tmp_path / "wet")
+    write_wet(spark.createDataFrame(rows, ["uri", "text"]), path)
+    back = {r["uri"]: r["text"] for r in read_wet(spark, path).collect()}
+    assert back == {
+        "https://a.example/x%0D%0AContent-Length: 999999": "payload",
+        "https://a.example/ok": "fine",
+    }

@@ -50,8 +50,6 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
 
     def _triangle(df):
-        from pyspark.sql import functions as F
-
         from scholarmind_spark.operators.graph import (
             cooccurrence_edges,
             triangle_stats,
