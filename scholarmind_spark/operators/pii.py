@@ -21,7 +21,7 @@ if ever required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (category, pattern, replacement) — applied IN ORDER for redaction:
@@ -84,3 +84,79 @@ def redact_pii_sql_expr(text_expr: str) -> str:
     for _, pat, repl in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+# ------------------------------------------------------- Luhn validation
+#
+# The shape patterns above trade recall for precision, but a 16-digit
+# run in prose (an order id, a barcode) still false-positives as "card".
+# Real payment-card numbers carry a Luhn (ISO/IEC 7812) check digit:
+# from the RIGHT, double every second digit, subtract 9 from doubles
+# > 9, and the grand total must be ≡ 0 (mod 10).  Random digit runs
+# pass only 10% of the time, so validating cuts card false positives
+# ~10× — the difference between a usable PII report and noise at
+# corpus scale.
+#
+# All-JVM Column math (split → indexed transform → aggregate), RE2-safe
+# twin (list_transform over a range of 1-based positions — DuckDB's
+# lambda has no index parameter).  Candidates are 13-19 digit runs with
+# optional single space/dash separators, the ISO length envelope.
+
+CARD_CANDIDATE_RE = r"\b\d(?:[- ]?\d){12,18}\b"
+
+
+def luhn_valid(col: Column) -> Column:
+    """True iff ``col`` (digits with optional ``-``/space separators) has
+    a valid Luhn checksum.  Position parity is taken from the RIGHT
+    (0-based index over the reversed digit string; odd indexes double)."""
+    digits = F.regexp_replace(col, "[- ]", "")
+    chars = F.split(F.reverse(digits), "")
+    vals = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            (F.ascii(c) - 48) * 2
+            - F.when((F.ascii(c) - 48) * 2 > 9, F.lit(9)).otherwise(F.lit(0)),
+        ).otherwise(F.ascii(c) - 48),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) >= 13) & (total % 10 == 0)
+
+
+def luhn_valid_sql(expr: str) -> str:
+    """DuckDB twin of :func:`luhn_valid` — 1-based positions over the
+    reversed digit string, so EVEN positions double (= Spark's odd
+    0-based indexes)."""
+    digits = f"regexp_replace({expr}, '[- ]', '', 'g')"
+    return (
+        f"(length({digits}) >= 13 AND list_sum(list_transform("
+        f"range(1, length({digits}) + 1), i -> CASE WHEN i % 2 = 0 THEN "
+        f"(ascii(reverse({digits})[i]) - 48) * 2 - "
+        f"CASE WHEN (ascii(reverse({digits})[i]) - 48) * 2 > 9 THEN 9 ELSE 0 END "
+        f"ELSE ascii(reverse({digits})[i]) - 48 END)) % 10 = 0)"
+    )
+
+
+def with_card_validation(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_card_candidates`` (13-19 digit runs, separators
+    allowed) and ``n_card_luhn_valid`` (those passing the checksum) —
+    the validated count is the one a PII report should surface."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE_RE), F.lit(0)
+    )
+    valid = F.filter(cands, luhn_valid)
+    return df.select(
+        "*",
+        F.size(cands).alias("n_card_candidates"),
+        F.size(valid).alias("n_card_luhn_valid"),
+    )
+
+
+def with_card_validation_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`with_card_validation`."""
+    cands = f"regexp_extract_all({text_col}, '{CARD_CANDIDATE_RE}')"
+    return (
+        f"SELECT *, len({cands}) AS n_card_candidates, "
+        f"len(list_filter({cands}, c -> {luhn_valid_sql('c')})) "
+        f"AS n_card_luhn_valid FROM {table}"
+    )

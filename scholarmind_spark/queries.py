@@ -4726,6 +4726,53 @@ FROM counts, leaks
 """
 
 
+def text_card_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card detection (operators/pii.with_card_validation):
+    every doc gets a synthetic 16-digit run whose last digit cycles with
+    doc_id, so ~10% carry a valid ISO 7812 check digit — the gate
+    groups by that trailing digit and shows the validator separating
+    real-checksum runs from shape-only lookalikes (the ~10x
+    false-positive cut a corpus PII report needs)."""
+    from scholarmind_spark.operators.pii import with_card_validation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("pay "),
+            F.lpad((F.col("doc_id") * 6121212121).cast("string"), 15, "0"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    v = with_card_validation(d)
+    return (
+        v.groupBy((F.col("doc_id") % 10).alias("check_digit"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_card_candidates").alias("n_candidates"),
+            F.sum("n_card_luhn_valid").alias("n_valid"),
+        )
+        .orderBy("check_digit")
+    )
+
+
+def _text_card_luhn_sql() -> str:
+    from scholarmind_spark.operators.pii import with_card_validation_sql
+
+    synth = (
+        "(SELECT doc_id, 'pay ' || lpad((doc_id * 6121212121)::VARCHAR, 15, '0')"
+        " || (doc_id % 10)::VARCHAR || ' now' AS text FROM documents)"
+    )
+    inner = with_card_validation_sql(synth)
+    return f"""
+SELECT doc_id % 10 AS check_digit, count(*)::BIGINT AS n_docs,
+       sum(n_card_candidates)::BIGINT AS n_candidates,
+       sum(n_card_luhn_valid)::BIGINT AS n_valid
+FROM ({inner})
+GROUP BY doc_id % 10 ORDER BY check_digit
+"""
+
+
 def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators/audit.k_anonymity_report): customer
     equivalence classes on (mktsegment, nation, 500-unit balance band),
@@ -4842,6 +4889,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "dataset_split_leakage": dataset_split_leakage,
     "wet_roundtrip": wet_roundtrip,
+    "text_card_luhn": text_card_luhn,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
@@ -4991,6 +5039,7 @@ ORACLE_SQL: dict[str, str] = {
     "privacy_k_anonymity": _privacy_k_anonymity_sql(),
     "dataset_split_leakage": _dataset_split_leakage_sql(),
     "wet_roundtrip": JSONL_ROUNDTRIP_SQL,
+    "text_card_luhn": _text_card_luhn_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
@@ -5086,6 +5135,7 @@ _ROUND8_FRONT = [
     "privacy_k_anonymity",
     "dataset_split_leakage",
     "wet_roundtrip",
+    "text_card_luhn",
     # last driver-checked in r5 (42)
     "text_lang_id",
     "diag_curation_stages",

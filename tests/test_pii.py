@@ -86,3 +86,68 @@ def test_patterns_have_no_dialect_specials():
     for _, pat, _ in PII_PATTERNS:
         assert "(?<" not in pat and "(?=" not in pat and "(?!" not in pat
         assert "\\p" not in pat and "\\1" not in pat
+
+
+# ------------------------------------------------------- Luhn validation
+
+def test_luhn_known_numbers(spark):
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pii import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),   # classic Visa test number
+        ("4111 1111 1111 1111", True),  # separators ignored
+        ("4539-5787-6362-1486", True),
+        ("4111111111111112", False),  # off-by-one check digit
+        ("79927398713", False),       # Luhn-valid but < 13 digits
+        ("1234567890123", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = {
+        r["s"]: r["ok"]
+        for r in df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()
+    }
+    assert got == dict(cases)
+
+
+def test_card_validation_counts_and_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.pii import (
+        with_card_validation,
+        with_card_validation_sql,
+    )
+
+    texts = [
+        ("pay 4111 1111 1111 1111 now or 1234567890123 maybe",),
+        ("order 123456 has no card",),
+        ("two: 4539578763621486 and 4111-1111-1111-1112",),
+    ]
+    df = spark.createDataFrame(texts, ["text"])
+    srows = [tuple(r) for r in with_card_validation(df).collect()]
+    assert srows == [
+        (texts[0][0], 2, 1),
+        (texts[1][0], 0, 0),
+        (texts[2][0], 2, 1),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tx (text VARCHAR)")
+    con.executemany("INSERT INTO tx VALUES (?)", texts)
+    orows = con.execute(with_card_validation_sql("tx")).fetchall()
+    assert sorted(srows) == sorted(orows)
+
+
+def test_luhn_rejects_random_runs_at_ten_percent(spark):
+    # deterministic pseudo-random 16-digit runs: ~10% should pass — the
+    # false-positive cut the validator exists for (exactly the runs whose
+    # implied check digit happens to match)
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pii import luhn_valid
+
+    df = spark.range(0, 500).select(
+        F.lpad(((F.col("id") * 6121212121) % 9999999999999999).cast("string"), 16, "0").alias("s")
+    )
+    n_valid = df.filter(luhn_valid(F.col("s"))).count()
+    assert 20 <= n_valid <= 80  # ≈10% of 500, generous band
