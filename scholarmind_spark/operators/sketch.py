@@ -244,3 +244,141 @@ SELECT {k} AS k, n_union_minima, n_common,
              * ({est_union})::DOUBLE, 0)::BIGINT AS est_intersection
 FROM uagg, cagg
 """
+
+
+# ---------------------------------------------------- count-min sketch
+#
+# Cormode & Muthukrishnan 2005: d hash rows × w counters; every value
+# increments one counter per row; a point estimate is the MIN of its d
+# counters.  Estimates NEVER undercount (each counter ≥ the true count)
+# and overcount by at most εN with probability 1-δ for w = e/ε, d =
+# ln(1/δ).  The sketch is fixed-size and mergeable (cell-wise add), so
+# frequency estimation over a 100 TB stream shuffles d·w counters
+# instead of the full distinct-key space — the companion to the KMV
+# sketch above (KMV answers "how many distinct", CMS answers "how often
+# is THIS one").
+#
+# Determinism: row hashes are the 60-bit md5 device XOR'd with fixed odd
+# seeds, reduced mod w — bit-identical in the DuckDB twin.
+
+CMS_SEEDS = (
+    0x243F6A8885A308D3,  # fixed odd constants (π hex digits — nothing
+    0x13198A2E03707344,  # up the sleeve), masked to 60 bits to stay in
+    0xA4093822299F31D0,  # the hash's domain
+    0x082EFA98EC4E6C89,
+)
+_CMS_MASK = (1 << 60) - 1
+
+
+def _cms_bucket(h: Column, seed: int, width: int) -> Column:
+    return h.bitwiseXOR(F.lit(seed & _CMS_MASK)) % width
+
+
+def _cms_bucket_sql(h: str, seed: int, width: int) -> str:
+    return f"(xor({h}, {seed & _CMS_MASK}) % {width})"
+
+
+def cms_build(
+    df: DataFrame, col: str | Column, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """The sketch as rows ``(row, bucket, cnt)`` — at most depth·width
+    cells regardless of input size.  One explode to depth rows per
+    value, one map-side-combined groupBy; absent cells mean 0."""
+    if depth > len(CMS_SEEDS):
+        raise ValueError(f"depth <= {len(CMS_SEEDS)} (fixed seed list)")
+    v = _value_col(df, col)
+    h = df.select(minhash_base(v).alias("h")).where(F.col("h").isNotNull())
+    cells = h.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("h"), CMS_SEEDS[r], width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return cells.groupBy("rb.row", "rb.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    col: str | Column,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """``key, cms_est`` for every row of ``keys`` — min over the d
+    looked-up counters (0 when a cell is absent).  The sketch side is
+    tiny (≤ d·w cells) and broadcast."""
+    v = _value_col(keys, col)
+    probes = keys.select(v.alias("key")).distinct()
+    expanded = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(
+                            minhash_base(F.col("key")), CMS_SEEDS[r], width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("key", "rb.row", "rb.bucket")
+    joined = expanded.join(F.broadcast(cells), ["row", "bucket"], "left")
+    return (
+        joined.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_build_sql(values_query: str, width: int = 1024, depth: int = 4) -> str:
+    """DuckDB twin of :func:`cms_build` over a subquery yielding ``v``."""
+    if depth > len(CMS_SEEDS):
+        raise ValueError(f"depth <= {len(CMS_SEEDS)} (fixed seed list)")
+    h = minhash_base_sql("v")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_bucket_sql('h', CMS_SEEDS[r], width)} AS bucket"
+        f" FROM hashed"
+        for r in range(depth)
+    )
+    return f"""
+WITH hashed AS (SELECT {h} AS h FROM ({values_query}) WHERE v IS NOT NULL),
+cells0 AS ({rows})
+SELECT row, bucket, count(*)::BIGINT AS cnt
+FROM cells0 GROUP BY row, bucket
+"""
+
+
+def cms_estimate_sql(
+    cells_query: str,
+    keys_query: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cms_estimate` — ``keys_query`` yields ``v``."""
+    h = minhash_base_sql("key")
+    probes = " UNION ALL ".join(
+        f"SELECT key, {r} AS row, {_cms_bucket_sql(h, CMS_SEEDS[r], width)}"
+        f" AS bucket FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH cells AS MATERIALIZED ({cells_query}),
+probes AS (SELECT DISTINCT v AS key FROM ({keys_query}) WHERE v IS NOT NULL),
+expanded AS ({probes})
+SELECT e.key, min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+FROM expanded e LEFT JOIN cells c ON e.row = c.row AND e.bucket = c.bucket
+GROUP BY e.key
+"""

@@ -4773,6 +4773,92 @@ GROUP BY doc_id % 10 ORDER BY check_digit
 """
 
 
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketch.cms_*):
+    token counts estimated from a deliberately NARROW 4×16 sketch (the
+    ~31-token vocabulary forces collisions) next to the exact counts —
+    the output exhibits the CMS one-sided guarantee (estimates never
+    undercount; ``overcount`` ≥ 0 always) on the 10 most frequent
+    tokens."""
+    from scholarmind_spark.operators.sketch import cms_build, cms_estimate
+    from scholarmind_spark.operators.textstats import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("v")
+    ).where(F.col("v") != "").persist()
+    cells = cms_build(toks, "v", width=16, depth=4)
+    exact = (
+        toks.groupBy("v")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "v")
+        .limit(10)
+    )
+    est = cms_estimate(cells, exact.select("v"), "v", width=16, depth=4)
+    from scholarmind_spark.util import attach_caches
+
+    out = (
+        exact.join(est, exact["v"] == est["key"])
+        .select(
+            exact["v"].alias("token"),
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "token")
+    )
+    return attach_caches(out, [toks])
+
+
+def _sketch_cms_topk_sql() -> str:
+    from scholarmind_spark.operators.sketch import (
+        cms_build_sql,
+        cms_estimate_sql,
+    )
+    from scholarmind_spark.operators.textstats import tokens_sql
+
+    toks = (
+        f"SELECT v FROM (SELECT lower(unnest({tokens_sql('text')})) AS v"
+        f" FROM documents) WHERE v <> ''"
+    )
+    cells = cms_build_sql(toks, width=16, depth=4)
+    exact = (
+        f"SELECT v, count(*)::BIGINT AS exact_n FROM ({toks}) GROUP BY v"
+        f" ORDER BY exact_n DESC, v LIMIT 10"
+    )
+    est = cms_estimate_sql(cells, f"SELECT v FROM ({exact})", width=16, depth=4)
+    return f"""
+WITH exact AS MATERIALIZED ({exact}),
+est AS ({est})
+SELECT exact.v AS token, exact_n, cms_est,
+       (cms_est - exact_n)::BIGINT AS overcount
+FROM exact JOIN est ON exact.v = est.key
+ORDER BY exact_n DESC, token
+"""
+
+
+def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout locality (operators/zorder): Morton-interleave
+    (user_id, epoch-day) and compare per-bucket x/y spans against an
+    x-only sort — the z-buckets stay narrow in BOTH dimensions, which is
+    why a z-ordered table prunes filters on either key (the Delta/
+    Iceberg OPTIMIZE ZORDER device as a deterministic aggregate)."""
+    from scholarmind_spark.operators.zorder import zorder_locality_report
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    )
+    return zorder_locality_report(e, "user_id", "day", buckets=16)
+
+
+def _events_zorder_locality_sql() -> str:
+    from scholarmind_spark.operators.zorder import zorder_locality_report_sql
+
+    return zorder_locality_report_sql(
+        "events", "user_id", "floor(epoch(ts))::BIGINT // 86400", buckets=16
+    )
+
+
 def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators/audit.k_anonymity_report): customer
     equivalence classes on (mktsegment, nation, 500-unit balance band),
@@ -4890,6 +4976,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dataset_split_leakage": dataset_split_leakage,
     "wet_roundtrip": wet_roundtrip,
     "text_card_luhn": text_card_luhn,
+    "events_zorder_locality": events_zorder_locality,
+    "sketch_cms_topk": sketch_cms_topk,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
@@ -5040,6 +5128,8 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_split_leakage": _dataset_split_leakage_sql(),
     "wet_roundtrip": JSONL_ROUNDTRIP_SQL,
     "text_card_luhn": _text_card_luhn_sql(),
+    "events_zorder_locality": _events_zorder_locality_sql(),
+    "sketch_cms_topk": _sketch_cms_topk_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
@@ -5136,6 +5226,8 @@ _ROUND8_FRONT = [
     "dataset_split_leakage",
     "wet_roundtrip",
     "text_card_luhn",
+    "events_zorder_locality",
+    "sketch_cms_topk",
     # last driver-checked in r5 (42)
     "text_lang_id",
     "diag_curation_stages",

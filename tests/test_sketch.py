@@ -128,3 +128,64 @@ def test_k_lower_bound_rejected(spark):
     df = _vals(spark, ["a"])
     with pytest.raises(ValueError):
         kmv_minima(df, "v", k=1)
+
+
+# ---------------------------------------------------- count-min sketch
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    from scholarmind_spark.operators.sketch import cms_build, cms_estimate
+
+    vals = [f"t{i % 20}" for i in range(300)]  # t0..t19, 15 each
+    df = _vals(spark, vals)
+    # wide sketch: 20 keys in 4x1024 cells → no collisions → exact
+    cells = cms_build(df, "v", width=1024, depth=4)
+    est = cms_estimate(cells, df.select("v").distinct(), "v", width=1024, depth=4)
+    assert {r["key"]: r["cms_est"] for r in est.collect()} == {
+        f"t{i}": 15 for i in range(20)
+    }
+    # narrow sketch: collisions forced → one-sided error only
+    cells_n = cms_build(df, "v", width=4, depth=4)
+    est_n = cms_estimate(cells_n, df.select("v").distinct(), "v", width=4, depth=4)
+    for r in est_n.collect():
+        assert r["cms_est"] >= 15
+
+
+def test_cms_duckdb_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_build_sql,
+        cms_estimate,
+        cms_estimate_sql,
+    )
+
+    vals = [f"k{(i * 7) % 13}" for i in range(200)]
+    df = _vals(spark, vals, partitions=5)
+    cells = cms_build(df, "v", width=8, depth=3)
+    est = cms_estimate(cells, df.select("v"), "v", width=8, depth=3)
+    srows = sorted(tuple(r) for r in est.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tv (v VARCHAR)")
+    con.executemany("INSERT INTO tv VALUES (?)", [(v,) for v in vals])
+    q = cms_estimate_sql(
+        cms_build_sql("SELECT v FROM tv", width=8, depth=3),
+        "SELECT v FROM tv",
+        width=8,
+        depth=3,
+    )
+    orows = sorted(con.execute(q).fetchall())
+    assert srows == orows
+
+
+def test_cms_depth_validated(spark):
+    import pytest
+
+    from scholarmind_spark.operators.sketch import cms_build, cms_build_sql
+
+    df = _vals(spark, ["a"])
+    with pytest.raises(ValueError):
+        cms_build(df, "v", depth=9)
+    with pytest.raises(ValueError):
+        cms_build_sql("SELECT v FROM t", depth=9)
