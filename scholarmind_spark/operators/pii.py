@@ -120,7 +120,9 @@ def luhn_valid(col: Column) -> Column:
         ).otherwise(F.ascii(c) - 48),
     )
     total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
-    return (F.length(digits) >= 13) & (total % 10 == 0)
+    # both ends of the ISO envelope: 20+ digit checksum-passing runs
+    # (long ids, barcodes) are exactly the noise the validator cuts
+    return F.length(digits).between(13, 19) & (total % 10 == 0)
 
 
 def luhn_valid_sql(expr: str) -> str:
@@ -129,7 +131,7 @@ def luhn_valid_sql(expr: str) -> str:
     0-based indexes)."""
     digits = f"regexp_replace({expr}, '[- ]', '', 'g')"
     return (
-        f"(length({digits}) >= 13 AND list_sum(list_transform("
+        f"(length({digits}) BETWEEN 13 AND 19 AND list_sum(list_transform("
         f"range(1, length({digits}) + 1), i -> CASE WHEN i % 2 = 0 THEN "
         f"(ascii(reverse({digits})[i]) - 48) * 2 - "
         f"CASE WHEN (ascii(reverse({digits})[i]) - 48) * 2 > 9 THEN 9 ELSE 0 END "

@@ -317,9 +317,24 @@ def cms_estimate(
 ) -> DataFrame:
     """``key, cms_est`` for every row of ``keys`` — min over the d
     looked-up counters (0 when a cell is absent).  The sketch side is
-    tiny (≤ d·w cells) and broadcast."""
+    tiny (≤ d·w cells) and broadcast.
+
+    ``width``/``depth`` MUST equal the build-time parameters: a
+    mismatched probe addresses cells the build never wrote, the left
+    join coalesces them to 0, and min() collapses every estimate to 0 —
+    a total undercount from a sketch whose contract is one-sided error.
+    The parameters are validated for range here exactly as in
+    :func:`cms_build`; carrying them alongside the cells is the
+    caller's job (they are two ints — store them next to the sketch).
+    NULL keys are dropped (not set members, same as :func:`cms_build`)."""
+    if depth > len(CMS_SEEDS):
+        raise ValueError(f"depth <= {len(CMS_SEEDS)} (fixed seed list)")
     v = _value_col(keys, col)
-    probes = keys.select(v.alias("key")).distinct()
+    probes = (
+        keys.select(v.alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+    )
     expanded = probes.select(
         "key",
         F.explode(

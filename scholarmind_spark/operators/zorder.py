@@ -76,17 +76,28 @@ def layout_by_zorder(
     Both keys are min-max scaled to the full ``bits`` width first (one
     extra tiny aggregate + broadcast): without it a dimension with more
     effective bits dominates every range split and the layout degrades
-    to a single-column sort (see :func:`zorder_locality_report`)."""
+    to a single-column sort (see :func:`zorder_locality_report`).
+
+    The scaling is int64 ((key - lo) · 2^bits must fit): key RANGES up
+    to 2^(63-bits) are safe — epoch-micros-sized ranges need a coarser
+    pre-quantization first.  Keys are cast to bigint before the
+    arithmetic; int32 inputs would otherwise overflow the multiply at
+    ranges ≥ 2^(31-bits) (ANSI mode turns that into a runtime error,
+    non-ANSI into silent z-value corruption)."""
     rng = df.agg(
-        F.min(x_col).alias("__xlo"), F.max(x_col).alias("__xhi"),
-        F.min(y_col).alias("__ylo"), F.max(y_col).alias("__yhi"),
+        F.min(F.col(x_col).cast("bigint")).alias("__xlo"),
+        F.max(F.col(x_col).cast("bigint")).alias("__xhi"),
+        F.min(F.col(y_col).cast("bigint")).alias("__ylo"),
+        F.max(F.col(y_col).cast("bigint")).alias("__yhi"),
     )
     scaled = df.crossJoin(F.broadcast(rng))
     xs = F.expr(
-        f"(({x_col} - __xlo) * {1 << bits}) div (__xhi - __xlo + 1)"
+        f"((cast({x_col} as bigint) - __xlo) * {1 << bits})"
+        f" div (__xhi - __xlo + 1)"
     )
     ys = F.expr(
-        f"(({y_col} - __ylo) * {1 << bits}) div (__yhi - __ylo + 1)"
+        f"((cast({y_col} as bigint) - __ylo) * {1 << bits})"
+        f" div (__yhi - __ylo + 1)"
     )
     return (
         scaled.withColumn("__zv", zvalue(xs, ys, bits))
@@ -123,15 +134,23 @@ def zorder_locality_report(
         F.min("x").alias("__xlo"), F.max("x").alias("__xhi"),
         F.min("y").alias("__ylo"), F.max("y").alias("__yhi"),
     )
-    scaled = base.crossJoin(F.broadcast(rng)).select(
-        "x",
-        "y",
-        F.expr(
-            f"((x - __xlo) * {1 << bits}) div (__xhi - __xlo + 1)"
-        ).alias("xs"),
-        F.expr(
-            f"((y - __ylo) * {1 << bits}) div (__yhi - __ylo + 1)"
-        ).alias("ys"),
+    # persist(): the scaled relation feeds FIVE consumers (the per-branch
+    # range aggs and both union projections) — uncached each re-runs the
+    # source scan + scaling, the exact class the DuckDB twin pins with
+    # AS MATERIALIZED.  Tagged via attach_caches for release_caches().
+    scaled = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            "x",
+            "y",
+            F.expr(
+                f"((x - __xlo) * {1 << bits}) div (__xhi - __xlo + 1)"
+            ).alias("xs"),
+            F.expr(
+                f"((y - __ylo) * {1 << bits}) div (__yhi - __ylo + 1)"
+            ).alias("ys"),
+        )
+        .persist()
     )
     zv = zvalue(F.col("xs"), F.col("ys"), bits)
 
@@ -154,7 +173,7 @@ def zorder_locality_report(
         )
 
     both = bucketed(zv, "zorder").unionByName(bucketed(F.col("x"), "xsort"))
-    return (
+    out = (
         both.groupBy("strategy", "bucket")
         .agg(
             F.count("*").alias("n"),
@@ -163,6 +182,9 @@ def zorder_locality_report(
         )
         .orderBy("strategy", "bucket")
     )
+    from scholarmind_spark.util import attach_caches
+
+    return attach_caches(out, [scaled])
 
 
 def zorder_locality_report_sql(

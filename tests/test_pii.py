@@ -151,3 +151,23 @@ def test_luhn_rejects_random_runs_at_ten_percent(spark):
     )
     n_valid = df.filter(luhn_valid(F.col("s"))).count()
     assert 20 <= n_valid <= 80  # ≈10% of 500, generous band
+
+
+def test_luhn_rejects_overlong_runs(spark):
+    # 20 zeros sum to 0 (mod 10) but sit outside the 13-19 ISO envelope
+    from pyspark.sql import functions as F
+
+    import duckdb
+
+    from scholarmind_spark.operators.pii import luhn_valid, luhn_valid_sql
+
+    df = spark.createDataFrame([("0" * 20,), ("0" * 16,)], ["s"])
+    got = {
+        r["s"]: r["ok"]
+        for r in df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()
+    }
+    assert got == {"0" * 20: False, "0" * 16: True}
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT {luhn_valid_sql(chr(39) + '0' * 20 + chr(39))}"
+    ).fetchone()[0] is False

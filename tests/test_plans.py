@@ -40,6 +40,18 @@ BNLJ_OK = {
     # are the only BNLJ participants (the dominance join is an equi-join
     # on the high-cardinality normalized title)
     "lit_fuzzy_dedup",
+    # round-8 batch 2: every entry below is a ONE-ROW scalar attach
+    # (crossJoin of a broadcast single-row aggregate — k-min/kth, exact
+    # counts, dim ranges, split sizes) or a ≤k-row sketch intersection;
+    # no side grows with the data
+    "sketch_distinct_kmv",
+    "sketch_overlap_kmv",
+    "sketch_cms_topk",
+    "graph_triangles",
+    "events_autocorrelation",
+    "privacy_k_anonymity",
+    "dataset_split_leakage",
+    "events_zorder_locality",
 }
 
 

@@ -189,3 +189,19 @@ def test_cms_depth_validated(spark):
         cms_build(df, "v", depth=9)
     with pytest.raises(ValueError):
         cms_build_sql("SELECT v FROM t", depth=9)
+
+
+def test_cms_estimate_drops_null_keys_and_validates_depth(spark):
+    import pytest
+
+    from scholarmind_spark.operators.sketch import cms_build, cms_estimate
+
+    vals = ["a", "a", "b"]
+    df = _vals(spark, vals, partitions=2)
+    cells = cms_build(df, "v", width=8, depth=3)
+    keys = spark.createDataFrame([("a",), ("b",), (None,)], ["v"])
+    est = {r["key"]: r["cms_est"] for r in
+           cms_estimate(cells, keys, "v", width=8, depth=3).collect()}
+    assert est == {"a": 2, "b": 1}  # no spurious (None, 0) row
+    with pytest.raises(ValueError):
+        cms_estimate(cells, keys, "v", width=8, depth=9)

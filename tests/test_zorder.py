@@ -107,3 +107,18 @@ def test_zvalue_bits_validated(spark):
         _z(spark, 1, 1, bits=32)
     with pytest.raises(ValueError):
         zvalue_sql("x", "y", 0)
+
+
+def test_layout_survives_int32_keys_with_wide_range(spark):
+    # int32 inputs with range >= 2^(31-bits) overflowed the scaling
+    # multiply before the bigint cast (ANSI runtime error); the layout
+    # must handle them
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("x", T.IntegerType()), T.StructField("y", T.IntegerType())]
+    )
+    pts = [(i * 1000, (80000 - i * 1000)) for i in range(81)]
+    df = spark.createDataFrame(pts, schema)
+    out = layout_by_zorder(df, "x", "y", partitions=4, bits=16)
+    assert sorted(tuple(r) for r in out.collect()) == sorted(pts)
