@@ -97,6 +97,27 @@ def read_wet(
     Content-Length-truncated fragments) are kept with ``_corrupt=true``
     instead of filtered."""
     raw = spark.read.option("lineSep", WET_DELIM).text(path)
+    return _parse_wet(raw, keep_corrupt)
+
+
+def read_wet_stream(
+    spark: SparkSession, path: str, keep_corrupt: bool = False
+) -> DataFrame:
+    """Streaming twin of :func:`read_wet` over a watched directory — the
+    continuous-crawl ingest shape (new ``*.wet`` shards land, records
+    flow downstream incrementally).  The record framing and parse are
+    the SAME Column expressions as the batch reader (one code path, so
+    stream == batch by construction — asserted by the availableNow
+    drain test), and everything stays map-only: a WET parse adds no
+    state, watermarks belong to whatever aggregation follows."""
+    raw = (
+        spark.readStream.option("lineSep", WET_DELIM)
+        .text(path)
+    )
+    return _parse_wet(raw, keep_corrupt)
+
+
+def _parse_wet(raw: DataFrame, keep_corrupt: bool) -> DataFrame:
     rec = raw.filter(F.trim(F.col("value")) != "")
     header = F.substring_index(F.col("value"), "\r\n\r\n", 1)
     # every field regex is LINE-ANCHORED ((?m)^): an unanchored

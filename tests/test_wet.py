@@ -120,3 +120,20 @@ def test_writer_percent_encodes_header_injection(spark, tmp_path):
         "https://a.example/x%0D%0AContent-Length: 999999": "payload",
         "https://a.example/ok": "fine",
     }
+
+
+def test_streaming_wet_equals_batch(spark, tmp_path):
+    # stream == batch by construction (one parse code path): drain the
+    # watched-dir stream with availableNow and compare to the batch read
+    from scholarmind_spark.sources.wet import read_wet_stream
+    from scholarmind_spark.streaming.pipeline import run_to_memory
+
+    path = str(tmp_path / "wet")
+    rows = [(f"https://a.example/{i}", f"doc {i} body text") for i in range(30)]
+    write_wet(spark.createDataFrame(rows, ["uri", "text"]).repartition(3), path)
+
+    batch = sorted(tuple(r) for r in read_wet(spark, path).collect())
+    drained = run_to_memory(read_wet_stream(spark, path), mode="append")
+    stream = sorted(tuple(r) for r in drained.collect())
+    assert stream == batch
+    assert len(stream) == 30
