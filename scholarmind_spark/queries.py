@@ -5202,13 +5202,16 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-8 window: the second full sweep begins — the eight new gates
-# first (lit_fuzzy_dedup, text_gopher_keep, text_url_canonical from the
-# first half of the round; sketch_distinct_kmv, sketch_overlap_kmv,
-# graph_triangles, events_autocorrelation, privacy_k_anonymity from the
-# second — never driver-checked), then the 42 gates whose driver signal
-# is OLDEST (all last checked in r5), in registration order; the 5
-# r5-aged gates the new entries displace (text_chunk_documents,
+# Round-8 window: the second full sweep begins — the THIRTEEN gates new
+# this round lead (lit_fuzzy_dedup, text_gopher_keep, text_url_canonical,
+# sketch_distinct_kmv, sketch_overlap_kmv, graph_triangles,
+# events_autocorrelation, privacy_k_anonymity, dataset_split_leakage,
+# wet_roundtrip, text_card_luhn, events_zorder_locality,
+# sketch_cms_topk — never driver-checked), then the r5-aged gates in
+# registration order; the driver's 50-gate cut lands after text_clean,
+# so 13 new + 37 aged are checked this round.  The r5-aged gates the
+# new entries displace (token_topk, events_sliding, events_funnel,
+# events_cohort_retention, kmeans_assign_cells, text_chunk_documents,
 # events_sliding_stream, events_session_stream, text_pack_sequences,
 # text_pack_stats) lead the r9 window.  The judge's standing rule: no
 # gate's driver signal goes stale for more than ~3 rounds.
