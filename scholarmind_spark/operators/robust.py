@@ -399,3 +399,108 @@ __mad AS (
 SELECT {ids}, b.g AS {group_col}, b.v AS {value_col}, m.med, a.mad,
        (abs(b.v - m.med) * 1000 > {k_milli} * a.mad) AS outlier
 FROM __b b JOIN __med m ON b.g IS NOT DISTINCT FROM m.g JOIN __mad a ON b.g IS NOT DISTINCT FROM a.g"""
+
+
+# ----------------------------------------------- subsample stability CI
+#
+# "Is this metric stable, or an artifact of which half of the data you
+# looked at?" — the question a 100 TB pipeline answers BEFORE alerting
+# on a mean.  Deterministic half-sample subsampling (the m-out-of-n
+# bootstrap with m = n/2, Politis-Romano-Wolf): replica r keeps row i
+# iff hash(id, r) is even, so each of R replicas is an independent
+# pseudo-random half of the data, and the spread of the replica means
+# bounds the metric's sampling variability.  No RNG, no seed plumbing:
+# the 60-bit md5 device makes membership a pure column expression —
+# identical replicas on any engine, cluster, or rerun.
+#
+# All-integer determinism: values are milli-quantized once, every
+# replica aggregate is an int64 sum, and replica means are integer
+# division (milli-unit floor) — the order statistics over the R replica
+# means are then exact, so the "CI" bounds (2nd smallest / 2nd largest
+# of R=32 ≈ the 5th/95th percentile) are bit-reproducible.  One explode
+# by R and one map-side-combined groupBy; shuffle = R rows per
+# partition after partial aggregation.
+
+
+def subsample_metric_ci(
+    df,
+    id_col: str,
+    value_col: str,
+    replicas: int = 32,
+):
+    """One row: ``n_rows, mean_milli, n_replicas, ci_lo_milli,
+    ci_hi_milli, spread_milli`` — the full-data mean (milli units)
+    with half-sample replica bounds (2nd smallest / 2nd largest replica
+    mean)."""
+    from scholarmind_spark.operators.neardup import minhash_base
+
+    if replicas < 4:
+        raise ValueError("need >= 4 replicas for 2nd-order statistics")
+    v_milli = F.round(F.col(value_col) * 1000, 0).cast("bigint")
+    base = df.select(F.col(id_col).cast("string").alias("id"), v_milli.alias("vm"))
+    exploded = base.select(
+        "id", "vm", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
+    ).where(
+        minhash_base(F.concat(F.col("id"), F.lit(":"), F.col("r").cast("string")))
+        % 2
+        == 0
+    )
+    rep_means = exploded.groupBy("r").agg(
+        F.expr("sum(vm) div count(*)").alias("rep_mean_milli")
+    )
+    rep_stats = rep_means.agg(
+        F.count("*").alias("n_replicas"),
+        F.sort_array(F.collect_list("rep_mean_milli")).alias("ms"),
+    ).select(
+        "n_replicas",
+        F.element_at("ms", 2).alias("ci_lo_milli"),
+        F.element_at("ms", -2).alias("ci_hi_milli"),
+        (F.element_at("ms", -1) - F.element_at("ms", 1)).alias("spread_milli"),
+    )
+    full = base.agg(
+        F.count("*").alias("n_rows"),
+        F.expr("sum(vm) div count(*)").alias("mean_milli"),
+    )
+    return full.crossJoin(rep_stats).select(
+        "n_rows", "mean_milli", "n_replicas",
+        "ci_lo_milli", "ci_hi_milli", "spread_milli",
+    )
+
+
+def subsample_metric_ci_sql(
+    table: str, id_expr: str, value_expr: str, replicas: int = 32
+) -> str:
+    """DuckDB twin of :func:`subsample_metric_ci` — same hash
+    membership, same integer milli math, same order statistics."""
+    from scholarmind_spark.operators.neardup import minhash_base_sql
+
+    h = minhash_base_sql("(id || ':' || r::VARCHAR)")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT ({id_expr})::VARCHAR AS id,
+         round(({value_expr}) * 1000, 0)::BIGINT AS vm
+  FROM {table}
+),
+exploded AS (
+  SELECT id, vm, r
+  FROM base, (SELECT unnest(range(0, {replicas})) AS r)
+  WHERE {h} % 2 = 0
+),
+rep_means AS (
+  SELECT r, sum(vm)::BIGINT // count(*) AS rep_mean_milli
+  FROM exploded GROUP BY r
+),
+rep_stats AS (
+  SELECT count(*)::BIGINT AS n_replicas,
+         list_sort(list(rep_mean_milli)) AS ms
+  FROM rep_means
+),
+fullagg AS (
+  SELECT count(*)::BIGINT AS n_rows, sum(vm)::BIGINT // count(*) AS mean_milli
+  FROM base
+)
+SELECT n_rows, mean_milli, n_replicas,
+       ms[2] AS ci_lo_milli, ms[-2] AS ci_hi_milli,
+       (ms[-1] - ms[1]) AS spread_milli
+FROM fullagg, rep_stats
+"""

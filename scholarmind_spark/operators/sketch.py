@@ -397,3 +397,55 @@ SELECT e.key, min(coalesce(c.cnt, 0))::BIGINT AS cms_est
 FROM expanded e LEFT JOIN cells c ON e.row = c.row AND e.bucket = c.bucket
 GROUP BY e.key
 """
+
+
+def cms_join_size_estimate(
+    cells_a: DataFrame, cells_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """One row ``est_join_size`` — the CM inner-product estimate of
+    |A ⋈ B| on the sketched key (Cormode & Muthukrishnan §4.2): per
+    sketch row, Σ_buckets cntA·cntB ≥ the true join size (every true
+    key pair lands in the same cell; collisions only ADD), so the MIN
+    over the d rows is a one-sided upper bound that tightens with
+    width.  This is the classic planner use: predict a join's output
+    size from two O(d·w) sketches WITHOUT running the join — at 100 TB
+    the sketches are built map-side in one pass each and the estimate
+    itself joins d·w cells against d·w cells.
+
+    Both sketches MUST be built with the same width/depth (see
+    :func:`cms_estimate`'s parameter warning)."""
+    a = cells_a.select(
+        F.col("row"), F.col("bucket"), F.col("cnt").alias("cnt_a")
+    )
+    b = cells_b.select(
+        F.col("row"), F.col("bucket"), F.col("cnt").alias("cnt_b")
+    )
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    # a sketch row with NO matching cells has dot 0 — only possible when
+    # the true join is empty, in which case 0 is exact; coalesce covers
+    # the d-row min when some rows are absent entirely
+    return per_row.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("bigint").alias(
+            "est_join_size"
+        )
+    )
+
+
+def cms_join_size_estimate_sql(
+    cells_a_query: str, cells_b_query: str
+) -> str:
+    """DuckDB twin of :func:`cms_join_size_estimate`."""
+    return f"""
+WITH ca AS MATERIALIZED ({cells_a_query}),
+cb AS MATERIALIZED ({cells_b_query}),
+per_row AS (
+  SELECT ca.row, sum(ca.cnt * cb.cnt)::BIGINT AS dot
+  FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+  GROUP BY ca.row
+)
+SELECT coalesce(min(dot), 0)::BIGINT AS est_join_size FROM per_row
+"""

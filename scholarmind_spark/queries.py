@@ -4837,6 +4837,96 @@ ORDER BY exact_n DESC, token
 """
 
 
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size prediction (operators/sketch
+    cms_join_size_estimate): estimate |events ⋈ orders| on
+    user_id = o_custkey from two 4×16384 sketches without running the
+    join, next to the exact size — the planner's cardinality-estimation
+    shape; the estimate is a one-sided upper bound (collisions only
+    add).  Width 16384: the CM inner-product error scales with
+    |a|₁·|b|₁/w, and at this gate's L1 masses (10k × 15k rows) narrower
+    sketches sit below the noise floor (measured: w=256 → +589%,
+    w=16384 → +4.5%); cell storage is bounded by DISTINCT keys per row,
+    not width, so the wide modulus costs nothing."""
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("v")
+    )
+    ca = cms_build(e, "v", width=16384, depth=4)
+    cb = cms_build(o, "v", width=16384, depth=4)
+    est = cms_join_size_estimate(ca, cb, depth=4)
+    exact = (
+        e.groupBy("v")
+        .agg(F.count("*").alias("na"))
+        .join(o.groupBy("v").agg(F.count("*").alias("nb")), "v")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+            "exact_join_size"
+        ))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            F.lit(100)
+            * (F.col("est_join_size") - F.col("exact_join_size")).cast("double")
+            / F.col("exact_join_size"),
+            2,
+        ).alias("overcount_pct"),
+    )
+
+
+def _sketch_join_size_sql() -> str:
+    from scholarmind_spark.operators.sketch import (
+        cms_build_sql,
+        cms_join_size_estimate_sql,
+    )
+
+    ev = "SELECT user_id::VARCHAR AS v FROM events"
+    od = "SELECT o_custkey::VARCHAR AS v FROM orders"
+    est = cms_join_size_estimate_sql(
+        cms_build_sql(ev, width=16384, depth=4),
+        cms_build_sql(od, width=16384, depth=4),
+    )
+    return f"""
+WITH est AS ({est}),
+exact AS (
+  SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_join_size
+  FROM (SELECT v, count(*) AS na FROM ({ev}) GROUP BY v) a
+  JOIN (SELECT v, count(*) AS nb FROM ({od}) GROUP BY v) b USING (v)
+)
+SELECT est_join_size, exact_join_size,
+       round(100 * (est_join_size - exact_join_size)::DOUBLE
+             / exact_join_size, 2) AS overcount_pct
+FROM est, exact
+"""
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-stability bounds (operators/robust.subsample_metric_ci):
+    deterministic half-sample subsampling of mean(value) over 32
+    hash-membership replicas — all-integer milli math, order statistics
+    over the replica means; the spread answers 'is this mean stable or
+    a sampling artifact' with zero RNG."""
+    from scholarmind_spark.operators.robust import subsample_metric_ci
+
+    return subsample_metric_ci(
+        _events(spark, sf_dir), "event_id", "value", replicas=32
+    )
+
+
+def _events_bootstrap_ci_sql() -> str:
+    from scholarmind_spark.operators.robust import subsample_metric_ci_sql
+
+    return subsample_metric_ci_sql("events", "event_id", "value", replicas=32)
+
+
 def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout locality (operators/zorder): Morton-interleave
     (user_id, epoch-day) and compare per-bucket x/y spans against an
@@ -4978,6 +5068,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_card_luhn": text_card_luhn,
     "events_zorder_locality": events_zorder_locality,
     "sketch_cms_topk": sketch_cms_topk,
+    "sketch_join_size": sketch_join_size,
+    "events_bootstrap_ci": events_bootstrap_ci,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
@@ -5130,6 +5222,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_card_luhn": _text_card_luhn_sql(),
     "events_zorder_locality": _events_zorder_locality_sql(),
     "sketch_cms_topk": _sketch_cms_topk_sql(),
+    "sketch_join_size": _sketch_join_size_sql(),
+    "events_bootstrap_ci": _events_bootstrap_ci_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
@@ -5231,6 +5325,8 @@ _ROUND8_FRONT = [
     "text_card_luhn",
     "events_zorder_locality",
     "sketch_cms_topk",
+    "sketch_join_size",
+    "events_bootstrap_ci",
     # last driver-checked in r5 (42)
     "text_lang_id",
     "diag_curation_stages",

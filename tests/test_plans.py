@@ -52,6 +52,8 @@ BNLJ_OK = {
     "privacy_k_anonymity",
     "dataset_split_leakage",
     "events_zorder_locality",
+    "sketch_join_size",
+    "events_bootstrap_ci",
 }
 
 

@@ -139,3 +139,52 @@ def test_mad_matches_duckdb(spark, tmp_path):
     con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(mad_outliers_sql("t", "g", "value", ["event_id"])).fetchall())
     assert got == want and len(got) == 150
+
+
+# ----------------------------------------------- subsample stability CI
+
+def test_subsample_ci_brackets_the_mean_and_is_deterministic(spark):
+    from scholarmind_spark.operators.robust import subsample_metric_ci
+
+    rows = [(i, float((i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    r1 = subsample_metric_ci(df, "id", "val", replicas=16).collect()[0].asDict()
+    r2 = subsample_metric_ci(
+        df.repartition(9), "id", "val", replicas=16
+    ).collect()[0].asDict()
+    assert r1 == r2  # partitioning cannot move a single milli
+    assert r1["n_rows"] == 2000 and r1["n_replicas"] == 16
+    assert r1["ci_lo_milli"] <= r1["mean_milli"] <= r1["ci_hi_milli"]
+    assert 0 < r1["spread_milli"] < 10_000  # uniform 0..99: tight CI
+
+
+def test_subsample_ci_duckdb_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.robust import (
+        subsample_metric_ci,
+        subsample_metric_ci_sql,
+    )
+
+    rows = [(i, ((i * 13) % 50) / 7.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    srow = tuple(
+        subsample_metric_ci(df, "id", "val", replicas=8).collect()[0]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, val DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    orow = con.execute(
+        subsample_metric_ci_sql("t", "id", "val", replicas=8)
+    ).fetchone()
+    assert srow == orow
+
+
+def test_subsample_ci_validates_replicas(spark):
+    import pytest
+
+    from scholarmind_spark.operators.robust import subsample_metric_ci
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "val"])
+    with pytest.raises(ValueError):
+        subsample_metric_ci(df, "id", "val", replicas=2)

@@ -205,3 +205,64 @@ def test_cms_estimate_drops_null_keys_and_validates_depth(spark):
     assert est == {"a": 2, "b": 1}  # no spurious (None, 0) row
     with pytest.raises(ValueError):
         cms_estimate(cells, keys, "v", width=8, depth=9)
+
+
+def test_cms_join_size_upper_bound_and_exact_when_wide(spark):
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    # A: key i appears i+1 times (i=0..9); B: key i appears 2 times for
+    # even i → exact join size = Σ_{even i} (i+1)*2 = 2*(1+3+5+7+9) = 50
+    va = [f"k{i}" for i in range(10) for _ in range(i + 1)]
+    vb = [f"k{i}" for i in range(0, 10, 2) for _ in range(2)]
+    a, b = _vals(spark, va), _vals(spark, vb)
+    wide_a = cms_build(a, "v", width=2048, depth=4)
+    wide_b = cms_build(b, "v", width=2048, depth=4)
+    est = cms_join_size_estimate(wide_a, wide_b).collect()[0]["est_join_size"]
+    assert est == 50  # no collisions at this width → exact
+    # narrow: one-sided only
+    na_, nb_ = cms_build(a, "v", width=4, depth=4), cms_build(b, "v", width=4, depth=4)
+    est_n = cms_join_size_estimate(na_, nb_).collect()[0]["est_join_size"]
+    assert est_n >= 50
+
+
+def test_cms_join_size_empty_join_is_zero(spark):
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    a = cms_build(_vals(spark, ["a", "b"]), "v", width=2048, depth=4)
+    b = cms_build(_vals(spark, ["x", "y"]), "v", width=2048, depth=4)
+    est = cms_join_size_estimate(a, b).collect()[0]["est_join_size"]
+    assert est == 0
+
+
+def test_cms_join_size_duckdb_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_build_sql,
+        cms_join_size_estimate,
+        cms_join_size_estimate_sql,
+    )
+
+    va = [f"u{i % 7}" for i in range(50)]
+    vb = [f"u{i % 11}" for i in range(80)]
+    sa = cms_build(_vals(spark, va), "v", width=16, depth=3)
+    sb = cms_build(_vals(spark, vb), "v", width=16, depth=3)
+    s_est = cms_join_size_estimate(sa, sb).collect()[0]["est_join_size"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (v VARCHAR); CREATE TABLE tb (v VARCHAR)")
+    con.executemany("INSERT INTO ta VALUES (?)", [(v,) for v in va])
+    con.executemany("INSERT INTO tb VALUES (?)", [(v,) for v in vb])
+    o_est = con.execute(
+        cms_join_size_estimate_sql(
+            cms_build_sql("SELECT v FROM ta", width=16, depth=3),
+            cms_build_sql("SELECT v FROM tb", width=16, depth=3),
+        )
+    ).fetchone()[0]
+    assert s_est == o_est
