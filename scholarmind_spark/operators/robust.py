@@ -434,10 +434,22 @@ def subsample_metric_ci(
     mean)."""
     from scholarmind_spark.operators.neardup import minhash_base
 
+    from scholarmind_spark.util import attach_caches
+
     if replicas < 4:
         raise ValueError("need >= 4 replicas for 2nd-order statistics")
     v_milli = F.round(F.col(value_col) * 1000, 0).cast("bigint")
-    base = df.select(F.col(id_col).cast("string").alias("id"), v_milli.alias("vm"))
+    # NULL metric values are excluded up front: a replica whose kept rows
+    # were all NULL would otherwise yield a NULL replica mean, which
+    # Spark's collect_list DROPS while DuckDB's list() keeps — an engine
+    # divergence in the order statistics.  persist(): both the exploded
+    # branch and the full-mean branch read this frame; uncached each
+    # would re-scan + re-quantize the whole input.
+    base = (
+        df.select(F.col(id_col).cast("string").alias("id"), v_milli.alias("vm"))
+        .where(F.col("vm").isNotNull())
+        .persist()
+    )
     exploded = base.select(
         "id", "vm", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
     ).where(
@@ -461,10 +473,11 @@ def subsample_metric_ci(
         F.count("*").alias("n_rows"),
         F.expr("sum(vm) div count(*)").alias("mean_milli"),
     )
-    return full.crossJoin(rep_stats).select(
+    out = full.crossJoin(rep_stats).select(
         "n_rows", "mean_milli", "n_replicas",
         "ci_lo_milli", "ci_hi_milli", "spread_milli",
     )
+    return attach_caches(out, [base])
 
 
 def subsample_metric_ci_sql(
@@ -477,9 +490,11 @@ def subsample_metric_ci_sql(
     h = minhash_base_sql("(id || ':' || r::VARCHAR)")
     return f"""
 WITH base AS MATERIALIZED (
-  SELECT ({id_expr})::VARCHAR AS id,
-         round(({value_expr}) * 1000, 0)::BIGINT AS vm
-  FROM {table}
+  SELECT * FROM (
+    SELECT ({id_expr})::VARCHAR AS id,
+           round(({value_expr}) * 1000, 0)::BIGINT AS vm
+    FROM {table}
+  ) WHERE vm IS NOT NULL
 ),
 exploded AS (
   SELECT id, vm, r

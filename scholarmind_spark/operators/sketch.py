@@ -258,24 +258,26 @@ FROM uagg, cagg
 # sketch above (KMV answers "how many distinct", CMS answers "how often
 # is THIS one").
 #
-# Determinism: row hashes are the 60-bit md5 device XOR'd with fixed odd
-# seeds, reduced mod w — bit-identical in the DuckDB twin.
+# Determinism AND row independence: each sketch row hashes the value
+# with a ROW-SALTED md5 (md5(v || '#' || r) → 60-bit int → mod w) —
+# bit-identical in the DuckDB twin, and genuinely independent across
+# rows.  The first cut XOR'd one shared hash with per-row constants and
+# reduced mod w: for power-of-2 widths (every practical width) that is
+# only a bucket RELABELING — two keys collide in all rows or none, the
+# min over d rows degenerates to a single row's estimate, and depth
+# buys nothing (caught in review; the salted form costs d md5s per
+# value, which the explode pays anyway).
 
-CMS_SEEDS = (
-    0x243F6A8885A308D3,  # fixed odd constants (π hex digits — nothing
-    0x13198A2E03707344,  # up the sleeve), masked to 60 bits to stay in
-    0xA4093822299F31D0,  # the hash's domain
-    0x082EFA98EC4E6C89,
-)
-_CMS_MASK = (1 << 60) - 1
-
-
-def _cms_bucket(h: Column, seed: int, width: int) -> Column:
-    return h.bitwiseXOR(F.lit(seed & _CMS_MASK)) % width
+_CMS_MAX_DEPTH = 8
 
 
-def _cms_bucket_sql(h: str, seed: int, width: int) -> str:
-    return f"(xor({h}, {seed & _CMS_MASK}) % {width})"
+def _cms_bucket(v: Column, r: int, width: int) -> Column:
+    return minhash_base(F.concat(v, F.lit(f"#{r}"))) % width
+
+
+def _cms_bucket_sql(v: str, r: int, width: int) -> str:
+    salted = f"(({v}) || '#{r}')"
+    return f"({minhash_base_sql(salted)} % {width})"
 
 
 def cms_build(
@@ -284,19 +286,17 @@ def cms_build(
     """The sketch as rows ``(row, bucket, cnt)`` — at most depth·width
     cells regardless of input size.  One explode to depth rows per
     value, one map-side-combined groupBy; absent cells mean 0."""
-    if depth > len(CMS_SEEDS):
-        raise ValueError(f"depth <= {len(CMS_SEEDS)} (fixed seed list)")
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
     v = _value_col(df, col)
-    h = df.select(minhash_base(v).alias("h")).where(F.col("h").isNotNull())
-    cells = h.select(
+    vals = df.select(v.cast("string").alias("v")).where(F.col("v").isNotNull())
+    cells = vals.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        _cms_bucket(F.col("h"), CMS_SEEDS[r], width).alias(
-                            "bucket"
-                        ),
+                        _cms_bucket(F.col("v"), r, width).alias("bucket"),
                     )
                     for r in range(depth)
                 ]
@@ -327,11 +327,11 @@ def cms_estimate(
     :func:`cms_build`; carrying them alongside the cells is the
     caller's job (they are two ints — store them next to the sketch).
     NULL keys are dropped (not set members, same as :func:`cms_build`)."""
-    if depth > len(CMS_SEEDS):
-        raise ValueError(f"depth <= {len(CMS_SEEDS)} (fixed seed list)")
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
     v = _value_col(keys, col)
     probes = (
-        keys.select(v.alias("key"))
+        keys.select(v.cast("string").alias("key"))
         .where(F.col("key").isNotNull())
         .distinct()
     )
@@ -342,9 +342,7 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        _cms_bucket(
-                            minhash_base(F.col("key")), CMS_SEEDS[r], width
-                        ).alias("bucket"),
+                        _cms_bucket(F.col("key"), r, width).alias("bucket"),
                     )
                     for r in range(depth)
                 ]
@@ -360,16 +358,15 @@ def cms_estimate(
 
 def cms_build_sql(values_query: str, width: int = 1024, depth: int = 4) -> str:
     """DuckDB twin of :func:`cms_build` over a subquery yielding ``v``."""
-    if depth > len(CMS_SEEDS):
-        raise ValueError(f"depth <= {len(CMS_SEEDS)} (fixed seed list)")
-    h = minhash_base_sql("v")
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
     rows = " UNION ALL ".join(
-        f"SELECT {r} AS row, {_cms_bucket_sql('h', CMS_SEEDS[r], width)} AS bucket"
-        f" FROM hashed"
+        f"SELECT {r} AS row, {_cms_bucket_sql('v', r, width)} AS bucket"
+        f" FROM vals"
         for r in range(depth)
     )
     return f"""
-WITH hashed AS (SELECT {h} AS h FROM ({values_query}) WHERE v IS NOT NULL),
+WITH vals AS (SELECT v::VARCHAR AS v FROM ({values_query}) WHERE v IS NOT NULL),
 cells0 AS ({rows})
 SELECT row, bucket, count(*)::BIGINT AS cnt
 FROM cells0 GROUP BY row, bucket
@@ -383,15 +380,16 @@ def cms_estimate_sql(
     depth: int = 4,
 ) -> str:
     """DuckDB twin of :func:`cms_estimate` — ``keys_query`` yields ``v``."""
-    h = minhash_base_sql("key")
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
     probes = " UNION ALL ".join(
-        f"SELECT key, {r} AS row, {_cms_bucket_sql(h, CMS_SEEDS[r], width)}"
+        f"SELECT key, {r} AS row, {_cms_bucket_sql('key', r, width)}"
         f" AS bucket FROM probes"
         for r in range(depth)
     )
     return f"""
 WITH cells AS MATERIALIZED ({cells_query}),
-probes AS (SELECT DISTINCT v AS key FROM ({keys_query}) WHERE v IS NOT NULL),
+probes AS (SELECT DISTINCT v::VARCHAR AS key FROM ({keys_query}) WHERE v IS NOT NULL),
 expanded AS ({probes})
 SELECT e.key, min(coalesce(c.cnt, 0))::BIGINT AS cms_est
 FROM expanded e LEFT JOIN cells c ON e.row = c.row AND e.bucket = c.bucket
@@ -413,7 +411,13 @@ def cms_join_size_estimate(
     itself joins d·w cells against d·w cells.
 
     Both sketches MUST be built with the same width/depth (see
-    :func:`cms_estimate`'s parameter warning)."""
+    :func:`cms_estimate`'s parameter warning); ``depth`` is enforced
+    here because the min must range over ALL d rows — a sketch row with
+    NO colliding cells has dot 0 (the tightest possible bound), and an
+    inner-join-only min that dropped such rows would return a positive
+    estimate for a provably-empty join (caught in review)."""
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
     a = cells_a.select(
         F.col("row"), F.col("bucket"), F.col("cnt").alias("cnt_a")
     )
@@ -425,20 +429,25 @@ def cms_join_size_estimate(
         .groupBy("row")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
     )
-    # a sketch row with NO matching cells has dot 0 — only possible when
-    # the true join is empty, in which case 0 is exact; coalesce covers
-    # the d-row min when some rows are absent entirely
+    # min over ALL depth rows: if any of the d rows is absent from the
+    # inner join its dot is 0 and the estimate is 0
     return per_row.agg(
-        F.coalesce(F.min("dot"), F.lit(0)).cast("bigint").alias(
-            "est_join_size"
+        F.when(
+            F.count(F.lit(1)) < depth, F.lit(0)
         )
+        .otherwise(F.min("dot"))
+        .cast("bigint")
+        .alias("est_join_size")
     )
 
 
 def cms_join_size_estimate_sql(
-    cells_a_query: str, cells_b_query: str
+    cells_a_query: str, cells_b_query: str, depth: int = 4
 ) -> str:
-    """DuckDB twin of :func:`cms_join_size_estimate`."""
+    """DuckDB twin of :func:`cms_join_size_estimate` — same
+    min-over-ALL-rows semantics (absent row → dot 0 → estimate 0)."""
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
     return f"""
 WITH ca AS MATERIALIZED ({cells_a_query}),
 cb AS MATERIALIZED ({cells_b_query}),
@@ -447,5 +456,7 @@ per_row AS (
   FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
   GROUP BY ca.row
 )
-SELECT coalesce(min(dot), 0)::BIGINT AS est_join_size FROM per_row
+SELECT CASE WHEN count(*) < {depth} THEN 0 ELSE min(dot) END::BIGINT
+         AS est_join_size
+FROM per_row
 """

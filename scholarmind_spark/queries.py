@@ -4845,8 +4845,8 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; the estimate is a one-sided upper bound (collisions only
     add).  Width 16384: the CM inner-product error scales with
     |a|₁·|b|₁/w, and at this gate's L1 masses (10k × 15k rows) narrower
-    sketches sit below the noise floor (measured: w=256 → +589%,
-    w=16384 → +4.5%); cell storage is bounded by DISTINCT keys per row,
+    sketches sit below the noise floor (measured: w=256 → +590%,
+    w=16384 → +5.8%); cell storage is bounded by DISTINCT keys per row,
     not width, so the wide modulus costs nothing."""
     from scholarmind_spark.operators.sketch import (
         cms_build,

@@ -266,3 +266,51 @@ def test_cms_join_size_duckdb_twin(spark):
         )
     ).fetchone()[0]
     assert s_est == o_est
+
+
+def test_cms_rows_are_independent_and_depth_tightens(spark):
+    # regression for the XOR-relabeling defect: at a power-of-2 width the
+    # per-row collision patterns must DIFFER (salted hashes), so a deeper
+    # sketch's min is no worse and strictly better for some key
+    import duckdb
+
+    from scholarmind_spark.operators.sketch import (
+        cms_build_sql,
+        cms_estimate_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tv (v VARCHAR)")
+    con.executemany(
+        "INSERT INTO tv VALUES (?)", [(f"k{i % 40}",) for i in range(400)]
+    )
+
+    def est(depth):
+        q = cms_estimate_sql(
+            cms_build_sql("SELECT v FROM tv", width=8, depth=depth),
+            "SELECT v FROM tv",
+            width=8,
+            depth=depth,
+        )
+        return dict(con.execute(q).fetchall())
+
+    e1, e4 = est(1), est(4)
+    assert all(e4[k] <= e1[k] for k in e1)
+    assert any(e4[k] < e1[k] for k in e1), (
+        "depth-4 min never beat depth-1 — rows are not independent"
+    )
+
+
+def test_cms_join_size_zero_at_non_power_of_two_width(spark):
+    # regression: the inner-join min used to drop zero-dot rows, returning
+    # a positive estimate for a provably-empty join at widths where only
+    # SOME rows collide
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    a = cms_build(_vals(spark, ["k0"]), "v", width=5, depth=4)
+    b = cms_build(_vals(spark, ["k2"]), "v", width=5, depth=4)
+    est = cms_join_size_estimate(a, b, depth=4).collect()[0]["est_join_size"]
+    assert est == 0
