@@ -324,3 +324,76 @@ SELECT risk_rank,
        round(100 * n_records::DOUBLE / __total, 2) AS pct_records
 FROM __per, __tot ORDER BY risk_rank
 """
+
+
+def contract_check(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Data-contract validation: ``rule, n_rows, n_violations,
+    violation_pct`` per declared rule — the post-load gate a warehouse
+    runs against the producer's contract (types are the schema's job;
+    this covers the VALUE constraints a schema can't express: ranges,
+    enums, regex shapes, nullability).
+
+    A row violates a rule when its predicate is NOT TRUE — so a NULL
+    predicate (NULL input to a range check) counts as a violation,
+    matching SQL CHECK-constraint intuition reversed: contracts demand
+    provable conformance, and an unknown is not provable.  Rules that
+    should exempt NULLs say so explicitly (``col.isNull() | pred``).
+
+    Spark-first shape: ONE aggregate pass over the data computes every
+    rule simultaneously (a conditional sum per rule — map-side partial,
+    no shuffle beyond the single-row combine); per-rule rows are then
+    unpivoted from that one result row via a literal stack, so adding a
+    rule never adds a scan.
+    """
+    if not rules:
+        raise ValueError("contract_check needs at least one rule")
+    sums = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum((~pred.eqNullSafe(F.lit(True))).cast("long")).alias(f"__v{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    one = df.agg(*sums)
+    stack = ", ".join(
+        f"'{name}', __v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return (
+        one.selectExpr(
+            "__n", f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        )
+        .select(
+            "rule",
+            F.col("__n").alias("n_rows"),
+            "n_violations",
+            F.round(
+                F.lit(100) * F.col("n_violations").cast("double") / F.col("__n"),
+                2,
+            ).alias("violation_pct"),
+        )
+        .orderBy("rule")
+    )
+
+
+def contract_check_sql(
+    table: str, rules: list[tuple[str, str]]
+) -> str:
+    """DuckDB twin of :func:`contract_check` over SQL predicates."""
+    if not rules:
+        raise ValueError("contract_check needs at least one rule")
+    sums = ", ".join(
+        f"sum(CASE WHEN ({pred}) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT"
+        f" AS __v{i}"
+        for i, (_, pred) in enumerate(rules)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, __n AS n_rows, __v{i} AS n_violations"
+        f" FROM one"
+        for i, (name, _) in enumerate(rules)
+    )
+    return f"""
+WITH one AS (SELECT count(*)::BIGINT AS __n, {sums} FROM {table})
+SELECT rule, n_rows, n_violations,
+       round(100 * n_violations::DOUBLE / n_rows, 2) AS violation_pct
+FROM ({branches})
+ORDER BY rule
+"""

@@ -4927,6 +4927,65 @@ def _events_bootstrap_ci_sql() -> str:
     return subsample_metric_ci_sql("events", "event_id", "value", replicas=32)
 
 
+def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage blocking (operators/linkage
+    sorted_neighborhood_link — Hernández & Stolfo 1995): customer names
+    within 3 sort positions and edit distance ≤ 2, found with exactly
+    (w-1)·n candidates via the distributed global-rank construction
+    (range partition → per-partition ranks → tiny offset broadcast —
+    never a single-partition window)."""
+    from scholarmind_spark.operators.linkage import sorted_neighborhood_link
+
+    c = _t(spark, sf_dir, "customer")
+    return sorted_neighborhood_link(c, "c_name", window=3, max_dist=2)
+
+
+def _link_sorted_neighborhood_sql() -> str:
+    from scholarmind_spark.operators.linkage import (
+        sorted_neighborhood_link_sql,
+    )
+
+    return sorted_neighborhood_link_sql(
+        "customer", "c_name", window=3, max_dist=2
+    )
+
+
+def lineitem_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (operators/audit.contract_check): six
+    value rules over lineitem in ONE aggregate pass — a mix of rules the
+    synthetic data satisfies and rules it measurably violates, so both
+    the zero and non-zero reporting paths are exercised."""
+    from scholarmind_spark.operators.audit import contract_check
+
+    l = _t(spark, sf_dir, "lineitem")
+    rules = [
+        ("quantity_1_to_30", F.col("l_quantity").between(1, 30)),
+        ("discount_0_to_0p1", F.col("l_discount").between(0, 0.1)),
+        (
+            "returnflag_enum",
+            F.col("l_returnflag").isin("A", "N", "R"),
+        ),
+        ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("orderkey_positive", F.col("l_orderkey") > 0),
+    ]
+    return contract_check(l, rules)
+
+
+def _lineitem_contract_check_sql() -> str:
+    from scholarmind_spark.operators.audit import contract_check_sql
+
+    rules = [
+        ("quantity_1_to_30", "l_quantity BETWEEN 1 AND 30"),
+        ("discount_0_to_0p1", "l_discount BETWEEN 0 AND 0.1"),
+        ("returnflag_enum", "l_returnflag IN ('A', 'N', 'R')"),
+        ("shipdate_not_null", "l_shipdate IS NOT NULL"),
+        ("price_positive", "l_extendedprice > 0"),
+        ("orderkey_positive", "l_orderkey > 0"),
+    ]
+    return contract_check_sql("lineitem", rules)
+
+
 def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout locality (operators/zorder): Morton-interleave
     (user_id, epoch-day) and compare per-bucket x/y spans against an
@@ -5070,6 +5129,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_cms_topk": sketch_cms_topk,
     "sketch_join_size": sketch_join_size,
     "events_bootstrap_ci": events_bootstrap_ci,
+    "link_sorted_neighborhood": link_sorted_neighborhood,
+    "lineitem_contract_check": lineitem_contract_check,
     "text_scrub_spans": text_scrub_spans,
     "text_pii_redact": text_pii_redact,
     "dedup_incremental": dedup_incremental,
@@ -5224,6 +5285,8 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_cms_topk": _sketch_cms_topk_sql(),
     "sketch_join_size": _sketch_join_size_sql(),
     "events_bootstrap_ci": _events_bootstrap_ci_sql(),
+    "link_sorted_neighborhood": _link_sorted_neighborhood_sql(),
+    "lineitem_contract_check": _lineitem_contract_check_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
     "text_pii_redact": _text_pii_redact_sql(),
     "dedup_incremental": _dedup_incremental_sql(),
@@ -5327,6 +5390,8 @@ _ROUND8_FRONT = [
     "sketch_cms_topk",
     "sketch_join_size",
     "events_bootstrap_ci",
+    "link_sorted_neighborhood",
+    "lineitem_contract_check",
     # last driver-checked in r5 (42)
     "text_lang_id",
     "diag_curation_stages",

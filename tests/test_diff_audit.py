@@ -247,3 +247,70 @@ def test_k_anonymity_duckdb_twin(spark):
         ).fetchall()
     ]
     assert srows == orows
+
+
+# ------------------------------------------------------- contract check
+
+def test_contract_check_counts_and_null_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.audit import contract_check
+
+    rows = [(1, 10.0), (2, None), (3, 200.0), (4, 50.0)]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    out = {
+        r["rule"]: (r["n_violations"], r["violation_pct"])
+        for r in contract_check(
+            df,
+            [
+                ("val_le_100", F.col("val") <= 100),  # NULL counts
+                ("val_null_ok", F.col("val").isNull() | (F.col("val") <= 100)),
+                ("id_positive", F.col("id") > 0),
+            ],
+        ).collect()
+    }
+    assert out["val_le_100"] == (2, 50.0)   # 200 AND the NULL
+    assert out["val_null_ok"] == (1, 25.0)  # explicit exemption
+    assert out["id_positive"] == (0, 0.0)
+
+
+def test_contract_check_duckdb_twin(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.audit import (
+        contract_check,
+        contract_check_sql,
+    )
+
+    rows = [(i, float(i % 7)) for i in range(50)] + [(99, None)]
+    df = spark.createDataFrame(rows, ["id", "val"])
+    srows = [
+        tuple(r)
+        for r in contract_check(
+            df, [("val_lt_5", F.col("val") < 5), ("id_lt_40", F.col("id") < 40)]
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, val DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    orows = con.execute(
+        contract_check_sql("t", [("val_lt_5", "val < 5"), ("id_lt_40", "id < 40")])
+    ).fetchall()
+    assert srows == orows
+
+
+def test_contract_check_requires_rules(spark):
+    import pytest
+
+    from scholarmind_spark.operators.audit import (
+        contract_check,
+        contract_check_sql,
+    )
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError):
+        contract_check(df, [])
+    with pytest.raises(ValueError):
+        contract_check_sql("t", [])

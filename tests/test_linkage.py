@@ -93,3 +93,77 @@ def test_unicode_code_point_distances(spark):
     got = {(r["a"], r["b"]): r["dist"] for r in fuzzy_link(df, "k", max_dist=2).collect()}
     assert got[("cafe", "café")] == 1
     assert got[("日本語", "日本酒")] == 1
+
+
+# ------------------------------------------- sorted-neighborhood blocking
+
+def _snm(spark, vals, window=3, max_dist=2, partitions=32):
+    from scholarmind_spark.operators.linkage import sorted_neighborhood_link
+
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    return [
+        tuple(r)
+        for r in sorted_neighborhood_link(
+            df, "k", window=window, max_dist=max_dist, partitions=partitions
+        ).collect()
+    ]
+
+
+def test_snm_finds_adjacent_pairs_and_misses_distant_ones(spark):
+    # 'aaaa'~'aaab' adjacent in sort order → found; 'aaaa'~'zzza' would
+    # qualify on distance only if close in sort order — SNM is lossy by
+    # design and must NOT emit pairs beyond the window
+    vals = ["aaaa", "aaab", "bbbb", "cccc", "dddd", "aaac"]
+    got = _snm(spark, vals, window=2, max_dist=1)
+    # sorted: aaaa aaab aaac bbbb cccc dddd; w=2 → only successors
+    assert got == [("aaaa", "aaab", 1), ("aaab", "aaac", 1)]
+
+
+def test_snm_pairs_cross_partition_boundaries(spark):
+    # adjacent keys land in different range partitions: the global-rank
+    # join must still pair them (no boundary replication needed)
+    vals = [f"k{i:04d}" for i in range(100)]
+    got = _snm(spark, vals, window=2, max_dist=1, partitions=16)
+    # every consecutive pair differs in 1-2 digit positions; count the
+    # lev<=1 ones brute-force
+    import itertools
+
+    sv = sorted(vals)
+    def lev1(a, b):
+        return sum(x != y for x, y in zip(a, b)) <= 1  # equal length
+    expect = [(a, b) for a, b in zip(sv, sv[1:]) if lev1(a, b)]
+    assert [(a, b) for a, b, _ in got] == expect
+    assert len(got) > 0
+
+
+def test_snm_duckdb_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.linkage import (
+        sorted_neighborhood_link_sql,
+    )
+
+    vals = [f"name{(i * 7) % 50:03d}" for i in range(120)]
+    got = _snm(spark, vals, window=4, max_dist=2, partitions=8)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    orows = con.execute(
+        sorted_neighborhood_link_sql("t", "k", window=4, max_dist=2)
+    ).fetchall()
+    assert got == orows
+
+
+def test_snm_validates_window(spark):
+    import pytest
+
+    from scholarmind_spark.operators.linkage import (
+        sorted_neighborhood_link,
+        sorted_neighborhood_link_sql,
+    )
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(ValueError):
+        sorted_neighborhood_link(df, "k", window=1)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_link_sql("t", "k", window=1)
