@@ -349,13 +349,21 @@ def contract_check(
     """
     if not rules:
         raise ValueError("contract_check needs at least one rule")
+    # coalesce: sum over ZERO rows is NULL on both engines — an empty
+    # feed must read as "0 violations of 0 rows", not unknown
     sums = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum((~pred.eqNullSafe(F.lit(True))).cast("long")).alias(f"__v{i}")
+        F.coalesce(
+            F.sum((~pred.eqNullSafe(F.lit(True))).cast("long")), F.lit(0)
+        ).alias(f"__v{i}")
         for i, (_, pred) in enumerate(rules)
     ]
     one = df.agg(*sums)
+    # rule names pass through a SQL string literal (stack) — escape
+    # embedded quotes so a name like "it's" neither breaks the parse
+    # nor injects expression text
     stack = ", ".join(
-        f"'{name}', __v{i}" for i, (name, _) in enumerate(rules)
+        "'" + name.replace("'", "''") + f"', __v{i}"
+        for i, (name, _) in enumerate(rules)
     )
     return (
         one.selectExpr(
@@ -365,10 +373,10 @@ def contract_check(
             "rule",
             F.col("__n").alias("n_rows"),
             "n_violations",
-            F.round(
+            F.when(F.col("__n") > 0, F.round(
                 F.lit(100) * F.col("n_violations").cast("double") / F.col("__n"),
                 2,
-            ).alias("violation_pct"),
+            )).otherwise(F.lit(0.0)).alias("violation_pct"),
         )
         .orderBy("rule")
     )
@@ -381,19 +389,21 @@ def contract_check_sql(
     if not rules:
         raise ValueError("contract_check needs at least one rule")
     sums = ", ".join(
-        f"sum(CASE WHEN ({pred}) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT"
-        f" AS __v{i}"
+        f"coalesce(sum(CASE WHEN ({pred}) IS NOT TRUE THEN 1 ELSE 0 END), 0)"
+        f"::BIGINT AS __v{i}"
         for i, (_, pred) in enumerate(rules)
     )
     branches = " UNION ALL ".join(
-        f"SELECT '{name}' AS rule, __n AS n_rows, __v{i} AS n_violations"
-        f" FROM one"
+        "SELECT '" + name.replace("'", "''") + "' AS rule, __n AS n_rows, "
+        f"__v{i} AS n_violations FROM one"
         for i, (name, _) in enumerate(rules)
     )
     return f"""
 WITH one AS (SELECT count(*)::BIGINT AS __n, {sums} FROM {table})
 SELECT rule, n_rows, n_violations,
-       round(100 * n_violations::DOUBLE / n_rows, 2) AS violation_pct
+       CASE WHEN n_rows > 0
+            THEN round(100 * n_violations::DOUBLE / n_rows, 2)
+            ELSE 0.0 END AS violation_pct
 FROM ({branches})
 ORDER BY rule
 """

@@ -228,9 +228,15 @@ def sorted_neighborhood_link(
         .sortWithinPartitions("k")
         .withColumn("pid", F.spark_partition_id())
     )
+    # persist(): the pid column must be IDENTICAL in the counts branch
+    # (offsets) and the ranked branch — repartitionByRange boundaries
+    # come from sampling, and independently re-executed exchanges (e.g.
+    # spark.sql.exchange.reuse=false) could sample different boundaries,
+    # misaligning offsets with pids.  The cache pins one materialization
+    # (and skips recomputing the distinct+range-sort per consumer).
     local = keys.withColumn(
         "lr", F.row_number().over(W.partitionBy("pid").orderBy("k"))
-    )
+    ).persist()
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
     offsets = counts.withColumn(
         "off",
@@ -249,10 +255,19 @@ def sorted_neighborhood_link(
         ranked.select(F.col("k").alias("a"), "rank", offs)
         .select("a", (F.col("rank") + F.col("o")).alias("rank"))
     )
-    pairs = probe.join(
+    cand = probe.join(
         ranked.select(F.col("k").alias("b"), "rank"), "rank"
-    ).select("a", "b", F.levenshtein("a", "b").alias("dist"))
-    return pairs.where(F.col("dist") <= max_dist).orderBy("a", "b")
+    ).where(
+        # cheap length band BEFORE the O(len²) edit distance — the same
+        # prefilter fuzzy_link applies; a length gap > max_dist already
+        # disqualifies the pair
+        F.abs(F.length("a") - F.length("b")) <= max_dist
+    )
+    pairs = cand.select("a", "b", F.levenshtein("a", "b").alias("dist"))
+    out = pairs.where(F.col("dist") <= max_dist).orderBy("a", "b")
+    from scholarmind_spark.util import attach_caches
+
+    return attach_caches(out, [local])
 
 
 def sorted_neighborhood_link_sql(
@@ -260,7 +275,13 @@ def sorted_neighborhood_link_sql(
 ) -> str:
     """DuckDB twin of :func:`sorted_neighborhood_link` — plain
     row_number ranks (the oracle runs at gate scale; the distributed
-    rank construction is Spark-side plumbing that changes no value)."""
+    rank construction is Spark-side plumbing that changes no value).
+
+    Dialect limit (same as :func:`fuzzy_link_sql`): DuckDB's
+    ``levenshtein`` counts BYTES while Spark's counts code points, so
+    non-ASCII keys can disagree ('café'/'cafe' is 2 vs 1).  The gate
+    fixture is ASCII; callers twinning non-ASCII keys must normalize
+    first."""
     if window < 2:
         raise ValueError("window must be >= 2 (w-1 successors)")
     return f"""
@@ -274,9 +295,13 @@ ranked AS (
 probe AS (
   SELECT r.k AS a, r.rank + o.o AS rank
   FROM ranked r, (SELECT unnest(range(1, {window})) AS o) o
+),
+cand AS (
+  SELECT p.a, r2.k AS b, levenshtein(p.a, r2.k)::BIGINT AS dist
+  FROM probe p JOIN ranked r2 ON p.rank = r2.rank
+  WHERE abs(length(p.a) - length(r2.k)) <= {max_dist}
 )
-SELECT p.a, r2.k AS b, levenshtein(p.a, r2.k)::BIGINT AS dist
-FROM probe p JOIN ranked r2 ON p.rank = r2.rank
-WHERE levenshtein(p.a, r2.k) <= {max_dist}
+SELECT a, b, dist FROM cand
+WHERE dist <= {max_dist}
 ORDER BY a, b
 """

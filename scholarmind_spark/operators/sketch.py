@@ -398,7 +398,7 @@ GROUP BY e.key
 
 
 def cms_join_size_estimate(
-    cells_a: DataFrame, cells_b: DataFrame, depth: int = 4
+    cells_a: DataFrame, cells_b: DataFrame
 ) -> DataFrame:
     """One row ``est_join_size`` — the CM inner-product estimate of
     |A ⋈ B| on the sketched key (Cormode & Muthukrishnan §4.2): per
@@ -411,13 +411,15 @@ def cms_join_size_estimate(
     itself joins d·w cells against d·w cells.
 
     Both sketches MUST be built with the same width/depth (see
-    :func:`cms_estimate`'s parameter warning); ``depth`` is enforced
-    here because the min must range over ALL d rows — a sketch row with
-    NO colliding cells has dot 0 (the tightest possible bound), and an
-    inner-join-only min that dropped such rows would return a positive
-    estimate for a provably-empty join (caught in review)."""
-    if not 1 <= depth <= _CMS_MAX_DEPTH:
-        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
+    :func:`cms_estimate`'s parameter warning).  The min must range over
+    ALL d rows — a sketch row with NO colliding cells has dot 0 (the
+    tightest possible bound), and an inner-join-only min that dropped
+    such rows would return a positive estimate for a provably-empty
+    join.  The row count d is INFERRED from the sketches themselves
+    (max row id + 1 — every build row writes ≥ 1 cell for non-empty
+    input): a caller-supplied depth that disagreed with the build
+    silently hard-zeroed every estimate (caught in review, twice — the
+    parameter is gone)."""
     a = cells_a.select(
         F.col("row"), F.col("bucket"), F.col("cnt").alias("cnt_a")
     )
@@ -429,25 +431,35 @@ def cms_join_size_estimate(
         .groupBy("row")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
     )
-    # min over ALL depth rows: if any of the d rows is absent from the
-    # inner join its dot is 0 and the estimate is 0
-    return per_row.agg(
-        F.when(
-            F.count(F.lit(1)) < depth, F.lit(0)
+    # min over ALL d rows: if any of the d rows is absent from the
+    # inner join its dot is 0 and the estimate is 0.  d = max row id
+    # over BOTH sketches + 1 (an empty sketch means an empty side and
+    # the 0 estimate is exact).
+    d = (
+        a.select(F.col("row"))
+        .unionAll(b.select(F.col("row")))
+        .agg((F.coalesce(F.max("row"), F.lit(-1)) + 1).alias("__d"))
+    )
+    return (
+        per_row.agg(
+            F.count(F.lit(1)).alias("__present"),
+            F.min("dot").alias("__min_dot"),
         )
-        .otherwise(F.min("dot"))
-        .cast("bigint")
-        .alias("est_join_size")
+        .crossJoin(F.broadcast(d))
+        .select(
+            F.when(F.col("__present") < F.col("__d"), F.lit(0))
+            .otherwise(F.col("__min_dot"))
+            .cast("bigint")
+            .alias("est_join_size")
+        )
     )
 
 
 def cms_join_size_estimate_sql(
-    cells_a_query: str, cells_b_query: str, depth: int = 4
+    cells_a_query: str, cells_b_query: str
 ) -> str:
     """DuckDB twin of :func:`cms_join_size_estimate` — same
-    min-over-ALL-rows semantics (absent row → dot 0 → estimate 0)."""
-    if not 1 <= depth <= _CMS_MAX_DEPTH:
-        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
+    min-over-ALL-rows semantics with d inferred from the sketches."""
     return f"""
 WITH ca AS MATERIALIZED ({cells_a_query}),
 cb AS MATERIALIZED ({cells_b_query}),
@@ -455,8 +467,13 @@ per_row AS (
   SELECT ca.row, sum(ca.cnt * cb.cnt)::BIGINT AS dot
   FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
   GROUP BY ca.row
+),
+d AS (
+  SELECT coalesce(max(row), -1) + 1 AS __d FROM
+  (SELECT row FROM ca UNION ALL SELECT row FROM cb)
 )
-SELECT CASE WHEN count(*) < {depth} THEN 0 ELSE min(dot) END::BIGINT
+SELECT CASE WHEN (SELECT count(*) FROM per_row) < (SELECT __d FROM d)
+            THEN 0
+            ELSE (SELECT min(dot) FROM per_row) END::BIGINT
          AS est_join_size
-FROM per_row
 """

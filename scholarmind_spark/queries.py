@@ -4861,7 +4861,7 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = cms_build(e, "v", width=16384, depth=4)
     cb = cms_build(o, "v", width=16384, depth=4)
-    est = cms_join_size_estimate(ca, cb, depth=4)
+    est = cms_join_size_estimate(ca, cb)
     exact = (
         e.groupBy("v")
         .agg(F.count("*").alias("na"))

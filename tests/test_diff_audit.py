@@ -314,3 +314,29 @@ def test_contract_check_requires_rules(spark):
         contract_check(df, [])
     with pytest.raises(ValueError):
         contract_check_sql("t", [])
+
+
+def test_contract_check_empty_input_and_quoted_names(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from scholarmind_spark.operators.audit import (
+        contract_check,
+        contract_check_sql,
+    )
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("id", T.LongType())])
+    )
+    row = contract_check(empty, [("it's positive", F.col("id") > 0)]).collect()[0]
+    assert (row["rule"], row["n_rows"], row["n_violations"], row["violation_pct"]) == (
+        "it's positive", 0, 0, 0.0
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT)")
+    orow = con.execute(
+        contract_check_sql("t", [("it's positive", "id > 0")])
+    ).fetchone()
+    assert orow == ("it's positive", 0, 0, 0.0)

@@ -266,6 +266,11 @@ def test_cms_join_size_duckdb_twin(spark):
         )
     ).fetchone()[0]
     assert s_est == o_est
+    # non-vacuous: the depth is inferred from the depth-3 sketches (a
+    # stale caller-supplied depth=4 used to hard-zero this) and the
+    # one-sided bound holds against the exact join size
+    exact = sum(va.count(k) * vb.count(k) for k in set(va))
+    assert s_est >= exact > 0
 
 
 def test_cms_rows_are_independent_and_depth_tightens(spark):
@@ -312,5 +317,5 @@ def test_cms_join_size_zero_at_non_power_of_two_width(spark):
 
     a = cms_build(_vals(spark, ["k0"]), "v", width=5, depth=4)
     b = cms_build(_vals(spark, ["k2"]), "v", width=5, depth=4)
-    est = cms_join_size_estimate(a, b, depth=4).collect()[0]["est_join_size"]
+    est = cms_join_size_estimate(a, b).collect()[0]["est_join_size"]
     assert est == 0
