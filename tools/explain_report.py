@@ -61,6 +61,22 @@ explode + one map-side-combined groupBy per sketch row.""",
     "wet_roundtrip": """Round-8 note: record framing rides the text source's custom
 record-delimiter support (splittable across block boundaries);
 everything after the scan is codegen regexp/substring — no Python.""",
+    "sketch_join_size": """Round-8 note: the inner-product estimate joins two ≤ d·w cell
+tables — the data-sized work is the two one-pass sketch builds; d is
+inferred from the sketches (a stale caller depth used to hard-zero
+estimates).""",
+    "events_bootstrap_ci": """Round-8 note: one explode by R replicas + one map-side-combined
+groupBy; membership is a pure hash expression (no RNG), the quantized
+base is persist()-ed for its two consumers, and every statistic is
+int64 so the replica order statistics are partitioning-invariant.""",
+    "link_sorted_neighborhood": """Round-8 note: the global ranks come from range partition →
+per-partition window → tiny offset broadcast, never a SinglePartition
+window; the ranked frame is persist()-ed so the sampled partition ids
+stay identical across the offsets and probe branches; candidates are
+exactly (w-1)·n with a length-band prefilter before levenshtein.""",
+    "lineitem_contract_check": """Round-8 note: all rules evaluate in ONE aggregate pass (conditional
+sums, map-side partial); the per-rule rows are unpivoted from the
+single result row, so adding a rule never adds a scan.""",
 }
 
 
