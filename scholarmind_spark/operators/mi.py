@@ -186,3 +186,97 @@ FROM __cells c
 JOIN __mg m ON c.g = m.g
 JOIN __mt t ON c.t = t.t
 GROUP BY c.g"""
+
+
+def psi_bins(
+    df: DataFrame,
+    value: Column | str,
+    is_current: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """``bin, n_ref, n_cur, psi_micro`` — the Population Stability Index
+    of a numeric column between a reference slice and a current slice
+    (``is_current`` boolean), per equal-width bin over the GLOBAL
+    min/max, in integer micro-nats.  PSI is the industry drift monitor
+    for model inputs (rule of thumb: Σ < 0.1 stable, > 0.25 shifted);
+    it differs from :func:`drift_kl` in being numeric-binned and
+    symmetric in direction of flow:
+
+        PSI = Σ_bins (aᵢ/A − eᵢ/E) · ln( (aᵢ·E) / (eᵢ·A) )
+
+    Determinism: bin edges are integer width-bucket arithmetic over
+    milli-quantized values (the zorder scaling device); every bin count
+    gets +1 smoothing (documented industry practice for empty bins —
+    without it an empty bin is ±∞) so the ln argument is a ratio of
+    positive integers; each bin's term is quantized to micro-nats
+    BEFORE the caller sums — int64 addition is associative, floats
+    never accumulate.  Two shuffles total: the (bin, side) cell counts
+    and the one-row min/max broadcast."""
+    vc = F.col(value) if isinstance(value, str) else value
+    vm = F.round(vc * 1000, 0).cast("bigint")
+    base = df.select(
+        vm.alias("vm"), is_current.cast("boolean").alias("cur")
+    ).where(F.col("vm").isNotNull() & F.col("cur").isNotNull())
+    rng = base.agg(F.min("vm").alias("__lo"), F.max("vm").alias("__hi"))
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.expr(f"((vm - __lo) * {bins}) div (__hi - __lo + 1)").alias("bin"),
+        "cur",
+    )
+    cells = binned.groupBy("bin").agg(
+        (F.sum((~F.col("cur")).cast("long")) + 1).alias("n_ref"),
+        (F.sum(F.col("cur").cast("long")) + 1).alias("n_cur"),
+    )
+    totals = cells.agg(
+        F.sum("n_ref").alias("__a"), F.sum("n_cur").alias("__b")
+    )
+    term = (
+        F.col("n_cur").cast("double") / F.col("__b")
+        - F.col("n_ref").cast("double") / F.col("__a")
+    ) * (
+        F.log("n_cur") + F.log("__a") - F.log("n_ref") - F.log("__b")
+    )
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            (F.col("n_ref") - 1).alias("n_ref"),
+            (F.col("n_cur") - 1).alias("n_cur"),
+            F.round(term * F.lit(1000000.0), 0).cast("bigint").alias(
+                "psi_micro"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def psi_bins_sql(
+    table: str, value_expr: str, is_current_expr: str, bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`psi_bins` — identical binning, smoothing,
+    and micro-nat quantization."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT round(({value_expr}) * 1000, 0)::BIGINT AS vm,
+         ({is_current_expr})::BOOLEAN AS cur
+  FROM {table}
+  WHERE ({value_expr}) IS NOT NULL AND ({is_current_expr}) IS NOT NULL
+),
+rng AS (SELECT min(vm) AS lo, max(vm) AS hi FROM base),
+binned AS (
+  SELECT ((vm - lo) * {bins}) // (hi - lo + 1) AS bin, cur
+  FROM base, rng
+),
+cells AS (
+  SELECT bin,
+         (sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) + 1)::BIGINT AS n_ref,
+         (sum(CASE WHEN cur THEN 1 ELSE 0 END) + 1)::BIGINT AS n_cur
+  FROM binned GROUP BY bin
+),
+totals AS (SELECT sum(n_ref)::BIGINT AS a, sum(n_cur)::BIGINT AS b FROM cells)
+SELECT bin, (n_ref - 1)::BIGINT AS n_ref, (n_cur - 1)::BIGINT AS n_cur,
+       round((n_cur::DOUBLE / b - n_ref::DOUBLE / a)
+             * (ln(n_cur) + ln(a) - ln(n_ref) - ln(b))
+             * 1000000.0, 0)::BIGINT AS psi_micro
+FROM cells, totals
+ORDER BY bin
+"""

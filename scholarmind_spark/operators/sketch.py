@@ -477,3 +477,62 @@ SELECT CASE WHEN (SELECT count(*) FROM per_row) < (SELECT __d FROM d)
             ELSE (SELECT min(dot) FROM per_row) END::BIGINT
          AS est_join_size
 """
+
+
+# ------------------------------------------------------- mergeability
+#
+# Both sketches here are MERGEABLE — the property that makes them the
+# incremental-maintenance primitives at 100 TB: keep one small sketch
+# per ingest batch / partition / day, fold them pairwise, and the
+# merged sketch is EXACTLY the sketch of the concatenated data (not an
+# approximation of it).  Re-sketching the full corpus per batch is
+# never needed.
+
+
+def kmv_merge(minima_a: DataFrame, minima_b: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """KMV(A ∪ B) from the two sketches alone: the k smallest of the
+    combined minima (distinct hashes; both built with the same hash)."""
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2")
+    return (
+        minima_a.unionByName(minima_b).distinct().orderBy("h").limit(k)
+    )
+
+
+def kmv_merge_sql(minima_a_query: str, minima_b_query: str, k: int = DEFAULT_K) -> str:
+    """DuckDB twin of :func:`kmv_merge`."""
+    return (
+        f"(SELECT h FROM (SELECT h FROM ({minima_a_query}) "
+        f"UNION SELECT h FROM ({minima_b_query})) ORDER BY h LIMIT {k})"
+    )
+
+
+def cms_merge(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """CMS(A ⊎ B) from the two cell tables: cell-wise count addition
+    (full outer on the cell address; both built with the same
+    width/depth)."""
+    a = cells_a.select("row", "bucket", F.col("cnt").alias("__ca"))
+    b = cells_b.select("row", "bucket", F.col("cnt").alias("__cb"))
+    return (
+        a.join(b, ["row", "bucket"], "full_outer")
+        .select(
+            "row",
+            "bucket",
+            (
+                F.coalesce(F.col("__ca"), F.lit(0))
+                + F.coalesce(F.col("__cb"), F.lit(0))
+            ).alias("cnt"),
+        )
+    )
+
+
+def cms_merge_sql(cells_a_query: str, cells_b_query: str) -> str:
+    """DuckDB twin of :func:`cms_merge`."""
+    return f"""
+SELECT coalesce(a.row, b.row) AS row,
+       coalesce(a.bucket, b.bucket) AS bucket,
+       (coalesce(a.cnt, 0) + coalesce(b.cnt, 0))::BIGINT AS cnt
+FROM ({cells_a_query}) a
+FULL OUTER JOIN ({cells_b_query}) b
+  ON a.row = b.row AND a.bucket = b.bucket
+"""

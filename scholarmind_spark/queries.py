@@ -4986,6 +4986,161 @@ def _lineitem_contract_check_sql() -> str:
     return contract_check_sql("lineitem", rules)
 
 
+def sketch_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability (operators/sketch kmv_merge/cms_merge): build
+    per-batch sketches over three lineitem ingest slices, fold them, and
+    compare against sketching the full data directly — the merged
+    estimates must EQUAL the direct ones (mergeable sketches are the
+    incremental-maintenance primitive: no per-batch full-corpus
+    re-sketch).  One row: merged vs direct KMV distinct estimates and
+    CMS point estimates, plus the equality flags as ints."""
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+        kmv_merge,
+        kmv_minima,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("v"),
+        (F.col("l_linenumber") % 3).alias("batch"),
+    )
+    batches = [li.where(F.col("batch") == i).select("v") for i in range(3)]
+    k = 128
+    merged_kmv = kmv_merge(
+        kmv_merge(
+            kmv_minima(batches[0], "v", k), kmv_minima(batches[1], "v", k), k
+        ),
+        kmv_minima(batches[2], "v", k),
+        k,
+    )
+    direct_kmv = kmv_minima(li.select("v"), "v", k)
+    mk = merged_kmv.agg(
+        F.count("*").alias("mn"), F.max("h").alias("mh")
+    )
+    dk = direct_kmv.agg(
+        F.count("*").alias("dn"), F.max("h").alias("dh")
+    )
+
+    w, d = 64, 3
+    merged_cms = cms_merge(
+        cms_merge(
+            cms_build(batches[0], "v", width=w, depth=d),
+            cms_build(batches[1], "v", width=w, depth=d),
+        ),
+        cms_build(batches[2], "v", width=w, depth=d),
+    )
+    direct_cms = cms_build(li.select("v"), "v", width=w, depth=d)
+    probe = li.select("v").limit(1).select(F.lit("1").alias("v"))
+    me = cms_estimate(merged_cms, probe, "v", width=w, depth=d).select(
+        F.col("cms_est").alias("merged_cms_est")
+    )
+    de = cms_estimate(direct_cms, probe, "v", width=w, depth=d).select(
+        F.col("cms_est").alias("direct_cms_est")
+    )
+    return (
+        mk.crossJoin(dk)
+        .crossJoin(me)
+        .crossJoin(de)
+        .select(
+            F.col("mn").alias("merged_kmv_n"),
+            F.col("dn").alias("direct_kmv_n"),
+            (F.col("mh") == F.col("dh")).cast("int").alias("kmv_equal"),
+            "merged_cms_est",
+            "direct_cms_est",
+            (F.col("merged_cms_est") == F.col("direct_cms_est"))
+            .cast("int")
+            .alias("cms_equal"),
+        )
+    )
+
+
+def _sketch_merge_incremental_sql() -> str:
+    from scholarmind_spark.operators.sketch import (
+        cms_build_sql,
+        cms_estimate_sql,
+        cms_merge_sql,
+        kmv_merge_sql,
+        kmv_minima_sql,
+    )
+
+    def batch(i: int) -> str:
+        return (
+            "SELECT l_orderkey::VARCHAR AS v FROM lineitem"
+            f" WHERE l_linenumber % 3 = {i}"
+        )
+
+    full = "SELECT l_orderkey::VARCHAR AS v FROM lineitem"
+    k = 128
+    merged_kmv = kmv_merge_sql(
+        kmv_merge_sql(
+            kmv_minima_sql(batch(0), k), kmv_minima_sql(batch(1), k), k
+        ),
+        kmv_minima_sql(batch(2), k),
+        k,
+    )
+    direct_kmv = kmv_minima_sql(full, k)
+    w, d = 64, 3
+    merged_cms = cms_merge_sql(
+        cms_merge_sql(
+            cms_build_sql(batch(0), width=w, depth=d),
+            cms_build_sql(batch(1), width=w, depth=d),
+        ),
+        cms_build_sql(batch(2), width=w, depth=d),
+    )
+    direct_cms = cms_build_sql(full, width=w, depth=d)
+    probe = "SELECT '1' AS v"
+    me = cms_estimate_sql(merged_cms, probe, width=w, depth=d)
+    de = cms_estimate_sql(direct_cms, probe, width=w, depth=d)
+    return f"""
+WITH mk AS (SELECT count(*)::BIGINT AS mn, max(h) AS mh
+            FROM {merged_kmv}),
+dk AS (SELECT count(*)::BIGINT AS dn, max(h) AS dh FROM {direct_kmv}),
+me AS (SELECT cms_est AS merged_cms_est FROM ({me})),
+de AS (SELECT cms_est AS direct_cms_est FROM ({de}))
+SELECT mn AS merged_kmv_n, dn AS direct_kmv_n,
+       (mh = dh)::INT AS kmv_equal,
+       merged_cms_est, direct_cms_est,
+       (merged_cms_est = direct_cms_est)::INT AS cms_equal
+FROM mk, dk, me, de
+"""
+
+
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/mi.psi_bins): drift of the
+    event value distribution between the first and second half of the
+    time range, 10 equal-width bins, integer micro-nats — the industry
+    model-input drift monitor (Σ < 0.1 rule of thumb), numeric-binned
+    where drift_kl is categorical."""
+    from scholarmind_spark.operators.mi import psi_bins
+
+    e = _events(spark, sf_dir)
+    day = F.expr("unix_timestamp(ts) div 86400")
+    # integer div, not /2 + cast: Spark's bigint cast truncates while
+    # DuckDB's ::BIGINT rounds — an odd (min+max) would split the halves
+    # differently per engine
+    mid = e.select(day.alias("__day")).agg(
+        F.expr("(min(__day) + max(__day)) div 2").alias("__mid")
+    )
+    cur = e.crossJoin(F.broadcast(mid)).select(
+        "value", (day >= F.col("__mid")).alias("cur")
+    )
+    return psi_bins(cur, "value", F.col("cur"), bins=10)
+
+
+def _events_value_psi_sql() -> str:
+    from scholarmind_spark.operators.mi import psi_bins_sql
+
+    src = (
+        "(SELECT value, (floor(epoch(ts))::BIGINT // 86400) >= "
+        "(SELECT (min(floor(epoch(ts))::BIGINT // 86400)"
+        " + max(floor(epoch(ts))::BIGINT // 86400)) // 2"
+        " FROM events) AS cur FROM events)"
+    )
+    return psi_bins_sql(src, "value", "cur", bins=10)
+
+
 def events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout locality (operators/zorder): Morton-interleave
     (user_id, epoch-day) and compare per-bucket x/y spans against an
@@ -5129,6 +5284,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_cms_topk": sketch_cms_topk,
     "sketch_join_size": sketch_join_size,
     "events_bootstrap_ci": events_bootstrap_ci,
+    "sketch_merge_incremental": sketch_merge_incremental,
+    "events_value_psi": events_value_psi,
     "link_sorted_neighborhood": link_sorted_neighborhood,
     "lineitem_contract_check": lineitem_contract_check,
     "text_scrub_spans": text_scrub_spans,
@@ -5285,6 +5442,8 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_cms_topk": _sketch_cms_topk_sql(),
     "sketch_join_size": _sketch_join_size_sql(),
     "events_bootstrap_ci": _events_bootstrap_ci_sql(),
+    "sketch_merge_incremental": _sketch_merge_incremental_sql(),
+    "events_value_psi": _events_value_psi_sql(),
     "link_sorted_neighborhood": _link_sorted_neighborhood_sql(),
     "lineitem_contract_check": _lineitem_contract_check_sql(),
     "text_scrub_spans": _text_scrub_spans_sql(),
@@ -5395,6 +5554,8 @@ _ROUND8_FRONT = [
     "sketch_cms_topk",
     "sketch_join_size",
     "events_bootstrap_ci",
+    "sketch_merge_incremental",
+    "events_value_psi",
     "link_sorted_neighborhood",
     "lineitem_contract_check",
     # last driver-checked in r5 (42)

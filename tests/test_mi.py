@@ -79,3 +79,55 @@ def test_drift_kl_matches_duckdb(spark, tmp_path):
     con.sql(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
     want = set(con.sql(drift_kl_sql("t", "g", "t")).fetchall())
     assert got == want and len(got) == 5
+
+
+# ------------------------------------------------------------------ PSI
+
+def test_psi_zero_for_identical_distributions(spark):
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.mi import psi_bins
+
+    # same value multiset on both sides → every bin term is exactly 0
+    rows = [(float(i % 20), c) for i in range(400) for c in (True, False)]
+    df = spark.createDataFrame(rows, ["v", "cur"])
+    out = psi_bins(df, "v", F.col("cur"), bins=10).collect()
+    assert all(r["psi_micro"] == 0 for r in out)
+    assert sum(r["n_ref"] for r in out) == 400
+
+
+def test_psi_flags_a_shifted_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.mi import psi_bins
+
+    # reference uniform 0..49; current shifted to 50..99 → huge PSI
+    rows = [(float(i % 50), False) for i in range(500)] + [
+        (50.0 + (i % 50), True) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["v", "cur"])
+    total = sum(
+        r["psi_micro"]
+        for r in psi_bins(df, "v", F.col("cur"), bins=10).collect()
+    )
+    # industry rule of thumb: > 0.25 (250_000 micro) = major shift
+    assert total > 250_000
+
+
+def test_psi_duckdb_twin(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.mi import psi_bins, psi_bins_sql
+
+    rows = [(((i * 13) % 97) / 3.0, i % 3 == 0) for i in range(300)]
+    df = spark.createDataFrame(rows, ["v", "cur"])
+    srows = [
+        tuple(r) for r in psi_bins(df, "v", F.col("cur"), bins=8).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE, cur BOOLEAN)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    orows = con.execute(psi_bins_sql("t", "v", "cur", bins=8)).fetchall()
+    assert srows == orows

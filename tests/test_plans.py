@@ -54,6 +54,8 @@ BNLJ_OK = {
     "events_zorder_locality",
     "sketch_join_size",
     "events_bootstrap_ci",
+    "sketch_merge_incremental",
+    "events_value_psi",
 }
 
 

@@ -319,3 +319,38 @@ def test_cms_join_size_zero_at_non_power_of_two_width(spark):
     b = cms_build(_vals(spark, ["k2"]), "v", width=5, depth=4)
     est = cms_join_size_estimate(a, b).collect()[0]["est_join_size"]
     assert est == 0
+
+
+# ------------------------------------------------------- mergeability
+
+def test_kmv_merge_equals_direct(spark):
+    from scholarmind_spark.operators.sketch import kmv_merge, kmv_minima
+
+    va = [f"a{i}" for i in range(300)]
+    vb = [f"b{i}" for i in range(250)] + [f"a{i}" for i in range(100)]
+    a, b = _vals(spark, va), _vals(spark, vb)
+    merged = [
+        r["h"]
+        for r in kmv_merge(
+            kmv_minima(a, "v", 64), kmv_minima(b, "v", 64), 64
+        ).collect()
+    ]
+    direct = [
+        r["h"] for r in kmv_minima(_vals(spark, va + vb), "v", 64).collect()
+    ]
+    assert merged == direct  # mergeability is EXACT, not approximate
+
+
+def test_cms_merge_equals_direct(spark):
+    from scholarmind_spark.operators.sketch import cms_build, cms_merge
+
+    va = [f"k{i % 9}" for i in range(90)]
+    vb = [f"k{i % 13}" for i in range(130)]
+    merged = cms_merge(
+        cms_build(_vals(spark, va), "v", width=8, depth=3),
+        cms_build(_vals(spark, vb), "v", width=8, depth=3),
+    )
+    direct = cms_build(_vals(spark, va + vb), "v", width=8, depth=3)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
