@@ -211,11 +211,22 @@ def psi_bins(
     positive integers; each bin's term is quantized to micro-nats
     BEFORE the caller sums — int64 addition is associative, floats
     never accumulate.  Two shuffles total: the (bin, side) cell counts
-    and the one-row min/max broadcast."""
+    and the one-row min/max broadcast.
+
+    Non-finite values (NaN/±Inf) are dropped on BOTH engines: Spark's
+    non-ANSI bigint cast silently maps NaN→0 and Inf→Long.MaxValue
+    (corrupting the global bin edges) while DuckDB raises — either
+    behavior breaks the twin, so neither is allowed in.  Overflow
+    envelope (same device as operators/zorder, tightened 1000× by the
+    milli scaling): the binning multiply needs (vm range)·bins < 2⁶³,
+    i.e. |value| spans up to ~9e14/bins after ×1000 — epoch-micros-
+    sized columns must be pre-quantized coarser first."""
     vc = F.col(value) if isinstance(value, str) else value
+    finite = vc.isNotNull() & ~F.isnan(vc) & (F.abs(vc) != float("inf"))
     vm = F.round(vc * 1000, 0).cast("bigint")
     base = df.select(
-        vm.alias("vm"), is_current.cast("boolean").alias("cur")
+        F.when(finite, vm).alias("vm"),
+        is_current.cast("boolean").alias("cur"),
     ).where(F.col("vm").isNotNull() & F.col("cur").isNotNull())
     rng = base.agg(F.min("vm").alias("__lo"), F.max("vm").alias("__hi"))
     binned = base.crossJoin(F.broadcast(rng)).select(
@@ -259,7 +270,8 @@ WITH base AS MATERIALIZED (
   SELECT round(({value_expr}) * 1000, 0)::BIGINT AS vm,
          ({is_current_expr})::BOOLEAN AS cur
   FROM {table}
-  WHERE ({value_expr}) IS NOT NULL AND ({is_current_expr}) IS NOT NULL
+  WHERE ({value_expr}) IS NOT NULL AND isfinite({value_expr})
+    AND ({is_current_expr}) IS NOT NULL
 ),
 rng AS (SELECT min(vm) AS lo, max(vm) AS hi FROM base),
 binned AS (

@@ -194,7 +194,7 @@ def kmv_overlap_report(
 
     a = kmv_minima(df_a, col, k, prefilter=prefilter).persist()
     b = kmv_minima(df_b, col, k, prefilter=prefilter).persist()
-    union_min = a.unionByName(b).distinct().orderBy("h").limit(k).persist()
+    union_min = kmv_merge(a, b, k).persist()
     # survivors present in BOTH sketches: intersect the tiny frames
     common = union_min.join(a, "h", "left_semi").join(b, "h", "left_semi")
     u = union_min.agg(
@@ -229,8 +229,7 @@ def kmv_overlap_report_sql(
 WITH ma AS (SELECT * FROM {kmv_minima_sql(values_a, k)}),
 mb AS (SELECT * FROM {kmv_minima_sql(values_b, k)}),
 umin AS (
-  SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
-  ORDER BY h LIMIT {k}
+  SELECT h FROM {kmv_merge_sql("SELECT h FROM ma", "SELECT h FROM mb", k)}
 ),
 uagg AS (SELECT count(*) AS n_union_minima, max(h) AS kth_hash FROM umin),
 cagg AS (
@@ -491,7 +490,15 @@ SELECT CASE WHEN (SELECT count(*) FROM per_row) < (SELECT __d FROM d)
 
 def kmv_merge(minima_a: DataFrame, minima_b: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     """KMV(A ∪ B) from the two sketches alone: the k smallest of the
-    combined minima (distinct hashes; both built with the same hash)."""
+    combined minima (distinct hashes; both built with the same hash).
+
+    ``k`` MUST be ≤ the smallest build-time k of the inputs (the CMS
+    width/depth trap's KMV sibling): a larger k cannot see past the
+    inputs' truncation horizon, so the merged sketch holds at most
+    k_a + k_b minima, the estimator takes its "fewer than k distinct"
+    EXACT branch, and a set of millions silently reports as ~k_a + k_b.
+    The frames don't carry their build k, so this is a documented
+    caller contract — store k next to the sketch like width/depth."""
     if k < 2:
         raise ValueError("kmv sketches need k >= 2")
     return (

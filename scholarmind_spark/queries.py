@@ -5032,7 +5032,11 @@ def sketch_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_build(batches[2], "v", width=w, depth=d),
     )
     direct_cms = cms_build(li.select("v"), "v", width=w, depth=d)
-    probe = li.select("v").limit(1).select(F.lit("1").alias("v"))
+    # bare one-row constant (NOT limit(1) over lineitem: that would make
+    # the probe's existence depend on the input being non-empty, while
+    # the oracle probes a literal — a row-count divergence on empty data
+    # — and adds a pointless scan)
+    probe = spark.range(1).select(F.lit("1").alias("v"))
     me = cms_estimate(merged_cms, probe, "v", width=w, depth=d).select(
         F.col("cms_est").alias("merged_cms_est")
     )

@@ -131,3 +131,23 @@ def test_psi_duckdb_twin(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     orows = con.execute(psi_bins_sql("t", "v", "cur", bins=8)).fetchall()
     assert srows == orows
+
+
+def test_psi_drops_non_finite_values_on_both_engines(spark):
+    import duckdb
+    import math
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.mi import psi_bins, psi_bins_sql
+
+    rows = [(1.0, False), (2.0, True), (float("nan"), False),
+            (float("inf"), True), (3.0, False), (4.0, True)]
+    df = spark.createDataFrame(rows, ["v", "cur"])
+    srows = [tuple(r) for r in psi_bins(df, "v", F.col("cur"), bins=4).collect()]
+    assert sum(r[1] + r[2] for r in srows) == 4  # NaN/Inf excluded
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE, cur BOOLEAN)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    orows = con.execute(psi_bins_sql("t", "v", "cur", bins=4)).fetchall()
+    assert srows == orows  # DuckDB would raise on the cast without the filter
