@@ -5522,24 +5522,24 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-8 window: the second full sweep begins — the SEVENTEEN gates
+# Round-8 window: the second full sweep begins — the NINETEEN gates
 # new this round lead (lit_fuzzy_dedup, text_gopher_keep,
 # text_url_canonical, sketch_distinct_kmv, sketch_overlap_kmv,
 # graph_triangles, events_autocorrelation, privacy_k_anonymity,
 # dataset_split_leakage, wet_roundtrip, text_card_luhn,
 # events_zorder_locality, sketch_cms_topk, sketch_join_size,
-# events_bootstrap_ci, link_sorted_neighborhood,
-# lineitem_contract_check — never driver-checked), then the r5-aged
-# gates in registration order; the driver's 50-gate cut leaves 17 new
-# + 33 aged checked this round.  The r5-aged gates the new entries
-# displace (diag_orc_ints, diag_orc_price, text_quality_stats,
-# text_clean, token_topk,
-# events_sliding, events_funnel, events_cohort_retention,
-# kmeans_assign_cells, and the five from the first half:
-# text_chunk_documents, events_sliding_stream, events_session_stream,
-# text_pack_sequences, text_pack_stats) lead the r9 window.  The
-# judge's standing rule: no gate's driver signal goes stale for more
-# than ~3 rounds.
+# events_bootstrap_ci, sketch_merge_incremental, events_value_psi,
+# link_sorted_neighborhood, lineitem_contract_check — never
+# driver-checked), then the r5-aged gates in registration order; the
+# driver's 50-gate cut leaves 19 new + 31 aged checked this round.
+# The r5-aged gates the new entries displace (diag_jsonl_len,
+# diag_jsonl_hash, diag_orc_ints, diag_orc_price, text_quality_stats,
+# text_clean, token_topk, events_sliding, events_funnel,
+# events_cohort_retention, kmeans_assign_cells, and the five from the
+# first half: text_chunk_documents, events_sliding_stream,
+# events_session_stream, text_pack_sequences, text_pack_stats) lead
+# the r9 window.  The judge's standing rule: no gate's driver signal
+# goes stale for more than ~3 rounds.
 
 _ROUND8_FRONT = [
     # new this round — never driver-checked

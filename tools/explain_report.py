@@ -77,6 +77,14 @@ exactly (w-1)·n with a length-band prefilter before levenshtein.""",
     "lineitem_contract_check": """Round-8 note: all rules evaluate in ONE aggregate pass (conditional
 sums, map-side partial); the per-rule rows are unpivoted from the
 single result row, so adding a rule never adds a scan.""",
+    "sketch_merge_incremental": """Round-8 note: per-batch sketches fold into EXACTLY the direct
+sketch (k-min of combined minima; cell-wise count add) — the
+incremental-maintenance property; all the merge work runs on ≤k-row /
+≤d·w-cell frames.""",
+    "events_value_psi": """Round-8 note: two shuffles total — the (bin, side) cells and the
+one-row min/max broadcast; per-bin terms are micro-nat int64 BEFORE
+summation, and non-finite values are dropped on both engines (Spark's
+non-ANSI cast would silently bin NaN at 0 where DuckDB raises).""",
 }
 
 
