@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "dedup_cluster_reps",
     "graph_triangles",
     "sketch_distinct_kmv",
+    "link_sorted_neighborhood",
+    "lineitem_contract_check",
 ]
 
 
