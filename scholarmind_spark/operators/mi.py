@@ -221,6 +221,10 @@ def psi_bins(
     milli scaling): the binning multiply needs (vm range)·bins < 2⁶³,
     i.e. |value| spans up to ~9e14/bins after ×1000 — epoch-micros-
     sized columns must be pre-quantized coarser first."""
+    if bins < 1:
+        # bins=0 would silently degenerate to a single bin 0 with
+        # psi_micro 0 — a drift monitor that never reports drift.
+        raise ValueError("bins must be >= 1")
     vc = F.col(value) if isinstance(value, str) else value
     finite = vc.isNotNull() & ~F.isnan(vc) & (F.abs(vc) != float("inf"))
     vm = F.round(vc * 1000, 0).cast("bigint")
@@ -265,6 +269,8 @@ def psi_bins_sql(
 ) -> str:
     """DuckDB twin of :func:`psi_bins` — identical binning, smoothing,
     and micro-nat quantization."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
     return f"""
 WITH base AS MATERIALIZED (
   SELECT round(({value_expr}) * 1000, 0)::BIGINT AS vm,

@@ -465,9 +465,22 @@ def subsample_metric_ci(
         F.sort_array(F.collect_list("rep_mean_milli")).alias("ms"),
     ).select(
         "n_replicas",
-        F.element_at("ms", 2).alias("ci_lo_milli"),
-        F.element_at("ms", -2).alias("ci_hi_milli"),
-        (F.element_at("ms", -1) - F.element_at("ms", 1)).alias("spread_milli"),
+        # Guard the REALIZED replica count (the replicas>=4 parameter
+        # check can't see replicas that kept zero rows): with < 2 means
+        # the 2nd order statistics don't exist — NULL bounds, not an
+        # ARRAY_INDEX_OUT_OF_BOUNDS under spark.sql.ansi.enabled.  CASE
+        # branches evaluate lazily on both engines, so the guarded
+        # element_at is never reached when it would throw.
+        F.when(F.col("n_replicas") >= 2, F.element_at("ms", 2)).alias(
+            "ci_lo_milli"
+        ),
+        F.when(F.col("n_replicas") >= 2, F.element_at("ms", -2)).alias(
+            "ci_hi_milli"
+        ),
+        F.when(
+            F.col("n_replicas") >= 1,
+            F.element_at("ms", -1) - F.element_at("ms", 1),
+        ).alias("spread_milli"),
     )
     full = base.agg(
         F.count("*").alias("n_rows"),
@@ -515,7 +528,8 @@ fullagg AS (
   FROM base
 )
 SELECT n_rows, mean_milli, n_replicas,
-       ms[2] AS ci_lo_milli, ms[-2] AS ci_hi_milli,
-       (ms[-1] - ms[1]) AS spread_milli
+       CASE WHEN n_replicas >= 2 THEN ms[2] END AS ci_lo_milli,
+       CASE WHEN n_replicas >= 2 THEN ms[-2] END AS ci_hi_milli,
+       CASE WHEN n_replicas >= 1 THEN (ms[-1] - ms[1]) END AS spread_milli
 FROM fullagg, rep_stats
 """

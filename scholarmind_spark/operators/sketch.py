@@ -270,6 +270,16 @@ FROM uagg, cagg
 _CMS_MAX_DEPTH = 8
 
 
+def _cms_check(width: int, depth: int) -> None:
+    # width <= 0 would make the bucket expression a modulo-by-zero,
+    # which non-ANSI Spark evaluates to NULL buckets — a silently
+    # empty/corrupt sketch.  Fail loudly like the depth check instead.
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
+    if width < 1:
+        raise ValueError("width must be >= 1")
+
+
 def _cms_bucket(v: Column, r: int, width: int) -> Column:
     return minhash_base(F.concat(v, F.lit(f"#{r}"))) % width
 
@@ -285,8 +295,7 @@ def cms_build(
     """The sketch as rows ``(row, bucket, cnt)`` — at most depth·width
     cells regardless of input size.  One explode to depth rows per
     value, one map-side-combined groupBy; absent cells mean 0."""
-    if not 1 <= depth <= _CMS_MAX_DEPTH:
-        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
+    _cms_check(width, depth)
     v = _value_col(df, col)
     vals = df.select(v.cast("string").alias("v")).where(F.col("v").isNotNull())
     cells = vals.select(
@@ -326,8 +335,7 @@ def cms_estimate(
     :func:`cms_build`; carrying them alongside the cells is the
     caller's job (they are two ints — store them next to the sketch).
     NULL keys are dropped (not set members, same as :func:`cms_build`)."""
-    if not 1 <= depth <= _CMS_MAX_DEPTH:
-        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
+    _cms_check(width, depth)
     v = _value_col(keys, col)
     probes = (
         keys.select(v.cast("string").alias("key"))
@@ -357,8 +365,7 @@ def cms_estimate(
 
 def cms_build_sql(values_query: str, width: int = 1024, depth: int = 4) -> str:
     """DuckDB twin of :func:`cms_build` over a subquery yielding ``v``."""
-    if not 1 <= depth <= _CMS_MAX_DEPTH:
-        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
+    _cms_check(width, depth)
     rows = " UNION ALL ".join(
         f"SELECT {r} AS row, {_cms_bucket_sql('v', r, width)} AS bucket"
         f" FROM vals"
@@ -379,8 +386,7 @@ def cms_estimate_sql(
     depth: int = 4,
 ) -> str:
     """DuckDB twin of :func:`cms_estimate` — ``keys_query`` yields ``v``."""
-    if not 1 <= depth <= _CMS_MAX_DEPTH:
-        raise ValueError(f"depth must be in 1..{_CMS_MAX_DEPTH}")
+    _cms_check(width, depth)
     probes = " UNION ALL ".join(
         f"SELECT key, {r} AS row, {_cms_bucket_sql('key', r, width)}"
         f" AS bucket FROM probes"

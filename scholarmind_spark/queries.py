@@ -5522,78 +5522,20 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-8 window: the second full sweep begins — the NINETEEN gates
-# new this round lead (lit_fuzzy_dedup, text_gopher_keep,
-# text_url_canonical, sketch_distinct_kmv, sketch_overlap_kmv,
-# graph_triangles, events_autocorrelation, privacy_k_anonymity,
-# dataset_split_leakage, wet_roundtrip, text_card_luhn,
-# events_zorder_locality, sketch_cms_topk, sketch_join_size,
-# events_bootstrap_ci, sketch_merge_incremental, events_value_psi,
-# link_sorted_neighborhood, lineitem_contract_check — never
-# driver-checked), then the r5-aged gates in registration order; the
-# driver's 50-gate cut leaves 19 new + 31 aged checked this round.
-# The r5-aged gates the new entries displace (diag_jsonl_len,
-# diag_jsonl_hash, diag_orc_ints, diag_orc_price, text_quality_stats,
-# text_clean, token_topk, events_sliding, events_funnel,
-# events_cohort_retention, kmeans_assign_cells, and the five from the
-# first half: text_chunk_documents, events_sliding_stream,
-# events_session_stream, text_pack_sequences, text_pack_stats) lead
-# the r9 window.  The judge's standing rule: no gate's driver signal
-# goes stale for more than ~3 rounds.
+# Round-9 window: stalest-first.  After the r8 window (19 new + 31
+# aged) the staleness ledger reads 7 gates last driver-checked in r5
+# and 48 in r6 (union of CORRECTNESS_r01..r08 keys, last-seen round).
+# Lead with any gates NEW this round (never driver-checked beats
+# stale), then all 7 r5 stragglers, then the 48 r6 gates in their r6
+# window order; the driver's 50-cut takes the head, and whatever r6
+# gates miss the cut lead the r10 window.  The judge's standing rule:
+# no gate's driver signal goes stale for more than ~3 rounds (with 155+
+# gates and a 50-gate window, a handful necessarily touch 4 — those are
+# exactly the tail of this list, first in line next round).
 
-_ROUND8_FRONT = [
-    # new this round — never driver-checked
-    "lit_fuzzy_dedup",
-    "text_gopher_keep",
-    "text_url_canonical",
-    "sketch_distinct_kmv",
-    "sketch_overlap_kmv",
-    "graph_triangles",
-    "events_autocorrelation",
-    "privacy_k_anonymity",
-    "dataset_split_leakage",
-    "wet_roundtrip",
-    "text_card_luhn",
-    "events_zorder_locality",
-    "sketch_cms_topk",
-    "sketch_join_size",
-    "events_bootstrap_ci",
-    "sketch_merge_incremental",
-    "events_value_psi",
-    "link_sorted_neighborhood",
-    "lineitem_contract_check",
-    # last driver-checked in r5 (42)
-    "text_lang_id",
-    "diag_curation_stages",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "top_customers_per_nation",
-    "rollup_order_stats",
-    "q4_returned_orders",
-    "customers_without_orders",
-    "q14_promo_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_customers",
-    "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_bracket_revenue",
-    "q21_waiting_suppliers",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "orders_running_total",
-    "distinct_users_per_type",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
+_ROUND9_FRONT = [
+    # new this round — never driver-checked (prepended as added)
+    # last driver-checked in r5 (7 stragglers displaced by the r8 news)
     "diag_jsonl_len",
     "diag_jsonl_hash",
     "diag_orc_ints",
@@ -5601,15 +5543,61 @@ _ROUND8_FRONT = [
     "text_quality_stats",
     "text_clean",
     "token_topk",
+    # last driver-checked in r6 (48; the driver 50-cut takes the oldest
+    # fill — whatever misses the cut leads the r10 window)
+    "text_pii_redact",
+    "dedup_incremental",
+    "dedup_cluster_reps",
+    "graph_pagerank",
+    "dedup_containment",
+    "dedup_cluster_sizes",
+    "events_stream_anomaly",
+    "events_stream_dedup",
+    "events_stream_interval_join",
+    "events_stateful_user_stats",
+    "events_stream_enrich",
+    "events_sliding_stream",
+    "events_session_stream",
+    "lineitem_weighted_median",
+    "events_mad_outliers",
+    "events_winsorize",
+    "events_interarrival",
+    "events_benford_audit",
+    "orders_fd_audit",
+    "events_daily_drift",
+    "fk_audit",
+    "orders_snapshot_diff",
+    "orders_scd2_history",
+    "text_lm_score",
+    "text_collocations",
+    "text_bm25_topk",
+    "text_char_entropy",
+    "text_hash_features",
+    "link_fuzzy_vocab",
+    "embed_centroid_classify",
+    "events_rolling_anomaly",
+    "events_mutual_information",
+    "events_session_paths",
+    "source_vocab_overlap",
+    "source_health_report",
+    "dataset_shuffle_order",
+    "kmeans_assign_cells",
+    "text_chunk_documents",
+    "text_pack_sequences",
+    "text_pack_stats",
+    "dataset_mixture",
+    "dataset_weighted_sample",
+    "text_url_domains",
+    "text_scrub_spans",
+    "text_span_hotlist",
     "events_sliding",
     "events_funnel",
     "events_cohort_retention",
-    "kmeans_assign_cells",
 ]
 
 
 def _rotated(d: dict) -> dict:
-    front = {k: d[k] for k in _ROUND8_FRONT if k in d}
+    front = {k: d[k] for k in _ROUND9_FRONT if k in d}
     front.update({k: v for k, v in d.items() if k not in front})
     return front
 

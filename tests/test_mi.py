@@ -151,3 +151,18 @@ def test_psi_drops_non_finite_values_on_both_engines(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     orows = con.execute(psi_bins_sql("t", "v", "cur", bins=4)).fetchall()
     assert srows == orows  # DuckDB would raise on the cast without the filter
+
+
+def test_psi_bins_validated(spark):
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.mi import psi_bins, psi_bins_sql
+
+    df = spark.createDataFrame([(1.0, True)], ["v", "cur"])
+    with pytest.raises(ValueError):
+        psi_bins(df, "v", F.col("cur"), bins=0)
+    with pytest.raises(ValueError):
+        psi_bins_sql("t", "v", "cur", bins=0)

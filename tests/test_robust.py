@@ -188,3 +188,30 @@ def test_subsample_ci_validates_replicas(spark):
     df = spark.createDataFrame([(1, 1.0)], ["id", "val"])
     with pytest.raises(ValueError):
         subsample_metric_ci(df, "id", "val", replicas=2)
+
+
+def test_degenerate_replica_count_yields_null_bounds(spark):
+    """When fewer than 2 replicas keep any rows, the 2nd order
+    statistics don't exist: CI bounds must come back NULL (never an
+    index error under ANSI), on BOTH engines."""
+    import duckdb
+
+    from scholarmind_spark.operators.robust import (
+        subsample_metric_ci,
+        subsample_metric_ci_sql,
+    )
+
+    # one row whose id hashes so only ONE of the 4 replicas keeps it
+    # (md5("x0:r") is even for r=2 only) → realized n_replicas == 1
+    df = spark.createDataFrame([("x0", 5.0)], ["id", "val"])
+    row = subsample_metric_ci(df, "id", "val", replicas=4).collect()[0]
+    assert row["n_rows"] == 1 and row["n_replicas"] <= 1
+    assert row["ci_lo_milli"] is None and row["ci_hi_milli"] is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id VARCHAR, val DOUBLE)")
+    con.execute("INSERT INTO t VALUES ('x0', 5.0)")
+    orow = con.execute(
+        subsample_metric_ci_sql("t", "id", "val", replicas=4)
+    ).fetchone()
+    assert tuple(row) == tuple(orow)

@@ -191,6 +191,30 @@ def test_cms_depth_validated(spark):
         cms_build_sql("SELECT v FROM t", depth=9)
 
 
+def test_cms_width_validated(spark):
+    """width < 1 must fail loudly (modulo-by-zero would otherwise make
+    NULL buckets — a silently empty sketch), on all four entry points."""
+    import pytest
+
+    from scholarmind_spark.operators.sketch import (
+        cms_build,
+        cms_build_sql,
+        cms_estimate,
+        cms_estimate_sql,
+    )
+
+    df = _vals(spark, ["a"])
+    for bad in (0, -4):
+        with pytest.raises(ValueError):
+            cms_build(df, "v", width=bad)
+        with pytest.raises(ValueError):
+            cms_build_sql("SELECT v FROM t", width=bad)
+        with pytest.raises(ValueError):
+            cms_estimate(df, df, "v", width=bad)
+        with pytest.raises(ValueError):
+            cms_estimate_sql("SELECT 1", "SELECT v FROM t", width=bad)
+
+
 def test_cms_estimate_drops_null_keys_and_validates_depth(spark):
     import pytest
 
