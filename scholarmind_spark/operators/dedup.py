@@ -101,7 +101,16 @@ def priority_dedup(
         drop.append("__dedup_key")
     out = out.drop(*drop)
     if fuzzy_nodoi:
-        out = fuzzy_title_dedup(
+        from scholarmind_spark.util import attach_caches
+
+        # The fuzzy pass reads the first-pass survivors TWICE — once
+        # projected to (tiebreak, title, priority) for the eligibility/
+        # dominance side, once full-width for the final anti-join.
+        # Uncached, each read re-runs the A1 window over the source scan
+        # (the 15-scan/31-exchange plan the round-8 audit flagged).
+        # persist() (MEMORY_AND_DISK, spills) runs the window once.
+        out = out.persist()
+        fuzzy = fuzzy_title_dedup(
             out,
             title_col=title_col,
             priority=priority,
@@ -109,6 +118,8 @@ def priority_dedup(
             max_dist=fuzzy_max_dist,
             subset=key_is_empty,
         )
+        inner = list(getattr(fuzzy, "_sm_caches", ()))
+        out = attach_caches(fuzzy, [out, *inner])
     return out
 
 
@@ -183,24 +194,33 @@ def fuzzy_title_dedup(
     skew failure the A1 pass's synthetic null keys exist to prevent.
     """
     from scholarmind_spark.operators.linkage import fuzzy_link
+    from scholarmind_spark.util import attach_caches
 
     priority = source_priority(F.col("source_type")) if priority is None else priority
     in_subset = F.lit(True) if subset is None else subset
 
+    # persist(): five consumers read this projection (maxp, best,
+    # dom_exact, keys_ok, dom_fuzzy) — uncached, each would re-scan the
+    # input and re-derive the title keys.  It is three narrow columns
+    # over the eligible subset only, disk-spillable.
     elig = (
         df.withColumn("__tk", title_norm(F.col(title_col)))
         .withColumn("__fprio", priority)
         .filter(in_subset & F.col("__tk").isNotNull() & (F.col("__tk") != ""))
         .select(F.col(tiebreak).alias("__fid"), "__tk", "__fprio")
+        .persist()
     )
     # per-key best: (max prio, then min tiebreak) — two aggregations, both
     # map-side combinable, ONE row per distinct key regardless of key df
     maxp = elig.groupBy("__tk").agg(F.max("__fprio").alias("__bp"))
+    # persist(): read by dom_exact AND (as partner_best) dom_fuzzy; one
+    # row per distinct key, tiny relative to the input.
     best = (
         elig.join(maxp, "__tk")
         .filter(F.col("__fprio") == F.col("__bp"))
         .groupBy("__tk", "__bp")
         .agg(F.min("__fid").alias("__bid"))
+        .persist()
     )
     beats = (F.col("__bp") > F.col("__fprio")) | (
         (F.col("__bp") == F.col("__fprio")) & (F.col("__bid") < F.col("__fid"))
@@ -217,7 +237,8 @@ def fuzzy_title_dedup(
         .filter(F.col("__df") <= max_title_df)
         .select("__tk")
     )
-    pairs = fuzzy_link(keys_ok, "__tk", max_dist=max_dist).filter(
+    linked = fuzzy_link(keys_ok, "__tk", max_dist=max_dist)
+    pairs = linked.filter(
         _numeral_seq(F.col("a")) == _numeral_seq(F.col("b"))
     )
     edges = pairs.select(
@@ -239,7 +260,9 @@ def fuzzy_title_dedup(
         .distinct()
         .select(F.col("__fid").alias(tiebreak))
     )
-    return df.join(dominated, on=tiebreak, how="left_anti")
+    out = df.join(dominated, on=tiebreak, how="left_anti")
+    inner = list(getattr(linked, "_sm_caches", ()))
+    return attach_caches(out, [elig, best, *inner])
 
 
 def dedup_exact(

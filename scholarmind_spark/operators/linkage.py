@@ -65,11 +65,16 @@ def fuzzy_link(
     of ``key_col``: every pair within ``max_dist`` edits, no all-pairs
     comparison (PassJoin segment blocking — see module docstring)."""
     d = max_dist
+    # persist(): four consumers (idx, probes, tiny, small) — uncached,
+    # each re-runs the input scan AND the distinct shuffle.  Two narrow
+    # columns over distinct keys only, disk-spillable; tagged on the
+    # output via attach_caches.
     keys = (
         df.select(F.col(key_col).cast("string").alias("k"))
         .filter(F.col("k").isNotNull() & (F.col("k") != ""))
         .distinct()
         .select("k", F.length("k").alias("n"))
+        .persist()
     )
 
     # --- main path: both keys longer than d (all segments non-empty)
@@ -151,9 +156,13 @@ def fuzzy_link(
         )
         .distinct()
     )
-    return cand.select(
+    from scholarmind_spark.util import attach_caches
+
+    out = cand.select(
         "a", "b", F.levenshtein("a", "b").alias("dist")
     ).filter(F.col("dist") <= d)
+    inner = list(getattr(df, "_sm_caches", ()))
+    return attach_caches(out, [keys, *inner])
 
 
 def fuzzy_link_sql(table: str, key_expr: str, max_dist: int = 2) -> str:

@@ -81,6 +81,12 @@ single result row, so adding a rule never adds a scan.""",
 sketch (k-min of combined minima; cell-wise count add) — the
 incremental-maintenance property; all the merge work runs on ≤k-row /
 ≤d·w-cell frames.""",
+    "lit_fuzzy_dedup": """Round-9 note: the A1 survivor set, the eligibility projection, the
+per-key best, and fuzzy_link's distinct-key frame are all persist()-ed
+(each has 2-5 consumers) — the r8 digest read 15 parquet scans / 31
+exchanges for this gate, now 1 visible scan / 8 exchanges with each
+cached relation materialized once.  The BNLJ is fuzzy_link's tiny-path
+(length<=d) alphabet-bounded cross join.""",
     "events_value_psi": """Round-8 note: two shuffles total — the (bin, side) cells and the
 one-row min/max broadcast; per-bin terms are micro-nat int64 BEFORE
 summation, and non-finite values are dropped on both engines (Spark's
