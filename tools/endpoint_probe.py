@@ -71,6 +71,41 @@ def main() -> None:
         ).where(F.col("v") != "")
         kmv_distinct_report(toks, "v", k=256).collect()
 
+    def _snm(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.linkage import sorted_neighborhood_link
+        from scholarmind_spark.util import release_caches
+
+        # distinct sortable name-like keys, one per row — SNM's candidate
+        # count is (w-1)·n by construction, so work must track n linearly
+        names = df.select(F.format_string("name#%012d", F.col("doc_id")).alias("k"))
+        out = sorted_neighborhood_link(names, "k", window=3, max_dist=2)
+        out.count()
+        release_caches(out)
+
+    def _urls(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.urls import canonical_url
+
+        # the text_url_canonical gate's six spellings, scaled by doc_id
+        m = F.col("doc_id") % 6
+        g = (F.col("doc_id") % 25_000).cast("string")
+        url = (
+            F.when(m == 0, F.concat(F.lit("https://Example.org/p"), g, F.lit("/")))
+            .when(m == 1, F.concat(F.lit("https://www.example.org/p"), g))
+            .when(m == 2, F.concat(F.lit("https://example.org:443/p"), g, F.lit("?utm_source=x")))
+            .when(m == 3, F.concat(F.lit("https://example.org/p"), g, F.lit("#frag")))
+            .when(m == 4, F.concat(F.lit("https://example.org/p"), g, F.lit("?b=2&a=1")))
+            .otherwise(F.concat(F.lit("https://example.org/p"), g, F.lit("?a=1&b=2&utm_campaign=z")))
+        )
+        _noop(
+            df.select("doc_id", canonical_url(url).alias("canonical"))
+            .groupBy("canonical")
+            .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("first_id"))
+        )
+
     spark = get_spark(app_name="endpoint-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,6 +125,11 @@ def main() -> None:
         # scan+prefilter pipeline (nothing prunable upstream of the agg).
         "triangle_census": _triangle,
         "kmv_distinct": _kmv,
+        # round-9 batch: SNM's distributed-rank construction (range
+        # exchange + offset broadcast) and URL canonicalization (pure
+        # JVM regex/array exprs into one groupBy)
+        "snm": _snm,
+        "url_canonical": _urls,
     }
     wanted = sys.argv[2:]
     if wanted:
