@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality_stats",
+    "text_bpe_tokens",
     "text_clean",
     "token_topk",
     "text_word_repetition",

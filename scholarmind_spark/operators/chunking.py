@@ -22,6 +22,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 32,
     overlap: int = 8,
+    tokenizer=None,
 ) -> DataFrame:
     """One row per (doc, window): ``id, chunk_id, n_tokens, chunk_text``.
     Windows start every ``chunk_tokens - overlap`` tokens; the final
@@ -34,13 +35,20 @@ def chunk_documents(
     final chunk that was a pure subset of the previous one — injecting
     exactly the duplicated text the dedup stages exist to remove.
 
-    Tokenization is :func:`textstats.tokens` — the SAME splitter the
-    token counts and pack coordinates use, so chunk boundaries stay
-    joinable with them."""
+    Tokenization defaults to :func:`textstats.tokens` — the SAME
+    splitter the token counts and pack coordinates use, so chunk
+    boundaries stay joinable with them.  ``tokenizer`` swaps it (a
+    ``Column -> Column`` producing an array<string> of tokens): pass
+    ``operators.bpe.bpe_tokens`` to chunk by the pinned merge-table
+    BPE — window arithmetic is tokenizer-agnostic, and ``chunk_text``
+    is then the space-joined token PIECES (chunk boundaries are token
+    budgets; the pieces, not reflowed prose, are what a token-budgeted
+    consumer sees)."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = tokens(F.col(text_col))
+    tok_fn = tokens if tokenizer is None else tokenizer
+    toks = tok_fn(F.col(text_col))
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size(toks) - overlap - 1, F.lit(0)),
@@ -69,9 +77,11 @@ def chunk_documents_sql(
     text_col: str = "text",
     chunk_tokens: int = 32,
     overlap: int = 8,
+    tokenizer_sql=None,
 ) -> str:
     step = chunk_tokens - overlap
-    toks = tokens_sql(text_col)
+    tok_sql = tokens_sql if tokenizer_sql is None else tokenizer_sql
+    toks = tok_sql(text_col)
     return f"""
 WITH ex AS (
   SELECT {id_col} AS id, {toks} AS toks,

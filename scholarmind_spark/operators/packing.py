@@ -42,6 +42,7 @@ def pack_sequences(
     text_col: str = "text",
     context_tokens: int = 512,
     shards: int = 8,
+    token_counter=None,
 ) -> DataFrame:
     """Packing coordinates per document.
 
@@ -59,12 +60,19 @@ def pack_sequences(
     100 TB.  It cannot be auto-scaled because every output coordinate
     depends on it: choose it ONCE per dataset (≈ a few × the executor
     count, or the dataloader's worker count) and keep it fixed across
-    incremental rebuilds."""
+    incremental rebuilds.
+
+    ``token_counter`` swaps the tokenizer (a ``Column -> Column`` giving
+    an integer token count per text): default is the whitespace
+    ``textstats.token_count``; pass ``operators.bpe.bpe_token_count``
+    to budget by the pinned merge-table BPE — every packing coordinate
+    downstream is tokenizer-agnostic integer arithmetic."""
     c = int(context_tokens)
+    counter = token_count if token_counter is None else token_counter
     t = df.select(
         F.col(id_col),
         (F.col(id_col) % F.lit(shards)).cast("bigint").alias("shard"),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+        counter(F.col(text_col)).cast("bigint").alias("n_tok"),
     )
     w = (
         Window.partitionBy("shard")
@@ -95,11 +103,14 @@ def pack_sequences_sql(
     text_col: str = "text",
     context_tokens: int = 512,
     shards: int = 8,
+    token_counter_sql=None,
 ) -> str:
     """DuckDB twin of :func:`pack_sequences` (same shards, same order,
-    same integer arithmetic)."""
+    same integer arithmetic; ``token_counter_sql`` mirrors
+    ``token_counter`` — a ``str -> str`` SQL count builder)."""
     c = int(context_tokens)
-    n_tok = token_count_sql(text_col)
+    counter_sql = token_count_sql if token_counter_sql is None else token_counter_sql
+    n_tok = counter_sql(text_col)
     return f"""
 WITH t AS (
   SELECT {id_col},

@@ -5195,6 +5195,44 @@ def _privacy_k_anonymity_sql() -> str:
     return k_anonymity_report_sql("customer", qi, k=5)
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real merge-table BPE tokenization (operators/bpe): the pinned
+    40-merge table applied as a chained-replace JVM expression — per doc
+    the BPE token count, the whitespace count it replaces for budgeting,
+    and the first 12 pieces (hash-checking the actual tokenization, not
+    just its length).  Production pipelines budget/pack/chunk by
+    tokenizer tokens; the regex `bpe_token_count` in text_quality_stats
+    was the heuristic tier, this is the trained-artifact tier."""
+    from scholarmind_spark.operators.bpe import (
+        bpe_token_count as bpe_real_count,
+    )
+    from scholarmind_spark.operators.bpe import bpe_tokens as bpe_pieces
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        bpe_real_count(c).alias("n_bpe"),
+        token_count(c).cast("bigint").alias("n_ws"),
+        F.array_join(F.slice(bpe_pieces(c), 1, 12), " ").alias("head_pieces"),
+    )
+
+
+def _text_bpe_tokens_sql() -> str:
+    from scholarmind_spark.operators.bpe import (
+        bpe_token_count_sql as bpe_real_count_sql,
+    )
+    from scholarmind_spark.operators.bpe import bpe_tokens_sql as bpe_pieces_sql
+
+    return f"""
+SELECT doc_id,
+       {bpe_real_count_sql('text')} AS n_bpe,
+       {token_count_sql('text')}::BIGINT AS n_ws,
+       array_to_string(({bpe_pieces_sql('text')})[1:12], ' ') AS head_pieces
+FROM documents
+"""
+
+
 
 SPARK_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -5281,6 +5319,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "graph_triangles": graph_triangles,
     "events_autocorrelation": events_autocorrelation,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "text_bpe_tokens": text_bpe_tokens,
     "dataset_split_leakage": dataset_split_leakage,
     "wet_roundtrip": wet_roundtrip,
     "text_card_luhn": text_card_luhn,
@@ -5439,6 +5478,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_triangles": _graph_triangles_sql(),
     "events_autocorrelation": _events_autocorrelation_sql(),
     "privacy_k_anonymity": _privacy_k_anonymity_sql(),
+    "text_bpe_tokens": _text_bpe_tokens_sql(),
     "dataset_split_leakage": _dataset_split_leakage_sql(),
     "wet_roundtrip": JSONL_ROUNDTRIP_SQL,
     "text_card_luhn": _text_card_luhn_sql(),
@@ -5535,6 +5575,7 @@ ORACLE_SQL: dict[str, str] = {
 
 _ROUND9_FRONT = [
     # new this round — never driver-checked (prepended as added)
+    "text_bpe_tokens",
     # last driver-checked in r5 (7 stragglers displaced by the r8 news)
     "diag_jsonl_len",
     "diag_jsonl_hash",
