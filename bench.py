@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality_stats",
     "text_bpe_tokens",
+    "link_multipass",
     "text_clean",
     "token_topk",
     "text_word_repetition",

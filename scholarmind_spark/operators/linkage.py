@@ -64,6 +64,23 @@ def fuzzy_link(
     """``a, b, dist`` lossless fuzzy self-linkage of the distinct values
     of ``key_col``: every pair within ``max_dist`` edits, no all-pairs
     comparison (PassJoin segment blocking — see module docstring)."""
+    from scholarmind_spark.util import attach_caches
+
+    cand, caches = _passjoin_candidates(df, key_col, max_dist)
+    out = cand.select(
+        "a", "b", F.levenshtein("a", "b").alias("dist")
+    ).filter(F.col("dist") <= max_dist)
+    return attach_caches(out, caches)
+
+
+def _passjoin_candidates(
+    df: DataFrame, key_col: str, max_dist: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The PassJoin blocking stage alone: distinct ``(a, b)`` candidate
+    pairs (``a < b``, superset of all true ≤ max_dist pairs), plus the
+    persist()-ed relations the plan holds — so multi-pass composition
+    (:func:`link_candidates`) can union candidates across blockers and
+    verify ONCE."""
     d = max_dist
     # persist(): four consumers (idx, probes, tiny, small) — uncached,
     # each re-runs the input scan AND the distinct shuffle.  Two narrow
@@ -156,13 +173,8 @@ def fuzzy_link(
         )
         .distinct()
     )
-    from scholarmind_spark.util import attach_caches
-
-    out = cand.select(
-        "a", "b", F.levenshtein("a", "b").alias("dist")
-    ).filter(F.col("dist") <= d)
     inner = list(getattr(df, "_sm_caches", ()))
-    return attach_caches(out, [keys, *inner])
+    return cand, [keys, *inner]
 
 
 def fuzzy_link_sql(table: str, key_expr: str, max_dist: int = 2) -> str:
@@ -225,6 +237,30 @@ def sorted_neighborhood_link(
     """``a, b, dist`` (``a`` before ``b`` in sort order) for distinct
     non-empty keys within ``window`` positions and edit distance ≤
     ``max_dist``."""
+    from scholarmind_spark.util import attach_caches
+
+    cand, caches = _snm_candidates(df, key_col, window, partitions)
+    out = (
+        cand.where(
+            # cheap length band BEFORE the O(len²) edit distance — the
+            # same prefilter fuzzy_link applies; a length gap > max_dist
+            # already disqualifies the pair
+            F.abs(F.length("a") - F.length("b")) <= max_dist
+        )
+        .select("a", "b", F.levenshtein("a", "b").alias("dist"))
+        .where(F.col("dist") <= max_dist)
+        .orderBy("a", "b")
+    )
+    return attach_caches(out, caches)
+
+
+def _snm_candidates(
+    df: DataFrame, key_col: str, window: int, partitions: int = 32
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The sorted-neighborhood blocking stage alone: ``(a, b)`` pairs
+    within ``window`` sort positions (``a`` before ``b`` ⇒ ``a < b``
+    lexicographically; exactly (w-1)·n pairs, minus the tail), plus the
+    persist()-ed ranked relation — for :func:`link_candidates`."""
     if window < 2:
         raise ValueError("window must be >= 2 (w-1 successors)")
     from pyspark.sql.window import Window as W
@@ -266,17 +302,8 @@ def sorted_neighborhood_link(
     )
     cand = probe.join(
         ranked.select(F.col("k").alias("b"), "rank"), "rank"
-    ).where(
-        # cheap length band BEFORE the O(len²) edit distance — the same
-        # prefilter fuzzy_link applies; a length gap > max_dist already
-        # disqualifies the pair
-        F.abs(F.length("a") - F.length("b")) <= max_dist
-    )
-    pairs = cand.select("a", "b", F.levenshtein("a", "b").alias("dist"))
-    out = pairs.where(F.col("dist") <= max_dist).orderBy("a", "b")
-    from scholarmind_spark.util import attach_caches
-
-    return attach_caches(out, [local])
+    ).select("a", "b")
+    return cand, [local]
 
 
 def sorted_neighborhood_link_sql(
@@ -313,4 +340,128 @@ cand AS (
 SELECT a, b, dist FROM cand
 WHERE dist <= {max_dist}
 ORDER BY a, b
+"""
+
+
+# --------------------------------------------------- multi-pass union
+#
+# Production linkage stacks run SEVERAL blockers and union their
+# candidates before one verification stage (the multi-pass SNM of
+# Hernández & Stolfo §4; Papadakis et al.'s blocking surveys call it
+# block union): each blocker has a blind spot — PassJoin is lossless
+# for edit distance but its candidate volume tracks segment-match
+# frequency, SNM's volume is a hard (w-1)·n but it misses qualifying
+# pairs further than w apart in sort order.  Running both costs two
+# candidate generations and ONE shared verify; provenance flags record
+# which blocker surfaced each surviving pair (the operational signal
+# for tuning w).
+
+
+def link_candidates(
+    df: DataFrame,
+    key_col: str,
+    max_dist: int = 2,
+    window: int = 4,
+    passes: tuple[str, ...] = ("passjoin", "snm"),
+    partitions: int = 32,
+) -> DataFrame:
+    """``a, b, dist, via_passjoin, via_snm`` — the union of the enabled
+    blocking passes' candidates, deduplicated, then verified ONCE
+    (length band + levenshtein ≤ ``max_dist``).
+
+    Both blockers emit ``a < b`` (PassJoin canonicalizes via least/
+    greatest; SNM's sort order is lexicographic), so the union
+    deduplicates on the pair itself — one groupBy, map-side combinable.
+    Because PassJoin is lossless, enabling it makes the OUTPUT the
+    complete ≤ max_dist pair set and ``via_snm`` an annotation of SNM's
+    recall — which the link_multipass gate exploits: its brute-force
+    oracle recomputes both flags independently.
+
+    Scale: candidates are never re-verified per pass — a pair surfaced
+    by both blockers reaches levenshtein once.  The groupBy key (a, b)
+    is high-entropy (distinct key pairs), no skew; each blocker's
+    internal persists ride along via attach_caches."""
+    from functools import reduce
+
+    from scholarmind_spark.util import attach_caches
+
+    unknown = set(passes) - {"passjoin", "snm"}
+    if unknown or not passes:
+        raise ValueError(f"passes must be non-empty from {{'passjoin','snm'}}, got {passes!r}")
+    branches: list[DataFrame] = []
+    caches: list[DataFrame] = []
+    if "passjoin" in passes:
+        cand, cc = _passjoin_candidates(df, key_col, max_dist)
+        branches.append(
+            cand.select(
+                "a",
+                "b",
+                F.lit(True).alias("via_passjoin"),
+                F.lit(False).alias("via_snm"),
+            )
+        )
+        caches += cc
+    if "snm" in passes:
+        cand, cc = _snm_candidates(df, key_col, window, partitions)
+        branches.append(
+            cand.select(
+                "a",
+                "b",
+                F.lit(False).alias("via_passjoin"),
+                F.lit(True).alias("via_snm"),
+            )
+        )
+        caches += cc
+    merged = (
+        reduce(lambda x, y: x.unionByName(y), branches)
+        .groupBy("a", "b")
+        .agg(
+            F.max("via_passjoin").alias("via_passjoin"),
+            F.max("via_snm").alias("via_snm"),
+        )
+    )
+    out = (
+        merged.where(F.abs(F.length("a") - F.length("b")) <= max_dist)
+        .withColumn("dist", F.levenshtein("a", "b"))
+        .where(F.col("dist") <= max_dist)
+        .select("a", "b", "dist", "via_passjoin", "via_snm")
+    )
+    return attach_caches(out, caches)
+
+
+def link_candidates_sql(
+    table: str,
+    key_expr: str,
+    max_dist: int = 2,
+    window: int = 4,
+) -> str:
+    """DuckDB twin of :func:`link_candidates` (both passes enabled) —
+    stated as the BRUTE-FORCE contract: every distinct-key pair within
+    ``max_dist`` edits, ``via_passjoin`` always true (PassJoin is
+    lossless), ``via_snm`` true iff the pair sits within ``window``
+    positions in sorted key order.  Same ASCII-only levenshtein dialect
+    limit as :func:`fuzzy_link_sql`."""
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT {key_expr}::VARCHAR AS k FROM {table}
+  WHERE {key_expr} IS NOT NULL AND {key_expr}::VARCHAR <> ''
+),
+ranked AS (
+  SELECT k, row_number() OVER (ORDER BY k) AS rank FROM keys
+),
+pairs AS (
+  SELECT x.k AS a, y.k AS b,
+         levenshtein(x.k, y.k)::BIGINT AS dist,
+         (ry.rank - rx.rank) AS gap
+  FROM keys x
+  JOIN keys y ON x.k < y.k
+  JOIN ranked rx ON rx.k = x.k
+  JOIN ranked ry ON ry.k = y.k
+  WHERE abs(length(x.k) - length(y.k)) <= {max_dist}
+)
+SELECT a, b, dist,
+       TRUE AS via_passjoin,
+       (gap <= {window - 1}) AS via_snm
+FROM pairs
+WHERE dist <= {max_dist}
 """

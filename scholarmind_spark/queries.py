@@ -5195,6 +5195,26 @@ def _privacy_k_anonymity_sql() -> str:
     return k_anonymity_report_sql("customer", qi, k=5)
 
 
+def link_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass linkage candidate union (operators/linkage
+    link_candidates): PassJoin + sorted-neighborhood candidates unioned,
+    deduplicated, verified ONCE, with per-pass provenance flags.  The
+    brute-force oracle recomputes both flags independently — PassJoin's
+    losslessness makes ``via_passjoin`` provably all-true, and
+    ``via_snm`` is pure rank arithmetic — so the gate certifies the
+    union logic AND SNM's recall accounting in one artifact."""
+    from scholarmind_spark.operators.linkage import link_candidates
+
+    s = _t(spark, sf_dir, "supplier")
+    return link_candidates(s, "s_name", max_dist=2, window=5)
+
+
+def _link_multipass_sql() -> str:
+    from scholarmind_spark.operators.linkage import link_candidates_sql
+
+    return link_candidates_sql("supplier", "s_name", max_dist=2, window=5)
+
+
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real merge-table BPE tokenization (operators/bpe): the pinned
     40-merge table applied as a chained-replace JVM expression — per doc
@@ -5320,6 +5340,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_autocorrelation": events_autocorrelation,
     "privacy_k_anonymity": privacy_k_anonymity,
     "text_bpe_tokens": text_bpe_tokens,
+    "link_multipass": link_multipass,
     "dataset_split_leakage": dataset_split_leakage,
     "wet_roundtrip": wet_roundtrip,
     "text_card_luhn": text_card_luhn,
@@ -5479,6 +5500,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_autocorrelation": _events_autocorrelation_sql(),
     "privacy_k_anonymity": _privacy_k_anonymity_sql(),
     "text_bpe_tokens": _text_bpe_tokens_sql(),
+    "link_multipass": _link_multipass_sql(),
     "dataset_split_leakage": _dataset_split_leakage_sql(),
     "wet_roundtrip": JSONL_ROUNDTRIP_SQL,
     "text_card_luhn": _text_card_luhn_sql(),
@@ -5576,6 +5598,7 @@ ORACLE_SQL: dict[str, str] = {
 _ROUND9_FRONT = [
     # new this round — never driver-checked (prepended as added)
     "text_bpe_tokens",
+    "link_multipass",
     # last driver-checked in r5 (7 stragglers displaced by the r8 news)
     "diag_jsonl_len",
     "diag_jsonl_hash",

@@ -167,3 +167,77 @@ def test_snm_validates_window(spark):
         sorted_neighborhood_link(df, "k", window=1)
     with pytest.raises(ValueError):
         sorted_neighborhood_link_sql("t", "k", window=1)
+
+
+def test_link_candidates_multipass_provenance(spark):
+    from scholarmind_spark.operators.linkage import link_candidates
+
+    # sorted order: aaaa, aaab, zzza, zzzb — PassJoin finds (aaaa,aaab)
+    # and (zzza,zzzb); SNM w=2 sees only ADJACENT sorted pairs, so it
+    # also surfaces (aaab,zzza) as a candidate which verify kills
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaab",), ("zzza",), ("zzzb",)], ["k"]
+    )
+    rows = {
+        (r["a"], r["b"]): (r["dist"], r["via_passjoin"], r["via_snm"])
+        for r in link_candidates(df, "k", max_dist=1, window=2).collect()
+    }
+    assert rows == {
+        ("aaaa", "aaab"): (1, True, True),
+        ("zzza", "zzzb"): (1, True, True),
+    }
+    # with a window spanning all 4 keys, SNM also finds both real pairs
+    rows4 = {
+        (r["a"], r["b"]): (r["via_passjoin"], r["via_snm"])
+        for r in link_candidates(df, "k", max_dist=1, window=4).collect()
+    }
+    assert rows4[("aaaa", "aaab")] == (True, True)
+
+
+def test_link_candidates_passjoin_only_beats_snm_window(spark):
+    from scholarmind_spark.operators.linkage import link_candidates
+
+    # 'cat'~'cbt' qualify but many keys sit between them in sort order,
+    # so SNM w=2 misses the pair while PassJoin (lossless) finds it
+    ks = ["cat", "cba1", "cba2", "cba3", "cba4", "cbt"]
+    df = spark.createDataFrame([(k,) for k in ks], ["k"])
+    rows = {
+        (r["a"], r["b"]): (r["via_passjoin"], r["via_snm"])
+        for r in link_candidates(df, "k", max_dist=1, window=2).collect()
+    }
+    assert rows[("cat", "cbt")] == (True, False)
+
+
+def test_link_candidates_validates_passes(spark):
+    import pytest
+
+    from scholarmind_spark.operators.linkage import link_candidates
+
+    df = spark.createDataFrame([("x",)], ["k"])
+    with pytest.raises(ValueError):
+        link_candidates(df, "k", passes=())
+    with pytest.raises(ValueError):
+        link_candidates(df, "k", passes=("passjoin", "soundex"))
+
+
+def test_link_candidates_matches_duckdb_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.linkage import (
+        link_candidates,
+        link_candidates_sql,
+    )
+
+    ks = ["join", "joit", "jon", "scan", "scam", "spam", "batch", "botch"]
+    df = spark.createDataFrame([(k,) for k in ks], ["k"])
+    got = sorted(
+        tuple(r)
+        for r in link_candidates(df, "k", max_dist=2, window=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in ks])
+    oracle = sorted(
+        con.execute(link_candidates_sql("t", "k", max_dist=2, window=3)).fetchall()
+    )
+    assert got == oracle and len(got) > 0
