@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "text_bpe_tokens",
     "link_multipass",
+    "dedup_ledger_roundtrip",
     "text_clean",
     "token_topk",
     "text_word_repetition",

@@ -1,0 +1,305 @@
+"""Incremental dedup ledger: maintained near-dup state across ingest
+batches.
+
+Engine extension (the production shape for a continuously-ingesting
+corpus): a 100 TB pipeline cannot re-shingle its standing corpus every
+time a batch arrives.  It maintains a LEDGER — per-doc fingerprints
+plus corpus-level shingle document-frequency counts — that each new
+batch (1) joins against to find near-duplicates of standing documents
+and (2) folds into, so the next batch sees the grown corpus.  This
+module composes the pieces the battery already has (the per-doc
+capped-array machinery of ``neardup.ngram_jaccard_against``, the
+mergeable-state pattern of ``sketch.kmv_merge``) into that ledger.
+
+State tables (both plain DataFrames, persisted as parquet between
+runs by the caller):
+
+- **fingerprints** ``(id, n, hs)`` — per doc, the UNCAPPED sorted
+  60-bit shingle hashes and the distinct-shingle count.  Content-pure:
+  a doc's row never changes once written, no matter how the corpus
+  grows (storing CAPPED arrays would go stale — the hot-shingle set is
+  a corpus-level property that shifts with every batch).  One short
+  row per doc, the natural persistent artifact the
+  ``ngram_jaccard_against`` docstring promises.
+- **shingle counts** ``(sh, df_count)`` — per shingle hash, how many
+  ledger docs carry it.  ADDITIVE, hence mergeable exactly like a CMS:
+  fold per-batch counts with one groupBy-sum
+  (:func:`ledger_counts_merge`); two-batch fold EQUALS the one-shot
+  count by associativity of +.
+
+Query path (:func:`ledger_match`): derive the hot-shingle set from the
+CURRENT counts (> max_df), cap both sides' stored arrays at query
+time, then the same lossless AllPairs prefix join + array_intersect
+verify as the batch operator — so a fold-then-match is VALUE-IDENTICAL
+to re-running ``ngram_jaccard_against`` on the raw concatenated text
+(the ``dedup_ledger_roundtrip`` gate pins this equality; its oracle
+recomputes both paths in SQL).
+
+Scale: fingerprints are ~one hash per distinct shingle — the corpus
+re-expressed at ~8 bytes/shingle; for leaner state swap ``hs`` for a
+fixed-width MinHash signature (neardup.minhash_lsh_pairs' signature
+builder) at the cost of estimated rather than exact Jaccard — the
+ledger CONTRACT (content-pure rows + additive counts + query-time cap)
+is unchanged.  The counts table is bounded by distinct shingles and
+shrinkable: entries with df_count ≤ some floor can be dropped and
+treated as cold (only counts NEAR max_df change capping decisions).
+All joins here are equi-joins on the high-entropy 60-bit hash; the hot
+list is ≤ corpus_shingles / max_df rows, AQE-broadcast."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.neardup import (
+    NGRAM_MAX_DF,
+    SHINGLE_K,
+    _prefix_slice,
+    minhash_base,
+    minhash_base_sql,
+    shingles,
+    shingles_sql,
+)
+from scholarmind_spark.util import attach_caches
+from scholarmind_spark.util import spread as _spread
+
+
+def ledger_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """``id, n, hs`` — per-doc UNCAPPED sorted shingle hashes; the
+    content-pure ledger row (never stale, append-only)."""
+    base = _spread(df).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
+    )
+    expl = base.select(
+        "id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+    ).select("id", "n", minhash_base(F.col("s")).alias("sh"))
+    return expl.groupBy("id", "n").agg(
+        F.sort_array(F.collect_list("sh")).alias("hs")
+    )
+
+
+def ledger_shingle_counts(fp: DataFrame) -> DataFrame:
+    """``sh, df_count`` from a fingerprint table — the additive half of
+    the ledger state."""
+    return (
+        fp.select(F.explode("hs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+    )
+
+
+def ledger_counts_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two shingle-count tables: union + groupBy-sum.  Exact by
+    associativity — fold(fold(c1, c2), c3) == counts(full corpus)."""
+    return (
+        a.unionByName(b)
+        .groupBy("sh")
+        .agg(F.sum("df_count").alias("df_count"))
+    )
+
+
+def ledger_append(fp_a: DataFrame, fp_b: DataFrame) -> DataFrame:
+    """Fold two fingerprint tables.  Doc ids must be disjoint (the
+    ingest contract — enforce upstream with
+    ``pipeline.assert_unique_record_ids`` or a merge-upsert when
+    re-ingesting revised docs; a silent duplicate id would double its
+    shingles' df counts)."""
+    return fp_a.unionByName(fp_b)
+
+
+def _cap(fp: DataFrame, hot_arr: DataFrame) -> DataFrame:
+    """Query-time df-cap: drop hot shingles from stored arrays via a
+    one-row broadcast of the hot set + ``array_except`` — a pure
+    projection, no explode/regroup shuffle (the hot list is ≤
+    corpus_shingles / max_df entries by construction, so the broadcast
+    is tiny).  ``array_except`` dedupes and preserves the sorted input
+    order, so capped arrays are sorted-distinct — the ledger treats
+    ``hs`` as a SET (intra-doc 60-bit hash collisions, ~2⁻⁶¹ per pair,
+    are collapsed; ``n`` already counts pre-hash distinct strings).
+    A doc whose every shingle is hot keeps an empty array and can match
+    nothing — same outcome as the batch operator's capped build."""
+    return fp.crossJoin(F.broadcast(hot_arr)).select(
+        "id", "n", F.array_except("hs", "hot_arr").alias("hs")
+    )
+
+
+def _hot_array(counts: DataFrame, max_df: int) -> DataFrame:
+    """One row: the sorted hot-shingle array (empty when nothing is
+    hot)."""
+    return counts.agg(
+        F.coalesce(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("df_count") > max_df, F.col("sh"))
+                )
+            ),
+            F.array().cast("array<bigint>"),
+        ).alias("hot_arr")
+    )
+
+
+def ledger_match(
+    batch_fp: DataFrame,
+    corpus_fp: DataFrame,
+    counts: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """``new_id, corpus_id, jaccard`` — every (batch, corpus) pair with
+    shingle-Jaccard ≥ threshold, from LEDGER STATE only (no re-shingling
+    of raw text).  ``counts`` must already include the batch's own fold
+    (cap semantics match the one-shot operator, which counts df over
+    new ∪ corpus).  Value-identical to ``ngram_jaccard_against`` on the
+    corresponding raw text."""
+    t_pm = int(round(threshold * 1000))
+    # persist(): the one-row hot array feeds both sides' caps, and each
+    # capped side feeds BOTH the prefix explode and the verify join (the
+    # same two-consumer shape the batch operator caches)
+    hot_arr = _hot_array(counts, max_df).persist()
+    nb = _cap(batch_fp, hot_arr).persist()
+    nc = _cap(corpus_fp, hot_arr).persist()
+    alpha = F.expr(f"({t_pm} * n + 999) div 1000")
+    pref_b = nb.select("id", F.explode(_prefix_slice(alpha)).alias("sh"))
+    pref_c = nc.select("id", F.explode(_prefix_slice(alpha)).alias("sh"))
+    cand = (
+        pref_b.alias("l")
+        .join(pref_c.alias("r"), "sh")
+        .select(F.col("l.id").alias("new_id"), F.col("r.id").alias("corpus_id"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            nb.select(
+                F.col("id").alias("new_id"),
+                F.col("n").alias("n_a"),
+                F.col("hs").alias("hs_a"),
+            ),
+            "new_id",
+        )
+        .join(
+            nc.select(
+                F.col("id").alias("corpus_id"),
+                F.col("n").alias("n_b"),
+                F.col("hs").alias("hs_b"),
+            ),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+        )
+    )
+    out = (
+        pairs.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    inner = [
+        *getattr(batch_fp, "_sm_caches", ()),
+        *getattr(corpus_fp, "_sm_caches", ()),
+    ]
+    return attach_caches(out, [hot_arr, nb, nc, *inner])
+
+
+# ------------------------------------------------------------ SQL twins
+#
+# Compositional query strings, so a gate oracle can assemble the FULL
+# incremental path (per-batch fingerprints → folded counts → state
+# match) in DuckDB and compare it against the one-shot operator — the
+# sketch_merge_incremental device applied to near-dup state.
+
+
+def ledger_fingerprints_sql(
+    table_query: str, id_col: str = "doc_id", text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> str:
+    h = minhash_base_sql(f"unnest({shingles_sql('text', k)})")
+    return f"""
+(WITH src AS (SELECT {id_col} AS id, {text_col} AS text FROM ({table_query})),
+ e AS (SELECT id, {h} AS sh FROM src),
+ sizes AS (SELECT id, count(*) AS n FROM e GROUP BY id)
+ SELECT e.id, s.n, list_sort(list(e.sh)) AS hs
+ FROM e JOIN sizes s ON s.id = e.id GROUP BY e.id, s.n)"""
+
+
+def ledger_shingle_counts_sql(fp_query: str) -> str:
+    return (
+        f"(SELECT sh, count(*)::BIGINT AS df_count FROM "
+        f"(SELECT unnest(hs) AS sh FROM {fp_query}) GROUP BY sh)"
+    )
+
+
+def ledger_counts_merge_sql(a: str, b: str) -> str:
+    return (
+        f"(SELECT sh, sum(df_count)::BIGINT AS df_count FROM "
+        f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b}) GROUP BY sh)"
+    )
+
+
+def ledger_append_sql(a: str, b: str) -> str:
+    return f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b})"
+
+
+def ledger_match_sql(
+    batch_fp: str,
+    corpus_fp: str,
+    counts: str,
+    threshold: float = 0.6,
+    max_df: int = NGRAM_MAX_DF,
+) -> str:
+    t_pm = int(round(threshold * 1000))
+    # list_sort(list_distinct(list_filter(...))) mirrors Spark's
+    # array_except exactly: sorted-distinct survivors of the hot-set cut
+    cap = (
+        "list_sort(list_distinct(list_filter(hs,"
+        " x -> NOT list_contains(hot_arr, x))))"
+    )
+    return f"""
+(WITH hot AS (
+   SELECT coalesce(list_sort(list(sh) FILTER (df_count > {max_df})), [])
+          AS hot_arr
+   FROM {counts}
+ ),
+ nb AS (
+   SELECT id, n, {cap} AS hs FROM {batch_fp}, hot
+ ),
+ nc AS (
+   SELECT id, n, {cap} AS hs FROM {corpus_fp}, hot
+ ),
+ pb AS (
+   SELECT id, unnest(hs[1 : greatest(0, len(hs) - (({t_pm} * n + 999) // 1000) + 1)]) AS sh
+   FROM nb
+ ),
+ pc AS (
+   SELECT id, unnest(hs[1 : greatest(0, len(hs) - (({t_pm} * n + 999) // 1000) + 1)]) AS sh
+   FROM nc
+ ),
+ cand AS (
+   SELECT DISTINCT l.id AS new_id, r.id AS corpus_id
+   FROM pb l JOIN pc r ON l.sh = r.sh
+ ),
+ pairs AS (
+   SELECT c.new_id, c.corpus_id, a.n AS n_a, b.n AS n_b,
+          len(list_intersect(a.hs, b.hs)) AS inter
+   FROM cand c
+   JOIN nb a ON a.id = c.new_id
+   JOIN nc b ON b.id = c.corpus_id
+ )
+ SELECT new_id, corpus_id,
+        round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+ FROM pairs
+ WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= {threshold})"""

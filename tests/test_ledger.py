@@ -1,0 +1,140 @@
+"""Dedup ledger: fold == one-shot, state-match == raw-text operator,
+engine parity, cap behavior."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.ledger import (
+    ledger_append,
+    ledger_append_sql,
+    ledger_counts_merge,
+    ledger_counts_merge_sql,
+    ledger_fingerprints,
+    ledger_fingerprints_sql,
+    ledger_match,
+    ledger_match_sql,
+    ledger_shingle_counts,
+    ledger_shingle_counts_sql,
+)
+from scholarmind_spark.operators.neardup import ngram_jaccard_against
+from scholarmind_spark.util import release_caches
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "the quick brown fox jumps over the lazy dog today"),
+    (3, "pack my box with five dozen liquor jugs right now"),
+    (4, "pack my box with five dozen liquor jugs right here"),
+    (5, "sphinx of black quartz judge my vow this evening ok"),
+    (6, "the quick brown fox jumps over the lazy cat tonight"),
+]
+
+
+def _ledger_state(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = ledger_fingerprints(df, k=3)
+    return df, fp
+
+
+def test_state_match_equals_raw_text_operator(spark):
+    """ledger_match from stored fingerprints == ngram_jaccard_against
+    on the raw text — the contract that lets the gate's one-shot path
+    run through ledger state."""
+    batch_rows = [r for r in DOCS if r[0] % 2 == 0]
+    corpus_rows = [r for r in DOCS if r[0] % 2 == 1]
+    batch = spark.createDataFrame(batch_rows, "doc_id int, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+    for max_df in (10_000, 3):
+        fp_b = ledger_fingerprints(batch, k=3)
+        fp_c = ledger_fingerprints(corpus, k=3)
+        counts = ledger_counts_merge(
+            ledger_shingle_counts(fp_b), ledger_shingle_counts(fp_c)
+        )
+        got = ledger_match(fp_b, fp_c, counts, threshold=0.3, max_df=max_df)
+        want = ngram_jaccard_against(
+            batch, corpus, threshold=0.3, k=3, max_df=max_df
+        )
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        release_caches(got)
+        release_caches(want)
+        assert g == w, max_df
+        assert len(g) > 0  # the fixture must actually exercise matches
+
+
+def test_counts_fold_equals_one_shot(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    parts = [
+        ledger_fingerprints(df.filter(F.col("doc_id") % 3 == i), k=3)
+        for i in range(3)
+    ]
+    folded = ledger_counts_merge(
+        ledger_counts_merge(
+            ledger_shingle_counts(parts[0]), ledger_shingle_counts(parts[1])
+        ),
+        ledger_shingle_counts(parts[2]),
+    )
+    direct = ledger_shingle_counts(ledger_fingerprints(df, k=3))
+    f = sorted(tuple(r) for r in folded.collect())
+    d = sorted(tuple(r) for r in direct.collect())
+    assert f == d and len(f) > 0
+
+
+def test_duckdb_twins_match_spark(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?)", DOCS)
+
+    b = "SELECT doc_id, text FROM docs WHERE doc_id % 2 = 0"
+    c = "SELECT doc_id, text FROM docs WHERE doc_id % 2 = 1"
+    fb, fc = ledger_fingerprints_sql(b, k=3), ledger_fingerprints_sql(c, k=3)
+    counts = ledger_counts_merge_sql(
+        ledger_shingle_counts_sql(fb), ledger_shingle_counts_sql(fc)
+    )
+    for max_df in (10_000, 3):
+        q = ledger_match_sql(fb, fc, counts, threshold=0.3, max_df=max_df)
+        oracle = sorted(con.execute(f"SELECT * FROM {q}").fetchall())
+        fp_b = ledger_fingerprints(df.filter(F.col("doc_id") % 2 == 0), k=3)
+        fp_c = ledger_fingerprints(df.filter(F.col("doc_id") % 2 == 1), k=3)
+        sc = ledger_counts_merge(
+            ledger_shingle_counts(fp_b), ledger_shingle_counts(fp_c)
+        )
+        got = ledger_match(fp_b, fp_c, sc, threshold=0.3, max_df=max_df)
+        g = sorted((a, b_, float(j)) for a, b_, j in
+                   (tuple(r) for r in got.collect()))
+        release_caches(got)
+        assert g == [(a, b_, float(j)) for a, b_, j in oracle], max_df
+
+    # append twin
+    n = con.execute(
+        f"SELECT count(*) FROM {ledger_append_sql(fb, fc)}"
+    ).fetchone()[0]
+    assert n == len(DOCS)
+
+
+def test_empty_batch_matches_nothing(spark):
+    df, fp = _ledger_state(spark, DOCS)
+    empty = ledger_fingerprints(
+        spark.createDataFrame([], "doc_id int, text string"), k=3
+    )
+    counts = ledger_counts_merge(
+        ledger_shingle_counts(fp), ledger_shingle_counts(empty)
+    )
+    out = ledger_match(empty, fp, counts, threshold=0.3)
+    assert out.count() == 0
+    release_caches(out)
+
+
+def test_all_hot_doc_drops_out(spark):
+    """With max_df=1 every shared shingle is hot; docs reduce to their
+    unique shingles and only truly-unique-overlap pairs can match (here:
+    none — so no pair survives)."""
+    df, fp = _ledger_state(spark, DOCS)
+    counts = ledger_shingle_counts(fp)
+    out = ledger_match(fp, fp, counts, threshold=0.9, max_df=1)
+    # identical-doc self pairs WOULD have J=1.0, but every one of their
+    # shingles is shared (df >= 2 > 1) so the capped arrays are empty
+    got = [r for r in out.collect() if r["new_id"] != r["corpus_id"]]
+    release_caches(out)
+    assert got == []

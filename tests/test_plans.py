@@ -56,6 +56,13 @@ BNLJ_OK = {
     "events_bootstrap_ci",
     "sketch_merge_incremental",
     "events_value_psi",
+    # round-9: fuzzy_link's tiny-key path again (PassJoin side of the
+    # multi-pass union; supplier names are all 18 chars, so the tiny
+    # cross side is empty at runtime — the BNLJ exists only in the plan)
+    "link_multipass",
+    # round-9: the roundtrip's final assembly crossJoins five ONE-ROW
+    # aggregates (match counts/digests, state sizes, digest flags)
+    "dedup_ledger_roundtrip",
 }
 
 

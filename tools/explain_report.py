@@ -81,6 +81,17 @@ single result row, so adding a rule never adds a scan.""",
 sketch (k-min of combined minima; cell-wise count add) — the
 incremental-maintenance property; all the merge work runs on ≤k-row /
 ≤d·w-cell frames.""",
+    "dedup_ledger_roundtrip": """Round-9 note: a self-verifying roundtrip — it computes the
+incremental path (3 batch fingerprints, folded counts, state match)
+AND the one-shot comparator (full fingerprint + direct match) and
+cross-checks digests, so the plan is intentionally two full pipelines
+wide.  Every multi-consumer relation (4 fingerprint tables, both count
+tables, hot arrays, capped sides) is persist()-ed; the df-cap is a
+one-row broadcast + array_except projection, not an explode/regroup.
+At bench scale the cost is ~10 fixed materialization units (codegen +
+job scheduling), nearly size-independent (half-slicing the corpus
+moved the median <10%) — the shape amortizes at real data sizes where
+each unit becomes scan-bound.""",
     "lit_fuzzy_dedup": """Round-9 note: the A1 survivor set, the eligibility projection, the
 per-key best, and fuzzy_link's distinct-key frame are all persist()-ed
 (each has 2-5 consumers) — the r8 digest read 15 parquet scans / 31
