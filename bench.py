@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "text_bpe_tokens",
     "link_multipass",
     "dedup_ledger_roundtrip",
+    "events_hdr_quantiles",
+    "sketch_bloom_membership",
     "text_clean",
     "token_topk",
     "text_word_repetition",

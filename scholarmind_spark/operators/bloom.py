@@ -1,0 +1,167 @@
+"""Bloom-filter membership sketch: fixed-size, mergeable, never a
+false negative.
+
+Engine extension (the membership member of the sketch family — KMV:
+how many distinct; CMS: how often; HDR: what percentile; this: have I
+SEEN this key): the standard pre-filter in front of expensive
+existence checks — "probably-already-ingested" guards in a dedup
+ledger, join pruning against a huge build side, crawl frontier
+"visited" sets.  State is a fixed bitmap independent of input size;
+two filters over different batches MERGE by bitwise OR (fold ==
+direct, the family's incremental-maintenance contract); a membership
+probe can false-POSITIVE (rate ≈ (1 − e^(−kn/m))^k) but NEVER
+false-negative — the property the gate exhibits by probing every true
+member.
+
+Determinism and engine parity: hash i of value v is the repo's 60-bit
+md5 device over the ROW-SALTED string ``v || '#i'`` (the CMS salting —
+genuinely independent across the k rows where an XOR-constant scheme
+would only relabel buckets), reduced mod m_bits.  The bitmap is rows
+``(word, bits)`` with 63 data bits per BIGINT word (bit 63 — the sign
+bit — stays unused, so ``1 << bit`` never overflows on either engine
+and the words compare/hash identically).  Absent words mean 0.
+
+Spark-first shape: build is one explode (k rows per value) + one
+map-side-combined ``bit_or`` groupBy — shuffle ≤ m_words rows per
+partition regardless of input.  Probe joins the ≤ m_words sketch rows
+(broadcast) against the probes' exploded positions and ANDs the k
+bit tests back together with a ``min``.  Zero Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.neardup import minhash_base, minhash_base_sql
+
+BITS_PER_WORD = 63
+_MAX_K = 16
+
+
+def _check(m_words: int, k: int) -> None:
+    if m_words < 1:
+        raise ValueError("m_words must be >= 1")
+    if not 1 <= k <= _MAX_K:
+        raise ValueError(f"k must be in 1..{_MAX_K}")
+
+
+def _positions(v: Column, m_words: int, k: int) -> list[Column]:
+    m_bits = m_words * BITS_PER_WORD
+    return [
+        minhash_base(F.concat(v, F.lit(f"#{i}"))) % m_bits for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str | Column, m_words: int = 256, k: int = 4
+) -> DataFrame:
+    """The filter as rows ``(word, bits)`` — at most ``m_words`` rows
+    regardless of input size.  NULL keys are dropped (not members)."""
+    _check(m_words, k)
+    v = (F.col(col) if isinstance(col, str) else col).cast("string")
+    vals = df.select(v.alias("v")).where(F.col("v").isNotNull())
+    pos = vals.select(
+        F.explode(F.array(*_positions(F.col("v"), m_words, k))).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"pos div {BITS_PER_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(pos % {BITS_PER_WORD} as int))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two filters: union + groupBy bit_or.  Exact — OR is
+    associative/commutative, so fold == direct.  Both sides MUST share
+    build-time ``m_words``/``k`` (the CMS caller contract: mismatched
+    geometry addresses different bits and silently corrupts)."""
+    return a.unionByName(b).groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str | Column,
+    m_words: int = 256,
+    k: int = 4,
+) -> DataFrame:
+    """``key, contained`` (int 0/1) for every distinct non-null key of
+    ``keys`` — 1 iff ALL k probed bits are set.  ``m_words``/``k`` must
+    equal the build-time values.  Guaranteed 1 for every key the filter
+    was built from (no false negatives)."""
+    _check(m_words, k)
+    v = (F.col(col) if isinstance(col, str) else col).cast("string")
+    probes = keys.select(v.alias("key")).where(F.col("key").isNotNull()).distinct()
+    expanded = probes.select(
+        "key",
+        F.explode(F.array(*_positions(F.col("key"), m_words, k))).alias("pos"),
+    ).select(
+        "key",
+        F.expr(f"pos div {BITS_PER_WORD}").alias("word"),
+        (F.col("pos") % BITS_PER_WORD).cast("int").alias("bit"),
+    )
+    joined = expanded.join(F.broadcast(sketch), "word", "left")
+    hit = (
+        F.expr("shiftright(coalesce(bits, cast(0 as bigint)), bit)") % 2
+    ).cast("int")
+    return joined.groupBy("key").agg(F.min(hit).alias("contained"))
+
+
+# ------------------------------------------------------------ SQL twins
+
+
+def _positions_sql(v: str, m_words: int, k: int) -> list[str]:
+    m_bits = m_words * BITS_PER_WORD
+    out = []
+    for i in range(k):
+        salted = f"(({v}) || '#{i}')"
+        out.append(f"({minhash_base_sql(salted)} % {m_bits})")
+    return out
+
+
+def bloom_build_sql(values_query: str, m_words: int = 256, k: int = 4) -> str:
+    """DuckDB twin of :func:`bloom_build` over a subquery yielding ``v``."""
+    _check(m_words, k)
+    pos = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM vals" for p in _positions_sql("v", m_words, k)
+    )
+    return f"""
+(WITH vals AS (SELECT v::VARCHAR AS v FROM ({values_query}) WHERE v IS NOT NULL),
+ pos AS ({pos})
+ SELECT pos // {BITS_PER_WORD} AS word,
+        bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT)::BIGINT AS bits
+ FROM pos GROUP BY 1)"""
+
+
+def bloom_merge_sql(a: str, b: str) -> str:
+    return (
+        f"(SELECT word, bit_or(bits)::BIGINT AS bits FROM "
+        f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b}) GROUP BY word)"
+    )
+
+
+def bloom_contains_sql(
+    sketch_query: str, keys_query: str, m_words: int = 256, k: int = 4
+) -> str:
+    """DuckDB twin of :func:`bloom_contains` — ``keys_query`` yields ``v``."""
+    _check(m_words, k)
+    pos = " UNION ALL ".join(
+        f"SELECT key, {p} AS pos FROM probes"
+        for p in _positions_sql("key", m_words, k)
+    )
+    return f"""
+(WITH sk AS MATERIALIZED ({sketch_query}),
+ probes AS (SELECT DISTINCT v::VARCHAR AS key FROM ({keys_query}) WHERE v IS NOT NULL),
+ expanded AS ({pos})
+ SELECT e.key,
+        min(((coalesce(s.bits, 0) >> (e.pos % {BITS_PER_WORD})::INT) % 2)::INT)::INT
+          AS contained
+ FROM expanded e
+ LEFT JOIN sk s ON s.word = e.pos // {BITS_PER_WORD}
+ GROUP BY e.key)"""

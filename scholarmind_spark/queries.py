@@ -5395,6 +5395,220 @@ FROM di, dd, ci, cd, nd
 """
 
 
+def events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style log-bucket quantile sketch (operators/hdr): p50/p90/p99
+    of the event value from a mergeable fixed-size histogram (≤2⁻⁵
+    relative error), with the fold contract exhibited in-row — three
+    per-batch sketches folded with hdr_merge must EQUAL the direct
+    sketch (digest compare), the same incremental-maintenance pattern
+    as sketch_merge_incremental."""
+    from scholarmind_spark.operators.hdr import (
+        hdr_build,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    e = _events(spark, sf_dir).select("event_id", "value")
+    direct = hdr_build(e, "value").persist()
+    batches = [
+        hdr_build(e.where(F.col("event_id") % 3 == i), "value")
+        for i in range(3)
+    ]
+    merged = hdr_merge(hdr_merge(batches[0], batches[1]), batches[2])
+    dig = F.coalesce(
+        F.sum(
+            (((F.col("sign") + 1) * 1048576 + F.col("bucket")) % 16777213)
+            * F.col("cnt")
+        ),
+        F.lit(0),
+    )
+    dm = merged.agg(dig.alias("dig_m"))
+    dd = direct.agg(dig.alias("dig_d"))
+    q = hdr_quantiles(direct, (500, 900, 990))
+    from scholarmind_spark.util import attach_caches
+
+    out = (
+        q.crossJoin(F.broadcast(dm))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "q_permille",
+            "n_rows",
+            "est_milli",
+            (F.col("dig_m") == F.col("dig_d")).cast("int").alias("fold_equal"),
+        )
+        .orderBy("q_permille")
+    )
+    return attach_caches(out, [direct])
+
+
+def _events_hdr_quantiles_sql() -> str:
+    from scholarmind_spark.operators.hdr import (
+        hdr_build_sql,
+        hdr_merge_sql,
+        hdr_quantiles_sql,
+    )
+
+    def batch(i: int) -> str:
+        return f"SELECT value AS v FROM events WHERE event_id % 3 = {i}"
+
+    direct = hdr_build_sql("SELECT value AS v FROM events")
+    merged = hdr_merge_sql(
+        hdr_merge_sql(hdr_build_sql(batch(0)), hdr_build_sql(batch(1))),
+        hdr_build_sql(batch(2)),
+    )
+    dig = (
+        "coalesce(sum((((sign + 1) * 1048576 + bucket) % 16777213) * cnt), 0)"
+        "::BIGINT"
+    )
+    return f"""
+WITH dm AS (SELECT {dig} AS dig_m FROM {merged}),
+dd AS (SELECT {dig} AS dig_d FROM {direct}),
+q AS (SELECT * FROM {hdr_quantiles_sql(direct, (500, 900, 990))})
+SELECT q_permille, n_rows, est_milli,
+       (dig_m = dig_d)::INT AS fold_equal
+FROM q, dm, dd
+ORDER BY q_permille
+"""
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter (operators/bloom): build over the
+    custkeys that placed orders, fold three per-batch filters (OR) and
+    digest-compare against the direct build, then probe every customer
+    key PLUS a disjoint synthetic-absent set (custkey + 10⁹).  One row:
+    the no-false-negative guarantee exhibited (every true member
+    reports contained) and the measured false-positive count/rate on
+    the absent side — the production pre-filter contract."""
+    from scholarmind_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+    from scholarmind_spark.util import attach_caches
+
+    m_words, k = 512, 4
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("v"), "o_orderkey"
+    )
+    direct = bloom_build(o, "v", m_words, k).persist()
+    batches = [
+        bloom_build(o.where(F.col("o_orderkey") % 3 == i), "v", m_words, k)
+        for i in range(3)
+    ]
+    merged = bloom_merge(bloom_merge(batches[0], batches[1]), batches[2])
+    dig = F.coalesce(
+        F.sum((F.col("word") + 1) * (F.col("bits") % 1000003)), F.lit(0)
+    )
+    dm = merged.agg(dig.alias("dig_m"))
+    dd = direct.agg(dig.alias("dig_d"))
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("ck")
+    )
+    probes = c.select(F.col("ck").cast("string").alias("v")).unionByName(
+        c.select((F.col("ck") + 1_000_000_000).cast("string").alias("v"))
+    )
+    hits = bloom_contains(direct, probes, "v", m_words, k)
+    # ground truth by an ACTUAL membership join against the build set —
+    # classifying by key magnitude would silently mislabel a customer
+    # who never placed an order (the r8 fixture note says there are
+    # none, but the gate must not depend on that)
+    members = o.select(F.col("v").alias("key")).distinct()
+    labeled = hits.join(
+        members.withColumn("is_member", F.lit(1)), "key", "left"
+    ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(0)))
+    agg = labeled.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            F.when((F.col("is_member") == 1) & (F.col("contained") == 1), 1)
+            .otherwise(0)
+        ).alias("present_reported"),
+        F.sum(F.col("is_member")).alias("n_true_members"),
+        F.sum(
+            F.when((F.col("is_member") == 0) & (F.col("contained") == 1), 1)
+            .otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_member") == 0, 1).otherwise(0)
+        ).alias("n_absent"),
+    )
+    out = (
+        agg.crossJoin(F.broadcast(dm))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.col("n_true_members").cast("bigint").alias("n_true_members"),
+            F.col("present_reported").cast("bigint").alias("present_reported"),
+            (F.col("present_reported") == F.col("n_true_members"))
+            .cast("int")
+            .alias("no_false_negatives"),
+            F.col("n_false_pos").cast("bigint").alias("n_false_pos"),
+            F.expr("n_false_pos * 1000000 div n_absent").alias("fpr_micro"),
+            (F.col("dig_m") == F.col("dig_d")).cast("int").alias("fold_equal"),
+        )
+    )
+    return attach_caches(out, [direct])
+
+
+def _sketch_bloom_membership_sql() -> str:
+    from scholarmind_spark.operators.bloom import (
+        bloom_build_sql,
+        bloom_contains_sql,
+        bloom_merge_sql,
+    )
+
+    m_words, k = 512, 4
+
+    def batch(i: int) -> str:
+        return (
+            "SELECT o_custkey::VARCHAR AS v FROM orders"
+            f" WHERE o_orderkey % 3 = {i}"
+        )
+
+    members = "SELECT o_custkey::VARCHAR AS v FROM orders"
+    direct = bloom_build_sql(members, m_words, k)
+    merged = bloom_merge_sql(
+        bloom_merge_sql(
+            bloom_build_sql(batch(0), m_words, k),
+            bloom_build_sql(batch(1), m_words, k),
+        ),
+        bloom_build_sql(batch(2), m_words, k),
+    )
+    probes = (
+        "SELECT c_custkey::VARCHAR AS v FROM customer "
+        "UNION ALL SELECT (c_custkey + 1000000000)::VARCHAR FROM customer"
+    )
+    contains = bloom_contains_sql(direct, probes, m_words, k)
+    dig = "coalesce(sum((word + 1) * (bits % 1000003)), 0)::BIGINT"
+    return f"""
+WITH dm AS (SELECT {dig} AS dig_m FROM {merged}),
+dd AS (SELECT {dig} AS dig_d FROM {direct}),
+hits AS (SELECT * FROM {contains}),
+labeled AS (
+  SELECT h.key, h.contained,
+         CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM hits h
+  LEFT JOIN (SELECT DISTINCT v AS key FROM ({members})) m ON m.key = h.key
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_probes,
+         sum(is_member)::BIGINT AS n_true_members,
+         sum(CASE WHEN is_member = 1 AND contained = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS present_reported,
+         sum(CASE WHEN is_member = 0 AND contained = 1
+                  THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+         sum(CASE WHEN is_member = 0 THEN 1 ELSE 0 END)::BIGINT AS n_absent
+  FROM labeled
+)
+SELECT n_probes, n_true_members, present_reported,
+       (present_reported = n_true_members)::INT AS no_false_negatives,
+       n_false_pos,
+       (n_false_pos * 1000000 // n_absent)::BIGINT AS fpr_micro,
+       (dig_m = dig_d)::INT AS fold_equal
+FROM agg, dm, dd
+"""
+
+
 def link_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pass linkage candidate union (operators/linkage
     link_candidates): PassJoin + sorted-neighborhood candidates unioned,
@@ -5542,6 +5756,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_bpe_tokens": text_bpe_tokens,
     "link_multipass": link_multipass,
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
+    "events_hdr_quantiles": events_hdr_quantiles,
+    "sketch_bloom_membership": sketch_bloom_membership,
     "dataset_split_leakage": dataset_split_leakage,
     "wet_roundtrip": wet_roundtrip,
     "text_card_luhn": text_card_luhn,
@@ -5703,6 +5919,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_bpe_tokens": _text_bpe_tokens_sql(),
     "link_multipass": _link_multipass_sql(),
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
+    "events_hdr_quantiles": _events_hdr_quantiles_sql(),
+    "sketch_bloom_membership": _sketch_bloom_membership_sql(),
     "dataset_split_leakage": _dataset_split_leakage_sql(),
     "wet_roundtrip": JSONL_ROUNDTRIP_SQL,
     "text_card_luhn": _text_card_luhn_sql(),
@@ -5802,6 +6020,8 @@ _ROUND9_FRONT = [
     "text_bpe_tokens",
     "link_multipass",
     "dedup_ledger_roundtrip",
+    "events_hdr_quantiles",
+    "sketch_bloom_membership",
     # last driver-checked in r5 (7 stragglers displaced by the r8 news)
     "diag_jsonl_len",
     "diag_jsonl_hash",
