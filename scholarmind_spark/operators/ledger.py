@@ -75,9 +75,17 @@ def ledger_fingerprints(
     base = _spread(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
     )
-    expl = base.select(
-        "id", F.size("shs").alias("n"), F.explode("shs").alias("s")
-    ).select("id", "n", minhash_base(F.col("s")).alias("sh"))
+    expl = (
+        base.select(
+            "id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+        )
+        .select("id", "n", minhash_base(F.col("s")).alias("sh"))
+        # NULL-text docs produce a NULL hash row here; the DuckDB twin's
+        # unnest(NULL list) yields ZERO rows for the same doc, so drop
+        # the row explicitly — semantics on BOTH engines: a NULL-text
+        # doc has no ledger row (nothing to fingerprint)
+        .where(F.col("sh").isNotNull())
+    )
     return expl.groupBy("id", "n").agg(
         F.sort_array(F.collect_list("sh")).alias("hs")
     )

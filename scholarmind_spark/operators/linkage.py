@@ -265,8 +265,12 @@ def _snm_candidates(
         raise ValueError("window must be >= 2 (w-1 successors)")
     from pyspark.sql.window import Window as W
 
+    # cast to string like _passjoin_candidates: a numeric key would (a)
+    # make the `!= ''` guard throw under ANSI, and (b) sort/canonicalize
+    # pairs numerically while PassJoin and the DuckDB twin order
+    # lexicographically — splitting the multi-pass dedup on (a, b)
     keys = (
-        df.select(F.col(key_col).alias("k"))
+        df.select(F.col(key_col).cast("string").alias("k"))
         .where(F.col("k").isNotNull() & (F.col("k") != ""))
         .distinct()
         .repartitionByRange(partitions, "k")

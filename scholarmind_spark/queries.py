@@ -461,10 +461,17 @@ def lit_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass are near-dup'd on the normalized title within 2 edits
     (operators.dedup.fuzzy_title_dedup — lossless PassJoin candidates,
     single-pass dominance, same source-priority survivor rule)."""
+    from scholarmind_spark.util import attach_caches
+
     rec = _lit_records(spark, sf_dir)
-    return priority_dedup(
+    deduped = priority_dedup(
         rec, tiebreak="record_id", keep_key=True, fuzzy_nodoi=True
-    ).select("record_id", "source_type", "doi_norm")
+    )
+    # .select() creates a NEW DataFrame without the _sm_caches tag —
+    # re-attach so release_caches() on the gate output frees the
+    # operator's persisted relations
+    out = deduped.select("record_id", "source_type", "doi_norm")
+    return attach_caches(out, list(getattr(deduped, "_sm_caches", ())))
 
 
 def _lit_fuzzy_dedup_sql() -> str:
@@ -2443,12 +2450,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately NOT re-listed)."""
     from scholarmind_spark.operators.neardup import ngram_jaccard_against
 
+    from scholarmind_spark.util import attach_caches
+
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_against(
+    pairs = ngram_jaccard_against(
         d.filter(F.col("doc_id") % 2 == 1),
         d.filter(F.col("doc_id") % 2 == 0),
         threshold=0.5,
-    ).orderBy("new_id", "corpus_id")
+    )
+    # re-attach past the .orderBy (new DataFrame drops the cache tag)
+    return attach_caches(
+        pairs.orderBy("new_id", "corpus_id"),
+        list(getattr(pairs, "_sm_caches", ())),
+    )
 
 
 def _dedup_incremental_sql() -> str:
@@ -2726,7 +2740,13 @@ def link_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ASCII subset is oracle-comparable (the operator itself is
     # Unicode-correct — see fuzzy_link_sql's dialect note + pytest)
     ).filter(F.col("word").rlike(r"^[\x00-\x7F]*$"))
-    return fuzzy_link(vocab, "word", max_dist=2).orderBy("a", "b")
+    from scholarmind_spark.util import attach_caches
+
+    linked = fuzzy_link(vocab, "word", max_dist=2)
+    # re-attach past the .orderBy (new DataFrame drops the cache tag)
+    return attach_caches(
+        linked.orderBy("a", "b"), list(getattr(linked, "_sm_caches", ()))
+    )
 
 
 def _link_fuzzy_vocab_sql() -> str:
@@ -3147,8 +3167,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk detector Jaccard misses; all-integer threshold."""
     from scholarmind_spark.operators.neardup import containment_pairs
 
-    return containment_pairs(_t(spark, sf_dir, "documents")).orderBy(
-        "inner_id", "outer_id"
+    from scholarmind_spark.util import attach_caches
+
+    pairs = containment_pairs(_t(spark, sf_dir, "documents"))
+    return attach_caches(
+        pairs.orderBy("inner_id", "outer_id"),
+        list(getattr(pairs, "_sm_caches", ())),
     )
 
 

