@@ -63,6 +63,10 @@ BNLJ_OK = {
     # round-9: the roundtrip's final assembly crossJoins five ONE-ROW
     # aggregates (match counts/digests, state sizes, digest flags)
     "dedup_ledger_roundtrip",
+    # round-9 batch 2: ONE-ROW digest/flag attaches (fold==direct
+    # comparisons) — no side grows with the data
+    "events_hdr_quantiles",
+    "sketch_bloom_membership",
 }
 
 
