@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "dedup_ledger_roundtrip",
     "events_hdr_quantiles",
     "sketch_bloom_membership",
+    "events_time_bars",
+    "events_kmv_by_segment",
     "text_clean",
     "token_topk",
     "text_word_repetition",

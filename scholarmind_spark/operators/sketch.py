@@ -549,3 +549,84 @@ FROM ({cells_a_query}) a
 FULL OUTER JOIN ({cells_b_query}) b
   ON a.row = b.row AND a.bucket = b.bucket
 """
+
+
+# ------------------------------------------------ per-group KMV distinct
+#
+# The grouped form of the KMV sketch above: "distinct users per
+# segment", "distinct URLs per domain", "vocabulary per source" at
+# 100 TB, where an exact count-distinct per group shuffles every
+# distinct (group, value) pair AND a hot group's distinct set lands on
+# one reducer.  Keeping only the k smallest distinct hashes PER GROUP
+# bounds both: the shuffle carries ≤ k rows per group after the
+# map-side-combined distinct, and the estimator runs on k-row groups.
+
+
+def kmv_distinct_by_group(
+    df: DataFrame,
+    group_col: str | Column,
+    value_col: str | Column,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """``grp, n_minima, kth_hash, est_distinct`` per group — the
+    :func:`kmv_distinct_report` estimator applied groupwise.
+
+    Shape: distinct (grp, h) pairs (map-side combinable), then a
+    row_number window PARTITIONED BY grp keeps the k smallest — the
+    window partitions on the group key, never SinglePartition; a
+    degenerate hot group is bounded by its DISTINCT hash count before
+    ranking.  NULL groups are kept as their own group (a real segment
+    in audit outputs); NULL values are dropped (not set members)."""
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = _value_col(df, value_col)
+    pairs = (
+        df.select(g.cast("string").alias("grp"), minhash_base(v).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    minima = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    agg = minima.groupBy("grp").agg(
+        F.count("*").alias("n_minima"), F.max("h").alias("kth_hash")
+    )
+    return agg.select(
+        "grp",
+        "n_minima",
+        "kth_hash",
+        _estimate_expr(F.col("n_minima"), F.col("kth_hash"), k).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def kmv_distinct_by_group_sql(
+    pairs_query: str, k: int = DEFAULT_K
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct_by_group` over a subquery
+    yielding ``grp, v``."""
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
+    h = minhash_base_sql("v")
+    est = _estimate_sql("n_minima", "kth_hash", k)
+    return f"""
+(WITH pairs AS (
+   SELECT DISTINCT grp::VARCHAR AS grp, {h} AS h
+   FROM ({pairs_query}) WHERE v IS NOT NULL
+ ),
+ minima AS (
+   SELECT grp, h FROM (
+     SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+     FROM pairs
+   ) WHERE rn <= {k}
+ ),
+ agg AS (
+   SELECT grp, count(*)::BIGINT AS n_minima, max(h) AS kth_hash
+   FROM minima GROUP BY grp
+ )
+ SELECT grp, n_minima, kth_hash, {est} AS est_distinct FROM agg)"""
