@@ -581,7 +581,7 @@ def kmv_distinct_by_group(
         raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
     from pyspark.sql import Window
 
-    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    g = _value_col(df, group_col)
     v = _value_col(df, value_col)
     pairs = (
         df.select(g.cast("string").alias("grp"), minhash_base(v).alias("h"))
