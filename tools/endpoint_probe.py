@@ -106,6 +106,30 @@ def main() -> None:
             .agg(F.count("*").alias("n_urls"), F.min("doc_id").alias("first_id"))
         )
 
+    def _bpe(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.bpe import bpe_token_count
+
+        _noop(df.select("doc_id", bpe_token_count(F.col("text")).alias("n")))
+
+    def _hdr(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.hdr import hdr_build, hdr_quantiles
+
+        v = df.select(((F.col("doc_id") % 100000) / 7.0).alias("v"))
+        hdr_quantiles(hdr_build(v, "v"), (500, 990)).collect()
+
+    def _bloom(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.bloom import bloom_build, bloom_contains
+
+        keys = df.select(F.col("doc_id").cast("string").alias("v"))
+        sk = bloom_build(keys, "v", m_words=512, k=4)
+        _noop(bloom_contains(sk, keys, "v", m_words=512, k=4))
+
     spark = get_spark(app_name="endpoint-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -130,6 +154,12 @@ def main() -> None:
         # JVM regex/array exprs into one groupBy)
         "snm": _snm,
         "url_canonical": _urls,
+        # round-9 batch 2: the BPE replace-chain (pure codegen — must be
+        # scan-bound), the HDR sketch (bounded-state histogram), and the
+        # Bloom build+probe (fixed bitmap, bounded shuffle)
+        "bpe_count": _bpe,
+        "hdr_quantiles": _hdr,
+        "bloom_membership": _bloom,
     }
     wanted = sys.argv[2:]
     if wanted:
