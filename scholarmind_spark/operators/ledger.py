@@ -311,3 +311,63 @@ def ledger_match_sql(
         round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
  FROM pairs
  WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= {threshold})"""
+
+
+# ---------------------------------------------------------- revision
+#
+# Real corpora don't only append: crawls re-fetch pages, documents get
+# re-extracted with better parsers.  Because the counts table is
+# ADDITIVE, a revision is a DELTA: subtract the old fingerprint's
+# shingle counts, add the new one's — no corpus-wide recount, the same
+# algebra that makes the append fold exact.  Zero-count cells are
+# dropped so the revised state is row-identical to a from-scratch
+# build over the revised corpus (the dedup_ledger_revise gate pins
+# this), not merely equivalent.
+
+
+def ledger_revise(
+    fp_state: DataFrame,
+    counts_state: DataFrame,
+    revised_fp: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a revision batch: docs in ``revised_fp`` REPLACE same-id
+    rows of ``fp_state`` (ids absent from the state are plain inserts).
+    Returns ``(new_fp_state, new_counts_state)``; both equal a
+    from-scratch build over the revised corpus exactly."""
+    ids = revised_fp.select("id")
+    replaced = fp_state.join(ids, "id", "left_semi")
+    new_fp = fp_state.join(ids, "id", "left_anti").unionByName(revised_fp)
+    neg = ledger_shingle_counts(replaced).select(
+        "sh", (-F.col("df_count")).alias("df_count")
+    )
+    pos = ledger_shingle_counts(revised_fp)
+    new_counts = ledger_counts_merge(
+        counts_state, ledger_counts_merge(neg, pos)
+    ).where(F.col("df_count") != 0)
+    return new_fp, new_counts
+
+
+def ledger_revise_sql(
+    fp_state: str, counts_state: str, revised_fp: str
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`ledger_revise` — returns the two state
+    queries ``(new_fp_state, new_counts_state)``."""
+    new_fp = (
+        f"(SELECT s.* FROM {fp_state} s"
+        f" ANTI JOIN (SELECT id FROM {revised_fp}) r USING (id)"
+        f" UNION ALL SELECT * FROM {revised_fp})"
+    )
+    replaced = (
+        f"(SELECT s.* FROM {fp_state} s"
+        f" SEMI JOIN (SELECT id FROM {revised_fp}) r USING (id))"
+    )
+    neg = (
+        f"(SELECT sh, -df_count AS df_count FROM"
+        f" {ledger_shingle_counts_sql(replaced)})"
+    )
+    pos = ledger_shingle_counts_sql(revised_fp)
+    new_counts = (
+        f"(SELECT * FROM {ledger_counts_merge_sql(counts_state, ledger_counts_merge_sql(neg, pos))}"
+        f" WHERE df_count <> 0)"
+    )
+    return new_fp, new_counts

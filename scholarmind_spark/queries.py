@@ -5419,6 +5419,115 @@ FROM di, dd, ci, cd, nd
 """
 
 
+def dedup_ledger_revise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger revision deltas (operators/ledger.ledger_revise): one in
+    five odd-half documents is re-ingested with changed text; the old
+    fingerprints' counts are SUBTRACTED and the new ones ADDED — no
+    corpus recount — and the revised state must equal a from-scratch
+    build over the revised corpus ROW-FOR-ROW (full-outer-join mismatch
+    counts, not just digests).  One row: corpus/revision sizes and the
+    two mismatch counts (both must be 0)."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_revise,
+        ledger_shingle_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    revised_src = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" revised edition copy")).alias("text")
+    )
+    fp0 = ledger_fingerprints(d).persist()
+    c0 = ledger_shingle_counts(fp0)
+    rev_fp = ledger_fingerprints(revised_src).persist()
+    new_fp, new_counts = ledger_revise(fp0, c0, rev_fp)
+
+    d_after = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" revised edition copy")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    fp_direct = ledger_fingerprints(d_after).persist()
+    counts_direct = ledger_shingle_counts(fp_direct)
+
+    fp_mismatch = (
+        new_fp.alias("a")
+        .join(fp_direct.alias("b"), "id", "full")
+        .where(
+            ~F.col("a.n").eqNullSafe(F.col("b.n"))
+            | ~F.col("a.hs").eqNullSafe(F.col("b.hs"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch_fp"))
+    )
+    counts_mismatch = (
+        new_counts.alias("a")
+        .join(counts_direct.alias("b"), "sh", "full")
+        .where(~F.col("a.df_count").eqNullSafe(F.col("b.df_count")))
+        .agg(F.count(F.lit(1)).alias("n_mismatch_counts"))
+    )
+    sizes = new_fp.agg(F.count(F.lit(1)).alias("n_docs_state")).crossJoin(
+        rev_fp.agg(F.count(F.lit(1)).alias("n_revised"))
+    )
+    from scholarmind_spark.util import attach_caches
+
+    out = (
+        sizes.crossJoin(F.broadcast(fp_mismatch))
+        .crossJoin(F.broadcast(counts_mismatch))
+        .select(
+            F.col("n_docs_state").cast("bigint"),
+            F.col("n_revised").cast("bigint"),
+            F.col("n_mismatch_fp").cast("bigint"),
+            F.col("n_mismatch_counts").cast("bigint"),
+        )
+    )
+    return attach_caches(out, [fp0, rev_fp, fp_direct])
+
+
+def _dedup_ledger_revise_sql() -> str:
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints_sql,
+        ledger_revise_sql,
+        ledger_shingle_counts_sql,
+    )
+
+    half = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+    revised_src = (
+        "SELECT doc_id, text || ' revised edition copy' AS text"
+        " FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 = 0"
+    )
+    after = (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+        " THEN text || ' revised edition copy' ELSE text END AS text"
+        " FROM documents WHERE doc_id % 2 = 1"
+    )
+    fp0 = ledger_fingerprints_sql(half)
+    c0 = ledger_shingle_counts_sql(fp0)
+    rev_fp = ledger_fingerprints_sql(revised_src)
+    new_fp, new_counts = ledger_revise_sql(fp0, c0, rev_fp)
+    fp_direct = ledger_fingerprints_sql(after)
+    counts_direct = ledger_shingle_counts_sql(fp_direct)
+    return f"""
+WITH fpm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_fp
+  FROM {new_fp} a FULL JOIN {fp_direct} b USING (id)
+  WHERE a.n IS DISTINCT FROM b.n OR a.hs IS DISTINCT FROM b.hs
+),
+cm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_counts
+  FROM {new_counts} a FULL JOIN {counts_direct} b USING (sh)
+  WHERE a.df_count IS DISTINCT FROM b.df_count
+),
+sz AS (
+  SELECT (SELECT count(*) FROM {new_fp})::BIGINT AS n_docs_state,
+         (SELECT count(*) FROM {rev_fp})::BIGINT AS n_revised
+)
+SELECT n_docs_state, n_revised, n_mismatch_fp, n_mismatch_counts
+FROM sz, fpm, cm
+"""
+
+
 def events_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC time-bar downsampling (operators/bars.time_bars): hourly
     open/high/low/close/count/sum bars over the event value stream in
@@ -5829,6 +5938,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
     "events_hdr_quantiles": events_hdr_quantiles,
     "events_time_bars": events_time_bars,
+    "dedup_ledger_revise": dedup_ledger_revise,
     "events_kmv_by_segment": events_kmv_by_segment,
     "sketch_bloom_membership": sketch_bloom_membership,
     "dataset_split_leakage": dataset_split_leakage,
@@ -5994,6 +6104,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),
     "events_time_bars": _events_time_bars_sql(),
+    "dedup_ledger_revise": _dedup_ledger_revise_sql(),
     "events_kmv_by_segment": _events_kmv_by_segment_sql(),
     "sketch_bloom_membership": _sketch_bloom_membership_sql(),
     "dataset_split_leakage": _dataset_split_leakage_sql(),
@@ -6099,6 +6210,7 @@ _ROUND9_FRONT = [
     "sketch_bloom_membership",
     "events_time_bars",
     "events_kmv_by_segment",
+    "dedup_ledger_revise",
     # last driver-checked in r5 (7 stragglers displaced by the r8 news)
     "diag_jsonl_len",
     "diag_jsonl_hash",

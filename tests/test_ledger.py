@@ -168,3 +168,58 @@ def test_caches_released_through_gate_wrappers(spark):
     # nothing persisted should remain registered
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_revise_equals_from_scratch(spark):
+    from scholarmind_spark.operators.ledger import ledger_revise
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    fp0 = ledger_fingerprints(df, k=3)
+    c0 = ledger_shingle_counts(fp0)
+    revised = spark.createDataFrame(
+        [(2, "a completely different text about boats and rivers"),
+         (7, "a brand new document inserted by revision")],
+        "doc_id int, text string",
+    )
+    rev_fp = ledger_fingerprints(revised, k=3)
+    new_fp, new_counts = ledger_revise(fp0, c0, rev_fp)
+
+    after = [(i, t) for i, t in DOCS if i != 2] + [
+        (2, "a completely different text about boats and rivers"),
+        (7, "a brand new document inserted by revision"),
+    ]
+    df_after = spark.createDataFrame(after, "doc_id int, text string")
+    fp_direct = ledger_fingerprints(df_after, k=3)
+    assert sorted(tuple(r) for r in new_fp.collect()) == sorted(
+        tuple(r) for r in fp_direct.collect()
+    )
+    assert sorted(tuple(r) for r in new_counts.collect()) == sorted(
+        tuple(r) for r in ledger_shingle_counts(fp_direct).collect()
+    )
+
+
+def test_revise_sql_twin(spark):
+    import duckdb as _dd
+
+    from scholarmind_spark.operators.ledger import ledger_revise_sql
+
+    con = _dd.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", DOCS)
+    fp0 = ledger_fingerprints_sql("SELECT doc_id, text FROM d", k=3)
+    c0 = ledger_shingle_counts_sql(fp0)
+    rev = ("SELECT doc_id, text || ' twist' AS text FROM d WHERE doc_id = 1")
+    rev_fp = ledger_fingerprints_sql(rev, k=3)
+    new_fp, new_counts = ledger_revise_sql(fp0, c0, rev_fp)
+    after = (
+        "SELECT doc_id, CASE WHEN doc_id = 1 THEN text || ' twist' "
+        "ELSE text END AS text FROM d"
+    )
+    direct_fp = ledger_fingerprints_sql(after, k=3)
+    a = sorted(con.execute(f"SELECT * FROM {new_fp}").fetchall())
+    b = sorted(con.execute(f"SELECT * FROM {direct_fp}").fetchall())
+    assert a == b
+    ca = sorted(con.execute(f"SELECT * FROM {new_counts}").fetchall())
+    cb = sorted(con.execute(
+        f"SELECT * FROM {ledger_shingle_counts_sql(direct_fp)}").fetchall())
+    assert ca == cb
