@@ -67,6 +67,9 @@ BNLJ_OK = {
     # comparisons) — no side grows with the data
     "events_hdr_quantiles",
     "sketch_bloom_membership",
+    # round-9 batch 3: same shape — crossJoins of one-row mismatch
+    # counters and state sizes
+    "dedup_ledger_revise",
 }
 
 
