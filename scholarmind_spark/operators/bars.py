@@ -29,6 +29,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def bar_sort_key(ts_col: str, id_col: str):
+    """Fixed-width sortable (ts, id) string key shared by the batch and
+    streaming bar builders."""
+    return F.concat(
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmssSSSSSS"),
+        F.lit("#"),
+        F.lpad(F.col(id_col).cast("string"), 19, "0"),
+    )
+
+
+def bar_value_milli(value_col: str):
+    """Milli-quantized value with non-finite dropped (NULL)."""
+    vc = F.col(value_col)
+    finite = vc.isNotNull() & ~F.isnan(vc) & (F.abs(vc) != float("inf"))
+    return F.when(finite, F.round(vc * 1000, 0).cast("bigint"))
+
+
+def bar_aggs():
+    """The six OHLC aggregate expressions over columns (sk, vm)."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("vm", "sk").alias("open_milli"),
+        F.max("vm").alias("high_milli"),
+        F.min("vm").alias("low_milli"),
+        F.max_by("vm", "sk").alias("close_milli"),
+        F.sum("vm").alias("sum_milli"),
+    ]
+
+
 def time_bars(
     df: DataFrame,
     ts_col: str = "ts",
@@ -41,26 +70,13 @@ def time_bars(
     (``bucket_start`` = BIGINT epoch seconds)."""
     if width_seconds < 1:
         raise ValueError("width_seconds must be >= 1")
-    vc = F.col(value_col)
-    finite = vc.isNotNull() & ~F.isnan(vc) & (F.abs(vc) != float("inf"))
-    skey = F.concat(
-        F.date_format(F.col(ts_col), "yyyyMMddHHmmssSSSSSS"),
-        F.lit("#"),
-        F.lpad(F.col(id_col).cast("string"), 19, "0"),
-    )
+    skey = bar_sort_key(ts_col, id_col)
     base = df.select(
         F.expr(f"unix_timestamp({ts_col}) div {width_seconds}").alias("b"),
         skey.alias("sk"),
-        F.when(finite, F.round(vc * 1000, 0).cast("bigint")).alias("vm"),
+        bar_value_milli(value_col).alias("vm"),
     ).where(F.col("vm").isNotNull() & F.col("b").isNotNull())
-    agg = base.groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min_by("vm", "sk").alias("open_milli"),
-        F.max("vm").alias("high_milli"),
-        F.min("vm").alias("low_milli"),
-        F.max_by("vm", "sk").alias("close_milli"),
-        F.sum("vm").alias("sum_milli"),
-    )
+    agg = base.groupBy("b").agg(*bar_aggs())
     # bucket_start as BIGINT epoch seconds (the events_sliding oracle
     # convention): a to_timestamp() would be TZ-naive in Spark but
     # TIMESTAMPTZ in DuckDB — a type-tag mismatch under the gate's

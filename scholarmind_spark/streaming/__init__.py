@@ -3,6 +3,7 @@ from scholarmind_spark.streaming.pipeline import (
     read_events_stream,
     run_to_memory,
     session_agg,
+    ohlc_bars_agg,
     sliding_agg,
     stream_dedup,
     stream_interval_join,
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "session_agg",
+    "ohlc_bars_agg",
     "sliding_agg",
     "stream_dedup",
     "stream_interval_join",

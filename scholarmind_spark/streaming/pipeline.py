@@ -148,6 +148,44 @@ def sliding_agg(
     )
 
 
+def ohlc_bars_agg(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of ``operators.bars.time_bars``: OHLC + count/sum
+    bars per tumbling window, sharing the batch builder's sort key,
+    quantization, and aggregate expressions — so an availableNow drain
+    over the same rows equals the batch operator exactly (pinned by
+    ``test_streaming.test_ohlc_stream_equals_batch``).  Window origin is
+    epoch 0, matching the batch integer-epoch-division bucketing for
+    widths that divide a day."""
+    from scholarmind_spark.operators.bars import (
+        bar_aggs,
+        bar_sort_key,
+        bar_value_milli,
+    )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", width).alias("w"),
+            bar_sort_key("ts", "event_id").alias("sk"),
+            bar_value_milli("value").alias("vm"),
+        )
+        .where(F.col("vm").isNotNull())
+        .groupBy("w")
+        .agg(*bar_aggs())
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            F.col("n_events").cast("bigint"),
+            "open_milli",
+            "high_milli",
+            "low_milli",
+            "close_milli",
+            "sum_milli",
+        )
+    )
+
+
 def session_agg(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

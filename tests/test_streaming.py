@@ -217,3 +217,19 @@ def test_stateful_anomaly_accepts_idle_timeout(spark, batch_events):
         ["key", "event_id", "x_milli", "n", "mean_milli", "anomaly"],
     )
     assert got == want and len(got) > 0
+
+
+def test_ohlc_stream_equals_batch(spark, batch_events):
+    """The streaming OHLC bars drain to exactly the batch operator's
+    rows (same sort key, quantization, and aggregates — Spark's unified
+    semantics make the batch frame the oracle)."""
+    from scholarmind_spark.operators.bars import time_bars
+    from scholarmind_spark.streaming import ohlc_bars_agg, read_events_stream
+    from scholarmind_spark.streaming.pipeline import run_to_memory
+
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(ohlc_bars_agg(stream, width="1 hour"), mode="complete")
+    want = time_bars(batch_events, width_seconds=3600)
+    cols = ["bucket_start", "n_events", "open_milli", "high_milli",
+            "low_milli", "close_milli", "sum_milli"]
+    assert _canon(got, cols) == _canon(want, cols) and got.count() > 0
