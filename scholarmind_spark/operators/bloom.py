@@ -165,3 +165,77 @@ def bloom_contains_sql(
  FROM expanded e
  LEFT JOIN sk s ON s.word = e.pos // {BITS_PER_WORD}
  GROUP BY e.key)"""
+
+
+def bloom_prune(
+    df: DataFrame,
+    col: str | Column,
+    sketch: DataFrame,
+    m_words: int = 256,
+    k: int = 4,
+) -> DataFrame:
+    """Keep only rows whose key is PROBABLY in the filter — the
+    row-level runtime join prefilter (Spark's own bloom runtime filters,
+    LIP/sideways information passing in the warehouse literature).
+    Because a Bloom filter never false-negatives, ``bloom_prune(probe,
+    key, bloom_build(build, key)) JOIN build`` returns EXACTLY the rows
+    of the unpruned join — only the shuffled probe volume shrinks (by
+    1 − selectivity − FPR).  NULL keys are dropped (they join nothing).
+
+    Shape: the whole ≤ m_words-row sketch folds into ONE map value
+    (word → bits) crossJoin-broadcast to the probe side, and the k bit
+    tests evaluate as a pure per-row conjunction over map lookups —
+    ZERO shuffle on the probe side, no explode, no regroup; the probe
+    plan is a filter, exactly what a runtime row filter must be."""
+    _check(m_words, k)
+    m_bits = m_words * BITS_PER_WORD
+    v = (F.col(col) if isinstance(col, str) else col).cast("string")
+    bitmap = sketch.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("__bm")
+    )
+    tagged = (
+        df.where(v.isNotNull())
+        .withColumn("__bk", v)
+        .crossJoin(F.broadcast(bitmap))
+    )
+
+    def test(i: int) -> str:
+        pos = (
+            f"(cast(conv(substring(md5(concat(__bk, '#{i}')), 1, 15), 16, 10)"
+            f" as bigint) % {m_bits})"
+        )
+        bits = (
+            f"coalesce(element_at(__bm, {pos} div {BITS_PER_WORD}),"
+            f" cast(0 as bigint))"
+        )
+        return (
+            f"(shiftright({bits},"
+            f" cast({pos} % {BITS_PER_WORD} as int)) % 2) = 1"
+        )
+
+    cond = " AND ".join(test(i) for i in range(k))
+    return tagged.where(F.expr(cond)).select(*df.columns)
+
+
+def bloom_prune_sql(
+    table_query: str,
+    key_expr: str,
+    sketch_query: str,
+    m_words: int = 256,
+    k: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bloom_prune` — returns rows of
+    ``table_query`` whose ``key_expr`` probes all-set."""
+    _check(m_words, k)
+    contains = bloom_contains_sql(
+        sketch_query,
+        f"SELECT ({key_expr})::VARCHAR AS v FROM ({table_query})",
+        m_words,
+        k,
+    )
+    return f"""
+(SELECT t.* FROM ({table_query}) t
+ SEMI JOIN (SELECT key AS __bpk FROM {contains} WHERE contained = 1) c
+ ON ({key_expr})::VARCHAR = c.__bpk)"""

@@ -5419,6 +5419,86 @@ FROM di, dd, ci, cd, nd
 """
 
 
+def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime join pruning (operators/bloom.bloom_prune): orders
+    are pre-filtered by a Bloom filter built over AUTOMOBILE-segment
+    custkeys before joining that dim subset — the sideways-information-
+    passing pattern (Spark's own runtime bloom filters).  One row: probe
+    /kept sizes, pruned-vs-plain join row counts, and the equality flag
+    the never-false-negative property guarantees."""
+    from scholarmind_spark.operators.bloom import bloom_build, bloom_prune
+    from scholarmind_spark.util import attach_caches
+
+    m_words, k = 256, 4
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    ).select(F.col("c_custkey").alias("ck"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sk = bloom_build(c, "ck", m_words, k).persist()
+    pruned = bloom_prune(o, "o_custkey", sk, m_words, k)
+    joined_pruned = pruned.join(c, pruned["o_custkey"] == c["ck"])
+    joined_plain = o.join(c, o["o_custkey"] == c["ck"])
+    stats = (
+        o.agg(F.count(F.lit(1)).alias("n_probe"))
+        .crossJoin(F.broadcast(pruned.agg(F.count(F.lit(1)).alias("n_kept"))))
+        .crossJoin(
+            F.broadcast(
+                joined_pruned.agg(F.count(F.lit(1)).alias("n_join_pruned"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                joined_plain.agg(F.count(F.lit(1)).alias("n_join_plain"))
+            )
+        )
+    )
+    out = stats.select(
+        F.col("n_probe").cast("bigint"),
+        F.col("n_kept").cast("bigint"),
+        F.expr("n_kept * 1000 div n_probe").alias("keep_permille"),
+        F.col("n_join_pruned").cast("bigint"),
+        F.col("n_join_plain").cast("bigint"),
+        (F.col("n_join_pruned") == F.col("n_join_plain"))
+        .cast("int")
+        .alias("join_equal"),
+    )
+    return attach_caches(out, [sk])
+
+
+def _orders_bloom_prune_sql() -> str:
+    from scholarmind_spark.operators.bloom import (
+        bloom_build_sql,
+        bloom_prune_sql,
+    )
+
+    m_words, k = 256, 4
+    members = (
+        "SELECT c_custkey::VARCHAR AS v FROM customer"
+        " WHERE c_mktsegment = 'AUTOMOBILE'"
+    )
+    sk = bloom_build_sql(members, m_words, k)
+    pruned = bloom_prune_sql(
+        "SELECT o_orderkey, o_custkey FROM orders", "o_custkey", sk,
+        m_words, k,
+    )
+    return f"""
+WITH dim AS (SELECT c_custkey AS ck FROM customer
+             WHERE c_mktsegment = 'AUTOMOBILE'),
+pr AS (SELECT * FROM {pruned}),
+np AS (SELECT count(*)::BIGINT AS n_probe FROM orders),
+nk AS (SELECT count(*)::BIGINT AS n_kept FROM pr),
+jp AS (SELECT count(*)::BIGINT AS n_join_pruned
+       FROM pr JOIN dim ON pr.o_custkey = dim.ck),
+jl AS (SELECT count(*)::BIGINT AS n_join_plain
+       FROM orders o JOIN dim ON o.o_custkey = dim.ck)
+SELECT n_probe, n_kept,
+       (n_kept * 1000 // n_probe)::BIGINT AS keep_permille,
+       n_join_pruned, n_join_plain,
+       (n_join_pruned = n_join_plain)::INT AS join_equal
+FROM np, nk, jp, jl
+"""
+
+
 def dedup_ledger_revise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ledger revision deltas (operators/ledger.ledger_revise): one in
     five odd-half documents is re-ingested with changed text; the old
@@ -5939,6 +6019,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_hdr_quantiles": events_hdr_quantiles,
     "events_time_bars": events_time_bars,
     "dedup_ledger_revise": dedup_ledger_revise,
+    "orders_bloom_prune": orders_bloom_prune,
     "events_kmv_by_segment": events_kmv_by_segment,
     "sketch_bloom_membership": sketch_bloom_membership,
     "dataset_split_leakage": dataset_split_leakage,
@@ -6105,6 +6186,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),
     "events_time_bars": _events_time_bars_sql(),
     "dedup_ledger_revise": _dedup_ledger_revise_sql(),
+    "orders_bloom_prune": _orders_bloom_prune_sql(),
     "events_kmv_by_segment": _events_kmv_by_segment_sql(),
     "sketch_bloom_membership": _sketch_bloom_membership_sql(),
     "dataset_split_leakage": _dataset_split_leakage_sql(),
@@ -6211,6 +6293,7 @@ _ROUND9_FRONT = [
     "events_time_bars",
     "events_kmv_by_segment",
     "dedup_ledger_revise",
+    "orders_bloom_prune",
     # last driver-checked in r5 (7 stragglers displaced by the r8 news)
     "diag_jsonl_len",
     "diag_jsonl_hash",

@@ -113,3 +113,48 @@ def test_geometry_validation(spark):
             bloom_build(df, "v", **bad_kwargs)
         with pytest.raises(ValueError):
             bloom_build_sql("SELECT v FROM t", **bad_kwargs)
+
+
+def test_prune_then_join_equals_plain_join(spark):
+    """Never-false-negative ⇒ pruning the probe side cannot change the
+    join result, only shrink the shuffled volume."""
+    from scholarmind_spark.operators.bloom import bloom_prune
+
+    build = spark.createDataFrame([(v,) for v in MEMBERS[:40]], ["key"])
+    probe = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(MEMBERS[:80] + ABSENT)], ["key", "x"]
+    )
+    sk = bloom_build(build, "key", m_words=32, k=4)
+    pruned = bloom_prune(probe, "key", sk, m_words=32, k=4)
+    plain = sorted(tuple(r) for r in probe.join(build, "key").collect())
+    via_prune = sorted(tuple(r) for r in pruned.join(build, "key").collect())
+    assert plain == via_prune
+    # and the pruned side is actually smaller than the probe side
+    n_pruned, n_probe = pruned.count(), probe.count()
+    assert n_pruned < n_probe
+    assert n_pruned >= 40  # every true member survives
+
+
+def test_prune_duckdb_twin(spark):
+    from scholarmind_spark.operators.bloom import bloom_prune, bloom_prune_sql
+
+    build_rows = [(v,) for v in MEMBERS[:30]]
+    probe_rows = [(v, i) for i, v in enumerate(MEMBERS[:60] + ABSENT[:60])]
+    build = spark.createDataFrame(build_rows, ["key"])
+    probe = spark.createDataFrame(probe_rows, ["key", "x"])
+    sk = bloom_build(build, "key", m_words=16, k=3)
+    got = sorted(
+        tuple(r) for r in bloom_prune(probe, "key", sk, m_words=16, k=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (key VARCHAR)")
+    con.executemany("INSERT INTO b VALUES (?)", build_rows)
+    con.execute("CREATE TABLE p (key VARCHAR, x INT)")
+    con.executemany("INSERT INTO p VALUES (?,?)", probe_rows)
+    q = bloom_prune_sql(
+        "SELECT * FROM p", "key",
+        bloom_build_sql("SELECT key AS v FROM b", m_words=16, k=3),
+        m_words=16, k=3,
+    )
+    oracle = sorted(con.execute(f"SELECT * FROM {q}").fetchall())
+    assert got == oracle

@@ -70,6 +70,8 @@ BNLJ_OK = {
     # round-9 batch 3: same shape — crossJoins of one-row mismatch
     # counters and state sizes
     "dedup_ledger_revise",
+    # one-row pruning-stat attaches + the one-row bitmap-map broadcast
+    "orders_bloom_prune",
 }
 
 
