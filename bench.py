@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "events_time_bars",
     "events_kmv_by_segment",
     "orders_bloom_prune",
+    "events_hdr_by_type",
     # dedup_ledger_revise is driver-gated but not benched: like
     # dedup_ledger_roundtrip it is a self-verifying double-computation
     # whose cost is fixed materialization units, and one such anchor in

@@ -221,3 +221,135 @@ END"""
  FROM qs, cum
  WHERE cum >= (q_permille * n + 999) // 1000
  GROUP BY q_permille)"""
+
+
+# ------------------------------------------------------ grouped variant
+#
+# "p99 latency per endpoint" — the telemetry staple.  Identical bucket
+# math; state is ≤ buckets·groups cells; the quantile window partitions
+# on the GROUP key (never SinglePartition), so a hot group is bounded
+# by its bucket count (≤ ~4k), not its row count.
+
+
+def hdr_build_by_group(
+    df: DataFrame,
+    group_col: Column | str,
+    value: Column | str,
+    p: int = DEFAULT_PRECISION_BITS,
+) -> DataFrame:
+    """``grp, sign, bucket, cnt`` — :func:`hdr_build` per group.  NULL
+    groups are kept as their own group (real audit segments)."""
+    _check_p(p)
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    vc = F.col(value) if isinstance(value, str) else value
+    vm = _vm(vc)
+    base = df.select(
+        g.cast("string").alias("grp"), vm.alias("vm")
+    ).where(F.col("vm").isNotNull())
+    sign = F.when(F.col("vm") > 0, 1).when(F.col("vm") < 0, -1).otherwise(0)
+    e = F.length(F.expr("bin(abs(vm))")) - 1
+    sub = F.expr(
+        f"(abs(vm) * {1 << p})"
+        " div shiftleft(cast(1 as bigint), length(bin(abs(vm))) - 1)"
+    ) - (1 << p)
+    bucket = F.when(F.col("vm") == 0, F.lit(0)).otherwise(e * (1 << p) + sub)
+    return (
+        base.select("grp", sign.alias("sign"), bucket.alias("bucket"))
+        .groupBy("grp", "sign", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles_by_group(
+    sketch: DataFrame,
+    qs_permille: tuple[int, ...] = (500, 990),
+    p: int = DEFAULT_PRECISION_BITS,
+) -> DataFrame:
+    """``grp, q_permille, n_rows, est_milli`` — per-group quantiles from
+    a grouped sketch."""
+    _check_p(p)
+    for q in qs_permille:
+        if not 1 <= q <= 1000:
+            raise ValueError("quantiles are permille values in 1..1000")
+    order = (F.col("sign") * (F.lit(1048576) + F.col("bucket"))).asc()
+    w = Window.partitionBy("grp").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("grp")
+    cum = sketch.select(
+        "grp",
+        "sign",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(q,) for q in qs_permille], "q_permille int"
+    )
+    return (
+        qdf.crossJoin(cum)
+        .where(F.col("cum") >= F.expr("(q_permille * n + 999) div 1000"))
+        .groupBy("grp", "q_permille")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.min_by(
+                F.expr(_midpoint_expr(p)),
+                F.col("sign") * (F.lit(1048576) + F.col("bucket")),
+            ).cast("bigint").alias("est_milli"),
+        )
+    )
+
+
+def hdr_build_by_group_sql(
+    pairs_query: str, p: int = DEFAULT_PRECISION_BITS
+) -> str:
+    """DuckDB twin over a subquery yielding ``grp, v``."""
+    _check_p(p)
+    tp = 1 << p
+    return f"""
+(WITH base AS (
+   SELECT grp::VARCHAR AS grp, round(v * 1000, 0)::BIGINT AS vm
+   FROM ({pairs_query}) WHERE v IS NOT NULL AND isfinite(v)
+ )
+ SELECT grp,
+        CASE WHEN vm > 0 THEN 1 WHEN vm < 0 THEN -1 ELSE 0 END AS sign,
+        CASE WHEN vm = 0 THEN 0
+             ELSE (length(bin(abs(vm))) - 1) * {tp}
+                  + (abs(vm) * {tp}) // (1::BIGINT << (length(bin(abs(vm))) - 1))
+                  - {tp}
+        END AS bucket,
+        count(*)::BIGINT AS cnt
+ FROM base GROUP BY 1, 2, 3)"""
+
+
+def hdr_quantiles_by_group_sql(
+    sketch_query: str,
+    qs_permille: tuple[int, ...] = (500, 990),
+    p: int = DEFAULT_PRECISION_BITS,
+) -> str:
+    _check_p(p)
+    tp = 1 << p
+    qvals = ", ".join(f"({q})" for q in qs_permille)
+    mid = f"""CASE
+  WHEN sign = 0 THEN 0
+  WHEN (bucket // {tp}) >= {p} THEN
+    sign * ((({tp} + bucket % {tp}) << ((bucket // {tp}) - {p}))
+            + ((1::BIGINT << ((bucket // {tp}) - {p})) // 2))
+  ELSE sign * (({tp} + bucket % {tp}) // (1::BIGINT << ({p} - (bucket // {tp}))))
+END"""
+    return f"""
+(WITH s AS (SELECT * FROM {sketch_query}),
+ cum AS (
+   SELECT grp, sign, bucket,
+          sum(cnt) OVER (PARTITION BY grp
+                         ORDER BY sign * (1048576 + bucket) ASC
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+          sum(cnt) OVER (PARTITION BY grp)::BIGINT AS n
+   FROM s
+ ),
+ qs(q_permille) AS (VALUES {qvals})
+ SELECT grp, q_permille, max(n)::BIGINT AS n_rows,
+        min_by({mid}, sign * (1048576 + bucket))::BIGINT AS est_milli
+ FROM qs, cum
+ WHERE cum >= (q_permille * n + 999) // 1000
+ GROUP BY grp, q_permille)"""

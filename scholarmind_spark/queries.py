@@ -5419,6 +5419,40 @@ FROM di, dd, ci, cd, nd
 """
 
 
+def events_hdr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HDR quantiles (operators/hdr hdr_*_by_group): p50/p99
+    of the event value PER EVENT TYPE — the "latency per endpoint"
+    telemetry staple; the quantile window partitions on the group key
+    and each group's ranked state is bounded by the sketch's bucket
+    count, never its row count."""
+    from scholarmind_spark.operators.hdr import (
+        hdr_build_by_group,
+        hdr_quantiles_by_group,
+    )
+
+    e = _events(spark, sf_dir)
+    sk = hdr_build_by_group(e, "event_type", "value")
+    return hdr_quantiles_by_group(sk, (500, 990)).orderBy(
+        "grp", "q_permille"
+    )
+
+
+def _events_hdr_by_type_sql() -> str:
+    from scholarmind_spark.operators.hdr import (
+        hdr_build_by_group_sql,
+        hdr_quantiles_by_group_sql,
+    )
+
+    sk = hdr_build_by_group_sql(
+        "SELECT event_type AS grp, value AS v FROM events"
+    )
+    return (
+        "SELECT * FROM "
+        + hdr_quantiles_by_group_sql(sk, (500, 990))
+        + " ORDER BY grp, q_permille"
+    )
+
+
 def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom runtime join pruning (operators/bloom.bloom_prune): orders
     are pre-filtered by a Bloom filter built over AUTOMOBILE-segment
@@ -6020,6 +6054,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_time_bars": events_time_bars,
     "dedup_ledger_revise": dedup_ledger_revise,
     "orders_bloom_prune": orders_bloom_prune,
+    "events_hdr_by_type": events_hdr_by_type,
     "events_kmv_by_segment": events_kmv_by_segment,
     "sketch_bloom_membership": sketch_bloom_membership,
     "dataset_split_leakage": dataset_split_leakage,
@@ -6187,6 +6222,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_time_bars": _events_time_bars_sql(),
     "dedup_ledger_revise": _dedup_ledger_revise_sql(),
     "orders_bloom_prune": _orders_bloom_prune_sql(),
+    "events_hdr_by_type": _events_hdr_by_type_sql(),
     "events_kmv_by_segment": _events_kmv_by_segment_sql(),
     "sketch_bloom_membership": _sketch_bloom_membership_sql(),
     "dataset_split_leakage": _dataset_split_leakage_sql(),
@@ -6294,6 +6330,7 @@ _ROUND9_FRONT = [
     "events_kmv_by_segment",
     "dedup_ledger_revise",
     "orders_bloom_prune",
+    "events_hdr_by_type",
     # last driver-checked in r5 (7 stragglers displaced by the r8 news)
     "diag_jsonl_len",
     "diag_jsonl_hash",

@@ -151,3 +151,74 @@ def test_validation(spark):
         hdr_build_sql("SELECT v FROM t", p=11)
     with pytest.raises(ValueError):
         hdr_quantiles(hdr_build(df, "v"), (0,))
+
+
+def test_grouped_build_and_quantiles_match_global_per_group(spark):
+    """A grouped sketch restricted to one group == the global sketch of
+    that group's rows, and the grouped quantiles match the global ones."""
+    import random
+
+    from scholarmind_spark.operators.hdr import (
+        hdr_build_by_group,
+        hdr_quantiles_by_group,
+    )
+
+    rng = random.Random(11)
+    rows = [("a" if i % 3 else "b", rng.uniform(-50, 500)) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    grouped = hdr_build_by_group(df, "grp", "v")
+    for g in ("a", "b"):
+        sub = {
+            (r["sign"], r["bucket"]): r["cnt"]
+            for r in grouped.where(F.col("grp") == g).collect()
+        }
+        solo = {
+            (r["sign"], r["bucket"]): r["cnt"]
+            for r in hdr_build(df.where(F.col("grp") == g), "v").collect()
+        }
+        assert sub == solo, g
+        gq = {
+            r["q_permille"]: r["est_milli"]
+            for r in hdr_quantiles_by_group(grouped, (500, 990)).where(
+                F.col("grp") == g
+            ).collect()
+        }
+        sq = {
+            r["q_permille"]: r["est_milli"]
+            for r in hdr_quantiles(
+                hdr_build(df.where(F.col("grp") == g), "v"), (500, 990)
+            ).collect()
+        }
+        assert gq == sq, g
+
+
+def test_grouped_duckdb_twin(spark):
+    from scholarmind_spark.operators.hdr import (
+        hdr_build_by_group,
+        hdr_build_by_group_sql,
+        hdr_quantiles_by_group,
+        hdr_quantiles_by_group_sql,
+    )
+
+    rows = [("x", 1.5), ("x", -3.25), ("x", 700.0), ("y", 0.0), ("y", 2.0),
+            (None, 9.0), ("x", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])
+    got = sorted(
+        (tuple(r)
+         for r in hdr_quantiles_by_group(
+             hdr_build_by_group(df, "grp", "v"), (250, 750)
+         ).collect()),
+        key=key,
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    sk = hdr_build_by_group_sql("SELECT grp, v FROM t")
+    oracle = sorted(
+        con.execute(
+            f"SELECT * FROM {hdr_quantiles_by_group_sql(sk, (250, 750))}"
+        ).fetchall(),
+        key=key,
+    )
+    assert got == oracle and len(got) == 6  # 3 groups (incl NULL) x 2 qs
