@@ -72,6 +72,9 @@ BNLJ_OK = {
     "dedup_ledger_revise",
     # one-row pruning-stat attaches + the one-row bitmap-map broadcast
     "orders_bloom_prune",
+    # the tiny quantile-literal frame (2-3 rows) crossing the bounded
+    # bucket table — both sides sketch-sized, never data-sized
+    "events_hdr_by_type",
 }
 
 
