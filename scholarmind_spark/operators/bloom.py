@@ -187,8 +187,9 @@ def bloom_prune(
     tests evaluate as a pure per-row conjunction over map lookups —
     ZERO shuffle on the probe side, no explode, no regroup; the probe
     plan is a filter, exactly what a runtime row filter must be."""
+    from functools import reduce
+
     _check(m_words, k)
-    m_bits = m_words * BITS_PER_WORD
     v = (F.col(col) if isinstance(col, str) else col).cast("string")
     bitmap = sketch.agg(
         F.map_from_entries(
@@ -200,23 +201,23 @@ def bloom_prune(
         .withColumn("__bk", v)
         .crossJoin(F.broadcast(bitmap))
     )
-
-    def test(i: int) -> str:
-        pos = (
-            f"(cast(conv(substring(md5(concat(__bk, '#{i}')), 1, 15), 16, 10)"
-            f" as bigint) % {m_bits})"
+    # one source of truth for the bit positions: the SAME _positions()
+    # bloom_build writes with (a hand-inlined copy of the hash device
+    # here could silently diverge and break never-false-negative).
+    # The bit test is bits & 2^bit: the mask is computed via double
+    # pow(2, bit) — exact for every power of two ≤ 2^62 (bit ≤ 62 by
+    # construction), and the AND stays in bigint (bits itself never
+    # passes through a double).
+    tests = []
+    for p in _positions(F.col("__bk"), m_words, k):
+        word_c = ((p - (p % BITS_PER_WORD)) / BITS_PER_WORD).cast("bigint")
+        bits_c = F.coalesce(
+            F.element_at(F.col("__bm"), word_c),
+            F.lit(0).cast("bigint"),
         )
-        bits = (
-            f"coalesce(element_at(__bm, {pos} div {BITS_PER_WORD}),"
-            f" cast(0 as bigint))"
-        )
-        return (
-            f"(shiftright({bits},"
-            f" cast({pos} % {BITS_PER_WORD} as int)) % 2) = 1"
-        )
-
-    cond = " AND ".join(test(i) for i in range(k))
-    return tagged.where(F.expr(cond)).select(*df.columns)
+        mask = F.pow(F.lit(2.0), p % BITS_PER_WORD).cast("bigint")
+        tests.append(bits_c.bitwiseAND(mask) != 0)
+    return tagged.where(reduce(lambda a, b: a & b, tests)).select(*df.columns)
 
 
 def bloom_prune_sql(

@@ -59,6 +59,45 @@ def _vm(value: Column) -> Column:
     return F.when(finite, F.round(value * 1000, 0).cast("bigint"))
 
 
+def _bucket_cols(p: int) -> tuple[Column, Column]:
+    """(sign, bucket) expressions over a frame with column ``vm`` — the
+    ONE Spark-side home of the octave/sub-bucket math (the grouped and
+    global builders must never diverge)."""
+    sign = F.when(F.col("vm") > 0, 1).when(F.col("vm") < 0, -1).otherwise(0)
+    e = F.length(F.expr("bin(abs(vm))")) - 1
+    sub = F.expr(
+        f"(abs(vm) * {1 << p})"
+        " div shiftleft(cast(1 as bigint), length(bin(abs(vm))) - 1)"
+    ) - (1 << p)
+    bucket = F.when(F.col("vm") == 0, F.lit(0)).otherwise(e * (1 << p) + sub)
+    return sign, bucket
+
+
+def _bucket_case_sql(p: int) -> tuple[str, str]:
+    """(sign, bucket) SQL over a relation with column ``vm`` — the one
+    DuckDB-side home of the same math."""
+    tp = 1 << p
+    sign = "CASE WHEN vm > 0 THEN 1 WHEN vm < 0 THEN -1 ELSE 0 END"
+    bucket = f"""CASE WHEN vm = 0 THEN 0
+             ELSE (length(bin(abs(vm))) - 1) * {tp}
+                  + (abs(vm) * {tp}) // (1::BIGINT << (length(bin(abs(vm))) - 1))
+                  - {tp}
+        END"""
+    return sign, bucket
+
+
+def _mid_case_sql(p: int) -> str:
+    """DuckDB midpoint CASE over (sign, bucket) — single home."""
+    tp = 1 << p
+    return f"""CASE
+  WHEN sign = 0 THEN 0
+  WHEN (bucket // {tp}) >= {p} THEN
+    sign * ((({tp} + bucket % {tp}) << ((bucket // {tp}) - {p}))
+            + ((1::BIGINT << ((bucket // {tp}) - {p})) // 2))
+  ELSE sign * (({tp} + bucket % {tp}) // (1::BIGINT << ({p} - (bucket // {tp}))))
+END"""
+
+
 def hdr_build(
     df: DataFrame, value: Column | str, p: int = DEFAULT_PRECISION_BITS
 ) -> DataFrame:
@@ -69,15 +108,7 @@ def hdr_build(
     vc = F.col(value) if isinstance(value, str) else value
     vm = _vm(vc)
     base = df.select(vm.alias("vm")).where(F.col("vm").isNotNull())
-    sign = F.when(F.col("vm") > 0, 1).when(F.col("vm") < 0, -1).otherwise(0)
-    e = F.length(F.expr("bin(abs(vm))")) - 1
-    sub = F.expr(
-        f"(abs(vm) * {1 << p})"
-        " div shiftleft(cast(1 as bigint), length(bin(abs(vm))) - 1)"
-    ) - (1 << p)
-    bucket = F.when(F.col("vm") == 0, F.lit(0)).otherwise(
-        e * (1 << p) + sub
-    )
+    sign, bucket = _bucket_cols(p)
     return (
         base.select(sign.alias("sign"), bucket.alias("bucket"))
         .groupBy("sign", "bucket")
@@ -168,18 +199,14 @@ def hdr_quantiles(
 def hdr_build_sql(values_query: str, p: int = DEFAULT_PRECISION_BITS) -> str:
     """DuckDB twin of :func:`hdr_build` over a subquery yielding ``v``."""
     _check_p(p)
-    tp = 1 << p
+    sign, bucket = _bucket_case_sql(p)
     return f"""
 (WITH base AS (
    SELECT round(v * 1000, 0)::BIGINT AS vm
    FROM ({values_query}) WHERE v IS NOT NULL AND isfinite(v)
  )
- SELECT CASE WHEN vm > 0 THEN 1 WHEN vm < 0 THEN -1 ELSE 0 END AS sign,
-        CASE WHEN vm = 0 THEN 0
-             ELSE (length(bin(abs(vm))) - 1) * {tp}
-                  + (abs(vm) * {tp}) // (1::BIGINT << (length(bin(abs(vm))) - 1))
-                  - {tp}
-        END AS bucket,
+ SELECT {sign} AS sign,
+        {bucket} AS bucket,
         count(*)::BIGINT AS cnt
  FROM base GROUP BY 1, 2)"""
 
@@ -197,15 +224,8 @@ def hdr_quantiles_sql(
     p: int = DEFAULT_PRECISION_BITS,
 ) -> str:
     _check_p(p)
-    tp = 1 << p
     qvals = ", ".join(f"({q})" for q in qs_permille)
-    mid = f"""CASE
-  WHEN sign = 0 THEN 0
-  WHEN (bucket // {tp}) >= {p} THEN
-    sign * ((({tp} + bucket % {tp}) << ((bucket // {tp}) - {p}))
-            + ((1::BIGINT << ((bucket // {tp}) - {p})) // 2))
-  ELSE sign * (({tp} + bucket % {tp}) // (1::BIGINT << ({p} - (bucket // {tp}))))
-END"""
+    mid = _mid_case_sql(p)
     return f"""
 (WITH s AS (SELECT * FROM {sketch_query}),
  cum AS (
@@ -246,13 +266,7 @@ def hdr_build_by_group(
     base = df.select(
         g.cast("string").alias("grp"), vm.alias("vm")
     ).where(F.col("vm").isNotNull())
-    sign = F.when(F.col("vm") > 0, 1).when(F.col("vm") < 0, -1).otherwise(0)
-    e = F.length(F.expr("bin(abs(vm))")) - 1
-    sub = F.expr(
-        f"(abs(vm) * {1 << p})"
-        " div shiftleft(cast(1 as bigint), length(bin(abs(vm))) - 1)"
-    ) - (1 << p)
-    bucket = F.when(F.col("vm") == 0, F.lit(0)).otherwise(e * (1 << p) + sub)
+    sign, bucket = _bucket_cols(p)
     return (
         base.select("grp", sign.alias("sign"), bucket.alias("bucket"))
         .groupBy("grp", "sign", "bucket")
@@ -305,19 +319,15 @@ def hdr_build_by_group_sql(
 ) -> str:
     """DuckDB twin over a subquery yielding ``grp, v``."""
     _check_p(p)
-    tp = 1 << p
+    sign, bucket = _bucket_case_sql(p)
     return f"""
 (WITH base AS (
    SELECT grp::VARCHAR AS grp, round(v * 1000, 0)::BIGINT AS vm
    FROM ({pairs_query}) WHERE v IS NOT NULL AND isfinite(v)
  )
  SELECT grp,
-        CASE WHEN vm > 0 THEN 1 WHEN vm < 0 THEN -1 ELSE 0 END AS sign,
-        CASE WHEN vm = 0 THEN 0
-             ELSE (length(bin(abs(vm))) - 1) * {tp}
-                  + (abs(vm) * {tp}) // (1::BIGINT << (length(bin(abs(vm))) - 1))
-                  - {tp}
-        END AS bucket,
+        {sign} AS sign,
+        {bucket} AS bucket,
         count(*)::BIGINT AS cnt
  FROM base GROUP BY 1, 2, 3)"""
 
@@ -328,15 +338,8 @@ def hdr_quantiles_by_group_sql(
     p: int = DEFAULT_PRECISION_BITS,
 ) -> str:
     _check_p(p)
-    tp = 1 << p
     qvals = ", ".join(f"({q})" for q in qs_permille)
-    mid = f"""CASE
-  WHEN sign = 0 THEN 0
-  WHEN (bucket // {tp}) >= {p} THEN
-    sign * ((({tp} + bucket % {tp}) << ((bucket // {tp}) - {p}))
-            + ((1::BIGINT << ((bucket // {tp}) - {p})) // 2))
-  ELSE sign * (({tp} + bucket % {tp}) // (1::BIGINT << ({p} - (bucket // {tp}))))
-END"""
+    mid = _mid_case_sql(p)
     return f"""
 (WITH s AS (SELECT * FROM {sketch_query}),
  cum AS (
