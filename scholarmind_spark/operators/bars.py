@@ -16,8 +16,14 @@ task, the exact hot-key skew partial aggregation exists to avoid; the
 groupBy form combines map-side to one row per (bucket, mapper).  The
 key is a string because ``min_by``'s ordering argument must be a
 SCALAR on both engines (DuckDB has no struct/list min_by): 20 digits
-of wall-clock micros + '#' + 19 zero-padded id digits — fixed width,
-so lexicographic order == (ts, id) order.
+of TZ-FREE epoch microseconds + '#' + 19 zero-padded id digits —
+fixed width, so lexicographic order == (ts, id) order.  Epoch micros
+(not a rendered wall-clock string) because a local rendering is
+non-monotonic across a DST fall-back fold in sessions that don't pin
+UTC — two instants alias and open/close can invert for bucket widths
+over an hour.  The key requires ``ts >= epoch`` and ``id >= 0`` (a
+sign character would break fixed-width lexicographic order); both
+hold for every event fixture and are asserted in the unit tests.
 
 Values are milli-quantized ints in the output (the battery's standard
 device) so the DuckDB twin hashes identically; non-finite values are
@@ -31,9 +37,17 @@ from pyspark.sql import functions as F
 
 def bar_sort_key(ts_col: str, id_col: str):
     """Fixed-width sortable (ts, id) string key shared by the batch and
-    streaming bar builders."""
+    streaming bar builders.  TZ-free: built from epoch MICROSECONDS,
+    never a session-timezone rendering (see module docstring).
+    Requires ``ts >= epoch`` and ``0 <= id < 10^19``."""
+    # the cast is a no-op for TIMESTAMP; for TIMESTAMP_NTZ inputs it
+    # resolves the naive value in the session zone (UTC-pinned by the
+    # framework — i.e. naive-as-UTC, exactly DuckDB's epoch_us reading
+    # of its naive TIMESTAMP), since unix_micros accepts only TIMESTAMP
     return F.concat(
-        F.date_format(F.col(ts_col), "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"
+        ),
         F.lit("#"),
         F.lpad(F.col(id_col).cast("string"), 19, "0"),
     )
@@ -106,7 +120,7 @@ def time_bars_sql(
     return f"""
 (WITH base AS (
    SELECT floor(epoch({ts_col}))::BIGINT // {width_seconds} AS b,
-          strftime({ts_col}, '%Y%m%d%H%M%S%f') || '#'
+          lpad(epoch_us({ts_col})::VARCHAR, 20, '0') || '#'
             || lpad({id_col}::VARCHAR, 19, '0') AS sk,
           round({value_col} * 1000, 0)::BIGINT AS vm
    FROM {table}

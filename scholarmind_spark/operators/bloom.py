@@ -211,8 +211,13 @@ def bloom_prune(
     tests = []
     for p in _positions(F.col("__bk"), m_words, k):
         word_c = ((p - (p % BITS_PER_WORD)) / BITS_PER_WORD).cast("bigint")
+        # try_element_at: explicitly NULL on a missing map key in ALL
+        # modes (plain element_at's ANSI behavior has flip-flopped
+        # between NULL and MAP_KEY_DOES_NOT_EXIST across Spark
+        # versions, and a sparse production filter WILL probe absent
+        # words even though the dense unit fixtures never do)
         bits_c = F.coalesce(
-            F.element_at(F.col("__bm"), word_c),
+            F.try_element_at(F.col("__bm"), word_c),
             F.lit(0).cast("bigint"),
         )
         mask = F.pow(F.lit(2.0), p % BITS_PER_WORD).cast("bigint")

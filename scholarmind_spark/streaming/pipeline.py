@@ -166,6 +166,9 @@ def ohlc_bars_agg(
 
     return (
         events.withWatermark("ts", watermark)
+        # mirror the batch twin's NULL-timestamp drop (time_bars filters
+        # b.isNotNull()): a NULL ts must not form a NULL window group
+        .where(F.col("ts").isNotNull())
         .select(
             F.window("ts", width).alias("w"),
             bar_sort_key("ts", "event_id").alias("sk"),

@@ -64,6 +64,50 @@ def test_time_bars_duckdb_twin(spark):
     assert got == oracle and len(got) >= 2
 
 
+def test_bar_sort_key_tz_free_across_dst_fold(spark):
+    """The (ts, id) key is built from epoch micros, so it stays strictly
+    monotonic across a DST fall-back fold even in a session that does
+    NOT pin UTC (a local wall-clock rendering would alias the two
+    instants and the open/close tiebreak would silently take over)."""
+    from scholarmind_spark.operators.bars import bar_sort_key
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # 2024-11-03: 01:30 EDT and 01:30 EST render identically local,
+        # but are distinct instants one hour apart
+        df = spark.createDataFrame(
+            [(1, 1730611800), (2, 1730615400)], "event_id int, epoch_s long"
+        ).select("event_id", F.timestamp_seconds("epoch_s").alias("ts"))
+        keys = {
+            r["event_id"]: r["k"]
+            for r in df.select(
+                "event_id", bar_sort_key("ts", "event_id").alias("k")
+            ).collect()
+        }
+        assert keys[1] < keys[2]
+        # and the key requires id >= 0: the event fixtures satisfy it
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        assert ev.agg(F.min("event_id")).collect()[0][0] >= 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ohlc_stream_drops_null_ts(spark):
+    """ohlc_bars_agg must mirror the batch NULL-timestamp drop: a NULL
+    ts event never forms a NULL window group (ADVICE r9)."""
+    from scholarmind_spark.streaming.pipeline import ohlc_bars_agg
+
+    df = spark.createDataFrame(
+        [(1, T0, 2.0), (2, None, 5.0)], "event_id int, ts timestamp, value double"
+    )
+    # exercise the same projection/filter chain in batch mode (the
+    # stream==batch equality test covers the streaming drain;
+    # withWatermark is a no-op on a batch frame)
+    out = ohlc_bars_agg(df).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 1
+
+
 def test_time_bars_validation(spark):
     df = spark.createDataFrame([], "event_id int, ts timestamp, value double")
     with pytest.raises(ValueError):
