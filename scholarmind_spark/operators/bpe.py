@@ -44,14 +44,26 @@ makes the merge replace ``<a><b> → <ab>`` unambiguous AND correct on
 runs: replace's leftmost non-overlapping scan consumes whole-token
 units (``<a><a><a><a>`` → ``<aa><aa>``, never a half-token match).
 
-Scale: application is a per-row expression over a broadcast-free
-constant merge table folded into the PLAN (a 40-merge table is ~1 KB
-of literals — far below any broadcast threshold concern); cost is
-O(n_merges · word_len) string scanning per row, all codegen.  For
-vocabulary-scale tables (50k merges) the same algorithm would move to
-an Arrow-batched ``mapInPandas`` with a driver-broadcast merge dict
-and per-word memo cache — the expression chain is the right tier for
-the battery's pinned table, not a claim that 50k chained replaces is.
+Scale — two application tiers:
+
+- **Expression chain** (:func:`bpe_tokens`): a per-row expression over
+  a constant merge table folded into the PLAN (a 40-merge table is
+  ~1 KB of literals); cost is O(n_merges · word_len) string scanning
+  per row, all codegen.  The right tier for small pinned tables.
+- **Arrow-batched** (:func:`bpe_tokens_batched`): for vocabulary-scale
+  tables (1k–50k merges) where n_merges chained replaces would scan
+  every row n_merges times, a ``mapInPandas`` encoder with a
+  driver-BROADCAST rank dict and a per-task word→tokens MEMO cache.
+  Cost per row is O(word pairs · merges-that-fire) dict lookups —
+  independent of table size — and the Zipfian word distribution makes
+  the memo hit rate ≈ 1 on real text, so steady-state cost is one
+  dict probe per word.  This is the production tokenizer shape
+  (HuggingFace ``tokenizers``' cache does exactly this).  It
+  implements the REFERENCE iterative lowest-rank algorithm; for
+  training-consistent tables that equals the sequential encoder
+  (property-tested in ``tests/test_bpe.py``), and the
+  ``text_bpe_tokens_large`` gate pins tier equality row-by-row on the
+  pinned table against the DuckDB twin.
 """
 
 from __future__ import annotations
@@ -218,6 +230,94 @@ def bpe_token_count(col: Column, merges: list[tuple[str, str]] | None = None) ->
         F.aggregate(per_word, F.lit(0).cast("bigint"), lambda acc, x: acc + x),
         F.lit(0).cast("bigint"),
     )
+
+
+# ----------------------------------------- large-vocabulary Arrow tier
+
+
+def _encode_word_iterative(
+    word: str, ranks: dict[tuple[str, str], int], merges: list[tuple[str, str]]
+) -> list[str]:
+    """Reference iterative lowest-rank BPE encode of one pre-token
+    (Sennrich/GPT-2 shape): repeatedly merge ALL occurrences of the
+    lowest-rank adjacent pair present until none remains."""
+    toks: list[str] = list(word)
+    while len(toks) > 1:
+        best = None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        ab = a + b
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+# memo entries are tiny (a word + its pieces); 2M entries ≈ low hundreds
+# of MB — clear past the cap so a pathological high-cardinality corpus
+# (random strings) cannot grow a task's heap without bound
+_MEMO_CAP = 2_000_000
+
+
+def bpe_tokens_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """All input columns plus ``out_col: array<string>`` — the BPE
+    tokens of ``text_col``, encoded by the Arrow-batched large-vocab
+    tier (module docstring).  NULL text → NULL array, no-word text →
+    empty array — exactly the expression tier's semantics.
+
+    The merge table ships ONCE per executor as a Spark broadcast (a
+    50k-merge dict is ~5 MB — closure pickling would resend it per
+    task); the word→pieces memo is per task, capped at ``_MEMO_CAP``."""
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType, StructType
+
+    merges = PINNED_MERGES if merges is None else list(merges)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    b_table = df.sparkSession.sparkContext.broadcast((ranks, merges))
+    schema = StructType(df.schema.fields[:]).add(
+        out_col, ArrayType(StringType()), True
+    )
+    word_re = re.compile(WORD_RE)
+
+    def run(batches):
+        rk, mg = b_table.value
+        memo: dict[str, list[str]] = {}
+
+        def encode_text(t):
+            if t is None:
+                return None
+            toks: list[str] = []
+            for w in word_re.findall(t.lower()):
+                hit = memo.get(w)
+                if hit is None:
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
+                    hit = memo[w] = _encode_word_iterative(w, rk, mg)
+                toks.extend(hit)
+            return toks
+
+        for pdf in batches:
+            yield pdf.assign(**{out_col: [encode_text(t) for t in pdf[text_col]]})
+
+    return df.mapInPandas(run, schema)
 
 
 # ------------------------------------------------------------ SQL twins

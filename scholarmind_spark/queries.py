@@ -5968,6 +5968,47 @@ FROM documents
 """
 
 
+def text_bpe_tokens_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-vocabulary BPE tier (operators/bpe.bpe_tokens_batched):
+    the Arrow-batched mapInPandas encoder — broadcast rank dict,
+    per-task word memo, reference iterative lowest-rank algorithm —
+    run on the pinned table, with row-level TIER EQUALITY against the
+    expression-chain encoder asserted in the output (``tiers_equal``
+    must be all-1, which the oracle pins as a literal).  This is the
+    tier a 50k-merge production vocabulary runs on; the gate proves it
+    computes the same tokenization as the codegen tier and the DuckDB
+    twin."""
+    from scholarmind_spark.operators.bpe import bpe_tokens as bpe_pieces
+    from scholarmind_spark.operators.bpe import bpe_tokens_batched
+
+    d = _t(spark, sf_dir, "documents")
+    arrow = bpe_tokens_batched(d.select("doc_id", "text"))
+    expr_toks = bpe_pieces(F.col("text"))
+    at = F.col("bpe_tokens")
+    return arrow.select(
+        "doc_id",
+        F.size(at).cast("bigint").alias("n_bpe"),
+        F.array_join(F.slice(at, 1, 12), " ").alias("head_pieces"),
+        F.when(at.isNull() & expr_toks.isNull(), 1)
+        .when(at == expr_toks, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("tiers_equal"),
+    )
+
+
+def _text_bpe_tokens_large_sql() -> str:
+    from scholarmind_spark.operators.bpe import bpe_tokens_sql as bpe_pieces_sql
+
+    return f"""
+SELECT doc_id,
+       len(pieces)::BIGINT AS n_bpe,
+       array_to_string(pieces[1:12], ' ') AS head_pieces,
+       1::INT AS tiers_equal
+FROM (SELECT doc_id, {bpe_pieces_sql('text')} AS pieces FROM documents)
+"""
+
+
 
 SPARK_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -6055,6 +6096,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "events_autocorrelation": events_autocorrelation,
     "privacy_k_anonymity": privacy_k_anonymity,
     "text_bpe_tokens": text_bpe_tokens,
+    "text_bpe_tokens_large": text_bpe_tokens_large,
     "link_multipass": link_multipass,
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
     "events_hdr_quantiles": events_hdr_quantiles,
@@ -6223,6 +6265,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_autocorrelation": _events_autocorrelation_sql(),
     "privacy_k_anonymity": _privacy_k_anonymity_sql(),
     "text_bpe_tokens": _text_bpe_tokens_sql(),
+    "text_bpe_tokens_large": _text_bpe_tokens_large_sql(),
     "link_multipass": _link_multipass_sql(),
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),

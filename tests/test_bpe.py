@@ -99,6 +99,55 @@ def test_sequential_equals_iterative_on_freshly_trained_table(spark):
         assert seq_encode(w, merges) == ref_encode(w, merges), w
 
 
+def test_arrow_tier_matches_expression_tier(spark):
+    """bpe_tokens_batched (mapInPandas, iterative lowest-rank, memo)
+    equals the expression-chain tier row-by-row, including NULL text →
+    NULL array and no-word text → empty array."""
+    from scholarmind_spark.operators.bpe import bpe_tokens_batched
+
+    rows = [
+        (1, "Customers batch SMALL scans, joining columns"),
+        (2, ""),
+        (3, None),
+        (4, "!!! ??? ..."),
+        (5, "aaaa lowering lowest merge-table 0042"),
+        (6, "the same word the same word the same word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = (
+        bpe_tokens_batched(df)
+        .withColumn("expr_toks", bpe_tokens(F.col("text")))
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["bpe_tokens"] == r["expr_toks"], r["doc_id"]
+
+
+def test_arrow_tier_with_large_trained_table(spark):
+    """Tier equality holds for a freshly-trained larger table (the
+    tier the expression chain is NOT meant for)."""
+    from scholarmind_spark.operators.bpe import bpe_tokens_batched
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "sphinx of black quartz judge my vow",
+             "lowering the lowest merge tables lowers latency"] * 3
+        )],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, "text", n_merges=120)
+    got = (
+        bpe_tokens_batched(docs, merges=merges, out_col="arrow_toks")
+        .withColumn("expr_toks", bpe_tokens(F.col("text"), merges))
+        .collect()
+    )
+    for r in got:
+        assert r["arrow_toks"] == r["expr_toks"], r["doc_id"]
+
+
 def test_run_handling_leftmost_nonoverlap():
     # '<a><a><a><a>' must become '<aa><aa>', '<a><a><a>' → '<aa><a>'
     m = [("a", "a")]
