@@ -1,0 +1,451 @@
+"""Sketch-state ledger: persisted, keyed, mergeable sketch tables for
+monitoring across runs.
+
+Engine extension (the monitoring twin of ``operators/ledger``): a
+100 TB pipeline does not recompute "p99 latency per segment, today vs
+last week" from raw events — it maintains a STATE TABLE of sketches
+keyed by ``(day, segment)``, folds each new batch in with the sketch's
+merge (exact by construction: ``+`` for HDR bucket counts, set-union-
+then-rank for KMV minima, ``bit_or`` for Bloom words), and answers
+drift questions FROM STATE ONLY.  This module applies the dedup-ledger
+contract (content-pure keyed rows + associative fold + query-time
+answer; ``ledger.py``) to the sketch family the battery already has
+(``hdr.py``, ``sketch.py``, ``bloom.py``):
+
+- **HDR state** ``(*keys, sign, bucket, cnt)`` — per-key log-bucket
+  histograms; fold = groupBy-sum.  Answers per-key quantiles and
+  day-over-day quantile drift.
+- **KMV state** ``(*keys, h)`` — per-key k smallest distinct hashes;
+  fold = union → distinct → per-key rank ≤ k.  Exact: the global
+  per-key k minima are contained in the union of per-batch per-key
+  minima.  Answers per-key distinct-count estimates.
+- **Bloom state** ``(*keys, word, bits)`` — per-key bit words; fold =
+  groupBy bit_or.  Answers per-key membership ("did segment S see user
+  U any day this week" via a fold across days).
+
+All folds are EXACT (fold == direct over the union of batches), pinned
+by the ``sketch_ledger_roundtrip`` gate with the same two-batch device
+as ``dedup_ledger_roundtrip``; the ``sketch_ledger_drift`` gate answers
+p99-drift-per-segment from the folded state and the oracle recomputes
+it from raw events — the state-only answer must equal the from-scratch
+one.
+
+Scale posture: every state table is bounded by sketch geometry, not
+data — HDR ≤ ~4k cells, KMV ≤ k rows, Bloom ≤ m_words rows, each PER
+KEY — so a year of daily state for 1000 segments is a few GB of
+parquet, and each fold shuffles O(state) rows.  All groupBys are
+map-side combinable; the quantile windows partition on the key (never
+SinglePartition).  Geometry (``p``/``k``/``m_words``) is a caller
+contract stored next to the state table, exactly as for the
+un-keyed sketches."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.bloom import (
+    BITS_PER_WORD,
+    _check as _bloom_check,
+)
+from scholarmind_spark.operators.bloom import (
+    _positions as _bloom_positions,
+)
+from scholarmind_spark.operators.bloom import (
+    _positions_sql as _bloom_positions_sql,
+)
+from scholarmind_spark.operators.hdr import (
+    DEFAULT_PRECISION_BITS,
+    _bucket_case_sql,
+    _bucket_cols,
+    _check_p,
+    _mid_case_sql,
+    _midpoint_expr,
+    _vm,
+)
+from scholarmind_spark.operators.neardup import minhash_base, minhash_base_sql
+from scholarmind_spark.operators.sketch import _estimate_expr, _estimate_sql
+
+
+def _key_cols(keys: list[str]) -> list[Column]:
+    return [F.col(k) for k in keys]
+
+
+# ------------------------------------------------------------ HDR state
+
+
+def hdr_state_build(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    p: int = DEFAULT_PRECISION_BITS,
+) -> DataFrame:
+    """``*keys, sign, bucket, cnt`` — one HDR sketch per key tuple.
+    Key columns are cast to string (the grouped-sketch convention);
+    NULL keys form their own group.  Bucket math is the single-home
+    ``hdr._bucket_cols`` — this builder can never diverge from the
+    un-keyed one."""
+    _check_p(p)
+    vc = F.col(value) if isinstance(value, str) else value
+    base = df.select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        _vm(vc).alias("vm"),
+    ).where(F.col("vm").isNotNull())
+    sign, bucket = _bucket_cols(p)
+    return (
+        base.select(*_key_cols(keys), sign.alias("sign"), bucket.alias("bucket"))
+        .groupBy(*keys, "sign", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_state_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two HDR state tables (same keys, same ``p``): union +
+    groupBy-sum.  Exact by associativity of +."""
+    gcols = [c for c in a.columns if c != "cnt"]
+    return (
+        a.unionByName(b).groupBy(*gcols).agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_state_quantiles(
+    state: DataFrame,
+    keys: list[str],
+    qs_permille: tuple[int, ...] = (990,),
+    p: int = DEFAULT_PRECISION_BITS,
+) -> DataFrame:
+    """``*keys, q_permille, n_rows, est_milli`` — quantiles per key
+    tuple, from state only.  The cumulative window partitions on the
+    KEYS; per-partition row count is bounded by the sketch's bucket
+    count (≤ ~4k), never by the data."""
+    _check_p(p)
+    for q in qs_permille:
+        if not 1 <= q <= 1000:
+            raise ValueError("quantiles are permille values in 1..1000")
+    order = (F.col("sign") * (F.lit(1048576) + F.col("bucket"))).asc()
+    w = Window.partitionBy(*keys).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*keys)
+    cum = state.select(
+        *keys,
+        "sign",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qdf = state.sparkSession.createDataFrame(
+        [(q,) for q in qs_permille], "q_permille int"
+    )
+    return (
+        qdf.crossJoin(cum)
+        .where(F.col("cum") >= F.expr("(q_permille * n + 999) div 1000"))
+        .groupBy(*keys, "q_permille")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.min_by(
+                F.expr(_midpoint_expr(p)),
+                F.col("sign") * (F.lit(1048576) + F.col("bucket")),
+            ).cast("bigint").alias("est_milli"),
+        )
+    )
+
+
+def hdr_state_drift(
+    state: DataFrame,
+    seg_col: str = "seg",
+    day_col: str = "day",
+    q_permille: int = 990,
+    p: int = DEFAULT_PRECISION_BITS,
+) -> DataFrame:
+    """``seg, day, p_milli, prev_p_milli, drift_milli`` — the monitoring
+    answer: per segment, the day's quantile vs the PREVIOUS day present
+    in state, computed from state only (no raw events touched).  Days
+    with no predecessor are omitted (nothing to drift against).  The
+    lag window partitions on the segment and holds one row per day —
+    bounded by the state's day count."""
+    qd = hdr_state_quantiles(state, [seg_col, day_col], (q_permille,), p)
+    w = Window.partitionBy(seg_col).orderBy(F.col(day_col).asc())
+    return (
+        qd.select(
+            seg_col,
+            day_col,
+            F.col("est_milli").alias("p_milli"),
+            F.lag("est_milli").over(w).alias("prev_p_milli"),
+        )
+        .where(F.col("prev_p_milli").isNotNull())
+        .select(
+            seg_col,
+            day_col,
+            "p_milli",
+            "prev_p_milli",
+            (F.col("p_milli") - F.col("prev_p_milli")).alias("drift_milli"),
+        )
+    )
+
+
+# ------------------------------------------------------------ KMV state
+
+
+def kmv_state_build(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    k: int = 64,
+) -> DataFrame:
+    """``*keys, h`` — the k smallest distinct 60-bit hashes of ``value``
+    per key tuple (fewer if the key saw fewer distinct values).  NULL
+    values are dropped (not set members); NULL keys form a group."""
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
+    # string/integer-typed values only: both engines hash the value's
+    # STRING form, and int→string renders identically on both; float
+    # renderings do not (the same caller contract as bloom keys)
+    vc = (F.col(value) if isinstance(value, str) else value).cast("string")
+    pairs = (
+        df.select(
+            *[F.col(c).cast("string").alias(c) for c in keys],
+            minhash_base(vc).alias("h"),
+        )
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_state_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Fold two KMV state tables: union → distinct → per-key rank ≤ k.
+    Exact — any hash among a key's global k smallest is among that
+    key's k smallest in whichever batch contained it, so the union of
+    per-batch minima contains the global minima."""
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
+    keys = [c for c in a.columns if c != "h"]
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_state_estimate(state: DataFrame, k: int = 64) -> DataFrame:
+    """``*keys, n_minima, kth_hash, est_distinct`` per key tuple — the
+    KMV estimator over a state table (exact below k)."""
+    keys = [c for c in state.columns if c != "h"]
+    agg = state.groupBy(*keys).agg(
+        F.count("*").alias("n_minima"), F.max("h").alias("kth_hash")
+    )
+    return agg.select(
+        *keys,
+        "n_minima",
+        "kth_hash",
+        _estimate_expr(F.col("n_minima"), F.col("kth_hash"), k).alias(
+            "est_distinct"
+        ),
+    )
+
+
+# ---------------------------------------------------------- Bloom state
+
+
+def bloom_state_build(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    m_words: int = 64,
+    k: int = 4,
+) -> DataFrame:
+    """``*keys, word, bits`` — one Bloom filter per key tuple, ≤
+    ``m_words`` rows each.  Bit positions come from the single-home
+    ``bloom._positions`` so keyed and un-keyed filters stay probe-
+    compatible."""
+    _bloom_check(m_words, k)
+    vc = (F.col(value) if isinstance(value, str) else value).cast("string")
+    vals = df.select(
+        *[F.col(c).cast("string").alias(c) for c in keys], vc.alias("v")
+    ).where(F.col("v").isNotNull())
+    pos = vals.select(
+        *_key_cols(keys),
+        F.explode(F.array(*_bloom_positions(F.col("v"), m_words, k))).alias(
+            "pos"
+        ),
+    )
+    return (
+        pos.select(
+            *_key_cols(keys),
+            F.expr(f"pos div {BITS_PER_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(pos % {BITS_PER_WORD} as int))"
+            ).alias("m"),
+        )
+        .groupBy(*keys, "word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
+def bloom_state_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two Bloom state tables (same keys, same geometry): union +
+    groupBy bit_or.  Exact — OR is associative and commutative."""
+    gcols = [c for c in a.columns if c != "bits"]
+    return (
+        a.unionByName(b)
+        .groupBy(*gcols)
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+# ------------------------------------------------------------ SQL twins
+#
+# Compositional query strings over subqueries yielding the key columns
+# plus ``v`` — so gate oracles can assemble the full keyed fold paths in
+# DuckDB (the ledger.py twin convention).
+
+
+def hdr_state_build_sql(
+    pairs_query: str, keys: list[str], p: int = DEFAULT_PRECISION_BITS
+) -> str:
+    _check_p(p)
+    sign, bucket = _bucket_case_sql(p)
+    ks = ", ".join(f"{k}::VARCHAR AS {k}" for k in keys)
+    kl = ", ".join(keys)
+    return f"""
+(WITH base AS (
+   SELECT {ks}, round(v * 1000, 0)::BIGINT AS vm
+   FROM ({pairs_query}) WHERE v IS NOT NULL AND isfinite(v)
+ )
+ SELECT {kl}, {sign} AS sign, {bucket} AS bucket, count(*)::BIGINT AS cnt
+ FROM base GROUP BY ALL)"""
+
+
+def hdr_state_merge_sql(a: str, b: str, keys: list[str]) -> str:
+    kl = ", ".join(keys)
+    return (
+        f"(SELECT {kl}, sign, bucket, sum(cnt)::BIGINT AS cnt FROM "
+        f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b}) "
+        f"GROUP BY {kl}, sign, bucket)"
+    )
+
+
+def hdr_state_quantiles_sql(
+    state_query: str,
+    keys: list[str],
+    qs_permille: tuple[int, ...] = (990,),
+    p: int = DEFAULT_PRECISION_BITS,
+) -> str:
+    _check_p(p)
+    qvals = ", ".join(f"({q})" for q in qs_permille)
+    mid = _mid_case_sql(p)
+    kl = ", ".join(keys)
+    return f"""
+(WITH s AS (SELECT * FROM {state_query}),
+ cum AS (
+   SELECT {kl}, sign, bucket,
+          sum(cnt) OVER (PARTITION BY {kl}
+                         ORDER BY sign * (1048576 + bucket) ASC
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+          sum(cnt) OVER (PARTITION BY {kl})::BIGINT AS n
+   FROM s
+ ),
+ qs(q_permille) AS (VALUES {qvals})
+ SELECT {kl}, q_permille, max(n)::BIGINT AS n_rows,
+        min_by({mid}, sign * (1048576 + bucket))::BIGINT AS est_milli
+ FROM qs, cum
+ WHERE cum >= (q_permille * n + 999) // 1000
+ GROUP BY {kl}, q_permille)"""
+
+
+def hdr_state_drift_sql(
+    state_query: str,
+    seg_col: str = "seg",
+    day_col: str = "day",
+    q_permille: int = 990,
+    p: int = DEFAULT_PRECISION_BITS,
+) -> str:
+    q = hdr_state_quantiles_sql(state_query, [seg_col, day_col], (q_permille,), p)
+    return f"""
+(WITH qd AS (SELECT * FROM {q}),
+ lagged AS (
+   SELECT {seg_col}, {day_col}, est_milli AS p_milli,
+          lag(est_milli) OVER (PARTITION BY {seg_col}
+                               ORDER BY {day_col} ASC) AS prev_p_milli
+   FROM qd
+ )
+ SELECT {seg_col}, {day_col}, p_milli, prev_p_milli,
+        (p_milli - prev_p_milli)::BIGINT AS drift_milli
+ FROM lagged WHERE prev_p_milli IS NOT NULL)"""
+
+
+def kmv_state_build_sql(pairs_query: str, keys: list[str], k: int = 64) -> str:
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
+    h = minhash_base_sql("v::VARCHAR")
+    ks = ", ".join(f"{c}::VARCHAR AS {c}" for c in keys)
+    kl = ", ".join(keys)
+    return f"""
+(WITH pairs AS (
+   SELECT DISTINCT {ks}, {h} AS h
+   FROM ({pairs_query}) WHERE v IS NOT NULL
+ )
+ SELECT {kl}, h FROM (
+   SELECT {kl}, h,
+          row_number() OVER (PARTITION BY {kl} ORDER BY h) AS rn
+   FROM pairs
+ ) WHERE rn <= {k})"""
+
+
+def kmv_state_merge_sql(a: str, b: str, keys: list[str], k: int = 64) -> str:
+    kl = ", ".join(keys)
+    return f"""
+(SELECT {kl}, h FROM (
+   SELECT {kl}, h,
+          row_number() OVER (PARTITION BY {kl} ORDER BY h) AS rn
+   FROM (SELECT DISTINCT * FROM
+         (SELECT * FROM {a} UNION ALL SELECT * FROM {b}))
+ ) WHERE rn <= {k})"""
+
+
+def kmv_state_estimate_sql(state_query: str, keys: list[str], k: int = 64) -> str:
+    kl = ", ".join(keys)
+    est = _estimate_sql("n_minima", "kth_hash", k)
+    return f"""
+(WITH agg AS (
+   SELECT {kl}, count(*)::BIGINT AS n_minima, max(h) AS kth_hash
+   FROM {state_query} GROUP BY {kl}
+ )
+ SELECT {kl}, n_minima, kth_hash, {est} AS est_distinct FROM agg)"""
+
+
+def bloom_state_build_sql(
+    pairs_query: str, keys: list[str], m_words: int = 64, k: int = 4
+) -> str:
+    _bloom_check(m_words, k)
+    kl = ", ".join(keys)
+    ks = ", ".join(f"{c}::VARCHAR AS {c}" for c in keys)
+    pos = " UNION ALL ".join(
+        f"SELECT {kl}, {p} AS pos FROM vals"
+        for p in _bloom_positions_sql("v", m_words, k)
+    )
+    return f"""
+(WITH vals AS (
+   SELECT {ks}, v::VARCHAR AS v FROM ({pairs_query}) WHERE v IS NOT NULL
+ ),
+ pos AS ({pos})
+ SELECT {kl}, pos // {BITS_PER_WORD} AS word,
+        bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT)::BIGINT AS bits
+ FROM pos GROUP BY ALL)"""
+
+
+def bloom_state_merge_sql(a: str, b: str, keys: list[str]) -> str:
+    kl = ", ".join(keys)
+    return (
+        f"(SELECT {kl}, word, bit_or(bits)::BIGINT AS bits FROM "
+        f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b}) "
+        f"GROUP BY {kl}, word)"
+    )

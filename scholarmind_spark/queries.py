@@ -5453,6 +5453,207 @@ def _events_hdr_by_type_sql() -> str:
     )
 
 
+def _sketch_ledger_frames(spark: SparkSession, sf_dir: str):
+    """Shared prep for the sketch-ledger gates: events keyed by TZ-free
+    epoch-day + event_type, split into two deterministic batches (the
+    two-ingest-runs device of dedup_ledger_roundtrip)."""
+    e = _events(spark, sf_dir)
+    keyed = e.select(
+        F.expr("unix_timestamp(ts) div 86400").cast("string").alias("day"),
+        F.col("event_type").alias("seg"),
+        F.col("value").alias("v"),
+        F.col("user_id").alias("u"),
+        (F.col("event_id") % 2).alias("g"),
+    )
+    return keyed, keyed.where(F.col("g") == 0), keyed.where(F.col("g") == 1)
+
+
+_SKETCH_LEDGER_PAIRS_SQL = (
+    "SELECT floor(epoch(ts))::BIGINT // 86400 AS day, event_type AS seg,"
+    " value AS v, user_id AS u, event_id % 2 AS g FROM events"
+)
+
+
+def sketch_ledger_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state ledger roundtrip (operators/sketchledger): HDR /
+    KMV / Bloom state tables keyed by (day, segment) are built per
+    ingest batch and FOLDED (hdr_state_merge / kmv_state_merge /
+    bloom_state_merge), then cell-compared against a direct build over
+    the union — the dedup_ledger_roundtrip device applied to the
+    monitoring-sketch family.  One row: per-family state sizes and
+    full-outer mismatch counts (all must be 0 — the folds are exact by
+    construction: + for counts, union-rank for minima, bit_or for
+    words)."""
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build,
+        bloom_state_merge,
+        hdr_state_build,
+        hdr_state_merge,
+        kmv_state_build,
+        kmv_state_merge,
+    )
+
+    keys = ["day", "seg"]
+    keyed, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    # persist(): each relation feeds all three family builders (in
+    # production the batches are parquet — the persist stands in)
+    keyed = keyed.persist()
+    b1 = b1.persist()
+    b2 = b2.persist()
+
+    def mismatch(a, b, on, val):
+        return (
+            a.select(*on, F.col(val).alias("va"))
+            .join(b.select(*on, F.col(val).alias("vb")), on, "full_outer")
+            .where(~F.col("va").eqNullSafe(F.col("vb")))
+        )
+
+    h_f = hdr_state_merge(
+        hdr_state_build(b1, keys, "v"), hdr_state_build(b2, keys, "v")
+    ).persist()  # feeds the mismatch join AND the cell count
+    h_d = hdr_state_build(keyed, keys, "v")
+    k_f = kmv_state_merge(
+        kmv_state_build(b1, keys, "u", 64),
+        kmv_state_build(b2, keys, "u", 64),
+        64,
+    ).persist()
+    k_d = kmv_state_build(keyed, keys, "u", 64)
+    bl_f = bloom_state_merge(
+        bloom_state_build(b1, keys, "u", 32, 4),
+        bloom_state_build(b2, keys, "u", 32, 4),
+    ).persist()
+    bl_d = bloom_state_build(keyed, keys, "u", 32, 4)
+
+    agg = (
+        h_f.agg(F.count(F.lit(1)).alias("hdr_cells"))
+        .crossJoin(
+            mismatch(h_f, h_d, [*keys, "sign", "bucket"], "cnt").agg(
+                F.count(F.lit(1)).alias("hdr_mismatch")
+            )
+        )
+        .crossJoin(k_f.agg(F.count(F.lit(1)).alias("kmv_rows")))
+        .crossJoin(
+            # KMV state has no value column — a row IS (keys, h); a
+            # full-outer where either side is absent is a mismatch
+            k_f.withColumn("pa", F.lit(1))
+            .join(k_d.withColumn("pb", F.lit(1)), [*keys, "h"], "full_outer")
+            .where(~F.col("pa").eqNullSafe(F.col("pb")))
+            .agg(F.count(F.lit(1)).alias("kmv_mismatch"))
+        )
+        .crossJoin(bl_f.agg(F.count(F.lit(1)).alias("bloom_words")))
+        .crossJoin(
+            mismatch(bl_f, bl_d, [*keys, "word"], "bits").agg(
+                F.count(F.lit(1)).alias("bloom_mismatch")
+            )
+        )
+    )
+    out = agg.select(
+        F.col("hdr_cells").cast("bigint"),
+        F.col("hdr_mismatch").cast("bigint"),
+        F.col("kmv_rows").cast("bigint"),
+        F.col("kmv_mismatch").cast("bigint"),
+        F.col("bloom_words").cast("bigint"),
+        F.col("bloom_mismatch").cast("bigint"),
+    )
+    from scholarmind_spark.util import attach_caches
+
+    return attach_caches(out, [keyed, b1, b2, h_f, k_f, bl_f])
+
+
+def _sketch_ledger_roundtrip_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build_sql,
+        bloom_state_merge_sql,
+        hdr_state_build_sql,
+        hdr_state_merge_sql,
+        kmv_state_build_sql,
+        kmv_state_merge_sql,
+    )
+
+    keys = ["day", "seg"]
+    pairs = _SKETCH_LEDGER_PAIRS_SQL
+    b1 = f"(SELECT * FROM ({pairs}) WHERE g = 0)"
+    b2 = f"(SELECT * FROM ({pairs}) WHERE g = 1)"
+    h_f = hdr_state_merge_sql(
+        hdr_state_build_sql(b1, keys), hdr_state_build_sql(b2, keys), keys
+    )
+    h_d = hdr_state_build_sql(f"({pairs})", keys)
+    ku = "SELECT day, seg, u AS v, g FROM ({})".format(pairs)
+    k_f = kmv_state_merge_sql(
+        kmv_state_build_sql(f"(SELECT * FROM ({ku}) WHERE g = 0)", keys, 64),
+        kmv_state_build_sql(f"(SELECT * FROM ({ku}) WHERE g = 1)", keys, 64),
+        keys,
+        64,
+    )
+    k_d = kmv_state_build_sql(f"({ku})", keys, 64)
+    bl_f = bloom_state_merge_sql(
+        bloom_state_build_sql(f"(SELECT * FROM ({ku}) WHERE g = 0)", keys, 32, 4),
+        bloom_state_build_sql(f"(SELECT * FROM ({ku}) WHERE g = 1)", keys, 32, 4),
+        keys,
+    )
+    bl_d = bloom_state_build_sql(f"({ku})", keys, 32, 4)
+    return f"""
+WITH hc AS (SELECT count(*)::BIGINT AS hdr_cells FROM {h_f}),
+hm AS (
+  SELECT count(*)::BIGINT AS hdr_mismatch
+  FROM {h_f} x FULL JOIN {h_d} y USING (day, seg, sign, bucket)
+  WHERE x.cnt IS DISTINCT FROM y.cnt
+),
+kc AS (SELECT count(*)::BIGINT AS kmv_rows FROM {k_f}),
+km AS (
+  SELECT count(*)::BIGINT AS kmv_mismatch
+  FROM (SELECT *, 1 AS pa FROM {k_f}) x
+  FULL JOIN (SELECT *, 1 AS pb FROM {k_d}) y USING (day, seg, h)
+  WHERE x.pa IS DISTINCT FROM y.pb
+),
+bc AS (SELECT count(*)::BIGINT AS bloom_words FROM {bl_f}),
+bm AS (
+  SELECT count(*)::BIGINT AS bloom_mismatch
+  FROM {bl_f} x FULL JOIN {bl_d} y USING (day, seg, word)
+  WHERE x.bits IS DISTINCT FROM y.bits
+)
+SELECT hdr_cells, hdr_mismatch, kmv_rows, kmv_mismatch,
+       bloom_words, bloom_mismatch
+FROM hc, hm, kc, km, bc, bm
+"""
+
+
+def sketch_ledger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch ledger's ANSWER path (operators/sketchledger
+    hdr_state_drift): per-segment day-over-day p99 drift computed from
+    the FOLDED per-(day, segment) HDR state only — no raw events in the
+    answering plan; the oracle recomputes from raw events, so the
+    state-only answer must equal the from-scratch one (the monitoring
+    contract: 'p99 drift vs yesterday' without rescanning the
+    corpus)."""
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build,
+        hdr_state_drift,
+        hdr_state_merge,
+    )
+
+    keys = ["day", "seg"]
+    _, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    folded = hdr_state_merge(
+        hdr_state_build(b1, keys, "v"), hdr_state_build(b2, keys, "v")
+    )
+    return hdr_state_drift(folded, "seg", "day", 990).orderBy("seg", "day")
+
+
+def _sketch_ledger_drift_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build_sql,
+        hdr_state_drift_sql,
+    )
+
+    state = hdr_state_build_sql(f"({_SKETCH_LEDGER_PAIRS_SQL})", ["day", "seg"])
+    return (
+        "SELECT * FROM "
+        + hdr_state_drift_sql(state, "seg", "day", 990)
+        + " ORDER BY seg, day"
+    )
+
+
 def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom runtime join pruning (operators/bloom.bloom_prune): orders
     are pre-filtered by a Bloom filter built over AUTOMOBILE-segment
@@ -6097,6 +6298,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "text_bpe_tokens": text_bpe_tokens,
     "text_bpe_tokens_large": text_bpe_tokens_large,
+    "sketch_ledger_roundtrip": sketch_ledger_roundtrip,
+    "sketch_ledger_drift": sketch_ledger_drift,
     "link_multipass": link_multipass,
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
     "events_hdr_quantiles": events_hdr_quantiles,
@@ -6266,6 +6469,8 @@ ORACLE_SQL: dict[str, str] = {
     "privacy_k_anonymity": _privacy_k_anonymity_sql(),
     "text_bpe_tokens": _text_bpe_tokens_sql(),
     "text_bpe_tokens_large": _text_bpe_tokens_large_sql(),
+    "sketch_ledger_roundtrip": _sketch_ledger_roundtrip_sql(),
+    "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "link_multipass": _link_multipass_sql(),
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),

@@ -1,0 +1,140 @@
+"""Sketch-state ledger: keyed fold exactness (fold == direct) for HDR /
+KMV / Bloom state, the state-only drift answer, and DuckDB twin parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.sketchledger import (
+    bloom_state_build,
+    bloom_state_merge,
+    hdr_state_build,
+    hdr_state_build_sql,
+    hdr_state_drift,
+    hdr_state_drift_sql,
+    hdr_state_merge,
+    hdr_state_quantiles,
+    kmv_state_build,
+    kmv_state_estimate,
+    kmv_state_merge,
+)
+
+KEYS = ["day", "seg"]
+
+
+def _rows():
+    # two days, two segments, one NULL segment; negative / zero / NaN /
+    # NULL / inf values exercise every branch of the bucket math
+    out = []
+    for day in ("19000", "19001"):
+        for seg in ("api", "web", None):
+            for i in range(30):
+                out.append((day, seg, float(i * 7 - 40), i % 11, i % 2))
+    out.append(("19000", "api", float("nan"), 1, 0))
+    out.append(("19001", "web", None, 2, 1))
+    out.append(("19001", "web", float("inf"), 3, 0))
+    return out
+
+
+SCHEMA = "day string, seg string, v double, u int, g int"
+
+
+def _frames(spark):
+    df = spark.createDataFrame(_rows(), SCHEMA)
+    return df, df.where(F.col("g") == 0), df.where(F.col("g") == 1)
+
+
+def _sorted(rows):
+    vals = rows.collect() if hasattr(rows, "collect") else rows
+    return sorted(
+        (tuple(r) for r in vals),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_hdr_state_fold_equals_direct(spark):
+    df, b1, b2 = _frames(spark)
+    folded = hdr_state_merge(
+        hdr_state_build(b1, KEYS, "v"), hdr_state_build(b2, KEYS, "v")
+    )
+    direct = hdr_state_build(df, KEYS, "v")
+    assert _sorted(folded) == _sorted(direct)
+    # NULL segment is its own group; non-finite values never entered
+    cells = folded.collect()
+    assert any(r["seg"] is None for r in cells)
+
+
+def test_hdr_state_quantiles_bounded_and_keyed(spark):
+    df, _, _ = _frames(spark)
+    state = hdr_state_build(df, KEYS, "v")
+    q = hdr_state_quantiles(state, KEYS, (500, 990)).collect()
+    # every (day, seg) key answers every quantile
+    assert len(q) == 2 * 3 * 2
+    for r in q:
+        assert r["n_rows"] == 30
+        # p=5 → ≤ 3.2% relative error on the milli-quantized magnitude
+        assert r["est_milli"] is not None
+
+
+def test_kmv_state_fold_equals_direct_and_exact_below_k(spark):
+    df, b1, b2 = _frames(spark)
+    k = 8  # u has 11 distinct values per key → estimation regime
+    folded = kmv_state_merge(
+        kmv_state_build(b1, KEYS, "u", k), kmv_state_build(b2, KEYS, "u", k), k
+    )
+    direct = kmv_state_build(df, KEYS, "u", k)
+    assert _sorted(folded) == _sorted(direct)
+    # exact below k: k=64 holds all 11 distinct u values per key
+    est = kmv_state_estimate(kmv_state_build(df, KEYS, "u", 64), 64).collect()
+    for r in est:
+        assert r["est_distinct"] == r["n_minima"] <= 11
+
+
+def test_bloom_state_fold_equals_direct_never_false_negative(spark):
+    df, b1, b2 = _frames(spark)
+    folded = bloom_state_merge(
+        bloom_state_build(b1, KEYS, "u", 16, 4),
+        bloom_state_build(b2, KEYS, "u", 16, 4),
+    )
+    direct = bloom_state_build(df, KEYS, "u", 16, 4)
+    assert _sorted(folded) == _sorted(direct)
+    # never-false-negative per key: every (key, u) that was inserted
+    # probes all-set against that key's words
+    from scholarmind_spark.operators.bloom import bloom_contains
+
+    one_key = folded.where(
+        (F.col("day") == "19000") & (F.col("seg") == "api")
+    ).select("word", "bits")
+    inserted = df.where(
+        (F.col("day") == "19000") & (F.col("seg") == "api")
+    ).select(F.col("u").cast("string").alias("u"))
+    got = bloom_contains(one_key, inserted, "u", 16, 4).collect()
+    assert got and all(r["contained"] == 1 for r in got)
+
+
+def test_hdr_state_drift_matches_duckdb_twin(spark):
+    df, b1, b2 = _frames(spark)
+    folded = hdr_state_merge(
+        hdr_state_build(b1, KEYS, "v"), hdr_state_build(b2, KEYS, "v")
+    )
+    got = _sorted(hdr_state_drift(folded, "seg", "day", 990))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (day VARCHAR, seg VARCHAR, v DOUBLE, u INT, g INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", _rows())
+    state = hdr_state_build_sql("SELECT day, seg, v FROM t", KEYS)
+    oracle = _sorted(
+        con.execute(
+            "SELECT * FROM " + hdr_state_drift_sql(state, "seg", "day", 990)
+        ).fetchall()
+    )
+    assert got == oracle
+    # drift rows exist only for day 19001 (19000 has no predecessor)
+    assert got and all(r[1] == "19001" for r in got)
+
+
+def test_kmv_state_validation(spark):
+    df, _, _ = _frames(spark)
+    with pytest.raises(ValueError):
+        kmv_state_build(df, KEYS, "u", 1)
+    with pytest.raises(ValueError):
+        kmv_state_merge(df.select("day", "seg"), df.select("day", "seg"), 1)
