@@ -70,10 +70,13 @@ BENCH_QUERIES = [
     "events_kmv_by_segment",
     "orders_bloom_prune",
     "events_hdr_by_type",
-    # dedup_ledger_revise is driver-gated but not benched: like
-    # dedup_ledger_roundtrip it is a self-verifying double-computation
-    # whose cost is fixed materialization units, and one such anchor in
-    # the bench already covers the shape
+    "text_bpe_tokens_large",
+    "sketch_ledger_drift",
+    # dedup_ledger_revise, sketch_ledger_roundtrip and dedup_ledger_bloom
+    # are driver-gated but not benched: like dedup_ledger_roundtrip they
+    # are self-verifying double-computations whose cost is fixed
+    # materialization units, and one such anchor in the bench already
+    # covers the shape (isolated anchors for all three live in SCALE.md)
     "text_clean",
     "token_topk",
     "text_word_repetition",

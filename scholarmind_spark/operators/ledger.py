@@ -151,19 +151,51 @@ def _hot_array(counts: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+def _alpha(t_pm: int):
+    return F.expr(f"({t_pm} * n + 999) div 1000")
+
+
+def ledger_prefix_rows(
+    fp: DataFrame,
+    counts: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """``id, sh`` — the capped prefix-filter rows of a fingerprint
+    table (the AllPairs candidate-generation surface of
+    :func:`ledger_match`, exposed so callers can size or pre-filter
+    the probe side — e.g. the Bloom front-gate)."""
+    t_pm = int(round(threshold * 1000))
+    capped = _cap(fp, _hot_array(counts, max_df))
+    return capped.select("id", F.explode(_prefix_slice(_alpha(t_pm))).alias("sh"))
+
+
 def ledger_match(
     batch_fp: DataFrame,
     corpus_fp: DataFrame,
     counts: DataFrame,
     threshold: float = 0.6,
     max_df: int = NGRAM_MAX_DF,
+    bloom_gate: tuple[int, int] | None = None,
 ) -> DataFrame:
     """``new_id, corpus_id, jaccard`` — every (batch, corpus) pair with
     shingle-Jaccard ≥ threshold, from LEDGER STATE only (no re-shingling
     of raw text).  ``counts`` must already include the batch's own fold
     (cap semantics match the one-shot operator, which counts df over
     new ∪ corpus).  Value-identical to ``ngram_jaccard_against`` on the
-    corresponding raw text."""
+    corresponding raw text.
+
+    ``bloom_gate=(m_words, k)`` enables the Bloom FRONT-GATE — the
+    "probably-already-ingested guard" bloom.py names as its motivating
+    use: a Bloom filter built over the corpus-side prefix shingles
+    prunes the batch-side prefix rows BEFORE the candidate join, as a
+    pure per-row filter (bloom_prune — zero shuffle on the probe side).
+    A mostly-novel batch then ships almost nothing into the join.
+    Because Bloom never false-negatives, every surviving candidate pair
+    is preserved and the gated output EQUALS the ungated one exactly
+    (pinned by the ``dedup_ledger_bloom`` gate); only false-positive
+    shingles (~0.6% at the default geometry) ride along and are
+    discarded by the verify."""
     t_pm = int(round(threshold * 1000))
     # persist(): the one-row hot array feeds both sides' caps, and each
     # capped side feeds BOTH the prefix explode and the verify join (the
@@ -171,9 +203,19 @@ def ledger_match(
     hot_arr = _hot_array(counts, max_df).persist()
     nb = _cap(batch_fp, hot_arr).persist()
     nc = _cap(corpus_fp, hot_arr).persist()
-    alpha = F.expr(f"({t_pm} * n + 999) div 1000")
+    alpha = _alpha(t_pm)
     pref_b = nb.select("id", F.explode(_prefix_slice(alpha)).alias("sh"))
     pref_c = nc.select("id", F.explode(_prefix_slice(alpha)).alias("sh"))
+    gate_caches: list[DataFrame] = []
+    if bloom_gate is not None:
+        from scholarmind_spark.operators.bloom import bloom_build, bloom_prune
+
+        m_words, kk = bloom_gate
+        # persist(): pref_c feeds the filter build AND the candidate join
+        pref_c = pref_c.persist()
+        gate_caches.append(pref_c)
+        filt = bloom_build(pref_c, "sh", m_words, kk)
+        pref_b = bloom_prune(pref_b, "sh", filt, m_words, kk)
     cand = (
         pref_b.alias("l")
         .join(pref_c.alias("r"), "sh")
@@ -220,7 +262,7 @@ def ledger_match(
         *getattr(batch_fp, "_sm_caches", ()),
         *getattr(corpus_fp, "_sm_caches", ()),
     ]
-    return attach_caches(out, [hot_arr, nb, nc, *inner])
+    return attach_caches(out, [hot_arr, nb, nc, *gate_caches, *inner])
 
 
 # ------------------------------------------------------------ SQL twins
@@ -260,6 +302,29 @@ def ledger_counts_merge_sql(a: str, b: str) -> str:
 
 def ledger_append_sql(a: str, b: str) -> str:
     return f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b})"
+
+
+def ledger_prefix_rows_sql(
+    fp_query: str,
+    counts: str,
+    threshold: float = 0.6,
+    max_df: int = NGRAM_MAX_DF,
+) -> str:
+    """DuckDB twin of :func:`ledger_prefix_rows` — ``id, sh``."""
+    t_pm = int(round(threshold * 1000))
+    cap = (
+        "list_sort(list_distinct(list_filter(hs,"
+        " x -> NOT list_contains(hot_arr, x))))"
+    )
+    return f"""
+(WITH hot AS (
+   SELECT coalesce(list_sort(list(sh) FILTER (df_count > {max_df})), [])
+          AS hot_arr
+   FROM {counts}
+ ),
+ capped AS (SELECT id, n, {cap} AS hs FROM {fp_query}, hot)
+ SELECT id, unnest(hs[1 : greatest(0, len(hs) - (({t_pm} * n + 999) // 1000) + 1)]) AS sh
+ FROM capped)"""
 
 
 def ledger_match_sql(

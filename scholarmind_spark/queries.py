@@ -5618,6 +5618,146 @@ FROM hc, hm, kc, km, bc, bm
 """
 
 
+def dedup_ledger_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom front-gate for the dedup ledger (operators/ledger
+    ledger_match bloom_gate= + operators/bloom): the batch's prefix
+    rows are pruned by a Bloom filter over the corpus prefix shingles
+    BEFORE the candidate join — the 'probably-already-ingested guard'
+    bloom.py names as its motivating use.  One row: gated vs ungated
+    match counts + digest equality (MUST be equal — Bloom never
+    false-negatives, so no candidate is lost), plus the batch prefix
+    keep ratio the gate achieved."""
+    from scholarmind_spark.operators.bloom import bloom_build, bloom_prune
+    from scholarmind_spark.operators.ledger import (
+        ledger_append,
+        ledger_counts_merge,
+        ledger_fingerprints,
+        ledger_match,
+        ledger_prefix_rows,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.operators.neardup import minhash_base
+    from scholarmind_spark.util import attach_caches
+
+    M_W, K_H = 1024, 4
+    # quarter slice split in thirds: the gate pins an EQUALITY contract
+    # (gated == ungated), which a deterministic slice states just as
+    # strongly — and it runs the match machinery twice by design
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    g = F.expr("doc_id div 4") % 3
+    fpA, fpB, fpC = (
+        ledger_fingerprints(d.filter(g == i)).persist() for i in range(3)
+    )
+    counts = ledger_counts_merge(
+        ledger_counts_merge(
+            ledger_shingle_counts(fpA), ledger_shingle_counts(fpB)
+        ),
+        ledger_shingle_counts(fpC),
+    ).persist()
+    corpus_fp = ledger_append(fpA, fpB)
+    plain = ledger_match(fpC, corpus_fp, counts, threshold=0.5, max_df=100)
+    gated = ledger_match(
+        fpC, corpus_fp, counts, threshold=0.5, max_df=100,
+        bloom_gate=(M_W, K_H),
+    )
+    # the keep ratio the front-gate achieved on the batch prefix surface
+    pref_b = ledger_prefix_rows(fpC, counts, 0.5, 100).persist()
+    pref_c = ledger_prefix_rows(corpus_fp, counts, 0.5, 100)
+    kept = bloom_prune(pref_b, "sh", bloom_build(pref_c, "sh", M_W, K_H), M_W, K_H)
+
+    def digest(m):
+        key = F.concat_ws(
+            ":",
+            F.col("new_id").cast("string"),
+            F.col("corpus_id").cast("string"),
+            F.round(F.col("jaccard") * 1e6, 0).cast("bigint").cast("string"),
+        )
+        return m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(minhash_base(key) % 100000007), F.lit(0)
+            ).alias("dig"),
+        )
+
+    out = (
+        digest(gated)
+        .select(F.col("n").alias("n_g"), F.col("dig").alias("dig_g"))
+        .crossJoin(
+            digest(plain).select(
+                F.col("n").alias("n_p"), F.col("dig").alias("dig_p")
+            )
+        )
+        .crossJoin(pref_b.agg(F.count(F.lit(1)).alias("n_pref_batch")))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_pref_kept")))
+        .select(
+            F.col("n_g").cast("bigint").alias("n_matches_gated"),
+            F.col("n_p").cast("bigint").alias("n_matches_plain"),
+            (F.col("dig_g") == F.col("dig_p")).cast("int").alias("matches_equal"),
+            F.col("n_pref_batch").cast("bigint"),
+            F.col("n_pref_kept").cast("bigint"),
+            F.round(1000 * F.col("n_pref_kept") / F.col("n_pref_batch"))
+            .cast("bigint")
+            .alias("keep_permille"),
+        )
+    )
+    inner = [
+        *getattr(plain, "_sm_caches", ()),
+        *getattr(gated, "_sm_caches", ()),
+    ]
+    return attach_caches(out, [fpA, fpB, fpC, counts, pref_b, *inner])
+
+
+def _dedup_ledger_bloom_sql() -> str:
+    from scholarmind_spark.operators.bloom import bloom_build_sql, bloom_prune_sql
+    from scholarmind_spark.operators.ledger import (
+        ledger_append_sql,
+        ledger_counts_merge_sql,
+        ledger_fingerprints_sql,
+        ledger_match_sql,
+        ledger_prefix_rows_sql,
+        ledger_shingle_counts_sql,
+    )
+    from scholarmind_spark.operators.neardup import minhash_base_sql
+
+    M_W, K_H = 1024, 4
+    quarter = "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0"
+
+    def batch(i: int) -> str:
+        return f"{quarter} AND (doc_id // 4) % 3 = {i}"
+
+    fA, fB, fC = (ledger_fingerprints_sql(batch(i)) for i in range(3))
+    counts = ledger_counts_merge_sql(
+        ledger_counts_merge_sql(
+            ledger_shingle_counts_sql(fA), ledger_shingle_counts_sql(fB)
+        ),
+        ledger_shingle_counts_sql(fC),
+    )
+    corpus_fp = ledger_append_sql(fA, fB)
+    plain = ledger_match_sql(
+        fC, corpus_fp=corpus_fp, counts=counts, threshold=0.5, max_df=100
+    )
+    pref_b = ledger_prefix_rows_sql(fC, counts, 0.5, 100)
+    pref_c = ledger_prefix_rows_sql(corpus_fp, counts, 0.5, 100)
+    filt = bloom_build_sql(f"SELECT sh AS v FROM {pref_c}", M_W, K_H)
+    kept = bloom_prune_sql(f"SELECT * FROM {pref_b}", "sh", filt, M_W, K_H)
+    # no digest recompute here: the oracle pins matches_equal as the
+    # literal 1 — Spark computes BOTH paths and their real digests, so a
+    # gated/plain divergence flips Spark's matches_equal to 0 and the
+    # value hash mismatches (the text_bpe_tokens_large device)
+    return f"""
+WITH pm AS (SELECT count(*)::BIGINT AS n FROM {plain}),
+tot AS (SELECT count(*)::BIGINT AS np FROM {pref_b}),
+kp AS (SELECT count(*)::BIGINT AS nk FROM ({kept}))
+SELECT pm.n AS n_matches_gated,
+       pm.n AS n_matches_plain,
+       1::INT AS matches_equal,
+       np AS n_pref_batch,
+       nk AS n_pref_kept,
+       round(1000.0 * nk / np)::BIGINT AS keep_permille
+FROM pm, tot, kp
+"""
+
+
 def sketch_ledger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch ledger's ANSWER path (operators/sketchledger
     hdr_state_drift): per-segment day-over-day p99 drift computed from
@@ -6300,6 +6440,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_bpe_tokens_large": text_bpe_tokens_large,
     "sketch_ledger_roundtrip": sketch_ledger_roundtrip,
     "sketch_ledger_drift": sketch_ledger_drift,
+    "dedup_ledger_bloom": dedup_ledger_bloom,
     "link_multipass": link_multipass,
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
     "events_hdr_quantiles": events_hdr_quantiles,
@@ -6471,6 +6612,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bpe_tokens_large": _text_bpe_tokens_large_sql(),
     "sketch_ledger_roundtrip": _sketch_ledger_roundtrip_sql(),
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
+    "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
     "link_multipass": _link_multipass_sql(),
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),

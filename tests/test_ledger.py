@@ -160,14 +160,72 @@ def test_caches_released_through_gate_wrappers(spark):
     from scholarmind_spark.queries import SPARK_QUERIES
 
     spark.catalog.clearCache()  # isolate from earlier tests' persists
+    # delta-assert, not global-zero: plan-building in other test files
+    # (test_plans) can leave ambient persistent-RDD registrations that
+    # clearCache does not drop, and test selection order is arbitrary —
+    # this test owns only the persists ITS queries create
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
     for name in ("lit_fuzzy_dedup", "link_fuzzy_vocab", "dedup_incremental"):
         out = SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
         assert getattr(out, "_sm_caches", []), name
         out.collect()
         release_caches(out)
-    # nothing persisted should remain registered
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    # nothing persisted by the wrapped queries should remain registered
+    assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_bloom_gated_match_equals_plain(spark):
+    """ledger_match with the Bloom front-gate returns EXACTLY the
+    ungated matches (never-false-negative ⇒ no candidate lost), across
+    geometries including a deliberately tiny/high-FPR one."""
+    batch = [(10, t) for _, t in DOCS[:2]] + [
+        (11, "completely novel content about sailing ships and tides")
+    ]
+    corpus_df, corpus_fp = _ledger_state(spark, DOCS)
+    batch_df, batch_fp = _ledger_state(spark, batch)
+    counts = ledger_counts_merge(
+        ledger_shingle_counts(corpus_fp), ledger_shingle_counts(batch_fp)
+    )
+    plain = sorted(
+        tuple(r)
+        for r in ledger_match(batch_fp, corpus_fp, counts, 0.5, 100).collect()
+    )
+    for geom in ((256, 4), (2, 2)):  # honest and deliberately saturated
+        gated = sorted(
+            tuple(r)
+            for r in ledger_match(
+                batch_fp, corpus_fp, counts, 0.5, 100, bloom_gate=geom
+            ).collect()
+        )
+        assert gated == plain, geom
+    assert plain  # the near-dup batch docs must actually match
+
+
+def test_prefix_rows_twin(spark):
+    """ledger_prefix_rows == its DuckDB twin (the surface the bloom
+    keep-ratio is measured on)."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_prefix_rows,
+        ledger_prefix_rows_sql,
+    )
+
+    df, fp = _ledger_state(spark, DOCS)
+    counts = ledger_shingle_counts(fp)
+    got = sorted(
+        tuple(r) for r in ledger_prefix_rows(fp, counts, 0.5, 100).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", DOCS)
+    fp_q = ledger_fingerprints_sql("SELECT * FROM documents", k=3)
+    oracle = sorted(
+        con.execute(
+            "SELECT * FROM "
+            + ledger_prefix_rows_sql(fp_q, ledger_shingle_counts_sql(fp_q), 0.5, 100)
+        ).fetchall()
+    )
+    assert got == oracle and got
 
 
 def test_revise_equals_from_scratch(spark):

@@ -75,6 +75,15 @@ BNLJ_OK = {
     # the tiny quantile-literal frame (2-3 rows) crossing the bounded
     # bucket table — both sides sketch-sized, never data-sized
     "events_hdr_by_type",
+    # round-10: the roundtrip's final assembly crossJoins six ONE-ROW
+    # aggregates (per-family state sizes + mismatch counters); the
+    # drift gate crossJoins the one-row quantile-literal frame into the
+    # bounded bucket state (the events_hdr_by_type shape, keyed)
+    "sketch_ledger_roundtrip",
+    "sketch_ledger_drift",
+    # round-10: one-row digest/keep-ratio attaches + bloom_prune's
+    # one-row bitmap-map broadcast (the orders_bloom_prune shape)
+    "dedup_ledger_bloom",
 }
 
 
