@@ -6705,92 +6705,97 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-9 window: stalest-first.  After the r8 window (19 new + 31
-# aged) the staleness ledger reads 7 gates last driver-checked in r5
-# and 48 in r6 (union of CORRECTNESS_r01..r08 keys, last-seen round).
-# Lead with any gates NEW this round (never driver-checked beats
-# stale), then all 7 r5 stragglers, then the 48 r6 gates in their r6
-# window order; the driver's 50-cut takes the head, and whatever r6
-# gates miss the cut lead the r10 window.  The judge's standing rule:
-# no gate's driver signal goes stale for more than ~3 rounds (with 155+
-# gates and a 50-gate window, a handful necessarily touch 4 — those are
-# exactly the tail of this list, first in line next round).
+# Round-10 window: stalest-first, fourth sweep.  After the r9 window
+# (10 new + 7 r5 + 33 oldest r6) the staleness ledger reads 15 gates
+# last driver-checked in r6 and 50 in r7 (union of
+# CORRECTNESS_r01..r09 keys, last-seen round; verified by set
+# arithmetic).  Lead with the 4 gates NEW this round (never
+# driver-checked beats stale), then all 15 r6 stragglers, then the r7
+# gates in their r7 window order; the driver's 50-cut takes 4+15+31,
+# and the 19 r7 gates that miss the cut lead the r11 window (they
+# touch staleness 4 — the judge's standing allowance for a handful
+# each round; with 169 gates and a 50-gate window the pigeonhole is
+# unavoidable).
 
-_ROUND9_FRONT = [
+_ROUND10_FRONT = [
     # new this round — never driver-checked (prepended as added)
-    "text_bpe_tokens",
-    "link_multipass",
-    "dedup_ledger_roundtrip",
-    "events_hdr_quantiles",
-    "sketch_bloom_membership",
-    "events_time_bars",
-    "events_kmv_by_segment",
-    "dedup_ledger_revise",
-    "orders_bloom_prune",
-    "events_hdr_by_type",
-    # last driver-checked in r5 (7 stragglers displaced by the r8 news)
-    "diag_jsonl_len",
-    "diag_jsonl_hash",
-    "diag_orc_ints",
-    "diag_orc_price",
-    "text_quality_stats",
-    "text_clean",
-    "token_topk",
-    # last driver-checked in r6 (48; the driver 50-cut takes the oldest
-    # fill — whatever misses the cut leads the r10 window)
-    "text_pii_redact",
-    "dedup_incremental",
-    "dedup_cluster_reps",
-    "graph_pagerank",
-    "dedup_containment",
-    "dedup_cluster_sizes",
-    "events_stream_anomaly",
-    "events_stream_dedup",
-    "events_stream_interval_join",
-    "events_stateful_user_stats",
-    "events_stream_enrich",
-    "events_sliding_stream",
-    "events_session_stream",
-    "lineitem_weighted_median",
-    "events_mad_outliers",
-    "events_winsorize",
-    "events_interarrival",
-    "events_benford_audit",
-    "orders_fd_audit",
-    "events_daily_drift",
-    "fk_audit",
-    "orders_snapshot_diff",
-    "orders_scd2_history",
-    "text_lm_score",
-    "text_collocations",
-    "text_bm25_topk",
-    "text_char_entropy",
-    "text_hash_features",
-    "link_fuzzy_vocab",
-    "embed_centroid_classify",
-    "events_rolling_anomaly",
-    "events_mutual_information",
-    "events_session_paths",
-    "source_vocab_overlap",
-    "source_health_report",
+    "text_bpe_tokens_large",
+    "sketch_ledger_roundtrip",
+    "sketch_ledger_drift",
+    "dedup_ledger_bloom",
+    # last driver-checked in r6 (15 stragglers that missed the r9 cut)
+    "dataset_mixture",
     "dataset_shuffle_order",
+    "dataset_weighted_sample",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_sliding",
     "kmeans_assign_cells",
+    "source_health_report",
+    "source_vocab_overlap",
     "text_chunk_documents",
     "text_pack_sequences",
     "text_pack_stats",
-    "dataset_mixture",
-    "dataset_weighted_sample",
-    "text_url_domains",
     "text_scrub_spans",
     "text_span_hotlist",
-    "events_sliding",
-    "events_funnel",
-    "events_cohort_retention",
+    "text_url_domains",
+    # last driver-checked in r7 (50, in r7 window order; the 50-cut
+    # takes the first 31 — the remaining 19 lead the r11 window)
+    "text_gopher_repetition",
+    "text_gopher_flags",
+    "embed_quantize_int8",
+    "skew_key_report",
+    "events_value_histogram",
+    "media_resize",
+    "events_range_join",
+    "skew_salted_join",
+    "skew_two_phase_distinct",
+    "dataset_split",
+    "stratified_sample",
+    "lit_flatten_presentation",
+    "bucketed_join_revenue",
+    "partitioned_prune_events",
+    "cube_order_stats",
+    "pivot_status_counts",
+    "lit_incremental_merge",
+    "events_json_props",
+    "profile_documents",
+    "sql_surface_revenue",
+    "text_word_repetition",
+    "text_top_terms",
+    "decontam_overlap",
+    "events_asof_join",
+    "events_sessionize",
+    "events_tumbling",
+    "events_tumbling_stream",
+    "lit_llm_extract",
+    "media_byte_stats",
+    "media_decode",
+    "media_features",
+    "media_frame_sample",
+    "order_price_quantiles",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "doc_fingerprint",
+    "lit_parse_pubmed",
+    "lit_parse_wos",
+    "lit_parse_wos_csv",
+    "lit_parse_sciencedirect",
+    "lit_priority_dedup",
+    "lit_doi_norm",
+    "lit_enrich_join",
+    "lit_union_sources",
+    "lit_links",
+    "lit_year_extract",
+    "corpus_curation",
+    "dedup_exact",
 ]
 
 
 def _rotated(d: dict) -> dict:
-    front = {k: d[k] for k in _ROUND9_FRONT if k in d}
+    front = {k: d[k] for k in _ROUND10_FRONT if k in d}
     front.update({k: v for k, v in d.items() if k not in front})
     return front
 
