@@ -133,6 +133,64 @@ def main() -> None:
     spark = get_spark(app_name="endpoint-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # round-10 batch: the dedup-ledger paths (batch-side scaling against
+    # a FIXED corpus state — the production shape: the state is the
+    # standing corpus, the replicated frame is the arriving batch) and
+    # the Arrow BPE tier with a ~1k-merge trained table.
+    from scholarmind_spark.operators.ledger import (
+        ledger_counts_merge,
+        ledger_fingerprints,
+        ledger_match,
+        ledger_revise,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.util import release_caches as _release
+
+    _docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _state_fp = ledger_fingerprints(_docs0)
+    _state_counts = ledger_shingle_counts(_state_fp)
+
+    def _ledger_match(df):
+        # re-mark the state for caching each call: the harness's
+        # clearCache() between reps drops prior entries
+        fp = _state_fp.persist()
+        cs = _state_counts.persist()
+        batch_fp = ledger_fingerprints(df).persist()
+        counts_all = ledger_counts_merge(cs, ledger_shingle_counts(batch_fp))
+        out = ledger_match(batch_fp, fp, counts_all, threshold=0.5, max_df=100)
+        out.count()
+        _release(out)
+        batch_fp.unpersist()
+
+    def _ledger_revise(df):
+        fp = _state_fp.persist()
+        cs = _state_counts.persist()
+        rev_fp = ledger_fingerprints(df).persist()
+        new_fp, new_counts = ledger_revise(fp, cs, rev_fp)
+        new_counts.count()
+        new_fp.count()
+        rev_fp.unpersist()
+
+    _big_merges: list = []
+
+    def _bpe_arrow(df):
+        from scholarmind_spark.operators.bpe import bpe_tokens_batched, bpe_train
+
+        if not _big_merges:
+            # trained ONCE per probe run: a ~1k-merge table over the
+            # real corpus (merges that actually fire, unlike synthetic
+            # never-matching pairs which would flatter the encoder)
+            _big_merges.extend(
+                bpe_train(_docs0, "text", n_merges=1000, max_vocab=4000)
+            )
+        from pyspark.sql import functions as F
+
+        _noop(
+            bpe_tokens_batched(df, merges=_big_merges).select(
+                "doc_id", F.size("bpe_tokens").alias("n")
+            )
+        )
+
     ops = {
         "ngram_jaccard": lambda df: ngram_jaccard_pairs(df, threshold=0.6).count(),
         "minhash_lsh": lambda df: minhash_lsh_pairs(df, threshold=0.6).count(),
@@ -160,6 +218,10 @@ def main() -> None:
         "bpe_count": _bpe,
         "hdr_quantiles": _hdr,
         "bloom_membership": _bloom,
+        # round-10 batch: ledger paths vs fixed state + Arrow BPE tier
+        "ledger_match": _ledger_match,
+        "ledger_revise": _ledger_revise,
+        "bpe_arrow": _bpe_arrow,
     }
     wanted = sys.argv[2:]
     if wanted:
