@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_hdr_by_type",
     "text_bpe_tokens_large",
     "sketch_ledger_drift",
+    "sketch_ledger_rollup",
     # dedup_ledger_revise, sketch_ledger_roundtrip and dedup_ledger_bloom
     # are driver-gated but not benched: like dedup_ledger_roundtrip they
     # are self-verifying double-computations whose cost is fixed

@@ -108,6 +108,17 @@ def hdr_state_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def hdr_state_rekey(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Coarsen an HDR state table to a subset of its keys (the
+    day×segment → day rollup): drop the finer key columns and re-sum
+    bucket counts.  EXACT by additivity — rolling up state equals
+    building at the coarse key directly, so hierarchy answers
+    (per-day from per-day-per-segment state) never touch raw data."""
+    return (
+        state.groupBy(*keys, "sign", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def hdr_state_quantiles(
     state: DataFrame,
     keys: list[str],
@@ -330,6 +341,14 @@ def hdr_state_merge_sql(a: str, b: str, keys: list[str]) -> str:
         f"(SELECT {kl}, sign, bucket, sum(cnt)::BIGINT AS cnt FROM "
         f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b}) "
         f"GROUP BY {kl}, sign, bucket)"
+    )
+
+
+def hdr_state_rekey_sql(state_query: str, keys: list[str]) -> str:
+    kl = ", ".join(keys)
+    return (
+        f"(SELECT {kl}, sign, bucket, sum(cnt)::BIGINT AS cnt FROM "
+        f"{state_query} GROUP BY {kl}, sign, bucket)"
     )
 
 

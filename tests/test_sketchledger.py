@@ -132,6 +132,21 @@ def test_hdr_state_drift_matches_duckdb_twin(spark):
     assert got and all(r[1] == "19001" for r in got)
 
 
+def test_hdr_state_rekey_equals_direct_coarse_build(spark):
+    """Rolling up (day, seg) state to day equals building per-day
+    directly — additivity, the property that lets one stored grain
+    answer every coarser one."""
+    from scholarmind_spark.operators.sketchledger import hdr_state_rekey
+
+    df, b1, b2 = _frames(spark)
+    folded = hdr_state_merge(
+        hdr_state_build(b1, KEYS, "v"), hdr_state_build(b2, KEYS, "v")
+    )
+    rolled = hdr_state_rekey(folded, ["day"])
+    direct = hdr_state_build(df, ["day"], "v")
+    assert _sorted(rolled) == _sorted(direct)
+
+
 def test_kmv_state_validation(spark):
     df, _, _ = _frames(spark)
     with pytest.raises(ValueError):
