@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "text_bpe_tokens_large",
     "sketch_ledger_drift",
     "sketch_ledger_rollup",
+    "sketch_ledger_distinct",
+    "sketch_ledger_membership",
     # dedup_ledger_revise, sketch_ledger_roundtrip and dedup_ledger_bloom
     # are driver-gated but not benched: like dedup_ledger_roundtrip they
     # are self-verifying double-computations whose cost is fixed

@@ -312,6 +312,67 @@ def bloom_state_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def bloom_state_rekey(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Coarsen a Bloom state table to a subset of its keys (day×segment
+    → segment: "the segment's filter for the whole period"): drop the
+    finer keys and bit_or the words.  The coarse filter is EXACTLY the
+    filter a direct coarse build would produce (OR associativity), so
+    period membership is answerable from daily state."""
+    return (
+        state.groupBy(*keys, "word").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bloom_state_contains(
+    state: DataFrame,
+    probes: DataFrame,
+    col: str | Column,
+    m_words: int = 64,
+    k: int = 4,
+) -> DataFrame:
+    """``*keys, key, contained`` — for every key tuple in ``state`` and
+    every distinct non-null probe value: 1 iff all k probed bits are
+    set in THAT key's filter (guaranteed 1 for every value inserted
+    under that key — no false negatives).  The key-tuples × probes
+    cross is bounded by state cardinality × probe count, never by the
+    ingested data."""
+    _bloom_check(m_words, k)
+    keys = [c for c in state.columns if c not in ("word", "bits")]
+    v = (F.col(col) if isinstance(col, str) else col).cast("string")
+    pr = probes.select(v.alias("key")).where(F.col("key").isNotNull()).distinct()
+    exp = pr.select(
+        "key",
+        F.explode(F.array(*_bloom_positions(F.col("key"), m_words, k))).alias(
+            "pos"
+        ),
+    ).select(
+        "key",
+        F.expr(f"pos div {BITS_PER_WORD}").alias("word"),
+        (F.col("pos") % BITS_PER_WORD).cast("int").alias("bit"),
+    )
+    from functools import reduce
+
+    kt = state.select(*keys).distinct()
+    cp = kt.crossJoin(exp).alias("c")
+    # null-safe key equality: a NULL key tuple is a real group (the
+    # keyed-sketch convention) and must find its own filter words
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"c.{c}").eqNullSafe(F.col(f"s.{c}")) for c in keys]
+        + [F.col("c.word") == F.col("s.word")],
+    )
+    j = cp.join(state.alias("s"), cond, "left").select(
+        *[F.col(f"c.{c}").alias(c) for c in keys],
+        F.col("c.key").alias("key"),
+        F.col("c.bit").alias("bit"),
+        F.col("s.bits").alias("bits"),
+    )
+    hit = (
+        F.expr("shiftright(coalesce(bits, cast(0 as bigint)), bit)") % 2
+    ).cast("int")
+    return j.groupBy(*keys, "key").agg(F.min(hit).alias("contained"))
+
+
 # ------------------------------------------------------------ SQL twins
 #
 # Compositional query strings over subqueries yielding the key columns
@@ -468,3 +529,47 @@ def bloom_state_merge_sql(a: str, b: str, keys: list[str]) -> str:
         f"(SELECT * FROM {a} UNION ALL SELECT * FROM {b}) "
         f"GROUP BY {kl}, word)"
     )
+
+
+def bloom_state_rekey_sql(state_query: str, keys: list[str]) -> str:
+    kl = ", ".join(keys)
+    return (
+        f"(SELECT {kl}, word, bit_or(bits)::BIGINT AS bits FROM "
+        f"{state_query} GROUP BY {kl}, word)"
+    )
+
+
+def bloom_state_contains_sql(
+    state_query: str,
+    keys: list[str],
+    probes_query: str,
+    m_words: int = 64,
+    k: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bloom_state_contains` — ``probes_query``
+    yields ``v``."""
+    _bloom_check(m_words, k)
+    kl = ", ".join(keys)
+    pos = " UNION ALL ".join(
+        f"SELECT key, {p} AS pos FROM probes"
+        for p in _bloom_positions_sql("key", m_words, k)
+    )
+    return f"""
+(WITH st AS (SELECT * FROM {state_query}),
+ probes AS (SELECT DISTINCT v::VARCHAR AS key FROM ({probes_query})
+            WHERE v IS NOT NULL),
+ expanded AS (
+   SELECT key, pos // {BITS_PER_WORD} AS word,
+          (pos % {BITS_PER_WORD})::INT AS bit
+   FROM ({pos})
+ ),
+ kt AS (SELECT DISTINCT {kl} FROM st),
+ cp AS (SELECT {", ".join(f"kt.{c} AS {c}" for c in keys)},
+               e.key, e.word, e.bit
+        FROM kt, expanded e)
+ SELECT {", ".join(f"cp.{c} AS {c}" for c in keys)}, cp.key,
+        min(((coalesce(s.bits, 0) >> cp.bit) % 2)::INT)::INT AS contained
+ FROM cp
+ LEFT JOIN st s ON ({" AND ".join(f"s.{c} IS NOT DISTINCT FROM cp.{c}" for c in keys)})
+               AND s.word = cp.word
+ GROUP BY {", ".join(f"cp.{c}" for c in keys)}, cp.key)"""

@@ -5664,6 +5664,100 @@ def _sketch_ledger_rollup_sql() -> str:
     )
 
 
+def sketch_ledger_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count answer from KMV ledger state (operators/
+    sketchledger kmv_state_estimate): per-(day, segment) distinct
+    users estimated from the FOLDED minima state — exact below k, the
+    (k−1)·M/kth estimator above it; the oracle rebuilds the state
+    directly from raw events (fold == direct is pinned by
+    sketch_ledger_roundtrip, so the estimates must agree cell by
+    cell)."""
+    from scholarmind_spark.operators.sketchledger import (
+        kmv_state_build,
+        kmv_state_estimate,
+        kmv_state_merge,
+    )
+
+    keys = ["day", "seg"]
+    _, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    folded = kmv_state_merge(
+        kmv_state_build(b1, keys, "u", 64),
+        kmv_state_build(b2, keys, "u", 64),
+        64,
+    )
+    return kmv_state_estimate(folded, 64).orderBy("day", "seg")
+
+
+def _sketch_ledger_distinct_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import (
+        kmv_state_build_sql,
+        kmv_state_estimate_sql,
+    )
+
+    keys = ["day", "seg"]
+    ku = f"SELECT day, seg, u AS v FROM ({_SKETCH_LEDGER_PAIRS_SQL})"
+    state = kmv_state_build_sql(f"({ku})", keys, 64)
+    return (
+        "SELECT * FROM "
+        + kmv_state_estimate_sql(state, keys, 64)
+        + " ORDER BY day, seg"
+    )
+
+
+_MEMBERSHIP_PROBES = [str(i) for i in range(8)] + ["no-such-user"]
+
+
+def sketch_ledger_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-membership answer from Bloom ledger state (operators/
+    sketchledger bloom_state_rekey + bloom_state_contains): the daily
+    per-(day, segment) filters are folded across days into one filter
+    per segment — exact, OR associativity — and probed with a fixed
+    user set: "did this segment see this user at any point in the
+    period", answered from state only.  Guaranteed 1 for every
+    (segment, user) actually ingested; the deterministic md5 bit math
+    makes the full answer (false positives included) identical on both
+    engines."""
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build,
+        bloom_state_contains,
+        bloom_state_merge,
+        bloom_state_rekey,
+    )
+
+    keys = ["day", "seg"]
+    _, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    state = bloom_state_merge(
+        bloom_state_build(b1, keys, "u", 256, 4),
+        bloom_state_build(b2, keys, "u", 256, 4),
+    )
+    period = bloom_state_rekey(state, ["seg"])
+    probes = spark.createDataFrame([(p,) for p in _MEMBERSHIP_PROBES], "v string")
+    return bloom_state_contains(period, probes, "v", 256, 4).orderBy(
+        "seg", "key"
+    )
+
+
+def _sketch_ledger_membership_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build_sql,
+        bloom_state_contains_sql,
+        bloom_state_rekey_sql,
+    )
+
+    keys = ["day", "seg"]
+    ku = f"SELECT day, seg, u AS v FROM ({_SKETCH_LEDGER_PAIRS_SQL})"
+    period = bloom_state_rekey_sql(
+        bloom_state_build_sql(f"({ku})", keys, 256, 4), ["seg"]
+    )
+    vals = ", ".join(f"('{p}')" for p in _MEMBERSHIP_PROBES)
+    probes = f"SELECT v FROM (VALUES {vals}) t(v)"
+    return (
+        "SELECT * FROM "
+        + bloom_state_contains_sql(period, ["seg"], probes, 256, 4)
+        + " ORDER BY seg, key"
+    )
+
+
 def dedup_ledger_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom front-gate for the dedup ledger (operators/ledger
     ledger_match bloom_gate= + operators/bloom): the batch's prefix
@@ -6488,6 +6582,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_ledger_drift": sketch_ledger_drift,
     "dedup_ledger_bloom": dedup_ledger_bloom,
     "sketch_ledger_rollup": sketch_ledger_rollup,
+    "sketch_ledger_distinct": sketch_ledger_distinct,
+    "sketch_ledger_membership": sketch_ledger_membership,
     "link_multipass": link_multipass,
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
     "events_hdr_quantiles": events_hdr_quantiles,
@@ -6661,6 +6757,8 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
     "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
+    "sketch_ledger_distinct": _sketch_ledger_distinct_sql(),
+    "sketch_ledger_membership": _sketch_ledger_membership_sql(),
     "link_multipass": _link_multipass_sql(),
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),
@@ -6757,10 +6855,10 @@ ORACLE_SQL: dict[str, str] = {
 # (10 new + 7 r5 + 33 oldest r6) the staleness ledger reads 15 gates
 # last driver-checked in r6 and 50 in r7 (union of
 # CORRECTNESS_r01..r09 keys, last-seen round; verified by set
-# arithmetic).  Lead with the 5 gates NEW this round (never
+# arithmetic).  Lead with the 7 gates NEW this round (never
 # driver-checked beats stale), then all 15 r6 stragglers, then the r7
-# gates in their r7 window order; the driver's 50-cut takes 5+15+30,
-# and the 20 r7 gates that miss the cut lead the r11 window (they
+# gates in their r7 window order; the driver's 50-cut takes 7+15+28,
+# and the 22 r7 gates that miss the cut lead the r11 window (they
 # touch staleness 4 — the judge's standing allowance for a handful
 # each round; with 169 gates and a 50-gate window the pigeonhole is
 # unavoidable).
@@ -6772,6 +6870,8 @@ _ROUND10_FRONT = [
     "sketch_ledger_drift",
     "dedup_ledger_bloom",
     "sketch_ledger_rollup",
+    "sketch_ledger_distinct",
+    "sketch_ledger_membership",
     # last driver-checked in r6 (15 stragglers that missed the r9 cut)
     "dataset_mixture",
     "dataset_shuffle_order",
@@ -6789,7 +6889,7 @@ _ROUND10_FRONT = [
     "text_span_hotlist",
     "text_url_domains",
     # last driver-checked in r7 (50, in r7 window order; the 50-cut
-    # takes the first 30 — the remaining 20 lead the r11 window)
+    # takes the first 28 — the remaining 22 lead the r11 window)
     "text_gopher_repetition",
     "text_gopher_flags",
     "embed_quantize_int8",

@@ -82,6 +82,9 @@ BNLJ_OK = {
     "sketch_ledger_roundtrip",
     "sketch_ledger_drift",
     "sketch_ledger_rollup",
+    # the bounded key-tuples × probe-literals cross of the membership
+    # answer (segments × 9 probes — state-cardinality, never data)
+    "sketch_ledger_membership",
     # round-10: one-row digest/keep-ratio attaches + bloom_prune's
     # one-row bitmap-map broadcast (the orders_bloom_prune shape)
     "dedup_ledger_bloom",

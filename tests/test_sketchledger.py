@@ -147,6 +147,59 @@ def test_hdr_state_rekey_equals_direct_coarse_build(spark):
     assert _sorted(rolled) == _sorted(direct)
 
 
+def test_bloom_state_rekey_contains_never_false_negative(spark):
+    """Folding daily filters into a period filter via bit_or, every
+    (segment, user) actually ingested on ANY day probes contained=1;
+    the rekeyed state equals a direct segment-level build; and the
+    contains answer matches the DuckDB twin byte for byte."""
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_contains,
+        bloom_state_contains_sql,
+        bloom_state_rekey,
+        bloom_state_rekey_sql,
+        bloom_state_build_sql,
+    )
+
+    df, b1, b2 = _frames(spark)
+    state = bloom_state_merge(
+        bloom_state_build(b1, KEYS, "u", 16, 4),
+        bloom_state_build(b2, KEYS, "u", 16, 4),
+    )
+    period = bloom_state_rekey(state, ["seg"])
+    direct = bloom_state_build(df, ["seg"], "u", 16, 4)
+    assert _sorted(period) == _sorted(direct)
+    probes = spark.createDataFrame(
+        [(str(i),) for i in range(11)] + [("absent-user",)], "v string"
+    )
+    got_rows = bloom_state_contains(period, probes, "v", 16, 4).collect()
+    got = {(r["seg"], r["key"]): r["contained"] for r in got_rows}
+    # never-false-negative: every ingested (seg, u) answers 1
+    seen = {
+        (r["seg"], str(r["u"]))
+        for r in df.where(F.col("u").isNotNull()).collect()
+    }
+    for sk in seen:
+        assert got[sk] == 1, sk
+    # twin parity (false positives included)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (day VARCHAR, seg VARCHAR, v DOUBLE, u INT, g INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", _rows())
+    per_sql = bloom_state_rekey_sql(
+        bloom_state_build_sql("SELECT day, seg, u AS v FROM t", KEYS, 16, 4),
+        ["seg"],
+    )
+    vals = ", ".join(f"('{i}')" for i in range(11)) + ", ('absent-user')"
+    oracle = _sorted(
+        con.execute(
+            "SELECT * FROM "
+            + bloom_state_contains_sql(
+                per_sql, ["seg"], f"SELECT v FROM (VALUES {vals}) t2(v)", 16, 4
+            )
+        ).fetchall()
+    )
+    assert _sorted(got_rows) == oracle
+
+
 def test_kmv_state_validation(spark):
     df, _, _ = _frames(spark)
     with pytest.raises(ValueError):
