@@ -8,6 +8,7 @@ from scholarmind_spark.streaming.pipeline import (
     stream_dedup,
     stream_interval_join,
     stream_static_enrich,
+    stream_fold_sketch_state,
     stream_merge_to_snapshot,
     tumbling_agg,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_static_enrich",
+    "stream_fold_sketch_state",
     "stream_merge_to_snapshot",
     "stream_scan_pubmed",
     "stream_scan_wos",

@@ -411,3 +411,80 @@ def stream_merge_to_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_fold_sketch_state(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    value: str = "value",
+    p: int = 5,
+    checkpoint: str | None = None,
+):
+    """Streaming sketch-ledger maintenance: every microbatch's keyed HDR
+    sketch is FOLDED into a parquet state snapshot
+    (``operators.sketchledger.hdr_state_merge`` — the continuously-
+    ingesting twin of the batch fold the ``sketch_ledger_roundtrip``
+    gate pins), using :func:`stream_merge_to_snapshot`'s staging/rename
+    swap discipline.
+
+    Exactly-once NEEDS extra machinery here: an additive fold, unlike a
+    keyed upsert, is NOT naturally idempotent — a re-delivered batch
+    would double its bucket counts.  Each successful fold therefore
+    writes a ``_batch_<id>`` marker INTO the staged snapshot (an
+    underscore-prefixed file, invisible to Spark's parquet reader, and
+    atomic with the swap because it travels inside the renamed
+    directory); a re-run of the same batch id sees the marker in the
+    current snapshot and skips.  Same SCOPE caveat as
+    stream_merge_to_snapshot: driver-local renames require a shared
+    POSIX filesystem — use a transactional table format on object
+    stores."""
+    import os
+
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build,
+        hdr_state_merge,
+    )
+
+    old_path = f"{state_path}.old"
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.isdir(state_path) and os.path.isdir(old_path):
+            os.rename(old_path, state_path)  # recover interrupted swap
+        if os.path.exists(os.path.join(state_path, f"_batch_{batch_id}")):
+            return  # re-delivered batch: already folded exactly once
+        delta = hdr_state_build(batch_df, keys, value, p)
+        prev_markers: list[str] = []
+        if os.path.isdir(state_path) and any(
+            f.endswith(".parquet") for f in os.listdir(state_path)
+        ):
+            prev_markers = [
+                f for f in os.listdir(state_path) if f.startswith("_batch_")
+            ]
+            snap = spark.read.schema(delta.schema).parquet(state_path)
+            merged = hdr_state_merge(snap, delta)
+        else:
+            merged = delta
+        staging = f"{state_path}.staging-{batch_id}"
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+            for m in (*prev_markers, f"_batch_{batch_id}"):
+                open(os.path.join(staging, m), "w").close()
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        if os.path.isdir(old_path):
+            shutil.rmtree(old_path)
+        if os.path.isdir(state_path):
+            os.rename(state_path, old_path)
+        os.rename(staging, state_path)
+        if os.path.isdir(old_path):
+            shutil.rmtree(old_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="sfck_"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -69,3 +69,76 @@ def test_swap_crash_recovery(spark, tmp_path):
     # id=1 survived the interrupted swap; id=2 updated; id=3 inserted
     assert got == {1: ("a", 1), 2: ("B", 2), 3: ("C", 2)}
     assert not os.path.isdir(snap + ".old")
+
+
+# ---------------------------------------------- sketch-state stream fold
+
+
+FOLD_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _fold_rows(tag):
+    return [
+        (day, seg, float(v + off))
+        for day in ("19000", "19001")
+        for seg, off in (("api", 0), ("web", 50))
+        for v in range(tag, tag + 20)
+    ]
+
+
+def test_stream_fold_equals_batch_and_exactly_once(spark, tmp_path):
+    """Streaming HDR-state maintenance: two microbatches folded via
+    foreachBatch equal the direct batch build over all rows; a full
+    re-delivery of the same batch ids (fresh checkpoint, same source)
+    folds NOTHING twice — the in-snapshot batch markers make the
+    additive fold exactly-once."""
+    from scholarmind_spark.operators.sketchledger import hdr_state_build
+    from scholarmind_spark.streaming import stream_fold_sketch_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)
+    b2 = spark.createDataFrame(_fold_rows(1000), FOLD_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain(checkpoint):
+        stream = (
+            spark.readStream.schema(FOLD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_fold_sketch_state(
+            stream, state, ["day", "seg"], "value", checkpoint=checkpoint
+        )
+        q.awaitTermination()
+
+    drain(ck)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain(ck)  # checkpoint resumes: only the new file is a new batch
+
+    def state_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(state)
+            .select("day", "seg", "sign", "bucket", "cnt")
+            .collect()
+        )
+
+    direct = sorted(
+        tuple(r)
+        for r in hdr_state_build(b1.unionByName(b2), ["day", "seg"], "value").collect()
+    )
+    assert state_rows() == direct
+
+    # re-delivery: a FRESH checkpoint re-processes every file with the
+    # same batch ids; the markers must skip both folds
+    drain(str(tmp_path / "ck2"))
+    assert state_rows() == direct
