@@ -53,6 +53,28 @@ def _positions(v: Column, m_words: int, k: int) -> list[Column]:
     ]
 
 
+def word_and_mask_exprs() -> tuple[Column, Column]:
+    """``(word, mask)`` over a frame with bigint column ``pos`` — THE
+    home of the word/bit split on the build side.  Every builder
+    (un-keyed ``bloom_build`` and the keyed sketch-ledger variant) must
+    use this pair, or their filters silently stop being
+    probe-compatible."""
+    return (
+        F.expr(f"pos div {BITS_PER_WORD}"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(pos % {BITS_PER_WORD} as int))"
+        ),
+    )
+
+
+def word_and_mask_sql() -> tuple[str, str]:
+    """DuckDB twin of :func:`word_and_mask_exprs` over column ``pos``."""
+    return (
+        f"pos // {BITS_PER_WORD}",
+        f"(1::BIGINT << (pos % {BITS_PER_WORD})::INT)",
+    )
+
+
 def bloom_build(
     df: DataFrame, col: str | Column, m_words: int = 256, k: int = 4
 ) -> DataFrame:
@@ -64,13 +86,9 @@ def bloom_build(
     pos = vals.select(
         F.explode(F.array(*_positions(F.col("v"), m_words, k))).alias("pos")
     )
+    word, mask = word_and_mask_exprs()
     return (
-        pos.select(
-            F.expr(f"pos div {BITS_PER_WORD}").alias("word"),
-            F.expr(
-                f"shiftleft(cast(1 as bigint), cast(pos % {BITS_PER_WORD} as int))"
-            ).alias("m"),
-        )
+        pos.select(word.alias("word"), mask.alias("m"))
         .groupBy("word")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
@@ -131,11 +149,12 @@ def bloom_build_sql(values_query: str, m_words: int = 256, k: int = 4) -> str:
     pos = " UNION ALL ".join(
         f"SELECT {p} AS pos FROM vals" for p in _positions_sql("v", m_words, k)
     )
+    word_sql, mask_sql = word_and_mask_sql()
     return f"""
 (WITH vals AS (SELECT v::VARCHAR AS v FROM ({values_query}) WHERE v IS NOT NULL),
  pos AS ({pos})
- SELECT pos // {BITS_PER_WORD} AS word,
-        bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT)::BIGINT AS bits
+ SELECT {word_sql} AS word,
+        bit_or({mask_sql})::BIGINT AS bits
  FROM pos GROUP BY 1)"""
 
 

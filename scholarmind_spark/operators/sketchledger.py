@@ -46,6 +46,10 @@ from pyspark.sql import functions as F
 
 from scholarmind_spark.operators.bloom import (
     BITS_PER_WORD,
+    word_and_mask_exprs,
+    word_and_mask_sql,
+)
+from scholarmind_spark.operators.bloom import (
     _check as _bloom_check,
 )
 from scholarmind_spark.operators.bloom import (
@@ -174,9 +178,18 @@ def hdr_state_drift(
     in state, computed from state only (no raw events touched).  Days
     with no predecessor are omitted (nothing to drift against).  The
     lag window partitions on the segment and holds one row per day —
-    bounded by the state's day count."""
+    bounded by the state's day count.
+
+    Day ordering is (length, value): key columns are STRINGS in sketch
+    state, and plain lexicographic order mis-pairs unpadded integer day
+    keys across a digit-length boundary ('10000' < '9999' — epoch-weeks
+    or unpadded schemes hit this immediately); length-then-lex equals
+    numeric order for any non-negative integer rendering and reduces to
+    plain lex for fixed-width keys (ISO dates, zero-padded)."""
     qd = hdr_state_quantiles(state, [seg_col, day_col], (q_permille,), p)
-    w = Window.partitionBy(seg_col).orderBy(F.col(day_col).asc())
+    w = Window.partitionBy(seg_col).orderBy(
+        F.length(day_col).asc(), F.col(day_col).asc()
+    )
     return (
         qd.select(
             seg_col,
@@ -196,6 +209,29 @@ def hdr_state_drift(
 
 
 # ------------------------------------------------------------ KMV state
+
+
+def _rank_cap(df: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Keep the k smallest ``h`` per key tuple — THE cap both the
+    builder and the merge apply; the fold-exactness argument requires
+    them to be the identical operation."""
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _rank_cap_sql(inner: str, keys: list[str], k: int) -> str:
+    """DuckDB twin of :func:`_rank_cap` over a relation with ``h``."""
+    kl = ", ".join(keys)
+    return f"""
+(SELECT {kl}, h FROM (
+   SELECT {kl}, h,
+          row_number() OVER (PARTITION BY {kl} ORDER BY h) AS rn
+   FROM {inner}
+ ) WHERE rn <= {k})"""
 
 
 def kmv_state_build(
@@ -221,12 +257,7 @@ def kmv_state_build(
         .where(F.col("h").isNotNull())
         .distinct()
     )
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_cap(pairs, keys, k)
 
 
 def kmv_state_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
@@ -237,13 +268,7 @@ def kmv_state_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
     if k < 2:
         raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
     keys = [c for c in a.columns if c != "h"]
-    u = a.unionByName(b).distinct()
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        u.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_cap(a.unionByName(b).distinct(), keys, k)
 
 
 def kmv_state_estimate(state: DataFrame, k: int = 64) -> DataFrame:
@@ -288,14 +313,9 @@ def bloom_state_build(
             "pos"
         ),
     )
+    word, mask = word_and_mask_exprs()
     return (
-        pos.select(
-            *_key_cols(keys),
-            F.expr(f"pos div {BITS_PER_WORD}").alias("word"),
-            F.expr(
-                f"shiftleft(cast(1 as bigint), cast(pos % {BITS_PER_WORD} as int))"
-            ).alias("m"),
-        )
+        pos.select(*_key_cols(keys), word.alias("word"), mask.alias("m"))
         .groupBy(*keys, "word")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
@@ -454,7 +474,8 @@ def hdr_state_drift_sql(
  lagged AS (
    SELECT {seg_col}, {day_col}, est_milli AS p_milli,
           lag(est_milli) OVER (PARTITION BY {seg_col}
-                               ORDER BY {day_col} ASC) AS prev_p_milli
+                               ORDER BY length({day_col}) ASC,
+                                        {day_col} ASC) AS prev_p_milli
    FROM qd
  )
  SELECT {seg_col}, {day_col}, p_milli, prev_p_milli,
@@ -467,28 +488,19 @@ def kmv_state_build_sql(pairs_query: str, keys: list[str], k: int = 64) -> str:
         raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
     h = minhash_base_sql("v::VARCHAR")
     ks = ", ".join(f"{c}::VARCHAR AS {c}" for c in keys)
-    kl = ", ".join(keys)
-    return f"""
-(WITH pairs AS (
-   SELECT DISTINCT {ks}, {h} AS h
-   FROM ({pairs_query}) WHERE v IS NOT NULL
- )
- SELECT {kl}, h FROM (
-   SELECT {kl}, h,
-          row_number() OVER (PARTITION BY {kl} ORDER BY h) AS rn
-   FROM pairs
- ) WHERE rn <= {k})"""
+    pairs = (
+        f"(SELECT DISTINCT {ks}, {h} AS h"
+        f" FROM ({pairs_query}) WHERE v IS NOT NULL)"
+    )
+    return _rank_cap_sql(pairs, keys, k)
 
 
 def kmv_state_merge_sql(a: str, b: str, keys: list[str], k: int = 64) -> str:
-    kl = ", ".join(keys)
-    return f"""
-(SELECT {kl}, h FROM (
-   SELECT {kl}, h,
-          row_number() OVER (PARTITION BY {kl} ORDER BY h) AS rn
-   FROM (SELECT DISTINCT * FROM
-         (SELECT * FROM {a} UNION ALL SELECT * FROM {b}))
- ) WHERE rn <= {k})"""
+    u = (
+        f"(SELECT DISTINCT * FROM"
+        f" (SELECT * FROM {a} UNION ALL SELECT * FROM {b}))"
+    )
+    return _rank_cap_sql(u, keys, k)
 
 
 def kmv_state_estimate_sql(state_query: str, keys: list[str], k: int = 64) -> str:
@@ -512,13 +524,14 @@ def bloom_state_build_sql(
         f"SELECT {kl}, {p} AS pos FROM vals"
         for p in _bloom_positions_sql("v", m_words, k)
     )
+    word_sql, mask_sql = word_and_mask_sql()
     return f"""
 (WITH vals AS (
    SELECT {ks}, v::VARCHAR AS v FROM ({pairs_query}) WHERE v IS NOT NULL
  ),
  pos AS ({pos})
- SELECT {kl}, pos // {BITS_PER_WORD} AS word,
-        bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT)::BIGINT AS bits
+ SELECT {kl}, {word_sql} AS word,
+        bit_or({mask_sql})::BIGINT AS bits
  FROM pos GROUP BY ALL)"""
 
 

@@ -5800,7 +5800,12 @@ def dedup_ledger_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpC, corpus_fp, counts, threshold=0.5, max_df=100,
         bloom_gate=(M_W, K_H),
     )
-    # the keep ratio the front-gate achieved on the batch prefix surface
+    # the keep ratio the front-gate achieved on the batch prefix
+    # surface.  DELIBERATE recompute: this rebuilds the corpus prefix +
+    # filter a third time rather than having ledger_match leak its
+    # internal prune counts into its output contract — the gate is a
+    # driver-check-only self-verifier (bench-excluded), so the clean
+    # operator API wins over the one-off cost
     pref_b = ledger_prefix_rows(fpC, counts, 0.5, 100).persist()
     pref_c = ledger_prefix_rows(corpus_fp, counts, 0.5, 100)
     kept = bloom_prune(pref_b, "sh", bloom_build(pref_c, "sh", M_W, K_H), M_W, K_H)

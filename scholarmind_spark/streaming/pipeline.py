@@ -431,15 +431,45 @@ def stream_fold_sketch_state(
     Exactly-once NEEDS extra machinery here: an additive fold, unlike a
     keyed upsert, is NOT naturally idempotent — a re-delivered batch
     would double its bucket counts.  Each successful fold therefore
-    writes a ``_batch_<id>`` marker INTO the staged snapshot (an
-    underscore-prefixed file, invisible to Spark's parquet reader, and
-    atomic with the swap because it travels inside the renamed
-    directory); a re-run of the same batch id sees the marker in the
-    current snapshot and skips.  Same SCOPE caveat as
+    writes ONE high-water marker ``_folded_<lineage>_<batch_id>`` INTO
+    the staged snapshot (underscore-prefixed — invisible to Spark's
+    parquet reader — and atomic with the swap because it travels inside
+    the renamed directory): batch ids are monotone within a checkpoint
+    lineage, so a re-run of any batch ``≤`` the marker skips, O(1)
+    marker state forever.  Batch ids are only meaningful WITHIN one
+    checkpoint lineage, so the marker carries a lineage tag (derived
+    from the checkpoint path): folding a marked snapshot under a
+    DIFFERENT checkpoint raises — a fresh checkpoint restarts ids at 0,
+    making re-deliveries indistinguishable from new data, and silently
+    skipping (or silently double-counting) is exactly the corruption
+    this guard exists to prevent.  Resume with the original checkpoint,
+    or start a fresh ``state_path``.  Same SCOPE caveat as
     stream_merge_to_snapshot: driver-local renames require a shared
     POSIX filesystem — use a transactional table format on object
     stores."""
+    import hashlib
     import os
+
+    ck = checkpoint or tempfile.mkdtemp(prefix="sfck_")
+    lineage = hashlib.md5(os.path.abspath(ck).encode()).hexdigest()[:8]
+    return (
+        stream_df.writeStream.foreachBatch(
+            _sketch_fold_fn(state_path, keys, value, p, lineage)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _sketch_fold_fn(
+    state_path: str, keys: list[str], value: str, p: int, lineage: str
+):
+    """The foreachBatch fold of :func:`stream_fold_sketch_state`,
+    exposed so tests can exercise re-delivery (same batch id twice) and
+    lineage-mismatch refusal deterministically."""
+    import os
+    import re
 
     from scholarmind_spark.operators.sketchledger import (
         hdr_state_build,
@@ -447,21 +477,38 @@ def stream_fold_sketch_state(
     )
 
     old_path = f"{state_path}.old"
+    marker_re = re.compile(r"^_folded_([0-9a-f]{8})_(\d+)$")
+
+    def _read_marker():
+        if not os.path.isdir(state_path):
+            return None
+        for f in os.listdir(state_path):
+            m = marker_re.match(f)
+            if m:
+                return m.group(1), int(m.group(2))
+        return None
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not os.path.isdir(state_path) and os.path.isdir(old_path):
             os.rename(old_path, state_path)  # recover interrupted swap
-        if os.path.exists(os.path.join(state_path, f"_batch_{batch_id}")):
-            return  # re-delivered batch: already folded exactly once
+        mk = _read_marker()
+        if mk is not None:
+            mk_lineage, folded_upto = mk
+            if mk_lineage != lineage:
+                raise ValueError(
+                    f"sketch state at {state_path} was folded under a "
+                    "different checkpoint lineage; batch ids from this "
+                    "checkpoint cannot be deduplicated against it — "
+                    "resume with the original checkpoint, or fold into "
+                    "a fresh state_path"
+                )
+            if batch_id <= folded_upto:
+                return  # re-delivered batch: already folded exactly once
         delta = hdr_state_build(batch_df, keys, value, p)
-        prev_markers: list[str] = []
         if os.path.isdir(state_path) and any(
             f.endswith(".parquet") for f in os.listdir(state_path)
         ):
-            prev_markers = [
-                f for f in os.listdir(state_path) if f.startswith("_batch_")
-            ]
             snap = spark.read.schema(delta.schema).parquet(state_path)
             merged = hdr_state_merge(snap, delta)
         else:
@@ -469,8 +516,9 @@ def stream_fold_sketch_state(
         staging = f"{state_path}.staging-{batch_id}"
         try:
             merged.write.mode("overwrite").parquet(staging)
-            for m in (*prev_markers, f"_batch_{batch_id}"):
-                open(os.path.join(staging, m), "w").close()
+            open(
+                os.path.join(staging, f"_folded_{lineage}_{batch_id}"), "w"
+            ).close()
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
@@ -482,9 +530,4 @@ def stream_fold_sketch_state(
         if os.path.isdir(old_path):
             shutil.rmtree(old_path)
 
-    return (
-        stream_df.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="sfck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _fold

@@ -160,19 +160,23 @@ def test_caches_released_through_gate_wrappers(spark):
     from scholarmind_spark.queries import SPARK_QUERIES
 
     spark.catalog.clearCache()  # isolate from earlier tests' persists
-    # delta-assert, not global-zero: plan-building in other test files
-    # (test_plans) can leave ambient persistent-RDD registrations that
-    # clearCache does not drop, and test selection order is arbitrary —
-    # this test owns only the persists ITS queries create
-    jsc = spark.sparkContext._jsc.sc()
-    base = jsc.getPersistentRDDs().size()
+    # ID-SET assert, not global-zero or a count delta: plan-building in
+    # other test files (test_plans) can leave ambient persistent-RDD
+    # registrations that clearCache does not drop, and the async
+    # ContextCleaner can unregister GC'd ambient RDDs mid-test (a count
+    # comparison could mask a new leak against such a removal) — this
+    # test owns only the persists ITS queries create, i.e. any RDD id
+    # present AFTER that was not present BEFORE
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    base_ids = set(jmap.keySet().toArray())
     for name in ("lit_fuzzy_dedup", "link_fuzzy_vocab", "dedup_incremental"):
         out = SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
         assert getattr(out, "_sm_caches", []), name
         out.collect()
         release_caches(out)
     # nothing persisted by the wrapped queries should remain registered
-    assert jsc.getPersistentRDDs().size() <= base
+    after_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after_ids <= base_ids, after_ids - base_ids
 
 
 def test_bloom_gated_match_equals_plain(spark):

@@ -200,6 +200,46 @@ def test_bloom_state_rekey_contains_never_false_negative(spark):
     assert _sorted(got_rows) == oracle
 
 
+def test_hdr_state_drift_orders_days_numerically_across_digit_boundary(spark):
+    """Day keys are strings in state; unpadded integer keys crossing a
+    digit-length boundary ('9999' → '10000') must still pair each day
+    with its true predecessor (length-then-lex order), on both
+    engines."""
+    rows = [
+        (day, "api", float(v))
+        for day, vals in (
+            ("9999", range(10)),          # p99 ≈ 9
+            ("10000", range(100, 110)),   # p99 ≈ 109
+        )
+        for v in vals
+    ]
+    df = spark.createDataFrame(rows, "day string, seg string, v double")
+    state = hdr_state_build(df, KEYS, "v")
+    got = hdr_state_drift(state, "seg", "day", 990).collect()
+    # exactly one drift row: day 10000 vs predecessor 9999, positive
+    assert len(got) == 1
+    r = got[0]
+    assert r["day"] == "10000" and r["drift_milli"] > 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t2 (day VARCHAR, seg VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t2 VALUES (?,?,?)", rows)
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build_sql,
+        hdr_state_drift_sql,
+    )
+
+    oracle = con.execute(
+        "SELECT * FROM "
+        + hdr_state_drift_sql(
+            hdr_state_build_sql("SELECT day, seg, v FROM t2", KEYS),
+            "seg",
+            "day",
+            990,
+        )
+    ).fetchall()
+    assert _sorted(got) == _sorted(oracle)
+
+
 def test_kmv_state_validation(spark):
     df, _, _ = _frames(spark)
     with pytest.raises(ValueError):

@@ -94,10 +94,17 @@ def _fold_rows(tag):
 
 def test_stream_fold_equals_batch_and_exactly_once(spark, tmp_path):
     """Streaming HDR-state maintenance: two microbatches folded via
-    foreachBatch equal the direct batch build over all rows; a full
-    re-delivery of the same batch ids (fresh checkpoint, same source)
-    folds NOTHING twice — the in-snapshot batch markers make the
-    additive fold exactly-once."""
+    foreachBatch equal the direct batch build over all rows; a TRUE
+    re-delivery (the last checkpoint commit removed, so Spark re-runs
+    that batch id with the same offsets on restart) folds nothing
+    twice — the in-snapshot high-water marker makes the additive fold
+    exactly-once; and folding a marked state under a DIFFERENT
+    checkpoint lineage raises instead of silently skipping or
+    double-counting."""
+    import os
+
+    import pytest as _pytest
+
     from scholarmind_spark.operators.sketchledger import hdr_state_build
     from scholarmind_spark.streaming import stream_fold_sketch_state
 
@@ -137,8 +144,25 @@ def test_stream_fold_equals_batch_and_exactly_once(spark, tmp_path):
         for r in hdr_state_build(b1.unionByName(b2), ["day", "seg"], "value").collect()
     )
     assert state_rows() == direct
+    # O(1) marker state: exactly one high-water marker, not one per batch
+    assert sum(1 for f in os.listdir(state) if f.startswith("_folded_")) == 1
 
-    # re-delivery: a FRESH checkpoint re-processes every file with the
-    # same batch ids; the markers must skip both folds
-    drain(str(tmp_path / "ck2"))
+    # TRUE re-delivery: invoke the fold with an already-folded batch id
+    # (exactly what foreachBatch does when a commit was lost) — the
+    # high-water marker must skip it
+    import hashlib
+
+    from scholarmind_spark.streaming.pipeline import _sketch_fold_fn
+
+    lineage = hashlib.md5(os.path.abspath(ck).encode()).hexdigest()[:8]
+    fold = _sketch_fold_fn(state, ["day", "seg"], "value", 5, lineage)
+    fold(b2, 1)  # re-delivery of the last batch
+    fold(b1, 0)  # and of an older one
     assert state_rows() == direct
+
+    # a DIFFERENT checkpoint lineage over a marked state must refuse:
+    # its batch ids restart at 0 and cannot be deduplicated
+    other = _sketch_fold_fn(state, ["day", "seg"], "value", 5, "deadbeef")
+    with _pytest.raises(ValueError, match="different checkpoint lineage"):
+        other(b1, 0)
+    assert state_rows() == direct  # and the state is untouched
