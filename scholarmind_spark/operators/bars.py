@@ -21,9 +21,14 @@ fixed width, so lexicographic order == (ts, id) order.  Epoch micros
 (not a rendered wall-clock string) because a local rendering is
 non-monotonic across a DST fall-back fold in sessions that don't pin
 UTC — two instants alias and open/close can invert for bucket widths
-over an hour.  The key requires ``ts >= epoch`` and ``id >= 0`` (a
-sign character would break fixed-width lexicographic order); both
-hold for every event fixture and are asserted in the unit tests.
+over an hour.  The key requires ``ts >= epoch`` and ``0 <= id <
+10^19`` (a sign character — or an id wider than the padded field,
+which ``lpad`` would silently TRUNCATE — breaks fixed-width
+lexicographic order); both preconditions are enforced at RUNTIME by
+an ``assert_true`` guard inside :func:`bar_sort_key` (a cheap
+comparison per row, fully codegen-able), so a pre-1970 timestamp or
+an out-of-range id fails loudly instead of silently mis-ordering
+open/close.
 
 Values are milli-quantized ints in the output (the battery's standard
 device) so the DuckDB twin hashes identically; non-finite values are
@@ -39,17 +44,48 @@ def bar_sort_key(ts_col: str, id_col: str):
     """Fixed-width sortable (ts, id) string key shared by the batch and
     streaming bar builders.  TZ-free: built from epoch MICROSECONDS,
     never a session-timezone rendering (see module docstring).
-    Requires ``ts >= epoch`` and ``0 <= id < 10^19``."""
+    Requires ``ts >= epoch`` and ``0 <= id < 10^19`` — enforced per
+    row with ``assert_true`` (NULLs pass through; rows with NULL ts or
+    id yield a NULL key and are the caller's filter concern).  A
+    negative epoch renders with a '-' and an oversized id is silently
+    TRUNCATED by lpad — both would corrupt the lexicographic order, so
+    out-of-range inputs raise instead of mis-ordering open/close."""
     # the cast is a no-op for TIMESTAMP; for TIMESTAMP_NTZ inputs it
     # resolves the naive value in the session zone (UTC-pinned by the
     # framework — i.e. naive-as-UTC, exactly DuckDB's epoch_us reading
     # of its naive TIMESTAMP), since unix_micros accepts only TIMESTAMP
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    id_str = F.col(id_col).cast("string")
+    micros_ok = micros.isNull() | (micros >= 0)
+    id_ok = id_str.isNull() | (
+        ~id_str.startswith("-") & (F.length(id_str) <= 19)
+    )
+    guarded_micros = F.when(
+        F.assert_true(
+            micros_ok,
+            F.lit(
+                "bar_sort_key: ts before 1970-01-01 is not representable "
+                "in the fixed-width sort key (negative epoch micros "
+                "break lexicographic order)"
+            ),
+        ).isNull(),
+        micros,
+    )
+    guarded_id = F.when(
+        F.assert_true(
+            id_ok,
+            F.lit(
+                "bar_sort_key: id must be in [0, 10^19) — a sign "
+                "character or lpad truncation breaks the fixed-width "
+                "sort key"
+            ),
+        ).isNull(),
+        id_str,
+    )
     return F.concat(
-        F.lpad(
-            F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"
-        ),
+        F.lpad(guarded_micros.cast("string"), 20, "0"),
         F.lit("#"),
-        F.lpad(F.col(id_col).cast("string"), 19, "0"),
+        F.lpad(guarded_id, 19, "0"),
     )
 
 

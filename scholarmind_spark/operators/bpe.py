@@ -270,6 +270,32 @@ def _encode_word_iterative(
 # (random strings) cannot grow a task's heap without bound
 _MEMO_CAP = 2_000_000
 
+# one broadcast per (application, merge table): a long-lived session
+# that calls bpe_tokens_batched in a loop (the bench harness does) must
+# not accumulate one driver+executor copy of the merge table per call.
+# Keyed by applicationId so a restarted SparkContext never reuses a
+# dead broadcast; stale-application entries are unpersisted on miss.
+_BCAST_CACHE: dict = {}
+
+
+def _merge_broadcast(sc, ranks: dict, merges: list):
+    key = (sc.applicationId, hash(tuple(merges)))
+    hit = _BCAST_CACHE.get(key)
+    # hash collisions are astronomically unlikely but cheap to rule
+    # out: verify the cached table really is this table
+    if hit is not None and hit[0] == merges:
+        return hit[1]
+    for old_key in list(_BCAST_CACHE):
+        if old_key[0] != sc.applicationId:
+            _, old_b = _BCAST_CACHE.pop(old_key)
+            try:
+                old_b.unpersist()
+            except Exception:
+                pass  # context already gone — nothing to release
+    b = sc.broadcast((ranks, merges))
+    _BCAST_CACHE[key] = (merges, b)
+    return b
+
 
 def bpe_tokens_batched(
     df: DataFrame,
@@ -284,14 +310,17 @@ def bpe_tokens_batched(
 
     The merge table ships ONCE per executor as a Spark broadcast (a
     50k-merge dict is ~5 MB — closure pickling would resend it per
-    task); the word→pieces memo is per task, capped at ``_MEMO_CAP``."""
+    task), and the broadcast itself is memoized per (application,
+    merge-table) in ``_BCAST_CACHE`` so repeated calls in a long-lived
+    session reuse one copy instead of leaking one per call; the
+    word→pieces memo is per task, capped at ``_MEMO_CAP``."""
     import re
 
     from pyspark.sql.types import ArrayType, StringType, StructType
 
     merges = PINNED_MERGES if merges is None else list(merges)
     ranks = {pair: i for i, pair in enumerate(merges)}
-    b_table = df.sparkSession.sparkContext.broadcast((ranks, merges))
+    b_table = _merge_broadcast(df.sparkSession.sparkContext, ranks, merges)
     schema = StructType(df.schema.fields[:]).add(
         out_col, ArrayType(StringType()), True
     )

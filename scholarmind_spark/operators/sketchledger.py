@@ -273,14 +273,34 @@ def kmv_state_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
 
 def kmv_state_estimate(state: DataFrame, k: int = 64) -> DataFrame:
     """``*keys, n_minima, kth_hash, est_distinct`` per key tuple — the
-    KMV estimator over a state table (exact below k)."""
+    KMV estimator over a state table (exact below k).
+
+    ``k`` is part of the stored-state contract (the same k must be used
+    at build, merge, and estimate time); because the state table itself
+    cannot carry it, a mismatch is detected the only way it can be: a
+    key holding MORE than k minima proves the state was built or merged
+    under a larger k, and the kth_hash would no longer be the k-th
+    minimum — the estimator fails loudly (``assert_true`` per key, a
+    cheap comparison) instead of silently under-estimating."""
     keys = [c for c in state.columns if c != "h"]
     agg = state.groupBy(*keys).agg(
         F.count("*").alias("n_minima"), F.max("h").alias("kth_hash")
     )
+    n_guarded = F.when(
+        F.assert_true(
+            F.col("n_minima") <= F.lit(k),
+            F.lit(
+                "kmv_state_estimate: a key holds more than k minima — "
+                "the state was built/merged under a larger k than the "
+                "one passed here; the kth_hash is not the k-th minimum "
+                "and the estimate would be silently wrong"
+            ),
+        ).isNull(),
+        F.col("n_minima"),
+    )
     return agg.select(
         *keys,
-        "n_minima",
+        n_guarded.alias("n_minima"),
         "kth_hash",
         _estimate_expr(F.col("n_minima"), F.col("kth_hash"), k).alias(
             "est_distinct"

@@ -413,6 +413,33 @@ def stream_merge_to_snapshot(
     )
 
 
+def _fold_lineage(checkpoint: str) -> str:
+    """Checkpoint IDENTITY tag for the sketch-fold markers: a random
+    token minted into ``<checkpoint>/_sketchfold_lineage`` the first
+    time this checkpoint is used, then read back on every resume.  The
+    file lives INSIDE the checkpoint directory, so it shares the
+    checkpoint's fate: wipe-and-recreate the checkpoint (which restarts
+    Spark's batch ids at 0) and the tag changes with it, which is what
+    lets ``_sketch_fold_fn`` refuse instead of silently dropping every
+    batch id below the stored high-water mark.  Single-writer by
+    Spark's own contract (two streaming queries cannot share a
+    checkpoint); the write is staged + renamed so a crash mid-write
+    never leaves a torn tag."""
+    import os
+
+    os.makedirs(checkpoint, exist_ok=True)
+    lf = os.path.join(checkpoint, "_sketchfold_lineage")
+    if os.path.exists(lf):
+        with open(lf) as f:
+            return f.read().strip()
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{lf}.tmp-{tag}"
+    with open(tmp, "w") as f:
+        f.write(tag)
+    os.rename(tmp, lf)
+    return tag
+
+
 def stream_fold_sketch_state(
     stream_df: DataFrame,
     state_path: str,
@@ -420,13 +447,32 @@ def stream_fold_sketch_state(
     value: str = "value",
     p: int = 5,
     checkpoint: str | None = None,
+    family: str = "hdr",
+    k: int = 64,
+    m_words: int = 64,
+    bloom_k: int = 4,
 ):
-    """Streaming sketch-ledger maintenance: every microbatch's keyed HDR
-    sketch is FOLDED into a parquet state snapshot
-    (``operators.sketchledger.hdr_state_merge`` — the continuously-
-    ingesting twin of the batch fold the ``sketch_ledger_roundtrip``
-    gate pins), using :func:`stream_merge_to_snapshot`'s staging/rename
-    swap discipline.
+    """Streaming sketch-ledger maintenance: every microbatch's keyed
+    sketch state is FOLDED into a parquet state snapshot — the
+    continuously-ingesting twin of the batch folds the
+    ``sketch_ledger_roundtrip`` gate pins, for all three state families
+    (``family``): ``"hdr"`` (``hdr_state_build``/``hdr_state_merge``,
+    geometry ``p``), ``"kmv"`` (``kmv_state_build``/``kmv_state_merge``,
+    geometry ``k`` — part of the stored-state contract, same k at every
+    fold), ``"bloom"`` (``bloom_state_build``/``bloom_state_merge``,
+    geometry ``m_words``/``bloom_k``) — using
+    :func:`stream_merge_to_snapshot`'s staging/rename swap discipline.
+
+    The exactly-once marker discipline below applies to ALL THREE
+    families.  For HDR it is correctness-critical: an additive fold
+    double-counts a re-delivered batch outright.  A KMV re-fold (union
+    → distinct → rank-cap) and a Bloom re-fold (``bit_or``) are
+    mathematically no-ops when the geometry matches — but only then: a
+    re-fold under a different ``k`` re-caps the state and silently
+    corrupts the estimator.  The marker keeps all three families under
+    ONE behavioral contract (a batch folds exactly once, ever), guards
+    the set-semantics families against geometry drift between runs,
+    and skips the wasted re-fold work besides.
 
     Exactly-once NEEDS extra machinery here: an additive fold, unlike a
     keyed upsert, is NOT naturally idempotent — a re-delivered batch
@@ -437,9 +483,17 @@ def stream_fold_sketch_state(
     the renamed directory): batch ids are monotone within a checkpoint
     lineage, so a re-run of any batch ``≤`` the marker skips, O(1)
     marker state forever.  Batch ids are only meaningful WITHIN one
-    checkpoint lineage, so the marker carries a lineage tag (derived
-    from the checkpoint path): folding a marked snapshot under a
-    DIFFERENT checkpoint raises — a fresh checkpoint restarts ids at 0,
+    checkpoint lineage, so the marker carries a lineage tag derived
+    from checkpoint IDENTITY, not its path: a random token minted into
+    a ``_sketchfold_lineage`` file inside the checkpoint directory on
+    first use (:func:`_fold_lineage`).  A path-derived tag would be
+    fooled by wiping and recreating the checkpoint at the same path —
+    Spark restarts batch ids at 0 but the tag still matches, so every
+    batch ``≤`` the stored high-water mark would be silently SKIPPED,
+    i.e. new data dropped.  The identity file dies with the
+    checkpoint, so a recreated checkpoint gets a fresh tag and the
+    mismatch guard fires: folding a marked snapshot under a DIFFERENT
+    checkpoint lineage raises — a fresh checkpoint restarts ids at 0,
     making re-deliveries indistinguishable from new data, and silently
     skipping (or silently double-counting) is exactly the corruption
     this guard exists to prevent.  Resume with the original checkpoint,
@@ -447,14 +501,21 @@ def stream_fold_sketch_state(
     stream_merge_to_snapshot: driver-local renames require a shared
     POSIX filesystem — use a transactional table format on object
     stores."""
-    import hashlib
-    import os
-
     ck = checkpoint or tempfile.mkdtemp(prefix="sfck_")
-    lineage = hashlib.md5(os.path.abspath(ck).encode()).hexdigest()[:8]
+    lineage = _fold_lineage(ck)
     return (
         stream_df.writeStream.foreachBatch(
-            _sketch_fold_fn(state_path, keys, value, p, lineage)
+            _sketch_fold_fn(
+                state_path,
+                keys,
+                value,
+                p,
+                lineage,
+                family=family,
+                k=k,
+                m_words=m_words,
+                bloom_k=bloom_k,
+            )
         )
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
@@ -463,18 +524,55 @@ def stream_fold_sketch_state(
 
 
 def _sketch_fold_fn(
-    state_path: str, keys: list[str], value: str, p: int, lineage: str
+    state_path: str,
+    keys: list[str],
+    value: str,
+    p: int,
+    lineage: str,
+    family: str = "hdr",
+    k: int = 64,
+    m_words: int = 64,
+    bloom_k: int = 4,
 ):
     """The foreachBatch fold of :func:`stream_fold_sketch_state`,
     exposed so tests can exercise re-delivery (same batch id twice) and
-    lineage-mismatch refusal deterministically."""
+    lineage-mismatch refusal deterministically.  ``family`` picks the
+    (build, merge) pair — the SAME single-home batch folds the
+    ``sketch_ledger_roundtrip`` gate pins, so the streaming path can
+    never diverge from the batch one."""
     import os
     import re
 
     from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build,
+        bloom_state_merge,
         hdr_state_build,
         hdr_state_merge,
+        kmv_state_build,
+        kmv_state_merge,
     )
+
+    if family == "hdr":
+        def build(df):
+            return hdr_state_build(df, keys, value, p)
+
+        merge = hdr_state_merge
+    elif family == "kmv":
+        def build(df):
+            return kmv_state_build(df, keys, value, k)
+
+        def merge(a, b):
+            return kmv_state_merge(a, b, k)
+
+    elif family == "bloom":
+        def build(df):
+            return bloom_state_build(df, keys, value, m_words, bloom_k)
+
+        merge = bloom_state_merge
+    else:
+        raise ValueError(
+            f"unknown sketch family {family!r}: expected hdr | kmv | bloom"
+        )
 
     old_path = f"{state_path}.old"
     marker_re = re.compile(r"^_folded_([0-9a-f]{8})_(\d+)$")
@@ -505,12 +603,12 @@ def _sketch_fold_fn(
                 )
             if batch_id <= folded_upto:
                 return  # re-delivered batch: already folded exactly once
-        delta = hdr_state_build(batch_df, keys, value, p)
+        delta = build(batch_df)
         if os.path.isdir(state_path) and any(
             f.endswith(".parquet") for f in os.listdir(state_path)
         ):
             snap = spark.read.schema(delta.schema).parquet(state_path)
-            merged = hdr_state_merge(snap, delta)
+            merged = merge(snap, delta)
         else:
             merged = delta
         staging = f"{state_path}.staging-{batch_id}"

@@ -116,6 +116,44 @@ def test_time_bars_validation(spark):
         time_bars_sql("events", width_seconds=0)
 
 
+def test_bar_sort_key_rejects_pre_epoch_and_bad_ids(spark):
+    """The runtime guard (ADVICE r10): a pre-1970 timestamp or an id
+    outside [0, 10^19) must raise instead of silently corrupting the
+    fixed-width lexicographic order (negative micros render a '-';
+    an oversized id is lpad-TRUNCATED); NULL ts/id still pass through
+    as a NULL key."""
+    import pyspark.errors
+
+    pre = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 59, 59), 1.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="bar_sort_key"):
+        time_bars(pre).collect()
+
+    neg_id = spark.createDataFrame(
+        [(-1, T0, 1.0)], "event_id long, ts timestamp, value double"
+    )
+    with pytest.raises(Exception, match="bar_sort_key"):
+        time_bars(neg_id).collect()
+
+    wide_id = spark.createDataFrame(
+        [("12345678901234567890", T0, 1.0)],
+        "event_id string, ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="bar_sort_key"):
+        time_bars(wide_id).collect()
+
+    # NULL ts / NULL id rows survive the guard (and are filtered or
+    # keyed downstream exactly as before)
+    nulls = spark.createDataFrame(
+        [(1, None, 1.0), (None, T0, 2.0), (2, T0, 3.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    out = time_bars(nulls).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
 def test_kmv_by_group_exact_below_k_and_twin(spark):
     rows = [(g, f"u{i % n}") for g, n in [("a", 10), ("b", 40)] for i in range(200)]
     df = spark.createDataFrame(rows, "grp string, v string")

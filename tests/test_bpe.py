@@ -148,6 +148,29 @@ def test_arrow_tier_with_large_trained_table(spark):
         assert r["arrow_toks"] == r["expr_toks"], r["doc_id"]
 
 
+def test_arrow_tier_broadcast_memoized(spark):
+    """Repeated bpe_tokens_batched calls in one session reuse ONE
+    broadcast of the merge table instead of leaking one per call
+    (ADVICE r10) — keyed by (applicationId, merge table), verified by
+    object identity; a different table gets its own entry."""
+    from scholarmind_spark.operators import bpe as bpe_mod
+    from scholarmind_spark.operators.bpe import bpe_tokens_batched
+
+    df = spark.createDataFrame([("low lower",)], "text string")
+    bpe_mod._BCAST_CACHE.clear()
+    r1 = bpe_tokens_batched(df).collect()
+    assert len(bpe_mod._BCAST_CACHE) == 1
+    b_first = next(iter(bpe_mod._BCAST_CACHE.values()))[1]
+    r2 = bpe_tokens_batched(df).collect()
+    assert len(bpe_mod._BCAST_CACHE) == 1
+    assert next(iter(bpe_mod._BCAST_CACHE.values()))[1] is b_first
+    assert [r.bpe_tokens for r in r1] == [r.bpe_tokens for r in r2]
+
+    # a different merge table is a different cache entry, same app
+    bpe_tokens_batched(df, merges=[("l", "o")]).collect()
+    assert len(bpe_mod._BCAST_CACHE) == 2
+
+
 def test_run_handling_leftmost_nonoverlap():
     # '<a><a><a><a>' must become '<aa><aa>', '<a><a><a>' → '<aa><a>'
     m = [("a", "a")]

@@ -246,3 +246,19 @@ def test_kmv_state_validation(spark):
         kmv_state_build(df, KEYS, "u", 1)
     with pytest.raises(ValueError):
         kmv_state_merge(df.select("day", "seg"), df.select("day", "seg"), 1)
+
+
+def test_kmv_state_estimate_detects_geometry_mismatch(spark):
+    """k is part of the stored-state contract (ADVICE r10): estimating
+    with a SMALLER k than the state was built under means some key
+    holds more than k minima — kth_hash is not the k-th minimum and
+    the estimate would be silently wrong.  The estimator must fail
+    loudly; the matching k still works."""
+    df, _, _ = _frames(spark)
+    state = kmv_state_build(df, KEYS, "u", 8)
+    # matching k: fine (11 distinct u values per key > 8 → cap binds)
+    ok = kmv_state_estimate(state, 8).collect()
+    assert all(r.n_minima <= 8 for r in ok)
+    # smaller k than build-time: a key holds more than k minima → raise
+    with pytest.raises(Exception, match="kmv_state_estimate"):
+        kmv_state_estimate(state, 4).collect()

@@ -149,12 +149,12 @@ def test_stream_fold_equals_batch_and_exactly_once(spark, tmp_path):
 
     # TRUE re-delivery: invoke the fold with an already-folded batch id
     # (exactly what foreachBatch does when a commit was lost) — the
-    # high-water marker must skip it
-    import hashlib
+    # high-water marker must skip it.  The lineage is checkpoint
+    # IDENTITY (the token minted into the checkpoint on first use),
+    # not a path hash
+    from scholarmind_spark.streaming.pipeline import _fold_lineage, _sketch_fold_fn
 
-    from scholarmind_spark.streaming.pipeline import _sketch_fold_fn
-
-    lineage = hashlib.md5(os.path.abspath(ck).encode()).hexdigest()[:8]
+    lineage = _fold_lineage(ck)
     fold = _sketch_fold_fn(state, ["day", "seg"], "value", 5, lineage)
     fold(b2, 1)  # re-delivery of the last batch
     fold(b1, 0)  # and of an older one
@@ -166,3 +166,202 @@ def test_stream_fold_equals_batch_and_exactly_once(spark, tmp_path):
     with _pytest.raises(ValueError, match="different checkpoint lineage"):
         other(b1, 0)
     assert state_rows() == direct  # and the state is untouched
+
+
+def test_stream_fold_recreated_checkpoint_refuses(spark, tmp_path):
+    """The r10 advisor's data-loss scenario: wipe the checkpoint and
+    recreate it at the SAME path.  Spark restarts batch ids at 0; a
+    path-derived lineage tag would still match the marker, so every
+    batch id <= the stored high-water mark would be silently SKIPPED —
+    new data dropped.  The lineage is checkpoint IDENTITY (a token file
+    inside the checkpoint that dies with it), so the recreated
+    checkpoint gets a fresh tag and the fold REFUSES loudly."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from scholarmind_spark.streaming import stream_fold_sketch_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(FOLD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_fold_sketch_state(
+            stream, state, ["day", "seg"], "value", checkpoint=ck
+        )
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    # wipe + recreate the checkpoint at the same path — batch ids
+    # restart at 0, indistinguishable from re-deliveries of batch 0
+    shutil.rmtree(ck)
+    b2 = spark.createDataFrame(_fold_rows(1000), FOLD_SCHEMA)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(StreamingQueryException, match="different checkpoint lineage"):
+        drain()
+
+
+def test_stream_fold_swap_crash_recovery(spark, tmp_path):
+    """Fold-path twin of test_swap_crash_recovery: a crash between
+    'move current state aside' and 'move staging in' leaves only the
+    .old directory; the next fold must restore it and fold ON TOP —
+    losing the .old would rebuild state from one microbatch."""
+    import os
+
+    from scholarmind_spark.operators.sketchledger import hdr_state_build
+    from scholarmind_spark.streaming import stream_fold_sketch_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(FOLD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_fold_sketch_state(
+            stream, state, ["day", "seg"], "value", checkpoint=ck
+        )
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    # simulate dying between the two renames: state moved aside, the
+    # staged replacement never moved in
+    os.rename(state, state + ".old")
+
+    b2 = spark.createDataFrame(_fold_rows(1000), FOLD_SCHEMA)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(state)
+        .select("day", "seg", "sign", "bucket", "cnt")
+        .collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in hdr_state_build(
+            b1.unionByName(b2), ["day", "seg"], "value"
+        ).collect()
+    )
+    assert got == direct  # b1's state survived the interrupted swap
+    assert not os.path.isdir(state + ".old")
+
+
+UID_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("uid", T.StringType()),
+    ]
+)
+
+
+def _uid_rows(tag):
+    return [
+        (day, seg, f"u{tag + v}")
+        for day in ("19000", "19001")
+        for seg in ("api", "web")
+        for v in range(20)
+    ]
+
+
+def test_stream_fold_kmv_and_bloom_families(spark, tmp_path):
+    """The KMV and Bloom state families fold through the SAME streaming
+    path as HDR (stream == direct batch build over all rows), honor the
+    re-delivery marker (state byte-identical after re-folding old batch
+    ids), and refuse a foreign checkpoint lineage."""
+    import os
+
+    import pytest as _pytest
+
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build,
+        kmv_state_build,
+    )
+    from scholarmind_spark.streaming import stream_fold_sketch_state
+    from scholarmind_spark.streaming.pipeline import _fold_lineage, _sketch_fold_fn
+
+    b1 = spark.createDataFrame(_uid_rows(0), UID_SCHEMA)
+    b2 = spark.createDataFrame(_uid_rows(10), UID_SCHEMA)  # overlaps b1
+    both = b1.unionByName(b2)
+    keys = ["day", "seg"]
+
+    cases = {
+        # k=8 < 30 distinct uids per key: the rank cap actually binds
+        "kmv": dict(
+            kwargs=dict(family="kmv", k=8),
+            direct=lambda: kmv_state_build(both, keys, "uid", 8),
+            cols=["day", "seg", "h"],
+        ),
+        "bloom": dict(
+            kwargs=dict(family="bloom", m_words=16, bloom_k=4),
+            direct=lambda: bloom_state_build(both, keys, "uid", 16, 4),
+            cols=["day", "seg", "word", "bits"],
+        ),
+    }
+    for family, case in cases.items():
+        src = str(tmp_path / f"src_{family}")
+        state = str(tmp_path / f"state_{family}")
+        ck = str(tmp_path / f"ck_{family}")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(UID_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = stream_fold_sketch_state(
+                stream, state, keys, "uid", checkpoint=ck, **case["kwargs"]
+            )
+            q.awaitTermination()
+
+        b1.coalesce(1).write.mode("append").parquet(src)
+        drain()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+        def state_rows():
+            return sorted(
+                tuple(r)
+                for r in spark.read.parquet(state).select(*case["cols"]).collect()
+            )
+
+        direct = sorted(tuple(r) for r in case["direct"]().collect())
+        assert state_rows() == direct, family
+        assert (
+            sum(1 for f in os.listdir(state) if f.startswith("_folded_")) == 1
+        ), family
+
+        # re-delivery: the marker skips already-folded batch ids
+        lineage = _fold_lineage(ck)
+        fold = _sketch_fold_fn(
+            state, keys, "uid", 5, lineage, **case["kwargs"]
+        )
+        fold(b2, 1)
+        fold(b1, 0)
+        assert state_rows() == direct, family
+
+        # foreign lineage over a marked state refuses
+        other = _sketch_fold_fn(
+            state, keys, "uid", 5, "deadbeef", **case["kwargs"]
+        )
+        with _pytest.raises(ValueError, match="different checkpoint lineage"):
+            other(b1, 0)
+        assert state_rows() == direct, family
