@@ -413,6 +413,125 @@ def bloom_state_contains(
     return j.groupBy(*keys, "key").agg(F.min(hit).alias("contained"))
 
 
+# ------------------------------------------- retention / compaction
+#
+# A day×segment state table grows one partition per day forever; these
+# ops bound it.  ``sketch_state_expire`` is a pure filter (any family).
+# The ``*_state_compact`` ops keep recent days at day grain and REKEY
+# older days to a coarse period label via each family's exact rekey
+# fold (sum / bit_or / rank-cap), so compacted state still answers
+# every question about the expired range at the coarse grain — nothing
+# is recomputed from raw data, and the answers are EXACTLY what a
+# direct mixed-grain build would produce (the ``sketch_ledger_compact``
+# gate pins this against an oracle that rebuilds from raw events).
+# Day ordering is (length, value) — numeric order for unpadded integer
+# day keys, plain lex for fixed-width ones (the hdr_state_drift rule).
+
+
+def _day_ge(day_col: str, cutoff_day: str) -> Column:
+    """``day >= cutoff`` under (length, value) order — numeric for any
+    non-negative integer rendering, lexicographic for fixed-width."""
+    d, c = F.col(day_col), F.lit(cutoff_day)
+    return (F.length(d) > F.length(c)) | (
+        (F.length(d) == F.length(c)) & (d >= c)
+    )
+
+
+def _default_period(day_col: str) -> Column:
+    """30-day period label for unpadded epoch-day keys; the ``m``
+    prefix guarantees period labels can never collide with retained
+    day labels."""
+    return F.concat(
+        F.lit("m"),
+        F.expr(f"cast(cast({day_col} as bigint) div 30 as string)"),
+    )
+
+
+def _split_by_day(
+    state: DataFrame, day_col: str, cutoff_day: str, period: Column
+):
+    """(recent, expired-with-period-label) partition of a state table.
+    A NULL day key (a real group under the keyed-sketch convention)
+    routes to the EXPIRED branch — a bare ``~predicate`` would be NULL
+    for it and silently drop the row from both branches."""
+    keep = _day_ge(day_col, cutoff_day)
+    recent = state.where(keep)
+    old = state.where(~keep.eqNullSafe(F.lit(True))).withColumn(
+        day_col, period
+    )
+    return recent, old
+
+
+def sketch_state_expire(
+    state: DataFrame, day_col: str, cutoff_day: str
+) -> DataFrame:
+    """Retention without compaction: drop state rows older than
+    ``cutoff_day``.  A pure filter — works for every family (HDR, KMV,
+    Bloom share the day-keyed layout) and costs one scan, no shuffle."""
+    return state.where(_day_ge(day_col, cutoff_day))
+
+
+def hdr_state_compact(
+    state: DataFrame,
+    day_col: str,
+    cutoff_day: str,
+    period: Column | None = None,
+) -> DataFrame:
+    """Rows with ``day >= cutoff_day`` keep their day grain; older rows
+    are rekeyed to ``period`` (default: ``'m' || day div 30``) and
+    re-summed — the exact :func:`hdr_state_rekey` fold, so the coarse
+    rows equal a direct coarse build over the expired days.  State size
+    becomes O(retained days + periods), bounded over an unbounded fold
+    history."""
+    period = _default_period(day_col) if period is None else period
+    keys = [c for c in state.columns if c not in ("sign", "bucket", "cnt")]
+    recent, old = _split_by_day(state, day_col, cutoff_day, period)
+    return recent.unionByName(hdr_state_rekey(old, keys))
+
+
+def bloom_state_compact(
+    state: DataFrame,
+    day_col: str,
+    cutoff_day: str,
+    period: Column | None = None,
+) -> DataFrame:
+    """Bloom twin of :func:`hdr_state_compact`: expired days collapse
+    into one filter per (period, *other keys) via the exact
+    :func:`bloom_state_rekey` ``bit_or`` — period membership stays
+    answerable, state stays ≤ m_words rows per retained key."""
+    period = _default_period(day_col) if period is None else period
+    keys = [c for c in state.columns if c not in ("word", "bits")]
+    recent, old = _split_by_day(state, day_col, cutoff_day, period)
+    return recent.unionByName(bloom_state_rekey(old, keys))
+
+
+def kmv_state_rekey(state: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Coarsen a KMV state table to a subset of its keys: project,
+    distinct, re-cap.  EXACT by the merge argument — any hash among the
+    coarse key's global k minima has fewer than k smaller hashes in its
+    own fine key, so it survived the fine cap and is present in the
+    union.  ``k`` is the stored-state contract k (same as build/merge)."""
+    if k < 2:
+        raise ValueError("kmv sketches need k >= 2 (the estimator uses k-1)")
+    return _rank_cap(state.select(*keys, "h").distinct(), keys, k)
+
+
+def kmv_state_compact(
+    state: DataFrame,
+    day_col: str,
+    cutoff_day: str,
+    k: int = 64,
+    period: Column | None = None,
+) -> DataFrame:
+    """KMV twin of :func:`hdr_state_compact`: expired days collapse to
+    ≤ k minima per (period, *other keys) via :func:`kmv_state_rekey` —
+    period distinct-counts stay answerable from compacted state."""
+    period = _default_period(day_col) if period is None else period
+    keys = [c for c in state.columns if c != "h"]
+    recent, old = _split_by_day(state, day_col, cutoff_day, period)
+    return recent.unionByName(kmv_state_rekey(old, keys, k))
+
+
 # ------------------------------------------------------------ SQL twins
 #
 # Compositional query strings over subqueries yielding the key columns

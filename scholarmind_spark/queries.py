@@ -5758,6 +5758,59 @@ def _sketch_ledger_membership_sql() -> str:
     )
 
 
+def sketch_ledger_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/compaction for the sketch-state ledger (operators/
+    sketchledger hdr_state_compact, the sketch_state_expire family):
+    fold the two ingest batches into day×segment HDR state, then
+    compact — days newer than max_day - 6 keep their day grain, older
+    days are rekeyed to the 'm'||(day div 30) period label via the
+    EXACT hdr_state_rekey fold (sum of bucket counts).  The oracle
+    builds the same mixed-grain state DIRECTLY from raw events, so
+    equality proves compaction is lossless at the coarse grain:
+    nothing dropped, nothing recomputed from raw data, and the
+    retained window's drift/quantile answers are untouched.  State
+    size becomes O(retained days + periods) per segment over an
+    unbounded fold history — the retention story for the 100 TB
+    monitoring ledger.  The cutoff is a one-row driver-sized scalar
+    (the q22 device)."""
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build,
+        hdr_state_compact,
+        hdr_state_merge,
+    )
+
+    keys = ["day", "seg"]
+    keyed, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    folded = hdr_state_merge(
+        hdr_state_build(b1, keys, "v"), hdr_state_build(b2, keys, "v")
+    )
+    cutoff = str(keyed.agg(F.max(F.col("day").cast("bigint"))).first()[0] - 6)
+    out = hdr_state_compact(folded, "day", cutoff)
+    return out.select(
+        F.col("day").alias("grain"),
+        "seg",
+        "sign",
+        "bucket",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).orderBy("grain", "seg", "sign", "bucket")
+
+
+def _sketch_ledger_compact_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import hdr_state_build_sql
+
+    pairs = _SKETCH_LEDGER_PAIRS_SQL
+    # the oracle builds AT the mixed grain directly from raw events —
+    # compact(fold(daily state)) must equal it exactly
+    mixed = f"""
+(SELECT CASE WHEN day >= (SELECT max(day) - 6 FROM ({pairs}))
+             THEN day::VARCHAR
+             ELSE 'm' || (day // 30)::VARCHAR END AS grain,
+        seg, v
+ FROM ({pairs}))"""
+    state = hdr_state_build_sql(mixed, ["grain", "seg"])
+    return "SELECT * FROM " + state + " ORDER BY grain, seg, sign, bucket"
+
+
 def dedup_ledger_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom front-gate for the dedup ledger (operators/ledger
     ledger_match bloom_gate= + operators/bloom): the batch's prefix
@@ -6584,6 +6637,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_bpe_tokens_large": text_bpe_tokens_large,
     "sketch_ledger_roundtrip": sketch_ledger_roundtrip,
+    "sketch_ledger_compact": sketch_ledger_compact,
     "sketch_ledger_drift": sketch_ledger_drift,
     "dedup_ledger_bloom": dedup_ledger_bloom,
     "sketch_ledger_rollup": sketch_ledger_rollup,
@@ -6759,6 +6813,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bpe_tokens": _text_bpe_tokens_sql(),
     "text_bpe_tokens_large": _text_bpe_tokens_large_sql(),
     "sketch_ledger_roundtrip": _sketch_ledger_roundtrip_sql(),
+    "sketch_ledger_compact": _sketch_ledger_compact_sql(),
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
     "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
@@ -6868,61 +6923,11 @@ ORACLE_SQL: dict[str, str] = {
 # each round; with 169 gates and a 50-gate window the pigeonhole is
 # unavoidable).
 
-_ROUND10_FRONT = [
-    # new this round — never driver-checked (prepended as added)
-    "text_bpe_tokens_large",
-    "sketch_ledger_roundtrip",
-    "sketch_ledger_drift",
-    "dedup_ledger_bloom",
-    "sketch_ledger_rollup",
-    "sketch_ledger_distinct",
-    "sketch_ledger_membership",
-    # last driver-checked in r6 (15 stragglers that missed the r9 cut)
-    "dataset_mixture",
-    "dataset_shuffle_order",
-    "dataset_weighted_sample",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_sliding",
-    "kmeans_assign_cells",
-    "source_health_report",
-    "source_vocab_overlap",
-    "text_chunk_documents",
-    "text_pack_sequences",
-    "text_pack_stats",
-    "text_scrub_spans",
-    "text_span_hotlist",
-    "text_url_domains",
-    # last driver-checked in r7 (50, in r7 window order; the 50-cut
-    # takes the first 28 — the remaining 22 lead the r11 window)
-    "text_gopher_repetition",
-    "text_gopher_flags",
-    "embed_quantize_int8",
-    "skew_key_report",
-    "events_value_histogram",
-    "media_resize",
-    "events_range_join",
-    "skew_salted_join",
-    "skew_two_phase_distinct",
-    "dataset_split",
-    "stratified_sample",
-    "lit_flatten_presentation",
-    "bucketed_join_revenue",
-    "partitioned_prune_events",
-    "cube_order_stats",
-    "pivot_status_counts",
-    "lit_incremental_merge",
-    "events_json_props",
-    "profile_documents",
-    "sql_surface_revenue",
-    "text_word_repetition",
-    "text_top_terms",
-    "decontam_overlap",
-    "events_asof_join",
-    "events_sessionize",
-    "events_tumbling",
-    "events_tumbling_stream",
-    "lit_llm_extract",
+_ROUND11_FRONT = [
+    # new this round — never driver-checked
+    "sketch_ledger_compact",
+    # the 22 staleness-3 gates (last driver-checked r7) — MANDATORY
+    # this round per the r10 verdict's rotation contract
     "media_byte_stats",
     "media_decode",
     "media_features",
@@ -6945,11 +6950,40 @@ _ROUND10_FRONT = [
     "lit_year_extract",
     "corpus_curation",
     "dedup_exact",
+    # oldest r8-checked gates, in r8 window order (first 27 of 50;
+    # the remaining 23 r8-stale gates lead the r12 window:
+    # q4_returned_orders … orc_roundtrip — see CORRECTNESS_r08.json)
+    "lit_fuzzy_dedup",
+    "text_gopher_keep",
+    "text_url_canonical",
+    "sketch_distinct_kmv",
+    "sketch_overlap_kmv",
+    "graph_triangles",
+    "events_autocorrelation",
+    "privacy_k_anonymity",
+    "dataset_split_leakage",
+    "wet_roundtrip",
+    "text_card_luhn",
+    "events_zorder_locality",
+    "sketch_cms_topk",
+    "sketch_join_size",
+    "events_bootstrap_ci",
+    "sketch_merge_incremental",
+    "events_value_psi",
+    "link_sorted_neighborhood",
+    "lineitem_contract_check",
+    "text_lang_id",
+    "diag_curation_stages",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "top_customers_per_nation",
+    "rollup_order_stats",
 ]
 
-
 def _rotated(d: dict) -> dict:
-    front = {k: d[k] for k in _ROUND10_FRONT if k in d}
+    front = {k: d[k] for k in _ROUND11_FRONT if k in d}
     front.update({k: v for k, v in d.items() if k not in front})
     return front
 

@@ -262,3 +262,71 @@ def test_kmv_state_estimate_detects_geometry_mismatch(spark):
     # smaller k than build-time: a key holds more than k minima → raise
     with pytest.raises(Exception, match="kmv_state_estimate"):
         kmv_state_estimate(state, 4).collect()
+
+
+def test_sketch_state_compact_equals_direct_mixed_grain(spark):
+    """Retention/compaction: days >= cutoff keep day grain, older days
+    rekey to the 'm'||(day div 30) period via each family's exact rekey
+    fold — the compacted state must equal a DIRECT mixed-grain build
+    from raw rows, for all three families (HDR sum, KMV rank-cap,
+    Bloom bit_or)."""
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_compact,
+        hdr_state_compact,
+        kmv_state_compact,
+    )
+
+    rows = []
+    # days straddling a period boundary: 29/30 are periods m0/m1,
+    # 19001 is period m633; cutoff 19001 keeps only that day
+    for day in ("29", "30", "19001"):
+        for seg in ("api", None):
+            for i in range(25):
+                rows.append((day, seg, float(i * 3 - 20), i % 9))
+    df = spark.createDataFrame(rows, "day string, seg string, v double, u int")
+    cutoff = "19001"
+    grain = F.when(
+        (F.length("day") > len(cutoff))
+        | ((F.length("day") == len(cutoff)) & (F.col("day") >= cutoff)),
+        F.col("day"),
+    ).otherwise(F.concat(F.lit("m"), F.expr("cast(cast(day as bigint) div 30 as string)")))
+    mixed = df.withColumn("day", grain)
+
+    got = hdr_state_compact(hdr_state_build(df, KEYS, "v"), "day", cutoff)
+    want = hdr_state_build(mixed, KEYS, "v")
+    assert _sorted(got.collect()) == _sorted(want.collect())
+    days = {r.day for r in got.select("day").distinct().collect()}
+    assert days == {"19001", "m0", "m1"}  # old days coarsened, not kept
+
+    got_k = kmv_state_compact(kmv_state_build(df, KEYS, "u", 8), "day", cutoff, 8)
+    want_k = kmv_state_build(mixed, KEYS, "u", 8)
+    assert _sorted(got_k.collect()) == _sorted(want_k.collect())
+
+    got_b = bloom_state_compact(
+        bloom_state_build(df, KEYS, "u", 16, 4), "day", cutoff
+    )
+    want_b = bloom_state_build(mixed, KEYS, "u", 16, 4)
+    assert _sorted(got_b.collect()) == _sorted(want_b.collect())
+
+
+def test_sketch_state_expire_and_null_day_routing(spark):
+    """sketch_state_expire is a pure (length, value)-ordered filter;
+    a NULL day key routes to the compactor's EXPIRED branch (its period
+    label is NULL — still a real group) instead of being dropped by a
+    NULL predicate."""
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_compact,
+        sketch_state_expire,
+    )
+
+    rows = [(d, "api", 1.0) for d in ("999", "1000", None)]
+    df = spark.createDataFrame(rows, "day string, seg string, v double")
+    state = hdr_state_build(df, KEYS, "v")
+    # numeric order: 999 < 1000 even though '999' > '1000' lexically
+    kept = sketch_state_expire(state, "day", "1000")
+    assert {r.day for r in kept.select("day").distinct().collect()} == {"1000"}
+
+    compacted = hdr_state_compact(state, "day", "1000")
+    days = {r.day for r in compacted.select("day").distinct().collect()}
+    assert days == {"1000", "m33", None}  # 999→m33; NULL preserved
+    assert compacted.agg(F.sum("cnt")).first()[0] == state.agg(F.sum("cnt")).first()[0]
