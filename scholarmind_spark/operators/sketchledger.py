@@ -448,16 +448,29 @@ def _default_period(day_col: str) -> Column:
 
 
 def _split_by_day(
-    state: DataFrame, day_col: str, cutoff_day: str, period: Column
+    state: DataFrame,
+    day_col: str,
+    cutoff_day: str,
+    period: Column,
+    period_prefix: str = "m",
 ):
     """(recent, expired-with-period-label) partition of a state table.
     A NULL day key (a real group under the keyed-sketch convention)
     routes to the EXPIRED branch — a bare ``~predicate`` would be NULL
-    for it and silently drop the row from both branches."""
-    keep = _day_ge(day_col, cutoff_day)
+    for it and silently drop the row from both branches.  Rows whose
+    key already carries a PERIOD label (``period_prefix``) also route
+    to the expired branch with their label UNCHANGED: compaction must
+    be re-runnable over its own output (a standing ledger is compacted
+    on every fold), and without this rule a period label would either
+    crash the default ``day div 30`` cast or — worse — win the
+    (length, value) recency compare against a shorter cutoff and leak
+    into the retained branch as if it were a day."""
+    is_period = F.col(day_col).startswith(period_prefix)
+    keep = _day_ge(day_col, cutoff_day) & ~is_period
     recent = state.where(keep)
     old = state.where(~keep.eqNullSafe(F.lit(True))).withColumn(
-        day_col, period
+        day_col,
+        F.when(is_period, F.col(day_col)).otherwise(period),
     )
     return recent, old
 
@@ -476,6 +489,7 @@ def hdr_state_compact(
     day_col: str,
     cutoff_day: str,
     period: Column | None = None,
+    period_prefix: str = "m",
 ) -> DataFrame:
     """Rows with ``day >= cutoff_day`` keep their day grain; older rows
     are rekeyed to ``period`` (default: ``'m' || day div 30``) and
@@ -485,7 +499,9 @@ def hdr_state_compact(
     history."""
     period = _default_period(day_col) if period is None else period
     keys = [c for c in state.columns if c not in ("sign", "bucket", "cnt")]
-    recent, old = _split_by_day(state, day_col, cutoff_day, period)
+    recent, old = _split_by_day(
+        state, day_col, cutoff_day, period, period_prefix
+    )
     return recent.unionByName(hdr_state_rekey(old, keys))
 
 
@@ -494,6 +510,7 @@ def bloom_state_compact(
     day_col: str,
     cutoff_day: str,
     period: Column | None = None,
+    period_prefix: str = "m",
 ) -> DataFrame:
     """Bloom twin of :func:`hdr_state_compact`: expired days collapse
     into one filter per (period, *other keys) via the exact
@@ -501,7 +518,9 @@ def bloom_state_compact(
     answerable, state stays ≤ m_words rows per retained key."""
     period = _default_period(day_col) if period is None else period
     keys = [c for c in state.columns if c not in ("word", "bits")]
-    recent, old = _split_by_day(state, day_col, cutoff_day, period)
+    recent, old = _split_by_day(
+        state, day_col, cutoff_day, period, period_prefix
+    )
     return recent.unionByName(bloom_state_rekey(old, keys))
 
 
@@ -522,13 +541,16 @@ def kmv_state_compact(
     cutoff_day: str,
     k: int = 64,
     period: Column | None = None,
+    period_prefix: str = "m",
 ) -> DataFrame:
     """KMV twin of :func:`hdr_state_compact`: expired days collapse to
     ≤ k minima per (period, *other keys) via :func:`kmv_state_rekey` —
     period distinct-counts stay answerable from compacted state."""
     period = _default_period(day_col) if period is None else period
     keys = [c for c in state.columns if c != "h"]
-    recent, old = _split_by_day(state, day_col, cutoff_day, period)
+    recent, old = _split_by_day(
+        state, day_col, cutoff_day, period, period_prefix
+    )
     return recent.unionByName(kmv_state_rekey(old, keys, k))
 
 

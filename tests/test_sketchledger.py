@@ -330,3 +330,29 @@ def test_sketch_state_expire_and_null_day_routing(spark):
     days = {r.day for r in compacted.select("day").distinct().collect()}
     assert days == {"1000", "m33", None}  # 999→m33; NULL preserved
     assert compacted.agg(F.sum("cnt")).first()[0] == state.agg(F.sum("cnt")).first()[0]
+
+
+def test_sketch_state_compact_is_rerunnable(spark):
+    """A standing ledger is compacted on every fold, so compaction must
+    be idempotent over its own output: existing period rows keep their
+    label (no crash on the 'm…' cast, no leaking into the retained
+    branch via the (length, value) compare), and advancing the cutoff
+    moves newly-expired days into their periods exactly."""
+    from scholarmind_spark.operators.sketchledger import hdr_state_compact
+
+    rows = [(str(19720 + d), "api", float(v)) for d in range(12) for v in range(10)]
+    df = spark.createDataFrame(rows, "day string, seg string, v double")
+    state = hdr_state_build(df, ["day", "seg"], "v")
+
+    c1 = hdr_state_compact(state, "day", "19726")
+    # idempotent: re-running with the same cutoff changes nothing
+    again = hdr_state_compact(c1, "day", "19726")
+    assert _sorted(again.collect()) == _sorted(c1.collect())
+
+    # advancing the cutoff re-compacts the newly-expired days and the
+    # result equals compacting the ORIGINAL state at the new cutoff
+    c2 = hdr_state_compact(c1, "day", "19729")
+    direct = hdr_state_compact(state, "day", "19729")
+    assert _sorted(c2.collect()) == _sorted(direct.collect())
+    days = {r.day for r in c2.select("day").distinct().collect()}
+    assert days == {"19729", "19730", "19731", "m657"}
