@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sketch_ledger_rollup",
     "sketch_ledger_distinct",
     "sketch_ledger_membership",
+    "sketch_ledger_compact",
     # dedup_ledger_revise, sketch_ledger_roundtrip and dedup_ledger_bloom
     # are driver-gated but not benched: like dedup_ledger_roundtrip they
     # are self-verifying double-computations whose cost is fixed
