@@ -8,6 +8,7 @@ from scholarmind_spark.streaming.pipeline import (
     stream_dedup,
     stream_interval_join,
     stream_static_enrich,
+    manifest_state_dir,
     stream_fold_sketch_state,
     stream_merge_to_snapshot,
     tumbling_agg,
@@ -22,6 +23,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_static_enrich",
+    "manifest_state_dir",
     "stream_fold_sketch_state",
     "stream_merge_to_snapshot",
     "stream_scan_pubmed",

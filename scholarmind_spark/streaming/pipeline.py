@@ -451,6 +451,7 @@ def stream_fold_sketch_state(
     k: int = 64,
     m_words: int = 64,
     bloom_k: int = 4,
+    commit: str = "rename",
 ):
     """Streaming sketch-ledger maintenance: every microbatch's keyed
     sketch state is FOLDED into a parquet state snapshot — the
@@ -497,15 +498,27 @@ def stream_fold_sketch_state(
     making re-deliveries indistinguishable from new data, and silently
     skipping (or silently double-counting) is exactly the corruption
     this guard exists to prevent.  Resume with the original checkpoint,
-    or start a fresh ``state_path``.  Same SCOPE caveat as
-    stream_merge_to_snapshot: driver-local renames require a shared
-    POSIX filesystem — use a transactional table format on object
-    stores."""
+    or start a fresh ``state_path``.  ``commit`` picks the snapshot
+    protocol: ``"rename"`` (default) swaps whole directories with POSIX
+    rename — the stream_merge_to_snapshot discipline, which requires a
+    shared POSIX filesystem; ``"manifest"`` uses immutable version
+    directories plus one atomically-replaced manifest file
+    (:func:`_sketch_fold_fn_manifest`) — the transactional-table-format
+    shape whose only atomicity requirement (single-file replace) object
+    stores DO provide, read back via :func:`manifest_state_dir`."""
     ck = checkpoint or tempfile.mkdtemp(prefix="sfck_")
     lineage = _fold_lineage(ck)
+    if commit == "rename":
+        fold_fn = _sketch_fold_fn
+    elif commit == "manifest":
+        fold_fn = _sketch_fold_fn_manifest
+    else:
+        raise ValueError(
+            f"unknown commit protocol {commit!r}: expected rename | manifest"
+        )
     return (
         stream_df.writeStream.foreachBatch(
-            _sketch_fold_fn(
+            fold_fn(
                 state_path,
                 keys,
                 value,
@@ -523,6 +536,48 @@ def stream_fold_sketch_state(
     )
 
 
+def _family_ops(
+    family: str,
+    keys: list[str],
+    value: str,
+    p: int,
+    k: int,
+    m_words: int,
+    bloom_k: int,
+):
+    """(build, merge) pair for a sketch-state family — the SAME
+    single-home batch folds the ``sketch_ledger_roundtrip`` gate pins,
+    shared by both commit protocols so the streaming path can never
+    diverge from the batch one."""
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build,
+        bloom_state_merge,
+        hdr_state_build,
+        hdr_state_merge,
+        kmv_state_build,
+        kmv_state_merge,
+    )
+
+    if family == "hdr":
+        return (
+            lambda df: hdr_state_build(df, keys, value, p),
+            hdr_state_merge,
+        )
+    if family == "kmv":
+        return (
+            lambda df: kmv_state_build(df, keys, value, k),
+            lambda a, b: kmv_state_merge(a, b, k),
+        )
+    if family == "bloom":
+        return (
+            lambda df: bloom_state_build(df, keys, value, m_words, bloom_k),
+            bloom_state_merge,
+        )
+    raise ValueError(
+        f"unknown sketch family {family!r}: expected hdr | kmv | bloom"
+    )
+
+
 def _sketch_fold_fn(
     state_path: str,
     keys: list[str],
@@ -534,45 +589,14 @@ def _sketch_fold_fn(
     m_words: int = 64,
     bloom_k: int = 4,
 ):
-    """The foreachBatch fold of :func:`stream_fold_sketch_state`,
-    exposed so tests can exercise re-delivery (same batch id twice) and
-    lineage-mismatch refusal deterministically.  ``family`` picks the
-    (build, merge) pair — the SAME single-home batch folds the
-    ``sketch_ledger_roundtrip`` gate pins, so the streaming path can
-    never diverge from the batch one."""
+    """The foreachBatch fold of :func:`stream_fold_sketch_state`
+    (rename-commit protocol), exposed so tests can exercise re-delivery
+    (same batch id twice) and lineage-mismatch refusal
+    deterministically."""
     import os
     import re
 
-    from scholarmind_spark.operators.sketchledger import (
-        bloom_state_build,
-        bloom_state_merge,
-        hdr_state_build,
-        hdr_state_merge,
-        kmv_state_build,
-        kmv_state_merge,
-    )
-
-    if family == "hdr":
-        def build(df):
-            return hdr_state_build(df, keys, value, p)
-
-        merge = hdr_state_merge
-    elif family == "kmv":
-        def build(df):
-            return kmv_state_build(df, keys, value, k)
-
-        def merge(a, b):
-            return kmv_state_merge(a, b, k)
-
-    elif family == "bloom":
-        def build(df):
-            return bloom_state_build(df, keys, value, m_words, bloom_k)
-
-        merge = bloom_state_merge
-    else:
-        raise ValueError(
-            f"unknown sketch family {family!r}: expected hdr | kmv | bloom"
-        )
+    build, merge = _family_ops(family, keys, value, p, k, m_words, bloom_k)
 
     old_path = f"{state_path}.old"
     marker_re = re.compile(r"^_folded_([0-9a-f]{8})_(\d+)$")
@@ -627,5 +651,134 @@ def _sketch_fold_fn(
         os.rename(staging, state_path)
         if os.path.isdir(old_path):
             shutil.rmtree(old_path)
+
+    return _fold
+
+
+# --------------------------------------------------- manifest commit
+#
+# The rename-commit protocol above swaps WHOLE DIRECTORIES with POSIX
+# rename — correct on a shared POSIX filesystem, unavailable on object
+# stores (S3/GCS have no atomic directory rename).  The manifest
+# protocol below is the transactional-table-format shape reduced to its
+# minimum: immutable VERSION DIRECTORIES plus ONE small manifest file
+# whose atomic replacement is the only primitive required — os.replace
+# locally, a conditional PUT (If-Match / x-goog-if-generation-match) on
+# an object store.  Readers resolve the manifest, then read exactly the
+# version it names; a crash at ANY point before the manifest publish
+# leaves the previous version live and the orphan version directory is
+# overwritten by the retried batch and garbage-collected after the next
+# successful publish.  Exactly-once state (lineage + folded-upto
+# high-water mark) travels INSIDE the manifest, so marker and data
+# publish in the same atomic step.
+
+
+def _manifest_path(state_path: str) -> str:
+    import os
+
+    return os.path.join(state_path, "MANIFEST")
+
+
+def _manifest_read(state_path: str):
+    """(version, lineage, folded_upto) or None if never published."""
+    import os
+
+    mp = _manifest_path(state_path)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        version, lineage, upto = f.read().split()
+    return int(version), lineage, int(upto)
+
+
+def _manifest_publish(
+    state_path: str, version: int, lineage: str, batch_id: int
+) -> None:
+    """Atomically point the manifest at ``version``: staged write +
+    os.replace (THE commit — on an object store this one call becomes a
+    conditional PUT; nothing else in the protocol needs atomicity)."""
+    import os
+
+    mp = _manifest_path(state_path)
+    tmp = f"{mp}.tmp-{version}"
+    with open(tmp, "w") as f:
+        f.write(f"{version} {lineage} {batch_id}\n")
+    os.replace(tmp, mp)
+
+
+def manifest_state_dir(state_path: str) -> str | None:
+    """Resolve the CURRENT version directory of a manifest-committed
+    state snapshot (what a reader passes to ``spark.read.parquet``), or
+    None if nothing has been published yet."""
+    import os
+
+    m = _manifest_read(state_path)
+    if m is None:
+        return None
+    return os.path.join(state_path, f"v-{m[0]}")
+
+
+def _sketch_fold_fn_manifest(
+    state_path: str,
+    keys: list[str],
+    value: str,
+    p: int,
+    lineage: str,
+    family: str = "hdr",
+    k: int = 64,
+    m_words: int = 64,
+    bloom_k: int = 4,
+):
+    """Manifest-commit twin of :func:`_sketch_fold_fn` — same family
+    folds, same exactly-once semantics, no directory rename anywhere:
+
+    1. read the manifest (version n, lineage, folded-upto);
+    2. refuse a foreign lineage, skip a re-delivered batch id;
+    3. write the folded state to the IMMUTABLE directory ``v-(n+1)``
+       (a retried batch overwrites the same orphan — ids are stable);
+    4. publish the manifest naming ``v-(n+1)`` with the new high-water
+       mark — the single atomic step;
+    5. garbage-collect version directories older than n (n itself is
+       kept one cycle: a reader resolving the old manifest mid-publish
+       may still be scanning it)."""
+    import os
+    import shutil as _shutil
+
+    build, merge = _family_ops(family, keys, value, p, k, m_words, bloom_k)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(state_path, exist_ok=True)
+        m = _manifest_read(state_path)
+        if m is not None:
+            version, mk_lineage, folded_upto = m
+            if mk_lineage != lineage:
+                raise ValueError(
+                    f"sketch state at {state_path} was folded under a "
+                    "different checkpoint lineage; batch ids from this "
+                    "checkpoint cannot be deduplicated against it — "
+                    "resume with the original checkpoint, or fold into "
+                    "a fresh state_path"
+                )
+            if batch_id <= folded_upto:
+                return  # re-delivered batch: already folded exactly once
+        else:
+            version = -1
+        delta = build(batch_df)
+        if version >= 0:
+            snap = spark.read.schema(delta.schema).parquet(
+                os.path.join(state_path, f"v-{version}")
+            )
+            merged = merge(snap, delta)
+        else:
+            merged = delta
+        new_dir = os.path.join(state_path, f"v-{version + 1}")
+        # overwrite mode: a crashed predecessor's orphan for the SAME
+        # version is replaced, never merged with
+        merged.write.mode("overwrite").parquet(new_dir)
+        _manifest_publish(state_path, version + 1, lineage, batch_id)
+        for f in os.listdir(state_path):
+            if f.startswith("v-") and int(f[2:]) < version:
+                _shutil.rmtree(os.path.join(state_path, f), ignore_errors=True)
 
     return _fold

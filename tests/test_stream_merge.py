@@ -365,3 +365,110 @@ def test_stream_fold_kmv_and_bloom_families(spark, tmp_path):
         with _pytest.raises(ValueError, match="different checkpoint lineage"):
             other(b1, 0)
         assert state_rows() == direct, family
+
+
+def test_stream_fold_manifest_commit(spark, tmp_path):
+    """The manifest commit protocol (commit='manifest'): immutable
+    version dirs + one atomically-replaced manifest — no directory
+    rename anywhere, the object-store-compatible variant.  Checks:
+    stream == direct batch build, exactly-once under re-delivery,
+    foreign-lineage refusal, crash-before-publish recovery (an orphan
+    version dir must be ignored by readers and overwritten by the
+    retried batch), and version GC."""
+    import os
+
+    import pytest as _pytest
+
+    from scholarmind_spark.operators.sketchledger import hdr_state_build
+    from scholarmind_spark.streaming import (
+        manifest_state_dir,
+        stream_fold_sketch_state,
+    )
+    from scholarmind_spark.streaming.pipeline import (
+        _fold_lineage,
+        _manifest_read,
+        _sketch_fold_fn_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(FOLD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_fold_sketch_state(
+            stream, state, ["day", "seg"], "value",
+            checkpoint=ck, commit="manifest",
+        )
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)
+    b2 = spark.createDataFrame(_fold_rows(1000), FOLD_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    def state_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(manifest_state_dir(state))
+            .select("day", "seg", "sign", "bucket", "cnt")
+            .collect()
+        )
+
+    direct = sorted(
+        tuple(r)
+        for r in hdr_state_build(
+            b1.unionByName(b2), ["day", "seg"], "value"
+        ).collect()
+    )
+    assert state_rows() == direct
+    version, lineage_tag, upto = _manifest_read(state)
+    assert (version, upto) == (1, 1)
+    assert lineage_tag == _fold_lineage(ck)
+
+    # re-delivery: manifest high-water mark skips already-folded ids
+    fold = _sketch_fold_fn_manifest(
+        state, ["day", "seg"], "value", 5, _fold_lineage(ck)
+    )
+    fold(b2, 1)
+    fold(b1, 0)
+    assert state_rows() == direct
+    assert _manifest_read(state)[0] == 1  # no new version published
+
+    # foreign lineage refuses, state untouched
+    other = _sketch_fold_fn_manifest(
+        state, ["day", "seg"], "value", 5, "deadbeef"
+    )
+    with _pytest.raises(ValueError, match="different checkpoint lineage"):
+        other(b1, 0)
+    assert state_rows() == direct
+
+    # crash-before-publish: an orphan v-2 exists but the manifest still
+    # names v-1 — readers never see the orphan, and the retried batch
+    # (id 2) overwrites it and publishes
+    b3 = spark.createDataFrame(_fold_rows(7), FOLD_SCHEMA)
+    orphan = os.path.join(state, "v-2")
+    hdr_state_build(b3.limit(5), ["day", "seg"], "value").write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    assert state_rows() == direct  # manifest still resolves v-1
+    fold(b3, 2)
+    direct3 = sorted(
+        tuple(r)
+        for r in hdr_state_build(
+            b1.unionByName(b2).unionByName(b3), ["day", "seg"], "value"
+        ).collect()
+    )
+    assert state_rows() == direct3
+    assert _manifest_read(state) == (2, lineage_tag, 2)
+
+    # GC: after the publish of v-2, v-0 (older than the kept-one-back
+    # window) is gone
+    dirs = sorted(f for f in os.listdir(state) if f.startswith("v-"))
+    assert "v-0" not in dirs and "v-2" in dirs
