@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "sketch_ledger_distinct",
     "sketch_ledger_membership",
     "sketch_ledger_compact",
+    "sketch_ledger_compact_kmv",
+    "sketch_ledger_compact_bloom",
     # dedup_ledger_revise, sketch_ledger_roundtrip and dedup_ledger_bloom
     # are driver-gated but not benched: like dedup_ledger_roundtrip they
     # are self-verifying double-computations whose cost is fixed

@@ -5811,6 +5811,89 @@ def _sketch_ledger_compact_sql() -> str:
     return "SELECT * FROM " + state + " ORDER BY grain, seg, sign, bucket"
 
 
+def sketch_ledger_compact_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV twin of sketch_ledger_compact (operators/sketchledger
+    kmv_state_compact): fold the two ingest batches into day×segment
+    KMV minima state, compact at max_day - 6 — expired days' minima
+    collapse to ≤ k per (period, segment) via the exact rank-cap rekey.
+    The oracle builds the mixed-grain minima DIRECTLY from raw events;
+    equality holds by the merge argument (any hash among the coarse
+    key's k minima survived its fine key's cap), so period
+    distinct-counts stay answerable from compacted state."""
+    from scholarmind_spark.operators.sketchledger import (
+        kmv_state_build,
+        kmv_state_compact,
+        kmv_state_merge,
+    )
+
+    keys = ["day", "seg"]
+    keyed, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    folded = kmv_state_merge(
+        kmv_state_build(b1, keys, "u", 64),
+        kmv_state_build(b2, keys, "u", 64),
+        64,
+    )
+    cutoff = str(keyed.agg(F.max(F.col("day").cast("bigint"))).first()[0] - 6)
+    out = kmv_state_compact(folded, "day", cutoff, 64)
+    return out.select(
+        F.col("day").alias("grain"), "seg", "h"
+    ).orderBy("grain", "seg", "h")
+
+
+def _sketch_ledger_compact_kmv_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import kmv_state_build_sql
+
+    pairs = _SKETCH_LEDGER_PAIRS_SQL
+    mixed = f"""
+(SELECT CASE WHEN day >= (SELECT max(day) - 6 FROM ({pairs}))
+             THEN day::VARCHAR
+             ELSE 'm' || (day // 30)::VARCHAR END AS grain,
+        seg, u AS v
+ FROM ({pairs}))"""
+    state = kmv_state_build_sql(mixed, ["grain", "seg"], 64)
+    return "SELECT * FROM " + state + " ORDER BY grain, seg, h"
+
+
+def sketch_ledger_compact_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom twin of sketch_ledger_compact (operators/sketchledger
+    bloom_state_compact): expired days' filters collapse to one filter
+    per (period, segment) via the exact bit_or rekey — period
+    membership stays answerable from compacted state, and the coarse
+    filter equals a direct coarse build by OR associativity (the
+    oracle builds the mixed grain directly from raw events)."""
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_build,
+        bloom_state_compact,
+        bloom_state_merge,
+    )
+
+    keys = ["day", "seg"]
+    keyed, b1, b2 = _sketch_ledger_frames(spark, sf_dir)
+    folded = bloom_state_merge(
+        bloom_state_build(b1, keys, "u", 32, 4),
+        bloom_state_build(b2, keys, "u", 32, 4),
+    )
+    cutoff = str(keyed.agg(F.max(F.col("day").cast("bigint"))).first()[0] - 6)
+    out = bloom_state_compact(folded, "day", cutoff)
+    return out.select(
+        F.col("day").alias("grain"), "seg", "word", "bits"
+    ).orderBy("grain", "seg", "word")
+
+
+def _sketch_ledger_compact_bloom_sql() -> str:
+    from scholarmind_spark.operators.sketchledger import bloom_state_build_sql
+
+    pairs = _SKETCH_LEDGER_PAIRS_SQL
+    mixed = f"""
+(SELECT CASE WHEN day >= (SELECT max(day) - 6 FROM ({pairs}))
+             THEN day::VARCHAR
+             ELSE 'm' || (day // 30)::VARCHAR END AS grain,
+        seg, u AS v
+ FROM ({pairs}))"""
+    state = bloom_state_build_sql(mixed, ["grain", "seg"], 32, 4)
+    return "SELECT * FROM " + state + " ORDER BY grain, seg, word"
+
+
 def dedup_ledger_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom front-gate for the dedup ledger (operators/ledger
     ledger_match bloom_gate= + operators/bloom): the batch's prefix
@@ -6638,6 +6721,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_bpe_tokens_large": text_bpe_tokens_large,
     "sketch_ledger_roundtrip": sketch_ledger_roundtrip,
     "sketch_ledger_compact": sketch_ledger_compact,
+    "sketch_ledger_compact_kmv": sketch_ledger_compact_kmv,
+    "sketch_ledger_compact_bloom": sketch_ledger_compact_bloom,
     "sketch_ledger_drift": sketch_ledger_drift,
     "dedup_ledger_bloom": dedup_ledger_bloom,
     "sketch_ledger_rollup": sketch_ledger_rollup,
@@ -6814,6 +6899,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_bpe_tokens_large": _text_bpe_tokens_large_sql(),
     "sketch_ledger_roundtrip": _sketch_ledger_roundtrip_sql(),
     "sketch_ledger_compact": _sketch_ledger_compact_sql(),
+    "sketch_ledger_compact_kmv": _sketch_ledger_compact_kmv_sql(),
+    "sketch_ledger_compact_bloom": _sketch_ledger_compact_bloom_sql(),
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
     "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
@@ -6926,6 +7013,8 @@ ORACLE_SQL: dict[str, str] = {
 _ROUND11_FRONT = [
     # new this round — never driver-checked
     "sketch_ledger_compact",
+    "sketch_ledger_compact_kmv",
+    "sketch_ledger_compact_bloom",
     # the 22 staleness-3 gates (last driver-checked r7) — MANDATORY
     # this round per the r10 verdict's rotation contract
     "media_byte_stats",
@@ -6978,8 +7067,8 @@ _ROUND11_FRONT = [
     "q3_top_unshipped",
     "q5_regional_revenue",
     "q6_forecast_revenue",
-    "top_customers_per_nation",
-    "rollup_order_stats",
+    # top_customers_per_nation and rollup_order_stats drop to the r12
+    # window to make room for the two new gates (window cap 50)
 ]
 
 def _rotated(d: dict) -> dict:

@@ -452,6 +452,8 @@ def stream_fold_sketch_state(
     m_words: int = 64,
     bloom_k: int = 4,
     commit: str = "rename",
+    retain_days: int | None = None,
+    compact_day: str | None = None,
 ):
     """Streaming sketch-ledger maintenance: every microbatch's keyed
     sketch state is FOLDED into a parquet state snapshot — the
@@ -505,7 +507,13 @@ def stream_fold_sketch_state(
     directories plus one atomically-replaced manifest file
     (:func:`_sketch_fold_fn_manifest`) — the transactional-table-format
     shape whose only atomicity requirement (single-file replace) object
-    stores DO provide, read back via :func:`manifest_state_dir`."""
+    stores DO provide, read back via :func:`manifest_state_dir`.
+    ``retain_days`` turns on in-loop retention/compaction: after every
+    merge, days older than (newest numeric day − retain_days + 1) in
+    ``compact_day`` (default: the first key) are rekeyed to the
+    family's coarse period grain (:func:`_maybe_compact`), so the
+    standing state stays O(retained days + periods) under continuous
+    ingest instead of growing one day-partition forever."""
     ck = checkpoint or tempfile.mkdtemp(prefix="sfck_")
     lineage = _fold_lineage(ck)
     if commit == "rename":
@@ -528,6 +536,8 @@ def stream_fold_sketch_state(
                 k=k,
                 m_words=m_words,
                 bloom_k=bloom_k,
+                retain_days=retain_days,
+                compact_day=compact_day,
             )
         )
         .option("checkpointLocation", ck)
@@ -578,6 +588,46 @@ def _family_ops(
     )
 
 
+def _maybe_compact(
+    merged: "DataFrame",
+    family: str,
+    day_col: str,
+    retain_days: int | None,
+    k: int,
+):
+    """Apply the family's retention/compaction to a freshly-merged state
+    when ``retain_days`` is set: cutoff = newest numeric day in state −
+    retain_days + 1 (period labels are ignored by the max — try_cast),
+    so the retained window slides forward with ingest.  A None
+    retain_days (or a state with no numeric day yet) is a no-op.  The
+    compactors are idempotent over their own period labels, which is
+    what makes running this on EVERY fold safe — the 90-day simulation
+    in tools/fold_probe.py is exactly this loop."""
+    if retain_days is None:
+        return merged
+    if retain_days < 1:
+        raise ValueError("retain_days must be >= 1")
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.sketchledger import (
+        bloom_state_compact,
+        hdr_state_compact,
+        kmv_state_compact,
+    )
+
+    max_day = merged.agg(
+        F.max(F.expr(f"try_cast({day_col} as bigint)"))
+    ).first()[0]
+    if max_day is None:
+        return merged
+    cutoff = str(max_day - retain_days + 1)
+    if family == "hdr":
+        return hdr_state_compact(merged, day_col, cutoff)
+    if family == "kmv":
+        return kmv_state_compact(merged, day_col, cutoff, k)
+    return bloom_state_compact(merged, day_col, cutoff)
+
+
 def _sketch_fold_fn(
     state_path: str,
     keys: list[str],
@@ -588,6 +638,8 @@ def _sketch_fold_fn(
     k: int = 64,
     m_words: int = 64,
     bloom_k: int = 4,
+    retain_days: int | None = None,
+    compact_day: str | None = None,
 ):
     """The foreachBatch fold of :func:`stream_fold_sketch_state`
     (rename-commit protocol), exposed so tests can exercise re-delivery
@@ -635,6 +687,9 @@ def _sketch_fold_fn(
             merged = merge(snap, delta)
         else:
             merged = delta
+        merged = _maybe_compact(
+            merged, family, compact_day or keys[0], retain_days, k
+        )
         staging = f"{state_path}.staging-{batch_id}"
         try:
             merged.write.mode("overwrite").parquet(staging)
@@ -728,6 +783,8 @@ def _sketch_fold_fn_manifest(
     k: int = 64,
     m_words: int = 64,
     bloom_k: int = 4,
+    retain_days: int | None = None,
+    compact_day: str | None = None,
 ):
     """Manifest-commit twin of :func:`_sketch_fold_fn` — same family
     folds, same exactly-once semantics, no directory rename anywhere:
@@ -772,6 +829,9 @@ def _sketch_fold_fn_manifest(
             merged = merge(snap, delta)
         else:
             merged = delta
+        merged = _maybe_compact(
+            merged, family, compact_day or keys[0], retain_days, k
+        )
         new_dir = os.path.join(state_path, f"v-{version + 1}")
         # overwrite mode: a crashed predecessor's orphan for the SAME
         # version is replaced, never merged with

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from scholarmind_spark.streaming import stream_merge_to_snapshot
@@ -472,3 +473,66 @@ def test_stream_fold_manifest_commit(spark, tmp_path):
     # window) is gone
     dirs = sorted(f for f in os.listdir(state) if f.startswith("v-"))
     assert "v-0" not in dirs and "v-2" in dirs
+
+
+def test_stream_fold_with_retention(spark, tmp_path):
+    """retain_days wires compaction into the fold loop: after draining
+    two day-batches with retain_days=1, the state holds only the newest
+    day at day grain plus the older day's period row set — and equals
+    hdr_state_compact over the direct batch build at the same cutoff
+    (the production standing-ledger loop, for both commit protocols)."""
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build,
+        hdr_state_compact,
+    )
+    from scholarmind_spark.streaming import (
+        manifest_state_dir,
+        stream_fold_sketch_state,
+    )
+
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)  # days 19000/19001
+    both_direct = hdr_state_compact(
+        hdr_state_build(b1, ["day", "seg"], "value"), "day", "19001"
+    )
+    want = sorted(tuple(r) for r in both_direct.collect())
+
+    for commit in ("rename", "manifest"):
+        src = str(tmp_path / f"src_{commit}")
+        state = str(tmp_path / f"state_{commit}")
+        ck = str(tmp_path / f"ck_{commit}")
+        # one batch per day so the second fold slides the cutoff forward
+        b1.where(F.col("day") == "19000").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(FOLD_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = stream_fold_sketch_state(
+                stream, state, ["day", "seg"], "value",
+                checkpoint=ck, commit=commit, retain_days=1,
+            )
+            q.awaitTermination()
+
+        drain()
+        b1.where(F.col("day") == "19001").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+
+        path = state if commit == "rename" else manifest_state_dir(state)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("day", "seg", "sign", "bucket", "cnt")
+            .collect()
+        )
+        assert got == want, commit
+        days = {
+            r.day
+            for r in spark.read.parquet(path).select("day").distinct().collect()
+        }
+        assert days == {"19001", "m633"}, commit  # 19000 coarsened
