@@ -436,3 +436,49 @@ def ledger_revise_sql(
         f" WHERE df_count <> 0)"
     )
     return new_fp, new_counts
+
+
+def ledger_retire(
+    fp_state: DataFrame,
+    counts_state: DataFrame,
+    retired_ids: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Remove docs from the ledger outright (takedown, retention
+    expiry, erasure requests): drop their fingerprint rows and
+    SUBTRACT their shingle contributions — the :func:`ledger_revise`
+    device with an empty insert side, so both returned states equal a
+    from-scratch build over the SURVIVING corpus exactly (zero-count
+    cells dropped, row-identical).  Ids absent from the state are
+    no-ops; ``retired_ids`` needs one column ``id``.  At 100 TB this is
+    the difference between honoring a deletion and recounting the
+    corpus: the subtraction touches only the retired docs' shingles."""
+    ids = retired_ids.select("id").distinct()
+    removed = fp_state.join(ids, "id", "left_semi")
+    new_fp = fp_state.join(ids, "id", "left_anti")
+    neg = ledger_shingle_counts(removed).select(
+        "sh", (-F.col("df_count")).alias("df_count")
+    )
+    new_counts = ledger_counts_merge(counts_state, neg).where(
+        F.col("df_count") != 0
+    )
+    return new_fp, new_counts
+
+
+def ledger_retire_sql(
+    fp_state: str, counts_state: str, retired_ids: str
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`ledger_retire` — returns the two state
+    queries ``(new_fp_state, new_counts_state)``; ``retired_ids``
+    yields ``id``."""
+    ids = f"(SELECT DISTINCT id FROM {retired_ids})"
+    new_fp = f"(SELECT s.* FROM {fp_state} s ANTI JOIN {ids} r USING (id))"
+    removed = f"(SELECT s.* FROM {fp_state} s SEMI JOIN {ids} r USING (id))"
+    neg = (
+        f"(SELECT sh, -df_count AS df_count FROM"
+        f" {ledger_shingle_counts_sql(removed)})"
+    )
+    new_counts = (
+        f"(SELECT * FROM {ledger_counts_merge_sql(counts_state, neg)}"
+        f" WHERE df_count <> 0)"
+    )
+    return new_fp, new_counts

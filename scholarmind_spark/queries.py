@@ -6271,6 +6271,106 @@ FROM sz, fpm, cm
 """
 
 
+def dedup_ledger_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger retirement (operators/ledger.ledger_retire): every
+    seventh odd-half document is REMOVED outright (takedown / retention
+    expiry / erasure) — its fingerprint rows dropped and its shingle
+    contributions subtracted, no corpus recount — and the retired state
+    must equal a from-scratch build over the SURVIVING corpus
+    ROW-FOR-ROW (full-outer-join mismatch counts, not just digests).
+    One row: surviving/retired sizes and the two mismatch counts (both
+    must be 0)."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_retire,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.util import attach_caches
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    fp0 = ledger_fingerprints(d).persist()
+    c0 = ledger_shingle_counts(fp0)
+    retired = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    new_fp, new_counts = ledger_retire(fp0, c0, retired)
+
+    survivors = d.filter(F.col("doc_id") % 7 != 0)
+    fp_direct = ledger_fingerprints(survivors).persist()
+    counts_direct = ledger_shingle_counts(fp_direct)
+
+    fp_mismatch = (
+        new_fp.alias("a")
+        .join(fp_direct.alias("b"), "id", "full")
+        .where(
+            ~F.col("a.n").eqNullSafe(F.col("b.n"))
+            | ~F.col("a.hs").eqNullSafe(F.col("b.hs"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch_fp"))
+    )
+    counts_mismatch = (
+        new_counts.alias("a")
+        .join(counts_direct.alias("b"), "sh", "full")
+        .where(~F.col("a.df_count").eqNullSafe(F.col("b.df_count")))
+        .agg(F.count(F.lit(1)).alias("n_mismatch_counts"))
+    )
+    sizes = new_fp.agg(F.count(F.lit(1)).alias("n_docs_state")).crossJoin(
+        retired.agg(F.count(F.lit(1)).alias("n_retired"))
+    )
+    out = (
+        sizes.crossJoin(F.broadcast(fp_mismatch))
+        .crossJoin(F.broadcast(counts_mismatch))
+        .select(
+            F.col("n_docs_state").cast("bigint"),
+            F.col("n_retired").cast("bigint"),
+            F.col("n_mismatch_fp").cast("bigint"),
+            F.col("n_mismatch_counts").cast("bigint"),
+        )
+    )
+    return attach_caches(out, [fp0, fp_direct])
+
+
+def _dedup_ledger_retire_sql() -> str:
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints_sql,
+        ledger_retire_sql,
+        ledger_shingle_counts_sql,
+    )
+
+    half = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+    survivors = (
+        "SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 2 = 1 AND doc_id % 7 <> 0"
+    )
+    retired = (
+        "(SELECT doc_id AS id FROM documents"
+        " WHERE doc_id % 2 = 1 AND doc_id % 7 = 0)"
+    )
+    fp0 = ledger_fingerprints_sql(half)
+    c0 = ledger_shingle_counts_sql(fp0)
+    new_fp, new_counts = ledger_retire_sql(fp0, c0, retired)
+    fp_direct = ledger_fingerprints_sql(survivors)
+    counts_direct = ledger_shingle_counts_sql(fp_direct)
+    return f"""
+WITH fpm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_fp
+  FROM {new_fp} a FULL JOIN {fp_direct} b USING (id)
+  WHERE a.n IS DISTINCT FROM b.n OR a.hs IS DISTINCT FROM b.hs
+),
+cm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_counts
+  FROM {new_counts} a FULL JOIN {counts_direct} b USING (sh)
+  WHERE a.df_count IS DISTINCT FROM b.df_count
+),
+sz AS (
+  SELECT (SELECT count(*) FROM {new_fp})::BIGINT AS n_docs_state,
+         (SELECT count(*) FROM {retired})::BIGINT AS n_retired
+)
+SELECT n_docs_state, n_retired, n_mismatch_fp, n_mismatch_counts
+FROM sz, fpm, cm
+"""
+
+
 def events_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC time-bar downsampling (operators/bars.time_bars): hourly
     open/high/low/close/count/sum bars over the event value stream in
@@ -6723,6 +6823,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_ledger_compact": sketch_ledger_compact,
     "sketch_ledger_compact_kmv": sketch_ledger_compact_kmv,
     "sketch_ledger_compact_bloom": sketch_ledger_compact_bloom,
+    "dedup_ledger_retire": dedup_ledger_retire,
     "sketch_ledger_drift": sketch_ledger_drift,
     "dedup_ledger_bloom": dedup_ledger_bloom,
     "sketch_ledger_rollup": sketch_ledger_rollup,
@@ -6901,6 +7002,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_ledger_compact": _sketch_ledger_compact_sql(),
     "sketch_ledger_compact_kmv": _sketch_ledger_compact_kmv_sql(),
     "sketch_ledger_compact_bloom": _sketch_ledger_compact_bloom_sql(),
+    "dedup_ledger_retire": _dedup_ledger_retire_sql(),
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
     "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
@@ -7015,6 +7117,7 @@ _ROUND11_FRONT = [
     "sketch_ledger_compact",
     "sketch_ledger_compact_kmv",
     "sketch_ledger_compact_bloom",
+    "dedup_ledger_retire",
     # the 22 staleness-3 gates (last driver-checked r7) — MANDATORY
     # this round per the r10 verdict's rotation contract
     "media_byte_stats",
@@ -7066,9 +7169,9 @@ _ROUND11_FRONT = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_regional_revenue",
-    "q6_forecast_revenue",
-    # top_customers_per_nation and rollup_order_stats drop to the r12
-    # window to make room for the two new gates (window cap 50)
+    # q6_forecast_revenue, top_customers_per_nation and
+    # rollup_order_stats drop to the r12 window to make room for the
+    # round's new gates (window cap 50)
 ]
 
 def _rotated(d: dict) -> dict:

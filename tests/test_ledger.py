@@ -285,3 +285,63 @@ def test_revise_sql_twin(spark):
     cb = sorted(con.execute(
         f"SELECT * FROM {ledger_shingle_counts_sql(direct_fp)}").fetchall())
     assert ca == cb
+
+
+def test_retire_equals_from_scratch_and_unknown_id_noop(spark):
+    """ledger_retire: retired docs' fingerprint rows dropped and their
+    shingle contributions subtracted — state equals a from-scratch
+    build over the SURVIVING corpus row-for-row; retiring an id the
+    ledger never saw is a no-op."""
+    from scholarmind_spark.operators.ledger import ledger_retire
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    fp0 = ledger_fingerprints(df, k=3)
+    c0 = ledger_shingle_counts(fp0)
+    retired = spark.createDataFrame([(2,), (4,), (999,)], "id int")
+    new_fp, new_counts = ledger_retire(fp0, c0, retired)
+
+    survivors = [(i, t) for i, t in DOCS if i not in (2, 4)]
+    fp_direct = ledger_fingerprints(
+        spark.createDataFrame(survivors, "doc_id int, text string"), k=3
+    )
+    assert sorted(tuple(r) for r in new_fp.collect()) == sorted(
+        tuple(r) for r in fp_direct.collect()
+    )
+    assert sorted(tuple(r) for r in new_counts.collect()) == sorted(
+        tuple(r) for r in ledger_shingle_counts(fp_direct).collect()
+    )
+
+
+def test_retire_sql_twin(spark):
+    import duckdb
+
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints_sql,
+        ledger_retire,
+        ledger_retire_sql,
+        ledger_shingle_counts_sql,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    fp0 = ledger_fingerprints(df, k=3)
+    c0 = ledger_shingle_counts(fp0)
+    retired = spark.createDataFrame([(1,), (5,)], "id int")
+    new_fp, new_counts = ledger_retire(fp0, c0, retired)
+    got_fp = sorted((r.id, r.n, tuple(r.hs)) for r in new_fp.collect())
+    got_c = sorted(tuple(r) for r in new_counts.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", DOCS)
+    fp_q = ledger_fingerprints_sql("SELECT * FROM documents", k=3)
+    nf, nc = ledger_retire_sql(
+        fp_q,
+        ledger_shingle_counts_sql(fp_q),
+        "(SELECT 1 AS id UNION ALL SELECT 5)",
+    )
+    o_fp = sorted(
+        (i, n, tuple(hs))
+        for i, n, hs in con.execute(f"SELECT id, n, hs FROM {nf}").fetchall()
+    )
+    o_c = sorted(con.execute(f"SELECT sh, df_count FROM {nc}").fetchall())
+    assert got_fp == o_fp and got_c == o_c and got_fp
