@@ -70,6 +70,10 @@ BNLJ_OK = {
     # round-9 batch 3: same shape — crossJoins of one-row mismatch
     # counters and state sizes
     "dedup_ledger_revise",
+    # round-11: same device as dedup_ledger_revise — the final assembly
+    # crossJoins ONE-ROW aggregates (surviving/retired sizes, the two
+    # full-outer mismatch counters); no side grows with the data
+    "dedup_ledger_retire",
     # one-row pruning-stat attaches + the one-row bitmap-map broadcast
     "orders_bloom_prune",
     # the tiny quantile-literal frame (2-3 rows) crossing the bounded
