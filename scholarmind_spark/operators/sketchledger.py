@@ -298,11 +298,15 @@ def kmv_state_estimate(state: DataFrame, k: int = 64) -> DataFrame:
         ).isNull(),
         F.col("n_minima"),
     )
+    # the guard must live in EVERY output column an estimate consumer
+    # can project: est_distinct is built from the guarded count, so
+    # Catalyst column pruning cannot drop the assertion when a caller
+    # selects only the estimate
     return agg.select(
         *keys,
         n_guarded.alias("n_minima"),
         "kth_hash",
-        _estimate_expr(F.col("n_minima"), F.col("kth_hash"), k).alias(
+        _estimate_expr(n_guarded, F.col("kth_hash"), k).alias(
             "est_distinct"
         ),
     )
@@ -437,12 +441,15 @@ def _day_ge(day_col: str, cutoff_day: str) -> Column:
     )
 
 
-def _default_period(day_col: str) -> Column:
-    """30-day period label for unpadded epoch-day keys; the ``m``
-    prefix guarantees period labels can never collide with retained
-    day labels."""
+def _default_period(day_col: str, period_prefix: str = "m") -> Column:
+    """30-day period label for unpadded epoch-day keys; the prefix
+    guarantees period labels can never collide with retained day
+    labels, and MUST match the ``period_prefix`` the compactors use to
+    recognize already-coarse rows (it is threaded through for exactly
+    that reason — a mismatch would re-cast or mis-classify period rows
+    on the next compaction)."""
     return F.concat(
-        F.lit("m"),
+        F.lit(period_prefix),
         F.expr(f"cast(cast({day_col} as bigint) div 30 as string)"),
     )
 
@@ -476,12 +483,28 @@ def _split_by_day(
 
 
 def sketch_state_expire(
-    state: DataFrame, day_col: str, cutoff_day: str
+    state: DataFrame,
+    day_col: str,
+    cutoff_day: str,
+    period_prefix: str = "m",
+    keep_periods: bool = False,
 ) -> DataFrame:
     """Retention without compaction: drop state rows older than
     ``cutoff_day``.  A pure filter — works for every family (HDR, KMV,
-    Bloom share the day-keyed layout) and costs one scan, no shuffle."""
-    return state.where(_day_ge(day_col, cutoff_day))
+    Bloom share the day-keyed layout) and costs one scan, no shuffle.
+
+    Rows already carrying a PERIOD label (``period_prefix``) are never
+    put through the (length, value) day compare — a period label would
+    win or lose it purely on the cutoff's digit count, silently keeping
+    or dropping the whole compacted history depending on the date.
+    They are coarse-grain HISTORY: dropped by default (expiry means
+    "keep only the recent window"), kept verbatim with
+    ``keep_periods=True`` (expiry of day rows only)."""
+    is_period = F.col(day_col).startswith(period_prefix)
+    keep = _day_ge(day_col, cutoff_day) & ~is_period
+    if keep_periods:
+        keep = keep | is_period
+    return state.where(keep)
 
 
 def hdr_state_compact(
@@ -497,7 +520,9 @@ def hdr_state_compact(
     rows equal a direct coarse build over the expired days.  State size
     becomes O(retained days + periods), bounded over an unbounded fold
     history."""
-    period = _default_period(day_col) if period is None else period
+    period = (
+        _default_period(day_col, period_prefix) if period is None else period
+    )
     keys = [c for c in state.columns if c not in ("sign", "bucket", "cnt")]
     recent, old = _split_by_day(
         state, day_col, cutoff_day, period, period_prefix
@@ -516,7 +541,9 @@ def bloom_state_compact(
     into one filter per (period, *other keys) via the exact
     :func:`bloom_state_rekey` ``bit_or`` — period membership stays
     answerable, state stays ≤ m_words rows per retained key."""
-    period = _default_period(day_col) if period is None else period
+    period = (
+        _default_period(day_col, period_prefix) if period is None else period
+    )
     keys = [c for c in state.columns if c not in ("word", "bits")]
     recent, old = _split_by_day(
         state, day_col, cutoff_day, period, period_prefix
@@ -546,7 +573,9 @@ def kmv_state_compact(
     """KMV twin of :func:`hdr_state_compact`: expired days collapse to
     ≤ k minima per (period, *other keys) via :func:`kmv_state_rekey` —
     period distinct-counts stay answerable from compacted state."""
-    period = _default_period(day_col) if period is None else period
+    period = (
+        _default_period(day_col, period_prefix) if period is None else period
+    )
     keys = [c for c in state.columns if c != "h"]
     recent, old = _split_by_day(
         state, day_col, cutoff_day, period, period_prefix

@@ -7142,9 +7142,12 @@ _ROUND11_FRONT = [
     "lit_year_extract",
     "corpus_curation",
     "dedup_exact",
-    # oldest r8-checked gates, in r8 window order (first 27 of 50;
-    # the remaining 23 r8-stale gates lead the r12 window:
-    # q4_returned_orders … orc_roundtrip — see CORRECTNESS_r08.json)
+    # oldest r8-checked gates, in r8 window order (24 of the 50 fit
+    # after the four new gates; the remaining 26 r8-stale gates lead
+    # the r12 window: the 23 never listed here — q4_returned_orders …
+    # orc_roundtrip, see CORRECTNESS_r08.json — PLUS the three dropped
+    # below: q6_forecast_revenue, top_customers_per_nation,
+    # rollup_order_stats)
     "lit_fuzzy_dedup",
     "text_gopher_keep",
     "text_url_canonical",
@@ -7171,7 +7174,7 @@ _ROUND11_FRONT = [
     "q5_regional_revenue",
     # q6_forecast_revenue, top_customers_per_nation and
     # rollup_order_stats drop to the r12 window to make room for the
-    # round's new gates (window cap 50)
+    # round's new gates (window cap 50) — counted in the 26 above
 ]
 
 def _rotated(d: dict) -> dict:

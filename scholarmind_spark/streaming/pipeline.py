@@ -437,6 +437,12 @@ def _fold_lineage(checkpoint: str) -> str:
     with open(tmp, "w") as f:
         f.write(tag)
     os.rename(tmp, lf)
+    for stray in os.listdir(checkpoint):
+        if stray.startswith("_sketchfold_lineage.tmp-"):
+            try:
+                os.remove(os.path.join(checkpoint, stray))
+            except OSError:
+                pass
     return tag
 
 
@@ -666,6 +672,15 @@ def _sketch_fold_fn(
         spark = batch_df.sparkSession
         if not os.path.isdir(state_path) and os.path.isdir(old_path):
             os.rename(old_path, state_path)  # recover interrupted swap
+        if os.path.exists(_manifest_path(state_path)):
+            # the directory-swap below would rmtree the MANIFEST and
+            # every version directory — all accumulated state destroyed
+            # and replaced by one microbatch
+            raise ValueError(
+                f"state at {state_path} is manifest-committed; folding "
+                "it with commit='rename' would destroy it — resume with "
+                "commit='manifest', or start a fresh state_path"
+            )
         mk = _read_marker()
         if mk is not None:
             mk_lineage, folded_upto = mk
@@ -687,6 +702,14 @@ def _sketch_fold_fn(
             merged = merge(snap, delta)
         else:
             merged = delta
+        cached = None
+        if retain_days is not None:
+            # _maybe_compact runs a driver-side max-day action over the
+            # merged state; without a cache the write below would
+            # re-execute the whole merge (snapshot read + delta build +
+            # union/groupBy) a second time
+            cached = merged.persist()
+            merged = cached
         merged = _maybe_compact(
             merged, family, compact_day or keys[0], retain_days, k
         )
@@ -699,6 +722,9 @@ def _sketch_fold_fn(
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
+        finally:
+            if cached is not None:
+                cached.unpersist()
         if os.path.isdir(old_path):
             shutil.rmtree(old_path)
         if os.path.isdir(state_path):
@@ -806,6 +832,19 @@ def _sketch_fold_fn_manifest(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         os.makedirs(state_path, exist_ok=True)
+        if _manifest_read(state_path) is None and any(
+            f.endswith(".parquet") or f.startswith("_folded_")
+            for f in os.listdir(state_path)
+        ):
+            # loose parquet files / high-water markers are the rename
+            # protocol's layout: a manifest fold would ignore both the
+            # state and its exactly-once marker and publish v-0 holding
+            # only the new batch
+            raise ValueError(
+                f"state at {state_path} is rename-committed; folding it "
+                "with commit='manifest' would orphan it — resume with "
+                "commit='rename', or start a fresh state_path"
+            )
         m = _manifest_read(state_path)
         if m is not None:
             version, mk_lineage, folded_upto = m
@@ -829,16 +868,31 @@ def _sketch_fold_fn_manifest(
             merged = merge(snap, delta)
         else:
             merged = delta
+        cached = None
+        if retain_days is not None:
+            cached = merged.persist()  # same double-execution guard
+            merged = cached
         merged = _maybe_compact(
             merged, family, compact_day or keys[0], retain_days, k
         )
         new_dir = os.path.join(state_path, f"v-{version + 1}")
         # overwrite mode: a crashed predecessor's orphan for the SAME
         # version is replaced, never merged with
-        merged.write.mode("overwrite").parquet(new_dir)
+        try:
+            merged.write.mode("overwrite").parquet(new_dir)
+        finally:
+            if cached is not None:
+                cached.unpersist()
         _manifest_publish(state_path, version + 1, lineage, batch_id)
         for f in os.listdir(state_path):
             if f.startswith("v-") and int(f[2:]) < version:
                 _shutil.rmtree(os.path.join(state_path, f), ignore_errors=True)
+            elif f.startswith("MANIFEST.tmp-"):
+                # a crash between staged write and os.replace orphans a
+                # tmp manifest; collect it on the next successful publish
+                try:
+                    os.remove(os.path.join(state_path, f))
+                except OSError:
+                    pass
 
     return _fold

@@ -356,3 +356,62 @@ def test_sketch_state_compact_is_rerunnable(spark):
     assert _sorted(c2.collect()) == _sorted(direct.collect())
     days = {r.day for r in c2.select("day").distinct().collect()}
     assert days == {"19729", "19730", "19731", "m657"}
+
+
+def test_kmv_estimate_guard_survives_column_pruning(spark):
+    """The geometry guard must trip even when the caller projects ONLY
+    est_distinct — the estimate is built from the guarded count, so
+    Catalyst column pruning cannot drop the assertion (review r11)."""
+    df, _, _ = _frames(spark)
+    state = kmv_state_build(df, KEYS, "u", 8)
+    with pytest.raises(Exception, match="kmv_state_estimate"):
+        kmv_state_estimate(state, 4).select("est_distinct").collect()
+
+
+def test_sketch_state_expire_handles_period_rows(spark):
+    """Period rows never enter the (length, value) day compare: by
+    default expire drops them (coarse history is not 'recent'); with
+    keep_periods=True they pass through verbatim — in both cases the
+    outcome is independent of the cutoff's digit count (review r11:
+    'm33' vs cutoff '999'/'1000' used to flip silently)."""
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_compact,
+        sketch_state_expire,
+    )
+
+    rows = [(d, "api", 1.0) for d in ("998", "999", "1000")]
+    df = spark.createDataFrame(rows, "day string, seg string, v double")
+    compacted = hdr_state_compact(
+        hdr_state_build(df, KEYS, "v"), "day", "999"
+    )  # 998 → m33; 999/1000 retained
+    for cutoff in ("999", "1000"):  # both digit counts
+        days = {
+            r.day
+            for r in sketch_state_expire(compacted, "day", cutoff)
+            .select("day").distinct().collect()
+        }
+        assert "m33" not in days, cutoff
+        days_kept = {
+            r.day
+            for r in sketch_state_expire(
+                compacted, "day", cutoff, keep_periods=True
+            ).select("day").distinct().collect()
+        }
+        assert "m33" in days_kept, cutoff
+
+
+def test_compact_custom_period_prefix_roundtrips(spark):
+    """period_prefix threads into the default period label (review
+    r11: it was hardcoded 'm', so a custom prefix produced labels the
+    next compaction mis-classified)."""
+    from scholarmind_spark.operators.sketchledger import hdr_state_compact
+
+    rows = [(d, "api", 1.0) for d in ("998", "999", "1000")]
+    df = spark.createDataFrame(rows, "day string, seg string, v double")
+    state = hdr_state_build(df, KEYS, "v")
+    c1 = hdr_state_compact(state, "day", "999", period_prefix="q")
+    days = {r.day for r in c1.select("day").distinct().collect()}
+    assert days == {"999", "1000", "q33"}
+    # re-runnable under the same custom prefix
+    again = hdr_state_compact(c1, "day", "999", period_prefix="q")
+    assert _sorted(again.collect()) == _sorted(c1.collect())

@@ -536,3 +536,52 @@ def test_stream_fold_with_retention(spark, tmp_path):
             for r in spark.read.parquet(path).select("day").distinct().collect()
         }
         assert days == {"19001", "m633"}, commit  # 19000 coarsened
+
+
+def test_fold_refuses_cross_protocol_state(spark, tmp_path):
+    """A rename-commit fold over a manifest-committed state would
+    rmtree the MANIFEST and every version dir (all state destroyed);
+    a manifest fold over a rename-committed state would ignore the
+    loose parquet AND its exactly-once marker and publish v-0 holding
+    one batch.  Both directions must refuse (review r11)."""
+    import pytest as _pytest
+
+    from scholarmind_spark.streaming import stream_fold_sketch_state
+
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)
+
+    def drain(src, state, ck, commit):
+        stream = (
+            spark.readStream.schema(FOLD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_fold_sketch_state(
+            stream, state, ["day", "seg"], "value",
+            checkpoint=ck, commit=commit,
+        )
+        q.awaitTermination()
+
+    # manifest state, rename fold → refuse (state untouched)
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    src_m = str(tmp_path / "src_m")
+    state_m = str(tmp_path / "state_m")
+    b1.coalesce(1).write.mode("append").parquet(src_m)
+    drain(src_m, state_m, str(tmp_path / "ck_m1"), "manifest")
+    before = sorted(os.listdir(state_m))
+    b1.coalesce(1).write.mode("append").parquet(src_m)
+    with _pytest.raises(StreamingQueryException, match="manifest-committed"):
+        drain(src_m, state_m, str(tmp_path / "ck_m2"), "rename")
+    assert sorted(os.listdir(state_m)) == before  # nothing destroyed
+
+    # rename state, manifest fold → refuse
+    src_r = str(tmp_path / "src_r")
+    state_r = str(tmp_path / "state_r")
+    b1.coalesce(1).write.mode("append").parquet(src_r)
+    drain(src_r, state_r, str(tmp_path / "ck_r1"), "rename")
+    b1.coalesce(1).write.mode("append").parquet(src_r)
+    with _pytest.raises(StreamingQueryException, match="rename-committed"):
+        drain(src_r, state_r, str(tmp_path / "ck_r2"), "manifest")
