@@ -896,3 +896,132 @@ def _sketch_fold_fn_manifest(
                     pass
 
     return _fold
+
+
+def stream_ledger_ingest(
+    stream_docs: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of the DEDUP ledger: every microbatch of
+    documents is applied to the (fingerprints, shingle-counts) state
+    pair via ``operators.ledger.ledger_revise`` — re-ingested doc ids
+    REPLACE their rows (old contributions subtracted), new ids insert —
+    so the standing state always equals a from-scratch build over the
+    latest version of every document seen, with no corpus recount.
+
+    The state pair MUST commit atomically: a crash between writing new
+    fingerprints and new counts would leave the two halves describing
+    different corpora, and every downstream match would be silently
+    wrong.  Directory renames cannot swap two directories atomically,
+    so this fold uses the MANIFEST protocol exclusively: each version
+    directory ``v-<n>`` holds BOTH tables (``fp/`` and ``counts/``),
+    and one atomic manifest replacement publishes them together — the
+    multi-table transactional commit is exactly what the manifest shape
+    buys over renames.  Exactly-once follows the sketch-fold
+    discipline: lineage + high-water mark live inside the manifest
+    (:func:`_fold_lineage`; a re-delivered batch id is skipped, a
+    foreign checkpoint lineage refuses).  Read the current tables with
+    :func:`ledger_state_dirs`."""
+    ck = checkpoint or tempfile.mkdtemp(prefix="slck_")
+    lineage = _fold_lineage(ck)
+    return (
+        stream_docs.writeStream.foreachBatch(
+            _ledger_ingest_fn(state_path, lineage, id_col, text_col, shingle_k)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ledger_state_dirs(state_path: str) -> tuple[str, str] | None:
+    """(fp_dir, counts_dir) of the CURRENT published ledger version, or
+    None if nothing has been published yet."""
+    import os
+
+    base = manifest_state_dir(state_path)
+    if base is None:
+        return None
+    return os.path.join(base, "fp"), os.path.join(base, "counts")
+
+
+def _ledger_ingest_fn(
+    state_path: str,
+    lineage: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int | None = None,
+):
+    """The foreachBatch body of :func:`stream_ledger_ingest`, exposed
+    for deterministic re-delivery / lineage-refusal tests."""
+    import os
+    import shutil as _shutil
+
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_revise,
+        ledger_shingle_counts,
+    )
+
+    def _fp(df):
+        if shingle_k is None:
+            return ledger_fingerprints(df, id_col, text_col)
+        return ledger_fingerprints(df, id_col, text_col, shingle_k)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(state_path, exist_ok=True)
+        m = _manifest_read(state_path)
+        if m is not None:
+            version, mk_lineage, folded_upto = m
+            if mk_lineage != lineage:
+                raise ValueError(
+                    f"ledger state at {state_path} was ingested under a "
+                    "different checkpoint lineage; batch ids from this "
+                    "checkpoint cannot be deduplicated against it — "
+                    "resume with the original checkpoint, or ingest "
+                    "into a fresh state_path"
+                )
+            if batch_id <= folded_upto:
+                return  # re-delivered batch: already applied
+        else:
+            version = -1
+        rev_fp = _fp(batch_df).persist()  # feeds revise twice (fp+counts)
+        try:
+            if version >= 0:
+                base = os.path.join(state_path, f"v-{version}")
+                fp_state = spark.read.parquet(os.path.join(base, "fp"))
+                counts_state = spark.read.parquet(
+                    os.path.join(base, "counts")
+                )
+                new_fp, new_counts = ledger_revise(
+                    fp_state, counts_state, rev_fp
+                )
+            else:
+                new_fp, new_counts = rev_fp, ledger_shingle_counts(rev_fp)
+            new_dir = os.path.join(state_path, f"v-{version + 1}")
+            # both tables land INSIDE one version dir; the manifest
+            # publish below makes them visible together or not at all
+            new_fp.write.mode("overwrite").parquet(
+                os.path.join(new_dir, "fp")
+            )
+            new_counts.write.mode("overwrite").parquet(
+                os.path.join(new_dir, "counts")
+            )
+        finally:
+            rev_fp.unpersist()
+        _manifest_publish(state_path, version + 1, lineage, batch_id)
+        for f in os.listdir(state_path):
+            if f.startswith("v-") and int(f[2:]) < version:
+                _shutil.rmtree(os.path.join(state_path, f), ignore_errors=True)
+            elif f.startswith("MANIFEST.tmp-"):
+                try:
+                    os.remove(os.path.join(state_path, f))
+                except OSError:
+                    pass
+
+    return _fold

@@ -585,3 +585,140 @@ def test_fold_refuses_cross_protocol_state(spark, tmp_path):
     b1.coalesce(1).write.mode("append").parquet(src_r)
     with _pytest.raises(StreamingQueryException, match="rename-committed"):
         drain(src_r, state_r, str(tmp_path / "ck_r2"), "manifest")
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_stream_ledger_ingest_atomic_pair(spark, tmp_path):
+    """Streaming dedup-ledger maintenance: microbatches of documents
+    revise the (fingerprints, counts) state PAIR, committed atomically
+    through one manifest (both tables in one version dir — a crash can
+    never publish one half).  Checks: state == from-scratch build over
+    the latest doc versions, re-delivery no-op, foreign-lineage
+    refusal, crash-before-publish recovery."""
+    import os
+
+    import pytest as _pytest
+
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.streaming import (
+        ledger_state_dirs,
+        stream_ledger_ingest,
+    )
+    from scholarmind_spark.streaming.pipeline import (
+        _fold_lineage,
+        _ledger_ingest_fn,
+        _manifest_read,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i} zeta") for i in range(1, 7)],
+        DOC_SCHEMA,
+    )
+    # revise 2 and 4, insert 7 and 8
+    b2 = spark.createDataFrame(
+        [(2, "completely different revised text about rivers and boats"),
+         (4, "another fully rewritten document concerning mountains"),
+         (7, "a brand new late arriving document seven"),
+         (8, "a brand new late arriving document eight")],
+        DOC_SCHEMA,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_ledger_ingest(
+            stream, state, shingle_k=3, checkpoint=ck
+        )
+        q.awaitTermination()
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    fp_dir, counts_dir = ledger_state_dirs(state)
+
+    def fp_rows():
+        return sorted(
+            (r.id, r.n, tuple(r.hs))
+            for r in spark.read.parquet(fp_dir).collect()
+        )
+
+    def count_rows():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(counts_dir).collect()
+        )
+
+    latest = {r.doc_id: r.text for r in b1.collect()}
+    latest.update({r.doc_id: r.text for r in b2.collect()})
+    direct_docs = spark.createDataFrame(sorted(latest.items()), DOC_SCHEMA)
+    fp_direct = ledger_fingerprints(direct_docs, k=3)
+    want_fp = sorted(
+        (r.id, r.n, tuple(r.hs)) for r in fp_direct.collect()
+    )
+    want_counts = sorted(
+        tuple(r) for r in ledger_shingle_counts(fp_direct).collect()
+    )
+    assert fp_rows() == want_fp
+    assert count_rows() == want_counts
+    lineage = _fold_lineage(ck)
+    assert _manifest_read(state) == (1, lineage, 1)
+
+    # re-delivery: already-applied batch ids are skipped, no publish
+    fold = _ledger_ingest_fn(state, lineage, shingle_k=3)
+    fold(b2, 1)
+    fold(b1, 0)
+    assert _manifest_read(state) == (1, lineage, 1)
+    assert fp_rows() == want_fp
+
+    # foreign lineage refuses
+    other = _ledger_ingest_fn(state, "deadbeef", shingle_k=3)
+    with _pytest.raises(ValueError, match="different checkpoint lineage"):
+        other(b1, 0)
+
+    # crash-before-publish: an orphan half-written v-2 (fp only, no
+    # counts — the exact torn state the atomic pair commit prevents)
+    # is invisible to readers and overwritten by the retried batch
+    b3 = spark.createDataFrame(
+        [(9, "a ninth document arriving after the crash")], DOC_SCHEMA
+    )
+    orphan = os.path.join(state, "v-2", "fp")
+    ledger_fingerprints(b3, k=3).write.mode("overwrite").parquet(orphan)
+    assert ledger_state_dirs(state)[0] == os.path.join(state, "v-1", "fp")
+    fold(b3, 2)
+    assert _manifest_read(state) == (2, lineage, 2)
+    latest[9] = "a ninth document arriving after the crash"
+    direct3 = ledger_fingerprints(
+        spark.createDataFrame(sorted(latest.items()), DOC_SCHEMA), k=3
+    )
+    fp_dir2, counts_dir2 = ledger_state_dirs(state)
+    got_fp3 = sorted(
+        (r.id, r.n, tuple(r.hs))
+        for r in spark.read.parquet(fp_dir2).collect()
+    )
+    want_fp3 = sorted((r.id, r.n, tuple(r.hs)) for r in direct3.collect())
+    assert got_fp3 == want_fp3
+    got_c3 = sorted(
+        tuple(r) for r in spark.read.parquet(counts_dir2).collect()
+    )
+    want_c3 = sorted(
+        tuple(r) for r in ledger_shingle_counts(direct3).collect()
+    )
+    assert got_c3 == want_c3
