@@ -114,15 +114,51 @@ def main() -> None:
         )
 
     if "probe" in modes:
+        from scholarmind_spark.operators.sketchledger import (
+            bloom_state_build,
+            bloom_state_merge,
+            kmv_state_build,
+            kmv_state_merge,
+        )
+
         delta_day = max_day + 40 * max(KS)  # past every replica's days
-        delta = hdr_state_build(
-            one_day.select(
-                F.lit(str(delta_day)).alias("day"), "seg", "v"
-            ),
-            ["day", "seg"],
+        delta_src = one_day.select(
+            F.lit(str(delta_day)).alias("day"),
+            "seg",
             "v",
-        ).persist()
+            F.col("v").cast("string").alias("u"),
+        )
+        delta = hdr_state_build(delta_src, ["day", "seg"], "v").persist()
         delta.count()
+        delta_kmv = kmv_state_build(delta_src, ["day", "seg"], "u", 64).persist()
+        delta_kmv.count()
+        delta_bloom = bloom_state_build(
+            delta_src, ["day", "seg"], "u", 64, 4
+        ).persist()
+        delta_bloom.count()
+
+        # same day-offset replication for the set-semantics families:
+        # base states built once, day keys shifted per replica
+        base_src = keyed.select(
+            F.col("dayn").cast("string").alias("day"),
+            "seg",
+            F.col("v").cast("string").alias("u"),
+        )
+        base_kmv = kmv_state_build(base_src, ["day", "seg"], "u", 64).persist()
+        base_kmv.count()
+        base_bloom = bloom_state_build(
+            base_src, ["day", "seg"], "u", 64, 4
+        ).persist()
+        base_bloom.count()
+
+        def replicate(base, k, cols):
+            reps = spark.range(k).select(F.col("id").alias("i"))
+            return base.crossJoin(reps).select(
+                (F.col("day").cast("bigint") + F.col("i") * 40)
+                .cast("string")
+                .alias("day"),
+                *cols,
+            )
 
         def _noop(df):
             df.write.mode("overwrite").format("noop").save()
@@ -130,13 +166,27 @@ def main() -> None:
         medians: dict[str, dict[int, float]] = {
             "hdr_state_merge": {},
             "hdr_state_drift": {},
+            "kmv_state_merge": {},
+            "bloom_state_merge": {},
         }
         for k in KS:
             st = state_at(k).persist()
             n_cells = st.count()
+            st_kmv = replicate(base_kmv, k, ["seg", "h"]).persist()
+            st_kmv.count()
+            st_bloom = replicate(base_bloom, k, ["seg", "word", "bits"]).persist()
+            st_bloom.count()
             for name, fn in (
                 ("hdr_state_merge", lambda: _noop(hdr_state_merge(st, delta))),
                 ("hdr_state_drift", lambda: hdr_state_drift(st).count()),
+                (
+                    "kmv_state_merge",
+                    lambda: _noop(kmv_state_merge(st_kmv, delta_kmv, 64)),
+                ),
+                (
+                    "bloom_state_merge",
+                    lambda: _noop(bloom_state_merge(st_bloom, delta_bloom)),
+                ),
             ):
                 per = []
                 for _ in range(REPS):
@@ -146,12 +196,14 @@ def main() -> None:
                 per.sort()
                 medians[name][k] = per[len(per) // 2]
                 print(
-                    f"# k={k} ({k * BASE_DAYS} days, {n_cells} cells) "
+                    f"# k={k} ({k * BASE_DAYS} days, {n_cells} hdr cells) "
                     f"{name}: median {medians[name][k]:.2f}s of "
                     f"{[round(p, 2) for p in per]}",
                     file=sys.stderr,
                 )
             st.unpersist()
+            st_kmv.unpersist()
+            st_bloom.unpersist()
         print("| operator | 1x med | 10x med | 20x med | fixed a | slope b ± se |")
         print("|---|---|---|---|---|---|")
         for name, by_k in medians.items():
