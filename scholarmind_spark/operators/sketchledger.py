@@ -298,17 +298,27 @@ def kmv_state_estimate(state: DataFrame, k: int = 64) -> DataFrame:
         ).isNull(),
         F.col("n_minima"),
     )
+    kth_guarded = F.when(
+        F.assert_true(
+            F.col("n_minima") <= F.lit(k),
+            F.lit(
+                "kmv_state_estimate: a key holds more than k minima — "
+                "the state was built/merged under a larger k than the "
+                "one passed here; the kth_hash is not the k-th minimum "
+                "and the estimate would be silently wrong"
+            ),
+        ).isNull(),
+        F.col("kth_hash"),
+    )
     # the guard must live in EVERY output column an estimate consumer
-    # can project: est_distinct is built from the guarded count, so
-    # Catalyst column pruning cannot drop the assertion when a caller
-    # selects only the estimate
+    # can project — n_minima, kth_hash AND est_distinct each embed it —
+    # so Catalyst column pruning cannot drop the assertion whichever
+    # subset a caller selects
     return agg.select(
         *keys,
         n_guarded.alias("n_minima"),
-        "kth_hash",
-        _estimate_expr(n_guarded, F.col("kth_hash"), k).alias(
-            "est_distinct"
-        ),
+        kth_guarded.alias("kth_hash"),
+        _estimate_expr(n_guarded, kth_guarded, k).alias("est_distinct"),
     )
 
 
@@ -499,11 +509,16 @@ def sketch_state_expire(
     or dropping the whole compacted history depending on the date.
     They are coarse-grain HISTORY: dropped by default (expiry means
     "keep only the recent window"), kept verbatim with
-    ``keep_periods=True`` (expiry of day rows only)."""
+    ``keep_periods=True`` (expiry of day rows only).  NULL-day groups
+    (real groups under the keyed-sketch convention, which compaction
+    deliberately preserves) are likewise non-day rows and follow the
+    period rows' fate — a bare predicate would be NULL for them and
+    silently drop them from BOTH modes."""
     is_period = F.col(day_col).startswith(period_prefix)
-    keep = _day_ge(day_col, cutoff_day) & ~is_period
+    non_day = F.col(day_col).isNull() | is_period.eqNullSafe(F.lit(True))
+    keep = _day_ge(day_col, cutoff_day) & ~non_day
     if keep_periods:
-        keep = keep | is_period
+        keep = keep | non_day
     return state.where(keep)
 
 

@@ -703,25 +703,26 @@ def _sketch_fold_fn(
         else:
             merged = delta
         cached = None
-        if retain_days is not None:
-            # _maybe_compact runs a driver-side max-day action over the
-            # merged state; without a cache the write below would
-            # re-execute the whole merge (snapshot read + delta build +
-            # union/groupBy) a second time
-            cached = merged.persist()
-            merged = cached
-        merged = _maybe_compact(
-            merged, family, compact_day or keys[0], retain_days, k
-        )
         staging = f"{state_path}.staging-{batch_id}"
         try:
-            merged.write.mode("overwrite").parquet(staging)
-            open(
-                os.path.join(staging, f"_folded_{lineage}_{batch_id}"), "w"
-            ).close()
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
+            if retain_days is not None:
+                # _maybe_compact runs a driver-side max-day action over
+                # the merged state; without a cache the write below
+                # would re-execute the whole merge (snapshot read +
+                # delta build + union/groupBy) a second time
+                cached = merged.persist()
+                merged = cached
+            merged = _maybe_compact(
+                merged, family, compact_day or keys[0], retain_days, k
+            )
+            try:
+                merged.write.mode("overwrite").parquet(staging)
+                open(
+                    os.path.join(staging, f"_folded_{lineage}_{batch_id}"), "w"
+                ).close()
+            except BaseException:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
         finally:
             if cached is not None:
                 cached.unpersist()
@@ -799,6 +800,69 @@ def manifest_state_dir(state_path: str) -> str | None:
     return os.path.join(state_path, f"v-{m[0]}")
 
 
+_SKIP = object()  # _manifest_fold_gate sentinel: re-delivered batch
+
+
+def _manifest_fold_gate(state_path: str, lineage: str, batch_id: int, what: str):
+    """The shared pre-fold manifest discipline — ONE implementation so
+    the sketch and ledger folds can never diverge (an r11 review found
+    the hand-rolled copies already had: the ledger fold missed the
+    rename-layout refusal).  Returns the current version (-1 if never
+    published) or the ``_SKIP`` sentinel for a re-delivered batch id.
+
+    Refuses: (a) a rename-committed layout — loose parquet files or
+    ``_folded_`` markers in state_path, or the state parked at
+    ``state_path + '.old'`` by an interrupted rename swap (the rename
+    fold self-heals that window; a manifest fold would orphan it); and
+    (b) a foreign checkpoint lineage."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+    m = _manifest_read(state_path)
+    if m is None:
+        if os.path.isdir(f"{state_path}.old") or any(
+            f.endswith(".parquet") or f.startswith("_folded_")
+            for f in os.listdir(state_path)
+        ):
+            raise ValueError(
+                f"state at {state_path} is rename-committed; folding it "
+                "with commit='manifest' would orphan it — resume with "
+                "commit='rename', or start a fresh state_path"
+            )
+        return -1
+    version, mk_lineage, folded_upto = m
+    if mk_lineage != lineage:
+        raise ValueError(
+            f"{what} state at {state_path} was folded under a "
+            "different checkpoint lineage; batch ids from this "
+            "checkpoint cannot be deduplicated against it — "
+            "resume with the original checkpoint, or fold into "
+            "a fresh state_path"
+        )
+    if batch_id <= folded_upto:
+        return _SKIP  # re-delivered batch: already folded exactly once
+    return version
+
+
+def _manifest_gc(state_path: str, keep_from_version: int) -> None:
+    """Post-publish housekeeping shared by the manifest folds: drop
+    version dirs older than ``keep_from_version`` (the just-superseded
+    version is kept one cycle — a reader resolving the old manifest
+    mid-publish may still be scanning it) and any MANIFEST.tmp-* files
+    a crashed publish orphaned."""
+    import os
+    import shutil as _shutil
+
+    for f in os.listdir(state_path):
+        if f.startswith("v-") and int(f[2:]) < keep_from_version:
+            _shutil.rmtree(os.path.join(state_path, f), ignore_errors=True)
+        elif f.startswith("MANIFEST.tmp-"):
+            try:
+                os.remove(os.path.join(state_path, f))
+            except OSError:
+                pass
+
+
 def _sketch_fold_fn_manifest(
     state_path: str,
     keys: list[str],
@@ -825,41 +889,14 @@ def _sketch_fold_fn_manifest(
        kept one cycle: a reader resolving the old manifest mid-publish
        may still be scanning it)."""
     import os
-    import shutil as _shutil
 
     build, merge = _family_ops(family, keys, value, p, k, m_words, bloom_k)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        os.makedirs(state_path, exist_ok=True)
-        if _manifest_read(state_path) is None and any(
-            f.endswith(".parquet") or f.startswith("_folded_")
-            for f in os.listdir(state_path)
-        ):
-            # loose parquet files / high-water markers are the rename
-            # protocol's layout: a manifest fold would ignore both the
-            # state and its exactly-once marker and publish v-0 holding
-            # only the new batch
-            raise ValueError(
-                f"state at {state_path} is rename-committed; folding it "
-                "with commit='manifest' would orphan it — resume with "
-                "commit='rename', or start a fresh state_path"
-            )
-        m = _manifest_read(state_path)
-        if m is not None:
-            version, mk_lineage, folded_upto = m
-            if mk_lineage != lineage:
-                raise ValueError(
-                    f"sketch state at {state_path} was folded under a "
-                    "different checkpoint lineage; batch ids from this "
-                    "checkpoint cannot be deduplicated against it — "
-                    "resume with the original checkpoint, or fold into "
-                    "a fresh state_path"
-                )
-            if batch_id <= folded_upto:
-                return  # re-delivered batch: already folded exactly once
-        else:
-            version = -1
+        version = _manifest_fold_gate(state_path, lineage, batch_id, "sketch")
+        if version is _SKIP:
+            return
         delta = build(batch_df)
         if version >= 0:
             snap = spark.read.schema(delta.schema).parquet(
@@ -869,31 +906,24 @@ def _sketch_fold_fn_manifest(
         else:
             merged = delta
         cached = None
-        if retain_days is not None:
-            cached = merged.persist()  # same double-execution guard
-            merged = cached
-        merged = _maybe_compact(
-            merged, family, compact_day or keys[0], retain_days, k
-        )
-        new_dir = os.path.join(state_path, f"v-{version + 1}")
-        # overwrite mode: a crashed predecessor's orphan for the SAME
-        # version is replaced, never merged with
         try:
+            if retain_days is not None:
+                # double-execution guard: _maybe_compact runs a driver
+                # max-day action; the write would re-run the merge
+                cached = merged.persist()
+                merged = cached
+            merged = _maybe_compact(
+                merged, family, compact_day or keys[0], retain_days, k
+            )
+            new_dir = os.path.join(state_path, f"v-{version + 1}")
+            # overwrite mode: a crashed predecessor's orphan for the
+            # SAME version is replaced, never merged with
             merged.write.mode("overwrite").parquet(new_dir)
         finally:
             if cached is not None:
                 cached.unpersist()
         _manifest_publish(state_path, version + 1, lineage, batch_id)
-        for f in os.listdir(state_path):
-            if f.startswith("v-") and int(f[2:]) < version:
-                _shutil.rmtree(os.path.join(state_path, f), ignore_errors=True)
-            elif f.startswith("MANIFEST.tmp-"):
-                # a crash between staged write and os.replace orphans a
-                # tmp manifest; collect it on the next successful publish
-                try:
-                    os.remove(os.path.join(state_path, f))
-                except OSError:
-                    pass
+        _manifest_gc(state_path, version)
 
     return _fold
 
@@ -959,7 +989,8 @@ def _ledger_ingest_fn(
     """The foreachBatch body of :func:`stream_ledger_ingest`, exposed
     for deterministic re-delivery / lineage-refusal tests."""
     import os
-    import shutil as _shutil
+
+    from pyspark.sql import functions as F
 
     from scholarmind_spark.operators.ledger import (
         ledger_fingerprints,
@@ -974,23 +1005,22 @@ def _ledger_ingest_fn(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        os.makedirs(state_path, exist_ok=True)
-        m = _manifest_read(state_path)
-        if m is not None:
-            version, mk_lineage, folded_upto = m
-            if mk_lineage != lineage:
-                raise ValueError(
-                    f"ledger state at {state_path} was ingested under a "
-                    "different checkpoint lineage; batch ids from this "
-                    "checkpoint cannot be deduplicated against it — "
-                    "resume with the original checkpoint, or ingest "
-                    "into a fresh state_path"
-                )
-            if batch_id <= folded_upto:
-                return  # re-delivered batch: already applied
-        else:
-            version = -1
-        rev_fp = _fp(batch_df).persist()  # feeds revise twice (fp+counts)
+        version = _manifest_fold_gate(state_path, lineage, batch_id, "ledger")
+        if version is _SKIP:
+            return
+        # a raw microbatch can carry the SAME doc id twice (re-crawl
+        # inside one trigger window); ledger_revise's contract is one
+        # row per id, and duplicate ids would corrupt both state tables
+        # (double-added counts / concatenated hash arrays).  Rows within
+        # one microbatch have NO order, so "latest" is undefined — pick
+        # ONE version deterministically (max text); callers needing true
+        # latest-wins must deliver at most one version per batch (the
+        # checkpointed file source does) or carry the version in a later
+        # batch, which revise then applies.
+        uniq = batch_df.groupBy(F.col(id_col)).agg(
+            F.max(text_col).alias(text_col)
+        )
+        rev_fp = _fp(uniq).persist()  # feeds revise twice (fp+counts)
         try:
             if version >= 0:
                 base = os.path.join(state_path, f"v-{version}")
@@ -1015,13 +1045,6 @@ def _ledger_ingest_fn(
         finally:
             rev_fp.unpersist()
         _manifest_publish(state_path, version + 1, lineage, batch_id)
-        for f in os.listdir(state_path):
-            if f.startswith("v-") and int(f[2:]) < version:
-                _shutil.rmtree(os.path.join(state_path, f), ignore_errors=True)
-            elif f.startswith("MANIFEST.tmp-"):
-                try:
-                    os.remove(os.path.join(state_path, f))
-                except OSError:
-                    pass
+        _manifest_gc(state_path, version)
 
     return _fold

@@ -415,3 +415,38 @@ def test_compact_custom_period_prefix_roundtrips(spark):
     # re-runnable under the same custom prefix
     again = hdr_state_compact(c1, "day", "999", period_prefix="q")
     assert _sorted(again.collect()) == _sorted(c1.collect())
+
+
+def test_kmv_estimate_guard_covers_every_output_column(spark):
+    """All three estimator outputs embed the geometry guard — projecting
+    ANY subset (e.g. only kth_hash as a threshold) must still trip the
+    assertion under a mismatched k (review r11, second pass)."""
+    df, _, _ = _frames(spark)
+    state = kmv_state_build(df, KEYS, "u", 8)
+    for col in ("n_minima", "kth_hash", "est_distinct"):
+        with pytest.raises(Exception, match="kmv_state_estimate"):
+            kmv_state_estimate(state, 4).select(col).collect()
+
+
+def test_sketch_state_expire_null_day_follows_periods(spark):
+    """NULL-day groups are non-day rows: dropped by default expiry,
+    kept verbatim with keep_periods=True — never silently lost to a
+    NULL predicate (review r11, second pass)."""
+    from scholarmind_spark.operators.sketchledger import sketch_state_expire
+
+    rows = [(d, "api", 1.0) for d in ("999", "1000", None)]
+    state = hdr_state_build(
+        spark.createDataFrame(rows, "day string, seg string, v double"),
+        KEYS,
+        "v",
+    )
+    assert {
+        r.day
+        for r in sketch_state_expire(state, "day", "1000")
+        .select("day").distinct().collect()
+    } == {"1000"}
+    assert {
+        r.day
+        for r in sketch_state_expire(state, "day", "1000", keep_periods=True)
+        .select("day").distinct().collect()
+    } == {"1000", None}

@@ -722,3 +722,98 @@ def test_stream_ledger_ingest_atomic_pair(spark, tmp_path):
         tuple(r) for r in ledger_shingle_counts(direct3).collect()
     )
     assert got_c3 == want_c3
+
+
+def test_stream_ledger_ingest_dedupes_batch_ids(spark, tmp_path):
+    """A raw microbatch can deliver the same doc id twice; the ingest
+    picks ONE version deterministically (max text) before revising, so
+    the state pair stays structurally valid instead of accumulating
+    duplicate fingerprint rows / double-added counts (review r11,
+    second pass)."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.streaming import (
+        ledger_state_dirs,
+        stream_ledger_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma version one"),
+         (1, "zeta eta theta version two"),
+         (2, "a second document entirely")],
+        DOC_SCHEMA,
+    )
+    dup.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ledger_ingest(stream, state, shingle_k=3, checkpoint=ck)
+    q.awaitTermination()
+
+    fp_dir, counts_dir = ledger_state_dirs(state)
+    got_fp = spark.read.parquet(fp_dir)
+    assert got_fp.count() == 2  # one row per id, not three
+    # max-text wins: id 1 keeps "zeta..." (> "alpha..." lexically)
+    expect = spark.createDataFrame(
+        [(1, "zeta eta theta version two"),
+         (2, "a second document entirely")],
+        DOC_SCHEMA,
+    )
+    direct = ledger_fingerprints(expect, k=3)
+    assert sorted(
+        (r.id, r.n, tuple(r.hs)) for r in got_fp.collect()
+    ) == sorted((r.id, r.n, tuple(r.hs)) for r in direct.collect())
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(counts_dir).collect()
+    ) == sorted(
+        tuple(r) for r in ledger_shingle_counts(direct).collect()
+    )
+
+
+def test_manifest_fold_refuses_interrupted_rename_state(spark, tmp_path):
+    """A rename-protocol crash can park ALL state at state_path+'.old'
+    with state_path absent; the manifest fold must refuse that layout
+    too (the rename fold self-heals it) instead of publishing v-0 over
+    an empty directory and orphaning the history (review r11, second
+    pass)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from scholarmind_spark.streaming import stream_fold_sketch_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ck, commit):
+        stream = (
+            spark.readStream.schema(FOLD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_fold_sketch_state(
+            stream, state, ["day", "seg"], "value",
+            checkpoint=ck, commit=commit,
+        )
+        q.awaitTermination()
+
+    drain(str(tmp_path / "ck1"), "rename")
+    # simulate the interrupted-swap window: state parked aside
+    os.rename(state, state + ".old")
+    b2 = spark.createDataFrame(_fold_rows(1000), FOLD_SCHEMA)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(StreamingQueryException, match="rename-committed"):
+        drain(str(tmp_path / "ck2"), "manifest")
+    assert os.path.isdir(state + ".old")  # history untouched

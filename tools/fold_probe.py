@@ -98,20 +98,22 @@ def main() -> None:
     one_day = keyed.where(F.col("dayn") == max_day).persist()
     one_day.count()
 
-    def state_at(k: int):
+    def replicate(base, k: int, cols: list):
         # k state replicas with +40*i day offsets: 30·k distinct days
         # (the 30 base days fit inside each 40-day stride), segments
-        # shared — exactly "state growing, per-day batch fixed"
+        # shared — exactly "state growing, per-day batch fixed".  ONE
+        # device for every family so the slope comparison compares like
+        # with like.
         reps = spark.range(k).select(F.col("id").alias("i"))
-        return base_state.crossJoin(reps).select(
+        return base.crossJoin(reps).select(
             (F.col("day").cast("bigint") + F.col("i") * 40)
             .cast("string")
             .alias("day"),
-            "seg",
-            "sign",
-            "bucket",
-            "cnt",
+            *cols,
         )
+
+    def state_at(k: int):
+        return replicate(base_state, k, ["seg", "sign", "bucket", "cnt"])
 
     if "probe" in modes:
         from scholarmind_spark.operators.sketchledger import (
@@ -150,15 +152,6 @@ def main() -> None:
             base_src, ["day", "seg"], "u", 64, 4
         ).persist()
         base_bloom.count()
-
-        def replicate(base, k, cols):
-            reps = spark.range(k).select(F.col("id").alias("i"))
-            return base.crossJoin(reps).select(
-                (F.col("day").cast("bigint") + F.col("i") * 40)
-                .cast("string")
-                .alias("day"),
-                *cols,
-            )
 
         def _noop(df):
             df.write.mode("overwrite").format("noop").save()
