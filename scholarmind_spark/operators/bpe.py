@@ -275,7 +275,19 @@ _MEMO_CAP = 2_000_000
 # not accumulate one driver+executor copy of the merge table per call.
 # Keyed by applicationId so a restarted SparkContext never reuses a
 # dead broadcast; stale-application entries are unpersisted on miss.
+# LRU-capped per application (insertion order IS recency — hits are
+# re-inserted): a session that tokenizes with MANY distinct trained
+# tables would otherwise pin one never-unpersisted broadcast per table
+# for the application's whole life — a slow driver+executor leak.
 _BCAST_CACHE: dict = {}
+_BCAST_CAP = 8  # live broadcasts per application (~5 MB each at 50k merges)
+
+
+def _unpersist_quietly(b) -> None:
+    try:
+        b.unpersist()
+    except Exception:
+        pass  # context already gone — nothing to release
 
 
 def _merge_broadcast(sc, ranks: dict, merges: list):
@@ -284,14 +296,19 @@ def _merge_broadcast(sc, ranks: dict, merges: list):
     # hash collisions are astronomically unlikely but cheap to rule
     # out: verify the cached table really is this table
     if hit is not None and hit[0] == merges:
+        _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)  # LRU touch
         return hit[1]
+    if hit is not None:
+        # collision fallthrough: the displaced broadcast would be
+        # silently overwritten below — release it first
+        _BCAST_CACHE.pop(key)
+        _unpersist_quietly(hit[1])
     for old_key in list(_BCAST_CACHE):
         if old_key[0] != sc.applicationId:
-            _, old_b = _BCAST_CACHE.pop(old_key)
-            try:
-                old_b.unpersist()
-            except Exception:
-                pass  # context already gone — nothing to release
+            _unpersist_quietly(_BCAST_CACHE.pop(old_key)[1])
+    same_app = [k for k in _BCAST_CACHE if k[0] == sc.applicationId]
+    while len(same_app) >= _BCAST_CAP:
+        _unpersist_quietly(_BCAST_CACHE.pop(same_app.pop(0))[1])
     b = sc.broadcast((ranks, merges))
     _BCAST_CACHE[key] = (merges, b)
     return b

@@ -277,11 +277,20 @@ def kmv_state_estimate(state: DataFrame, k: int = 64) -> DataFrame:
 
     ``k`` is part of the stored-state contract (the same k must be used
     at build, merge, and estimate time); because the state table itself
-    cannot carry it, a mismatch is detected the only way it can be: a
-    key holding MORE than k minima proves the state was built or merged
-    under a larger k, and the kth_hash would no longer be the k-th
-    minimum — the estimator fails loudly (``assert_true`` per key, a
-    cheap comparison) instead of silently under-estimating."""
+    cannot carry it, a mismatch is only MECHANICALLY detectable in one
+    direction: a key holding MORE than k minima proves the state was
+    built or merged under a larger k, and the kth_hash would no longer
+    be the k-th minimum — the estimator fails loudly (``assert_true``
+    per key, a cheap comparison) instead of silently under-estimating.
+    The OTHER direction is undetectable from the state alone: a state
+    built under a SMALLER k (say 4) estimated here with a larger one
+    (say 64) holds ≤ 4 minima per key, which is indistinguishable from
+    a key that genuinely saw ≤ 4 distinct values — the 'exact below k'
+    branch returns the build-time cap as the distinct count, a gross
+    under-estimate with no error.  Keeping k WITH the state (the
+    streaming folds pin it via ``stream_fold_sketch_state(k=...)``; a
+    batch pipeline should record it next to the parquet path) is the
+    caller's side of the contract."""
     keys = [c for c in state.columns if c != "h"]
     agg = state.groupBy(*keys).agg(
         F.count("*").alias("n_minima"), F.max("h").alias("kth_hash")

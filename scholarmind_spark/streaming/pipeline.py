@@ -413,7 +413,31 @@ def stream_merge_to_snapshot(
     )
 
 
-def _fold_lineage(checkpoint: str) -> str:
+def _state_marker_tag(state_path: str) -> str | None:
+    """The lineage tag an existing state snapshot was folded under, or
+    None for a fresh/unmarked state — read from the manifest (manifest
+    protocol) or the ``_folded_<tag>_<n>`` marker file (rename
+    protocol, including a state parked at ``.old`` by an interrupted
+    swap).  Used only for the one-time legacy-lineage adoption in
+    :func:`_fold_lineage`."""
+    import os
+    import re
+
+    if os.path.exists(_manifest_path(state_path)):
+        m = _manifest_read(state_path)
+        if m is not None:
+            return m[1]
+    marker_re = re.compile(r"^_folded_([0-9a-f]{8})_(\d+)$")
+    for d in (state_path, f"{state_path}.old"):
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                mm = marker_re.match(f)
+                if mm:
+                    return mm.group(1)
+    return None
+
+
+def _fold_lineage(checkpoint: str, state_paths: tuple[str, ...] = ()) -> str:
     """Checkpoint IDENTITY tag for the sketch-fold markers: a random
     token minted into ``<checkpoint>/_sketchfold_lineage`` the first
     time this checkpoint is used, then read back on every resume.  The
@@ -424,7 +448,23 @@ def _fold_lineage(checkpoint: str) -> str:
     batch id below the stored high-water mark.  Single-writer by
     Spark's own contract (two streaming queries cannot share a
     checkpoint); the write is staged + renamed so a crash mid-write
-    never leaves a torn tag."""
+    never leaves a torn tag.
+
+    LEGACY MIGRATION: lineage tags used to be derived as
+    ``md5(abspath(checkpoint))[:8]`` with no identity file.  A
+    checkpoint from that era has no ``_sketchfold_lineage`` file, but
+    its state snapshots carry the path-derived tag — and minting a
+    fresh random token here would make resuming that state with its
+    ORIGINAL checkpoint raise the lineage-mismatch error (whose message
+    advises exactly that resume).  So on first use of an identity-less
+    checkpoint, if any of ``state_paths`` carries a marker matching the
+    legacy derivation, ADOPT the legacy tag as this checkpoint's
+    identity instead: the match proves state and checkpoint were
+    already paired, and the adopted tag gains the identity-file
+    semantics (dies with the checkpoint) from this point on.  A marker
+    that does NOT match gets the random token, and the mismatch guard
+    fires as it must — identity cannot be proven."""
+    import hashlib
     import os
 
     os.makedirs(checkpoint, exist_ok=True)
@@ -433,6 +473,9 @@ def _fold_lineage(checkpoint: str) -> str:
         with open(lf) as f:
             return f.read().strip()
     tag = uuid.uuid4().hex[:8]
+    legacy = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+    if any(_state_marker_tag(sp) == legacy for sp in state_paths):
+        tag = legacy
     tmp = f"{lf}.tmp-{tag}"
     with open(tmp, "w") as f:
         f.write(tag)
@@ -521,7 +564,7 @@ def stream_fold_sketch_state(
     standing state stays O(retained days + periods) under continuous
     ingest instead of growing one day-partition forever."""
     ck = checkpoint or tempfile.mkdtemp(prefix="sfck_")
-    lineage = _fold_lineage(ck)
+    lineage = _fold_lineage(ck, (state_path,))
     if commit == "rename":
         fold_fn = _sketch_fold_fn
     elif commit == "manifest":
@@ -608,7 +651,20 @@ def _maybe_compact(
     retain_days (or a state with no numeric day yet) is a no-op.  The
     compactors are idempotent over their own period labels, which is
     what makes running this on EVERY fold safe — the 90-day simulation
-    in tools/fold_probe.py is exactly this loop."""
+    in tools/fold_probe.py is exactly this loop.
+
+    The day-key TYPE contract: the state builders cast every key
+    column to string, so the snapshot's day column is StringType no
+    matter what the stream carries — a bigint epoch-day key folds and
+    compacts cleanly (regression-tested), and the string period labels
+    compaction writes can never type-mismatch the next delta.  What
+    the key must still satisfy is the RENDERING contract: it has to
+    render as a non-negative integer (epoch-day), because both the
+    ``div 30`` period label and the (length, value) recency order
+    assume digit strings.  A date-rendered key (``2024-03-01``) would
+    try_cast to NULL everywhere, the max below would stay None, and
+    retention would silently NEVER engage — so that case raises
+    instead of no-opping."""
     if retain_days is None:
         return merged
     if retain_days < 1:
@@ -621,9 +677,25 @@ def _maybe_compact(
         kmv_state_compact,
     )
 
-    max_day = merged.agg(
-        F.max(F.expr(f"try_cast({day_col} as bigint)"))
-    ).first()[0]
+    max_day, n_bad = merged.agg(
+        F.max(F.expr(f"try_cast({day_col} as bigint)")),
+        F.sum(
+            F.when(
+                F.col(day_col).isNotNull()
+                & ~F.col(day_col).startswith("m")
+                & F.expr(f"try_cast({day_col} as bigint)").isNull(),
+                1,
+            ).otherwise(0)
+        ),
+    ).first()
+    if n_bad:
+        raise ValueError(
+            f"retain_days is set but {n_bad} state rows have a "
+            f"{day_col!r} key that does not render as an integer "
+            "epoch-day (e.g. a date string): retention would silently "
+            "never engage for them — key days by epoch-day "
+            "(datediff from 1970-01-01) before folding"
+        )
     if max_day is None:
         return merged
     cutoff = str(max_day - retain_days + 1)
@@ -854,7 +926,17 @@ def _manifest_gc(state_path: str, keep_from_version: int) -> None:
     import shutil as _shutil
 
     for f in os.listdir(state_path):
-        if f.startswith("v-") and int(f[2:]) < keep_from_version:
+        # only true version DIRECTORIES are candidates: a stray
+        # non-numeric entry (user-made 'v-backup', a partial 'v-' name)
+        # must not raise here — GC runs AFTER the manifest publish, so
+        # a crash at this point would fail the microbatch on
+        # otherwise-healthy, already-committed state
+        if (
+            f.startswith("v-")
+            and f[2:].isdigit()
+            and os.path.isdir(os.path.join(state_path, f))
+            and int(f[2:]) < keep_from_version
+        ):
             _shutil.rmtree(os.path.join(state_path, f), ignore_errors=True)
         elif f.startswith("MANIFEST.tmp-"):
             try:
@@ -957,7 +1039,7 @@ def stream_ledger_ingest(
     foreign checkpoint lineage refuses).  Read the current tables with
     :func:`ledger_state_dirs`."""
     ck = checkpoint or tempfile.mkdtemp(prefix="slck_")
-    lineage = _fold_lineage(ck)
+    lineage = _fold_lineage(ck, (state_path,))
     return (
         stream_docs.writeStream.foreachBatch(
             _ledger_ingest_fn(state_path, lineage, id_col, text_col, shingle_k)

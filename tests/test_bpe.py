@@ -287,3 +287,52 @@ def test_chunking_with_bpe_tokenizer(spark):
     for chunks in by_id.values():
         chunks.sort()
         assert all(n == 4 for _cid, n in chunks[:-1])
+
+
+def test_merge_broadcast_lru_cap_and_collision_unpersist():
+    """_BCAST_CACHE is LRU-capped per application and releases
+    displaced broadcasts: many distinct merge tables in one session
+    must not pin one never-unpersisted broadcast each (r12 advice),
+    and a hash-collision fallthrough must unpersist the prior
+    broadcast before overwriting its slot."""
+    from scholarmind_spark.operators import bpe as bpe_mod
+
+    class _FakeBcast:
+        def __init__(self, v):
+            self.value = v
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    class _FakeSC:
+        applicationId = "app-lru-test"
+
+        def broadcast(self, v):
+            return _FakeBcast(v)
+
+    sc = _FakeSC()
+    saved = dict(bpe_mod._BCAST_CACHE)
+    bpe_mod._BCAST_CACHE.clear()
+    try:
+        tables = [[("a", f"t{i}")] for i in range(bpe_mod._BCAST_CAP + 3)]
+        bcasts = [bpe_mod._merge_broadcast(sc, {}, m) for m in tables]
+        live = [k for k in bpe_mod._BCAST_CACHE if k[0] == sc.applicationId]
+        assert len(live) == bpe_mod._BCAST_CAP
+        # the 3 oldest were evicted AND unpersisted; the newest cap
+        # survive and a repeat call is a cache hit on the same object
+        assert all(b.unpersisted for b in bcasts[:3])
+        assert not any(b.unpersisted for b in bcasts[3:])
+        assert bpe_mod._merge_broadcast(sc, {}, tables[-1]) is bcasts[-1]
+
+        # collision fallthrough: same cache key, different table — the
+        # displaced broadcast must be unpersisted, not silently dropped
+        key = (sc.applicationId, hash(tuple(tables[-1])))
+        poisoned = _FakeBcast("other")
+        bpe_mod._BCAST_CACHE[key] = ([("x", "y")], poisoned)
+        fresh = bpe_mod._merge_broadcast(sc, {}, tables[-1])
+        assert poisoned.unpersisted
+        assert bpe_mod._BCAST_CACHE[key][1] is fresh
+    finally:
+        bpe_mod._BCAST_CACHE.clear()
+        bpe_mod._BCAST_CACHE.update(saved)

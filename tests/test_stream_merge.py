@@ -817,3 +817,144 @@ def test_manifest_fold_refuses_interrupted_rename_state(spark, tmp_path):
     with _pytest.raises(StreamingQueryException, match="rename-committed"):
         drain(str(tmp_path / "ck2"), "manifest")
     assert os.path.isdir(state + ".old")  # history untouched
+
+
+# ------------------------------------------ r12 advice regression tests
+
+
+BIGINT_FOLD_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.LongType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_fold_retention_bigint_day_key(spark, tmp_path):
+    """A NUMERIC (bigint epoch-day) stream day key survives in-loop
+    retention: the builders cast key columns to string, so the state
+    snapshot is StringType from fold #1 and the string period labels
+    compaction writes can never type-mismatch a later delta's schema
+    (the r12-advice scenario — folds after the first compaction must
+    keep working, and the final state must equal compact-over-direct
+    with stringified days)."""
+    import os
+
+    from scholarmind_spark.operators.sketchledger import (
+        hdr_state_build,
+        hdr_state_compact,
+    )
+    from scholarmind_spark.streaming.pipeline import _sketch_fold_fn
+
+    state = str(tmp_path / "state")
+    batches = [
+        spark.createDataFrame(
+            [(day, "a", float(v)) for v in range(10)], BIGINT_FOLD_SCHEMA
+        )
+        for day in (19000, 19001, 19040)
+    ]
+    fold = _sketch_fold_fn(
+        state, ["day", "seg"], "value", 5, "cafebabe", retain_days=1
+    )
+    for bid, b in enumerate(batches):  # compaction engages at fold 2
+        fold(b, bid)
+    assert os.path.isdir(state)
+
+    direct = hdr_state_compact(
+        hdr_state_build(
+            batches[0].unionByName(batches[1]).unionByName(batches[2]),
+            ["day", "seg"],
+            "value",
+        ),
+        "day",
+        "19040",
+    )
+    want = sorted(tuple(r) for r in direct.collect())
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(state)
+        .select("day", "seg", "sign", "bucket", "cnt")
+        .collect()
+    )
+    assert got == want
+    days = {r.day for r in spark.read.parquet(state).select("day").distinct().collect()}
+    assert days == {"19040", "m633"}  # 19000/19001 coarsened into m633
+
+
+def test_fold_retention_rejects_date_day_key(spark, tmp_path):
+    """A date-rendered day key ('2024-03-01') try_casts to NULL, so
+    retention would silently NEVER engage — the fold must raise a
+    clear error instead of no-opping forever (r12 advice)."""
+    import pytest as _pytest
+
+    from scholarmind_spark.streaming.pipeline import _sketch_fold_fn
+
+    state = str(tmp_path / "state")
+    b = spark.createDataFrame(
+        [("2024-03-01", "a", float(v)) for v in range(5)], FOLD_SCHEMA
+    )
+    fold = _sketch_fold_fn(
+        state, ["day", "seg"], "value", 5, "cafebabe", retain_days=1
+    )
+    with _pytest.raises(Exception, match="epoch-day"):
+        fold(b, 0)
+
+
+def test_fold_lineage_adopts_legacy_tag(spark, tmp_path):
+    """One-time legacy migration: state folded under the old
+    md5(abspath(checkpoint))[:8] path-derived tag, resumed with its
+    ORIGINAL checkpoint (which predates the _sketchfold_lineage file),
+    must ADOPT the legacy tag — not mint a random one and then raise
+    the lineage-mismatch error whose message advises exactly that
+    resume (r12 advice).  A state marked under an unrelated tag still
+    gets a fresh random token."""
+    import hashlib
+    import os
+
+    from scholarmind_spark.streaming.pipeline import (
+        _fold_lineage,
+        _sketch_fold_fn,
+    )
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)  # pre-existing legacy checkpoint: no lineage file
+    legacy = hashlib.md5(os.path.abspath(ck).encode()).hexdigest()[:8]
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(_fold_rows(0), FOLD_SCHEMA)
+    _sketch_fold_fn(state, ["day", "seg"], "value", 5, legacy)(b1, 0)
+
+    # resume: the lineage for this checkpoint+state pair is the legacy tag
+    assert _fold_lineage(ck, (state,)) == legacy
+    # and it is now persisted as the checkpoint's identity
+    assert _fold_lineage(ck, ()) == legacy
+
+    # a state marked under a FOREIGN tag must NOT trigger adoption
+    ck2 = str(tmp_path / "ck2")
+    os.makedirs(ck2)
+    state2 = str(tmp_path / "state2")
+    _sketch_fold_fn(state2, ["day", "seg"], "value", 5, "deadbeef")(b1, 0)
+    assert _fold_lineage(ck2, (state2,)) != "deadbeef"
+
+
+def test_manifest_gc_ignores_stray_entries(spark, tmp_path):
+    """_manifest_gc runs AFTER the manifest publish; a stray
+    non-numeric 'v-*' entry (user backup dir, partial name) must be
+    skipped, not crash the microbatch on already-committed state
+    (r12 advice)."""
+    import os
+
+    from scholarmind_spark.streaming.pipeline import _manifest_gc
+
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(state, "v-backup"))
+    os.makedirs(os.path.join(state, "v-0"))
+    open(os.path.join(state, "v-1"), "w").close()  # FILE named like a version
+    os.makedirs(os.path.join(state, "v-2"))
+
+    _manifest_gc(state, keep_from_version=2)  # must not raise
+
+    left = sorted(os.listdir(state))
+    # v-0 (dir, old) collected; v-backup and the v-1 FILE survive
+    assert left == ["v-1", "v-2", "v-backup"]
