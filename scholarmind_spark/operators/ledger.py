@@ -464,6 +464,44 @@ def ledger_retire(
     return new_fp, new_counts
 
 
+def ledger_expire(
+    fp_state: DataFrame,
+    counts_state: DataFrame,
+    ingest_days: DataFrame,
+    cutoff_day: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Time-based retention — the dedup-ledger twin of
+    ``sketchledger.sketch_state_expire``: drop every doc whose ingest
+    day is OLDER than ``cutoff_day`` and subtract exactly its shingle
+    contributions, so both returned states equal a from-scratch build
+    over the RETAINED corpus row-for-row.  Pure delegation to
+    :func:`ledger_retire` — retention IS retirement with the expired-id
+    set derived from a cutoff, and re-deriving the subtraction algebra
+    here would just be a second copy to keep exact.
+
+    ``ingest_days`` is ``(id, day)`` with ``day`` a bigint epoch-day —
+    the caller's ingest metadata (the fingerprint table stays
+    content-pure; a doc's ROW never changes, so its ingest time lives
+    beside the state, not in it).  Conservative on the unknowable: a
+    NULL day, or an fp-state doc with no ``ingest_days`` row at all,
+    is RETAINED — retention must never delete a doc it cannot prove
+    expired.  Expiry of ids absent from the state is a no-op (retire's
+    own contract).  At 100 TB the cost is the expired docs' shingle
+    scan plus one groupBy-sum — never a corpus recount."""
+    expired = ingest_days.where(F.col("day") < F.lit(cutoff_day)).select("id")
+    return ledger_retire(fp_state, counts_state, expired)
+
+
+def ledger_expire_sql(
+    fp_state: str, counts_state: str, ingest_days: str, cutoff_day: int
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`ledger_expire` — returns the two state
+    queries ``(new_fp_state, new_counts_state)``; ``ingest_days``
+    yields ``(id, day)``."""
+    expired = f"(SELECT id FROM {ingest_days} WHERE day < {cutoff_day})"
+    return ledger_retire_sql(fp_state, counts_state, expired)
+
+
 def ledger_retire_sql(
     fp_state: str, counts_state: str, retired_ids: str
 ) -> tuple[str, str]:

@@ -6371,6 +6371,115 @@ FROM sz, fpm, cm
 """
 
 
+def dedup_ledger_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger time-based retention (operators/ledger.ledger_expire —
+    the dedup-ledger twin of sketch_ledger_compact's retention
+    discipline, VERDICT r11 ask #6): docs whose synthetic ingest day
+    (19000 + doc_id % 10) is older than cutoff 19003 EXPIRE — their
+    fingerprint rows drop and their shingle contributions are
+    subtracted, no corpus recount — and the expired state must equal a
+    from-scratch build over the RETAINED corpus ROW-FOR-ROW
+    (full-outer-join mismatch counts).  Docs with a NULL ingest day
+    (every 13th) must be RETAINED — retention never deletes what it
+    cannot prove expired.  One row: retained/expired sizes and the two
+    mismatch counts (both must be 0)."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_expire,
+        ledger_fingerprints,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.util import attach_caches
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    day = F.when(
+        F.col("doc_id") % 13 != 0, F.lit(19000) + F.col("doc_id") % 10
+    )  # every 13th doc: NULL ingest day — must survive expiry
+    days = d.select(F.col("doc_id").alias("id"), day.alias("day"))
+    fp0 = ledger_fingerprints(d).persist()
+    c0 = ledger_shingle_counts(fp0)
+    new_fp, new_counts = ledger_expire(fp0, c0, days, cutoff_day=19003)
+
+    retained = d.where(
+        (F.col("doc_id") % 13 == 0) | (F.col("doc_id") % 10 >= 3)
+    )
+    fp_direct = ledger_fingerprints(retained).persist()
+    counts_direct = ledger_shingle_counts(fp_direct)
+
+    fp_mismatch = (
+        new_fp.alias("a")
+        .join(fp_direct.alias("b"), "id", "full")
+        .where(
+            ~F.col("a.n").eqNullSafe(F.col("b.n"))
+            | ~F.col("a.hs").eqNullSafe(F.col("b.hs"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch_fp"))
+    )
+    counts_mismatch = (
+        new_counts.alias("a")
+        .join(counts_direct.alias("b"), "sh", "full")
+        .where(~F.col("a.df_count").eqNullSafe(F.col("b.df_count")))
+        .agg(F.count(F.lit(1)).alias("n_mismatch_counts"))
+    )
+    sizes = new_fp.agg(F.count(F.lit(1)).alias("n_docs_state")).crossJoin(
+        days.where(F.col("day") < 19003).agg(
+            F.count(F.lit(1)).alias("n_expired")
+        )
+    )
+    out = (
+        sizes.crossJoin(F.broadcast(fp_mismatch))
+        .crossJoin(F.broadcast(counts_mismatch))
+        .select(
+            F.col("n_docs_state").cast("bigint"),
+            F.col("n_expired").cast("bigint"),
+            F.col("n_mismatch_fp").cast("bigint"),
+            F.col("n_mismatch_counts").cast("bigint"),
+        )
+    )
+    return attach_caches(out, [fp0, fp_direct])
+
+
+def _dedup_ledger_expire_sql() -> str:
+    from scholarmind_spark.operators.ledger import (
+        ledger_expire_sql,
+        ledger_fingerprints_sql,
+        ledger_shingle_counts_sql,
+    )
+
+    half = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+    days = (
+        "(SELECT doc_id AS id,"
+        " CASE WHEN doc_id % 13 <> 0 THEN 19000 + doc_id % 10 END AS day"
+        " FROM documents WHERE doc_id % 2 = 1)"
+    )
+    retained = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+        " AND (doc_id % 13 = 0 OR doc_id % 10 >= 3)"
+    )
+    fp0 = ledger_fingerprints_sql(half)
+    c0 = ledger_shingle_counts_sql(fp0)
+    new_fp, new_counts = ledger_expire_sql(fp0, c0, days, cutoff_day=19003)
+    fp_direct = ledger_fingerprints_sql(retained)
+    counts_direct = ledger_shingle_counts_sql(fp_direct)
+    return f"""
+WITH fpm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_fp
+  FROM {new_fp} a FULL JOIN {fp_direct} b USING (id)
+  WHERE a.n IS DISTINCT FROM b.n OR a.hs IS DISTINCT FROM b.hs
+),
+cm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_counts
+  FROM {new_counts} a FULL JOIN {counts_direct} b USING (sh)
+  WHERE a.df_count IS DISTINCT FROM b.df_count
+),
+sz AS (
+  SELECT (SELECT count(*) FROM {new_fp})::BIGINT AS n_docs_state,
+         (SELECT count(*) FROM {days} WHERE day < 19003)::BIGINT AS n_expired
+)
+SELECT n_docs_state, n_expired, n_mismatch_fp, n_mismatch_counts
+FROM sz, fpm, cm
+"""
+
+
 def events_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC time-bar downsampling (operators/bars.time_bars): hourly
     open/high/low/close/count/sum bars over the event value stream in
@@ -6824,6 +6933,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_ledger_compact_kmv": sketch_ledger_compact_kmv,
     "sketch_ledger_compact_bloom": sketch_ledger_compact_bloom,
     "dedup_ledger_retire": dedup_ledger_retire,
+    "dedup_ledger_expire": dedup_ledger_expire,
     "sketch_ledger_drift": sketch_ledger_drift,
     "dedup_ledger_bloom": dedup_ledger_bloom,
     "sketch_ledger_rollup": sketch_ledger_rollup,
@@ -7003,6 +7113,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_ledger_compact_kmv": _sketch_ledger_compact_kmv_sql(),
     "sketch_ledger_compact_bloom": _sketch_ledger_compact_bloom_sql(),
     "dedup_ledger_retire": _dedup_ledger_retire_sql(),
+    "dedup_ledger_expire": _dedup_ledger_expire_sql(),
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
     "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
@@ -7100,85 +7211,79 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-10 window: stalest-first, fourth sweep.  After the r9 window
-# (10 new + 7 r5 + 33 oldest r6) the staleness ledger reads 15 gates
-# last driver-checked in r6 and 50 in r7 (union of
-# CORRECTNESS_r01..r09 keys, last-seen round; verified by set
-# arithmetic).  Lead with the 7 gates NEW this round (never
-# driver-checked beats stale), then all 15 r6 stragglers, then the r7
-# gates in their r7 window order; the driver's 50-cut takes 7+15+28,
-# and the 22 r7 gates that miss the cut lead the r11 window (they
-# touch staleness 4 — the judge's standing allowance for a handful
-# each round; with 169 gates and a 50-gate window the pigeonhole is
-# unavoidable).
+# Round-12 window: stalest-first, sixth sweep.  After the r11 window
+# the staleness ledger reads 26 gates last driver-checked in r8, 50 in
+# r9, 50 in r10 and 50 in r11 (union of CORRECTNESS_r01..r11 keys,
+# last-seen round; verified by set arithmetic — the 26 r8 names match
+# the r11 verdict's mandatory list exactly).  Lead with the 1 gate NEW
+# this round (never driver-checked beats stale), then ALL 26 r8
+# stragglers (staleness 3 — mandatory per the rotation contract), then
+# the r9 gates in their r9 window order; the 50-cut takes 1+26+23, and
+# the 27 r9 gates that miss the cut (events_stream_anomaly …
+# events_session_paths, see CORRECTNESS_r09.json order) lead the r13
+# window at staleness 4 — the standing pigeonhole allowance (177 gates,
+# 50-gate window).
 
-_ROUND11_FRONT = [
+_ROUND12_FRONT = [
     # new this round — never driver-checked
-    "sketch_ledger_compact",
-    "sketch_ledger_compact_kmv",
-    "sketch_ledger_compact_bloom",
-    "dedup_ledger_retire",
-    # the 22 staleness-3 gates (last driver-checked r7) — MANDATORY
-    # this round per the r10 verdict's rotation contract
-    "media_byte_stats",
-    "media_decode",
-    "media_features",
-    "media_frame_sample",
-    "order_price_quantiles",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "doc_fingerprint",
-    "lit_parse_pubmed",
-    "lit_parse_wos",
-    "lit_parse_wos_csv",
-    "lit_parse_sciencedirect",
-    "lit_priority_dedup",
-    "lit_doi_norm",
-    "lit_enrich_join",
-    "lit_union_sources",
-    "lit_links",
-    "lit_year_extract",
-    "corpus_curation",
-    "dedup_exact",
-    # oldest r8-checked gates, in r8 window order (24 of the 50 fit
-    # after the four new gates; the remaining 26 r8-stale gates lead
-    # the r12 window: the 23 never listed here — q4_returned_orders …
-    # orc_roundtrip, see CORRECTNESS_r08.json — PLUS the three dropped
-    # below: q6_forecast_revenue, top_customers_per_nation,
-    # rollup_order_stats)
-    "lit_fuzzy_dedup",
-    "text_gopher_keep",
-    "text_url_canonical",
-    "sketch_distinct_kmv",
-    "sketch_overlap_kmv",
-    "graph_triangles",
-    "events_autocorrelation",
-    "privacy_k_anonymity",
-    "dataset_split_leakage",
-    "wet_roundtrip",
-    "text_card_luhn",
-    "events_zorder_locality",
-    "sketch_cms_topk",
-    "sketch_join_size",
-    "events_bootstrap_ci",
-    "sketch_merge_incremental",
-    "events_value_psi",
-    "link_sorted_neighborhood",
-    "lineitem_contract_check",
-    "text_lang_id",
-    "diag_curation_stages",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_regional_revenue",
-    # q6_forecast_revenue, top_customers_per_nation and
-    # rollup_order_stats drop to the r12 window to make room for the
-    # round's new gates (window cap 50) — counted in the 26 above
+    "dedup_ledger_expire",
+    # the 26 staleness-3 gates (last driver-checked r8) — MANDATORY
+    # this round per the r11 verdict's rotation contract
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_users_per_type",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "orders_running_total",
+    "q4_returned_orders",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_customers",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "rollup_order_stats",
+    "top_customers_per_nation",
+    # oldest r9-checked gates, in r9 window order (23 of the 50 fit
+    # after the new gate + the 26 mandatory ones)
+    "text_bpe_tokens",
+    "link_multipass",
+    "dedup_ledger_roundtrip",
+    "events_hdr_quantiles",
+    "sketch_bloom_membership",
+    "events_time_bars",
+    "events_kmv_by_segment",
+    "dedup_ledger_revise",
+    "orders_bloom_prune",
+    "events_hdr_by_type",
+    "diag_jsonl_len",
+    "diag_jsonl_hash",
+    "diag_orc_ints",
+    "diag_orc_price",
+    "text_quality_stats",
+    "text_clean",
+    "token_topk",
+    "text_pii_redact",
+    "dedup_incremental",
+    "dedup_cluster_reps",
+    "graph_pagerank",
+    "dedup_containment",
+    "dedup_cluster_sizes",
 ]
 
 def _rotated(d: dict) -> dict:
-    front = {k: d[k] for k in _ROUND11_FRONT if k in d}
+    front = {k: d[k] for k in _ROUND12_FRONT if k in d}
     front.update({k: v for k, v in d.items() if k not in front})
     return front
 

@@ -345,3 +345,81 @@ def test_retire_sql_twin(spark):
     )
     o_c = sorted(con.execute(f"SELECT sh, df_count FROM {nc}").fetchall())
     assert got_fp == o_fp and got_c == o_c and got_fp
+
+
+def test_expire_equals_from_scratch_over_retained(spark):
+    """ledger_expire (time-based retention, the sketch-compact twin):
+    docs with ingest day < cutoff drop with exact count subtraction —
+    state == from-scratch build over the retained corpus; NULL-day docs
+    and docs with NO ingest-day row are RETAINED (retention never
+    deletes what it cannot prove expired); re-running with the same
+    cutoff is a no-op."""
+    from scholarmind_spark.operators.ledger import ledger_expire
+
+    df, fp = _ledger_state(spark, DOCS)
+    counts = ledger_shingle_counts(fp)
+    # doc 1/2 old, doc 3 NULL day, doc 4 recent, docs 5/6 no row at all
+    days = spark.createDataFrame(
+        [(1, 19000), (2, 19001), (3, None), (4, 19010)],
+        "id int, day int",
+    )
+    new_fp, new_counts = ledger_expire(fp, counts, days, cutoff_day=19005)
+
+    retained = [r for r in DOCS if r[0] not in (1, 2)]
+    _, fp_direct = _ledger_state(spark, retained)
+    counts_direct = ledger_shingle_counts(fp_direct)
+
+    got_fp = sorted((r.id, r.n, tuple(r.hs)) for r in new_fp.collect())
+    want_fp = sorted((r.id, r.n, tuple(r.hs)) for r in fp_direct.collect())
+    assert got_fp == want_fp
+    got_c = sorted(tuple(r) for r in new_counts.collect())
+    want_c = sorted(tuple(r) for r in counts_direct.collect())
+    assert got_c == want_c
+
+    # idempotent: the expired ids are gone from the state, so a second
+    # pass with the same cutoff changes nothing
+    fp2, c2 = ledger_expire(new_fp, new_counts, days, cutoff_day=19005)
+    assert sorted((r.id, r.n, tuple(r.hs)) for r in fp2.collect()) == got_fp
+    assert sorted(tuple(r) for r in c2.collect()) == got_c
+
+
+def test_expire_sql_twin_matches(spark):
+    """DuckDB twin of ledger_expire produces the identical state pair."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_expire,
+        ledger_expire_sql,
+    )
+
+    df, fp = _ledger_state(spark, DOCS)
+    counts = ledger_shingle_counts(fp)
+    days = spark.createDataFrame(
+        [(1, 19000), (2, 19001), (3, None), (4, 19010)],
+        "id int, day int",
+    )
+    new_fp, new_counts = ledger_expire(fp, counts, days, cutoff_day=19005)
+
+    # build via the SQL twins end-to-end
+    con = duckdb.connect()
+    df_pd = df.toPandas()
+    con.register("docs", df_pd)
+    fp_sql = ledger_fingerprints_sql("SELECT doc_id, text FROM docs", k=3)
+    c_sql = ledger_shingle_counts_sql(fp_sql)
+    days_sql = (
+        "(SELECT * FROM (VALUES (1, 19000), (2, 19001), (3, NULL),"
+        " (4, 19010)) AS t(id, day))"
+    )
+    nf_sql, nc_sql = ledger_expire_sql(fp_sql, c_sql, days_sql, 19005)
+    got_fp = sorted(
+        (int(i), int(n), tuple(h))
+        for i, n, h in con.execute(
+            f"SELECT id, n, hs FROM {nf_sql}"
+        ).fetchall()
+    )
+    want_fp = sorted((r.id, r.n, tuple(r.hs)) for r in new_fp.collect())
+    assert got_fp == want_fp
+    got_c = sorted(
+        (int(s), int(c))
+        for s, c in con.execute(f"SELECT sh, df_count FROM {nc_sql}").fetchall()
+    )
+    want_c = sorted((r.sh, r.df_count) for r in new_counts.collect())
+    assert got_c == want_c

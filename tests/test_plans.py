@@ -74,6 +74,10 @@ BNLJ_OK = {
     # crossJoins ONE-ROW aggregates (surviving/retired sizes, the two
     # full-outer mismatch counters); no side grows with the data
     "dedup_ledger_retire",
+    # round-12: the time-retention twin of dedup_ledger_retire — the
+    # identical one-row-counters assembly (retained/expired sizes, the
+    # two full-outer mismatch counters)
+    "dedup_ledger_expire",
     # one-row pruning-stat attaches + the one-row bitmap-map broadcast
     "orders_bloom_prune",
     # the tiny quantile-literal frame (2-3 rows) crossing the bounded
