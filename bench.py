@@ -16,6 +16,20 @@ Every query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
 the MEDIAN, keeping the per-rep values — two rounds of single-rep bench
 produced phantom 10×+ outliers (container noise) that were
 indistinguishable from real plan regressions.
+
+ORDER DISCIPLINE (round 12): the ten most expensive queries run FIRST,
+in a fresh session, before ~100 cheaper queries have accumulated heap /
+codegen-cache / session-position pressure.  Three rounds of
+`dedup_containment` tail-drift (r9 6.0 → r10 8.8 → r11 11.9 s, while
+every isolated 7-rep anchor stayed flat at 5.3-6.4 s and the plan
+digest never changed) showed the old family-blocked order biased the
+heavy dedup block's recorded numbers by session position — the
+expensive queries are exactly the ones the per-round diff scrutinizes,
+so they get the cleanest window.  The EXPENSIVE_FIRST list is pinned
+from the r11 medians (re-pin when the top-10 set changes); everything
+else keeps its family-blocked order.  dedup_cluster_sizes stays ahead
+of dedup_cluster_reps globally so the shared-CC-memo semantics are
+unchanged (sizes pays the fixpoint, reps measures the memoized path).
 """
 
 from __future__ import annotations
@@ -152,6 +166,24 @@ BENCH_QUERIES = [
     "sketch_distinct_kmv",
     "link_sorted_neighborhood",
     "lineitem_contract_check",
+]
+
+# The r11 top-10 by median — run first, fresh-session (module docstring).
+EXPENSIVE_FIRST = [
+    "dedup_ledger_roundtrip",
+    "dedup_containment",
+    "dedup_cluster_sizes",
+    "text_gopher_repetition",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_embedding_cosine",
+    "decontam_overlap",
+    "link_multipass",
+]
+assert set(EXPENSIVE_FIRST) <= set(BENCH_QUERIES)
+BENCH_QUERIES = EXPENSIVE_FIRST + [
+    q for q in BENCH_QUERIES if q not in EXPENSIVE_FIRST
 ]
 
 

@@ -25,8 +25,33 @@ compacted state equals a direct mixed-grain build over all 90 batches
 (compact-each-fold == compact-once by additivity) while reporting the
 state-size ceiling the compaction enforces.
 
-Usage: python tools/fold_probe.py [sf_dir] [probe|simulate] ...
-(default: both, sf0.1).  Prints markdown rows to paste into SCALE.md.
+Round 12 extends the same certification to the STREAMING DEDUP LEDGER
+(``stream_ledger_ingest`` / ``_ledger_ingest_fn``, manifest protocol):
+
+- ``ledger_probe`` — fold ONE FIXED revision batch into standing
+  fp+counts state of 1x/10x/20x corpus size (state read from parquet,
+  the production shape).  The honest claim is NOT O(delta): the
+  snapshot protocol REWRITES the whole fp table per version, so fold
+  cost = O(delta shingles) compute + O(standing corpus) state rewrite
+  — the probe measures that slope so the 100 TB posture is a number,
+  not an adjective (the scale path past it is partitioning the state
+  write or a merge-on-read table format; the COUNTS delta itself is
+  bounded by the batch).
+- ``ledger_sim`` — 30 sequential doc microbatches through the REAL
+  ``_ledger_ingest_fn`` manifest fold with revisions (ids [0,50)
+  re-ingested every 3rd batch) and out-of-band retirement
+  transactions (20 ids after folds 9/19/29, published as their own
+  manifest version) mixed in; verifies the final published state pair
+  equals a from-scratch build over the latest version of every
+  surviving doc (full-outer mismatch 0 on both tables) and that
+  per-fold wall time tracks CURRENT state size, not fold history —
+  the last sim fold is re-run against a ONE-SHOT rebuild of the same
+  corpus and must cost the same.
+
+Usage: python tools/fold_probe.py [sf_dir]
+[probe|simulate|ledger_probe|ledger_sim] ...
+(default: probe+simulate, sf0.1).  Prints markdown rows to paste into
+SCALE.md.
 """
 
 from __future__ import annotations
@@ -263,6 +288,218 @@ def main() -> None:
             f"| compact-each-fold == compact-once: mismatch {mism} "
             f"| {elapsed:.0f}s for 90 folds |"
         )
+        shutil.rmtree(root, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    if "ledger_probe" in modes:
+        from scholarmind_spark.operators.ledger import (
+            ledger_fingerprints,
+            ledger_revise,
+            ledger_shingle_counts,
+        )
+
+        def _noop(df):
+            df.write.mode("overwrite").format("noop").save()
+
+        root = tempfile.mkdtemp(prefix="ledgerprobe_")
+        # the fixed delta: 500 base-range docs re-ingested with changed
+        # text — a REVISION at every k (ids present in every state)
+        rev = docs.where(F.col("doc_id") < 500).select(
+            "doc_id", F.concat("text", F.lit(" probe-rev")).alias("text")
+        )
+        rev_fp = ledger_fingerprints(rev).persist()
+        rev_fp.count()
+
+        medians: dict[str, dict[int, float]] = {"ledger_revise_fold": {}}
+        n_docs_total = docs.count()
+        for k in KS:
+            reps_df = spark.range(k).select(F.col("id").alias("i"))
+            corpus = docs.crossJoin(reps_df).select(
+                (F.col("doc_id") + F.col("i") * 10_000_000).alias("doc_id"),
+                "text",
+            )
+            fp_dir = os.path.join(root, f"fp_{k}")
+            cnt_dir = os.path.join(root, f"cnt_{k}")
+            fp_k = ledger_fingerprints(corpus)
+            fp_k.write.mode("overwrite").parquet(fp_dir)
+            fp_state = spark.read.parquet(fp_dir)
+            ledger_shingle_counts(fp_state).write.mode("overwrite").parquet(
+                cnt_dir
+            )
+            counts_state = spark.read.parquet(cnt_dir)
+            n_state = fp_state.count()
+            per = []
+            for _ in range(REPS):
+                t0 = time.time()
+                new_fp, new_counts = ledger_revise(
+                    fp_state, counts_state, rev_fp
+                )
+                _noop(new_fp)
+                _noop(new_counts)
+                per.append(time.time() - t0)
+                spark.catalog.clearCache()
+            per.sort()
+            medians["ledger_revise_fold"][k] = per[len(per) // 2]
+            print(
+                f"# k={k} ({n_state} standing docs, "
+                f"{k * n_docs_total} expected) ledger_revise_fold: median "
+                f"{per[len(per) // 2]:.2f}s of {[round(p, 2) for p in per]}",
+                file=sys.stderr,
+            )
+        print(
+            "| operator | 1x med | 10x med | 20x med | fixed a | slope b ± se |"
+        )
+        print("|---|---|---|---|---|---|")
+        print(_fit_row("ledger_revise_fold (fixed 500-doc batch)", medians["ledger_revise_fold"]))
+        shutil.rmtree(root, ignore_errors=True)
+
+    if "ledger_sim" in modes:
+        from scholarmind_spark.operators.ledger import (
+            ledger_fingerprints,
+            ledger_retire,
+            ledger_shingle_counts,
+        )
+        from scholarmind_spark.streaming.pipeline import (
+            _ledger_ingest_fn,
+            _manifest_gc,
+            _manifest_publish,
+            _manifest_read,
+            ledger_state_dirs,
+        )
+
+        root = tempfile.mkdtemp(prefix="ledgersim_")
+        state = os.path.join(root, "state")
+        lineage = "cafef00d"
+        fold = _ledger_ingest_fn(state, lineage)
+        n_batches, batch_sz, n_rev = 30, 150, 50
+        retired_ids: list[int] = []
+        fold_times: list[float] = []
+        t_all = time.time()
+        for i in range(n_batches):
+            lo = i * batch_sz
+            batch = docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + batch_sz)
+            ).select("doc_id", "text")
+            if i > 0 and i % 3 == 0:
+                # revision wave: ids [0, n_rev) re-ingested with new text
+                batch = batch.unionByName(
+                    docs.where(F.col("doc_id") < n_rev).select(
+                        "doc_id",
+                        F.concat("text", F.lit(f" rev{i}")).alias("text"),
+                    )
+                )
+            t0 = time.time()
+            fold(batch, i)
+            fold_times.append(time.time() - t0)
+            if i % 10 == 9:
+                # out-of-band retirement TRANSACTION: retire 20
+                # recently-ingested ids from the published state and
+                # publish the result as its own manifest version (same
+                # lineage, same batch high-water — retirement consumes
+                # no stream batch id)
+                ids = list(range(lo - 100, lo - 80))
+                retired_ids.extend(ids)
+                fp_dir, cnt_dir = ledger_state_dirs(state)
+                version, _, upto = _manifest_read(state)
+                new_fp, new_counts = ledger_retire(
+                    spark.read.parquet(fp_dir),
+                    spark.read.parquet(cnt_dir),
+                    spark.createDataFrame([(x,) for x in ids], "id bigint"),
+                )
+                new_dir = os.path.join(state, f"v-{version + 1}")
+                new_fp.write.mode("overwrite").parquet(
+                    os.path.join(new_dir, "fp")
+                )
+                new_counts.write.mode("overwrite").parquet(
+                    os.path.join(new_dir, "counts")
+                )
+                _manifest_publish(state, version + 1, lineage, upto)
+                _manifest_gc(state, version)
+        elapsed = time.time() - t_all
+
+        # expected corpus: latest version per surviving doc — ids
+        # [0, n_rev) carry the LAST revision wave's text, retired ids
+        # are gone, everything else is the original text
+        last_rev = max(i for i in range(n_batches) if i > 0 and i % 3 == 0)
+        expected = (
+            docs.where(F.col("doc_id") < n_batches * batch_sz)
+            .where(~F.col("doc_id").isin(retired_ids))
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") < n_rev,
+                    F.concat("text", F.lit(f" rev{last_rev}")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        fp_direct = ledger_fingerprints(expected).persist()
+        counts_direct = ledger_shingle_counts(fp_direct)
+        fp_dir, cnt_dir = ledger_state_dirs(state)
+        got_fp = spark.read.parquet(fp_dir)
+        got_counts = spark.read.parquet(cnt_dir)
+        fp_mism = (
+            got_fp.alias("a")
+            .join(fp_direct.alias("b"), "id", "full")
+            .where(
+                ~F.col("a.n").eqNullSafe(F.col("b.n"))
+                | ~F.col("a.hs").eqNullSafe(F.col("b.hs"))
+            )
+            .count()
+        )
+        cnt_mism = (
+            got_counts.alias("a")
+            .join(counts_direct.alias("b"), "sh", "full")
+            .where(~F.col("a.df_count").eqNullSafe(F.col("b.df_count")))
+            .count()
+        )
+        n_state = got_fp.count()
+
+        # history-independence: rebuild the SAME pre-final corpus in one
+        # shot, fold the final batch again — cost must match the sim's
+        # final fold (state size, not fold count, sets the price)
+        oneshot = os.path.join(root, "oneshot")
+        pre_lo = (n_batches - 1) * batch_sz
+        # the state the final fold actually saw: every batch-0..28 doc
+        # at its latest revision, minus the wave-9/19 retirements
+        # (already absent from `expected`), PLUS the wave-29 ids —
+        # their retirement happened after the final fold
+        pre_corpus = expected.where(F.col("doc_id") < pre_lo).unionByName(
+            docs.where(
+                F.col("doc_id").isin(retired_ids[-20:])
+            ).select("doc_id", "text")
+        )
+        fp_pre = ledger_fingerprints(pre_corpus)
+        fp_pre.write.mode("overwrite").parquet(os.path.join(oneshot, "v-0/fp"))
+        ledger_shingle_counts(
+            spark.read.parquet(os.path.join(oneshot, "v-0/fp"))
+        ).write.mode("overwrite").parquet(os.path.join(oneshot, "v-0/counts"))
+        _manifest_publish(oneshot, 0, lineage, n_batches - 2)
+        fold_one = _ledger_ingest_fn(oneshot, lineage)
+        final_batch = docs.where(
+            (F.col("doc_id") >= pre_lo)
+            & (F.col("doc_id") < pre_lo + batch_sz)
+        ).select("doc_id", "text")
+        t0 = time.time()
+        fold_one(final_batch, n_batches - 1)
+        oneshot_t = time.time() - t0
+
+        third = max(1, len(fold_times) // 3)
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        print(
+            f"| stream_ledger_ingest 30-fold sim (revisions + retirement "
+            f"transactions) | final state {n_state} docs | state == "
+            f"from-scratch: fp mismatch {fp_mism}, counts mismatch "
+            f"{cnt_mism} | per-fold med first/mid/last third "
+            f"{med(fold_times[:third]):.2f}/"
+            f"{med(fold_times[third:2 * third]):.2f}/"
+            f"{med(fold_times[2 * third:]):.2f}s; final fold "
+            f"{fold_times[-1]:.2f}s vs one-shot-state refold "
+            f"{oneshot_t:.2f}s | {elapsed:.0f}s total |"
+        )
+        fp_direct.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
