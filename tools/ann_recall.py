@@ -6,7 +6,18 @@ survives 100 TB; this tool quantifies the trade so the choice is a number,
 not a vibe.  Recall@k = |approx ∩ exact| / k averaged over the query set.
 
 Usage: python tools/ann_recall.py [sf_dir] [k] [n_queries] [replicate]
+   or: python tools/ann_recall.py clustered [k] [n_queries] [n_vectors]
 Appends a section to SCALE.md.
+
+``clustered`` mode (round-12 ask): the isotropic-Gaussian rows below
+are the deliberate WORST CASE for any partition-pruning index — real
+embedding spaces cluster.  This mode substantiates the "on clustered
+data the same recall arrives at a far smaller scan fraction" claim
+with a measurement: a deterministic mixture of 16 Gaussians (seed 0,
+centers N(0, I_64), two separations — tight sigma 0.3 and loose
+sigma 0.7) run through the SAME kmeans-16 IVF at nprobe 1/2/4/8, with
+the actual scan fraction (probed-cell sizes / corpus) reported next
+to each recall so cost and quality land in one row.
 
 ``replicate`` > 1 scales the corpus: replica i is every vector with its
 dimensions cyclically rotated by i (a rotation of an isotropic Gaussian
@@ -121,5 +132,133 @@ def main():
     print(f"appended to {out_md}")
 
 
+def clustered_main():
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    nq = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    n_vec = int(sys.argv[4]) if len(sys.argv) > 4 else 20_000
+    n_clusters, dim = 16, 64
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.operators.kmeans import kmeans_fit
+    from scholarmind_spark.operators.similarity import (
+        _dot,
+        _norm,
+        ann_lsh_topk,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    spark = get_spark(app_name="ann-recall-clustered")
+    out_rows = []
+    for sigma in (0.3, 0.7):
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((n_clusters, dim))
+        labels = rng.integers(0, n_clusters, n_vec)
+        pts = centers[labels] + sigma * rng.standard_normal((n_vec, dim))
+        e = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(n_vec)],
+            "vec_id bigint, embedding array<double>",
+        ).persist()
+        e.count()
+        q = e.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+        def topk_sets(df):
+            out: dict[int, set] = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        exact = topk_sets(cosine_topk(e, q, k=k))
+        trained, inertia = kmeans_fit(e, k=n_clusters, iters=5)
+        trained.persist().count()
+        print(f"sigma={sigma}: kmeans-16 inertia {inertia[0]:.0f} -> {inertia[-1]:.0f}")
+
+        # cosine cell assignment (the ivf_topk rule) for scan fractions
+        cents = F.broadcast(
+            trained.select("cid", "cvec", _norm(F.col("cvec")).alias("nc"))
+        )
+        def cos_cells(side, sid, svec, n):
+            scored = side.crossJoin(cents).select(
+                F.col(sid),
+                F.col("cid"),
+                (
+                    _dot(F.col(svec), F.col("cvec"))
+                    / (_norm(F.col(svec)) * F.col("nc"))
+                ).alias("ccos"),
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(sid).orderBy(F.desc("ccos"), F.desc("cid"))
+            return (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= n)
+                .select(sid, "cid")
+            )
+
+        sizes = {
+            r.cid: r.n
+            for r in cos_cells(e, "vec_id", "embedding", 1)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for nprobe in (1, 2, 4, 8):
+            approx = topk_sets(
+                ivf_topk(e, q, k=k, nprobe=nprobe, centroids_df=trained)
+            )
+            recalls = [
+                len(approx.get(qid, set()) & hits) / len(hits)
+                for qid, hits in exact.items()
+            ]
+            rec = sum(recalls) / len(recalls)
+            probed = cos_cells(q, "query_id", "query_vec", nprobe).collect()
+            per_q: dict[int, int] = {}
+            for r in probed:
+                per_q[r.query_id] = per_q.get(r.query_id, 0) + sizes.get(r.cid, 0)
+            frac = sum(per_q.values()) / (len(per_q) * n_vec)
+            out_rows.append((sigma, f"ivf_kmeans16_nprobe{nprobe}", rec, frac))
+            print(
+                f"sigma={sigma} nprobe={nprobe}: recall@{k}={rec:.3f} "
+                f"scan={frac:.3f}"
+            )
+        lsh = topk_sets(ann_lsh_topk(e, q, k=k))
+        recalls = [
+            len(lsh.get(qid, set()) & hits) / len(hits)
+            for qid, hits in exact.items()
+        ]
+        out_rows.append(
+            (sigma, "lsh_8x6", sum(recalls) / len(recalls), float("nan"))
+        )
+        e.unpersist()
+        trained.unpersist()
+
+    out_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    with open(out_md, "a") as f:
+        f.write(
+            f"\n\n## ANN recall@{k} on a CLUSTERED corpus "
+            f"(mixture of 16 Gaussians, {n_vec} vectors, dim 64, seed 0, "
+            f"{nq} queries)\n\n"
+            "| sigma | index | recall | scan fraction |\n|---|---|---|---|\n"
+            + "".join(
+                f"| {s} | {n} | {r:.3f} | "
+                + ("—" if fr != fr else f"{fr:.3f}")
+                + " |\n"
+                for s, n, r, fr in out_rows
+            )
+        )
+    print(f"appended to {out_md}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "clustered":
+        clustered_main()
+    else:
+        main()
