@@ -118,52 +118,89 @@ _DECODE_SCHEMA = (
 )
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def _pil_decoder():
+    """The REAL-library decode branch — the one-function swap the module
+    docstring promises.  Imported lazily (worker-side) so the module
+    loads in containers without PIL; raises ImportError when absent.
+    Dims/channels come from the DECODED PIXELS, never from the declared
+    metadata — the real branch is exactly what catches metadata lies."""
+    import io
+
+    from PIL import Image
+
+    def decode(content, meta):
+        try:
+            img = Image.open(io.BytesIO(content))
+            return img.width, img.height, len(img.getbands()), True, "pil"
+        except Exception:
+            return None, None, None, False, "pil"
+
+    return decode
+
+
+def _stub_decoder():
+    """STUB branch: no image lib in this container.  Deterministic fake:
+    trust declared metadata, 3 channels, ok iff payload non-empty."""
+
+    def decode(content, meta):
+        if content is None or len(content) == 0:
+            return None, None, None, False, "stub"
+        return meta["width"], meta["height"], 3, True, "stub"
+
+    return decode
+
+
+def _decode_batches(
+    batches: Iterator[pd.DataFrame], use_pil: bool | None = None
+) -> Iterator[pd.DataFrame]:
+    """The mapInPandas body of :func:`decode_images`, exposed so tests
+    can drive BOTH decoder branches deterministically (the real branch
+    with an injected stand-in PIL where the library is absent) and
+    assert they share schema and batch shape.  ``use_pil``: None =
+    auto-detect (production), True = require the real decoder (raise if
+    PIL is missing), False = force the stub."""
+    if use_pil is None:
+        try:
+            decode = _pil_decoder()
+        except ImportError:
+            decode = _stub_decoder()
+    elif use_pil:
+        decode = _pil_decoder()
+    else:
+        decode = _stub_decoder()
+
+    for pdf in batches:
+        # zip over columns, not iterrows: no per-row Series construction
+        rows = [
+            (mid, media["media_type"], *decode(content, media))
+            for mid, media, content in zip(
+                pdf["media_id"], pdf["media"], pdf["content"]
+            )
+            # callers may hand in pre-filtered frames: a null media
+            # struct must degrade, not TypeError the whole task
+            if media is not None and media["media_type"] == "image"
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "media_type", "width", "height",
+                "n_channels", "decode_ok", "decoder",
+            ],
+        )
+
+
+def decode_images(df: DataFrame, use_pil: bool | None = None) -> DataFrame:
     """Decode stage: blob → (width, height, channels) per image row.
 
     Uses PIL when importable; otherwise a DETERMINISTIC FAKE that reads
     the declared metadata and validates the payload is non-empty.  Either
     way the operator contract (schema, one output row per input row,
-    Arrow batching) is identical."""
+    Arrow batching) is identical — pinned by the branch-parity tests in
+    tests/test_multimodal.py.  ``use_pil`` threads through to
+    :func:`_decode_batches` (None = auto-detect per worker)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-            import io
-
-            def decode(content, meta):
-                try:
-                    img = Image.open(io.BytesIO(content))
-                    return img.width, img.height, len(img.getbands()), True, "pil"
-                except Exception:
-                    return None, None, None, False, "pil"
-        except ImportError:
-
-            def decode(content, meta):
-                # STUB: no image lib in this container.  Deterministic fake:
-                # trust declared metadata, 3 channels, ok iff payload non-empty.
-                if content is None or len(content) == 0:
-                    return None, None, None, False, "stub"
-                return meta["width"], meta["height"], 3, True, "stub"
-
-        for pdf in batches:
-            # zip over columns, not iterrows: no per-row Series construction
-            rows = [
-                (mid, media["media_type"], *decode(content, media))
-                for mid, media, content in zip(
-                    pdf["media_id"], pdf["media"], pdf["content"]
-                )
-                # callers may hand in pre-filtered frames: a null media
-                # struct must degrade, not TypeError the whole task
-                if media is not None and media["media_type"] == "image"
-            ]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "media_type", "width", "height",
-                    "n_channels", "decode_ok", "decoder",
-                ],
-            )
+        return _decode_batches(batches, use_pil)
 
     # Filter BEFORE the Python stage: metadata-only predicate prunes
     # non-image rows at the scan, so audio/video payload bytes are never
