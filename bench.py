@@ -93,7 +93,7 @@ BENCH_QUERIES = [
     "sketch_ledger_compact_kmv",
     "sketch_ledger_compact_bloom",
     # dedup_ledger_revise, dedup_ledger_retire, dedup_ledger_expire,
-    # sketch_ledger_roundtrip and dedup_ledger_bloom
+    # dedup_ledger_mor, sketch_ledger_roundtrip and dedup_ledger_bloom
     # are driver-gated but not benched: like dedup_ledger_roundtrip they
     # are self-verifying double-computations whose cost is fixed
     # materialization units, and one such anchor in the bench already

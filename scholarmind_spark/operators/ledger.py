@@ -48,7 +48,7 @@ list is ≤ corpus_shingles / max_df rows, AQE-broadcast."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholarmind_spark.operators.neardup import (
@@ -500,6 +500,74 @@ def ledger_expire_sql(
     yields ``(id, day)``."""
     expired = f"(SELECT id FROM {ingest_days} WHERE day < {cutoff_day})"
     return ledger_retire_sql(fp_state, counts_state, expired)
+
+
+# ------------------------------------------------------- merge-on-read
+#
+# The copy-on-write folds above REWRITE the whole fp table per version
+# — measured at sf0.1 the rewrite term is ~4 µs/doc (SCALE.md r12
+# probe), which is fine to 100k docs and the dominant cost at 100 TB.
+# The scale path is the merge-on-read shape every transactional table
+# format converges on: the state is a BASE snapshot plus a stack of
+# small DELTA files; a fold writes only its delta (O(batch), never
+# O(corpus)); readers RESOLVE base+deltas (latest sequence number per
+# doc wins, tombstones delete, counts sum); compaction folds the stack
+# into a new base every K folds, amortizing the O(state) write over K
+# ingests.  The resolvers below are the pure-DataFrame algebra of that
+# read path — the streaming fold (streaming/pipeline.py, mode="mor")
+# owns the file/manifest layout.
+#
+# Delta row conventions:
+# - fp delta: ``(id, n, hs, seq, tomb)`` — an upsert carries the new
+#   fingerprint and tomb=false; a tombstone (retirement) carries
+#   n NULL / hs NULL / tomb=true.  ``seq`` is the fold's version
+#   number: strictly monotone, so latest-wins is well-defined.
+# - counts delta: ``(sh, df_count)`` with SIGNED df_count — the
+#   revise/retire subtraction algebra unchanged, just not yet summed.
+
+
+def ledger_mor_resolve_fp(chain: DataFrame) -> DataFrame:
+    """Resolve an fp base+delta chain to the current fingerprint table
+    ``(id, n, hs)``: the HIGHEST-seq row per id wins (base rows carry
+    their snapshot's seq, deltas their fold's), then tombstoned ids
+    drop.  One window pass over the chain — the read-side price of
+    writing O(batch) folds."""
+    w = Window.partitionBy("id").orderBy(F.desc("seq"))
+    return (
+        chain.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & ~F.col("tomb"))
+        .select("id", "n", "hs")
+    )
+
+
+def ledger_mor_resolve_counts(chain: DataFrame) -> DataFrame:
+    """Resolve a counts base+delta chain: groupBy-sum of the signed
+    contributions, zero rows dropped — exact by the same additivity
+    that makes :func:`ledger_counts_merge` exact."""
+    return (
+        chain.groupBy("sh")
+        .agg(F.sum("df_count").alias("df_count"))
+        .where(F.col("df_count") != 0)
+    )
+
+
+def ledger_mor_resolve_fp_sql(chain: str) -> str:
+    """DuckDB twin of :func:`ledger_mor_resolve_fp`; ``chain`` yields
+    ``(id, n, hs, seq, tomb)``."""
+    return f"""
+(SELECT id, n, hs FROM (
+   SELECT id, n, hs, tomb,
+          row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+   FROM {chain}
+ ) WHERE rn = 1 AND NOT tomb)"""
+
+
+def ledger_mor_resolve_counts_sql(chain: str) -> str:
+    """DuckDB twin of :func:`ledger_mor_resolve_counts`."""
+    return (
+        f"(SELECT sh, sum(df_count)::BIGINT AS df_count FROM {chain}"
+        f" GROUP BY sh HAVING sum(df_count) <> 0)"
+    )
 
 
 def ledger_retire_sql(

@@ -6480,6 +6480,194 @@ FROM sz, fpm, cm
 """
 
 
+def dedup_ledger_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read ledger resolve (operators/ledger.ledger_mor_* —
+    the O(batch)-write fold layout streaming/pipeline.py mode='mor'
+    publishes): a base snapshot (seq 0: odd docs except every 11th),
+    one delta wave (seq 1: every 11th odd doc inserted, every 9th
+    revised with new text, signed count deltas), and a tombstone wave
+    (seq 2: every 7th odd doc retired with its contributions negated)
+    — resolved with latest-seq-wins + tombstone-drop + counts-sum, the
+    result must equal a from-scratch build over the latest SURVIVING
+    corpus ROW-FOR-ROW.  One row: state/tombstone sizes and the two
+    full-outer mismatch counts (both must be 0)."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_mor_resolve_counts,
+        ledger_mor_resolve_fp,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.util import attach_caches
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    base_docs = d.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    w1_docs = (
+        d.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 9 != 0))
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 9 == 0).select(
+                "doc_id", F.concat("text", F.lit(" w1")).alias("text")
+            )
+        )
+    )
+    retired = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+
+    fp0 = ledger_fingerprints(base_docs).persist()
+    fp1 = ledger_fingerprints(w1_docs).persist()
+
+    def _seq(fp, s):
+        return fp.select(
+            "id", "n", "hs",
+            F.lit(s).cast("int").alias("seq"),
+            F.lit(False).alias("tomb"),
+        )
+
+    chain01 = _seq(fp0, 0).unionByName(_seq(fp1, 1))
+    removed = ledger_mor_resolve_fp(chain01).join(retired, "id", "left_semi")
+    tomb = removed.select(
+        "id", "n", "hs",
+        F.lit(2).cast("int").alias("seq"),
+        F.lit(True).alias("tomb"),
+    )
+    chain_fp = chain01.unionByName(tomb)
+
+    neg1 = ledger_shingle_counts(
+        fp0.join(fp1.select("id"), "id", "left_semi")
+    ).select("sh", (-F.col("df_count")).alias("df_count"))
+    neg2 = ledger_shingle_counts(removed).select(
+        "sh", (-F.col("df_count")).alias("df_count")
+    )
+    chain_counts = (
+        ledger_shingle_counts(fp0)
+        .unionByName(ledger_shingle_counts(fp1))
+        .unionByName(neg1)
+        .unionByName(neg2)
+    )
+    got_fp = ledger_mor_resolve_fp(chain_fp)
+    got_counts = ledger_mor_resolve_counts(chain_counts)
+
+    latest = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 9 == 0, F.concat("text", F.lit(" w1"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    fp_direct = ledger_fingerprints(latest).persist()
+    counts_direct = ledger_shingle_counts(fp_direct)
+
+    fp_mismatch = (
+        got_fp.alias("a")
+        .join(fp_direct.alias("b"), "id", "full")
+        .where(
+            ~F.col("a.n").eqNullSafe(F.col("b.n"))
+            | ~F.col("a.hs").eqNullSafe(F.col("b.hs"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch_fp"))
+    )
+    counts_mismatch = (
+        got_counts.alias("a")
+        .join(counts_direct.alias("b"), "sh", "full")
+        .where(~F.col("a.df_count").eqNullSafe(F.col("b.df_count")))
+        .agg(F.count(F.lit(1)).alias("n_mismatch_counts"))
+    )
+    sizes = got_fp.agg(F.count(F.lit(1)).alias("n_docs_state")).crossJoin(
+        tomb.agg(F.count(F.lit(1)).alias("n_tombstoned"))
+    )
+    out = (
+        sizes.crossJoin(F.broadcast(fp_mismatch))
+        .crossJoin(F.broadcast(counts_mismatch))
+        .select(
+            F.col("n_docs_state").cast("bigint"),
+            F.col("n_tombstoned").cast("bigint"),
+            F.col("n_mismatch_fp").cast("bigint"),
+            F.col("n_mismatch_counts").cast("bigint"),
+        )
+    )
+    return attach_caches(out, [fp0, fp1, fp_direct])
+
+
+def _dedup_ledger_mor_sql() -> str:
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints_sql,
+        ledger_mor_resolve_counts_sql,
+        ledger_mor_resolve_fp_sql,
+        ledger_shingle_counts_sql,
+    )
+
+    base = (
+        "SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 2 = 1 AND doc_id % 11 <> 0"
+    )
+    w1 = (
+        "SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 2 = 1 AND doc_id % 11 = 0 AND doc_id % 9 <> 0"
+        " UNION ALL SELECT doc_id, text || ' w1' FROM documents"
+        " WHERE doc_id % 2 = 1 AND doc_id % 9 = 0"
+    )
+    retired = (
+        "(SELECT doc_id AS id FROM documents"
+        " WHERE doc_id % 2 = 1 AND doc_id % 7 = 0)"
+    )
+    latest = (
+        "SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text || ' w1'"
+        " ELSE text END AS text FROM documents"
+        " WHERE doc_id % 2 = 1 AND doc_id % 7 <> 0"
+    )
+    fp0 = ledger_fingerprints_sql(base)
+    fp1 = ledger_fingerprints_sql(w1)
+    seq0 = f"(SELECT id, n, hs, 0 AS seq, false AS tomb FROM {fp0})"
+    seq1 = f"(SELECT id, n, hs, 1 AS seq, false AS tomb FROM {fp1})"
+    chain01 = f"(SELECT * FROM {seq0} UNION ALL SELECT * FROM {seq1})"
+    removed = (
+        f"(SELECT r.* FROM {ledger_mor_resolve_fp_sql(chain01)} r"
+        f" SEMI JOIN {retired} t USING (id))"
+    )
+    tomb = f"(SELECT id, n, hs, 2 AS seq, true AS tomb FROM {removed})"
+    chain_fp = f"(SELECT * FROM {chain01} UNION ALL SELECT * FROM {tomb})"
+    neg1 = (
+        f"(SELECT sh, -df_count AS df_count FROM {ledger_shingle_counts_sql(f'(SELECT a.* FROM {fp0} a SEMI JOIN (SELECT id FROM {fp1}) b USING (id))')})"
+    )
+    neg2 = (
+        f"(SELECT sh, -df_count AS df_count FROM"
+        f" {ledger_shingle_counts_sql(removed)})"
+    )
+    chain_counts = (
+        f"(SELECT * FROM {ledger_shingle_counts_sql(fp0)}"
+        f" UNION ALL SELECT * FROM {ledger_shingle_counts_sql(fp1)}"
+        f" UNION ALL SELECT * FROM {neg1}"
+        f" UNION ALL SELECT * FROM {neg2})"
+    )
+    got_fp = ledger_mor_resolve_fp_sql(chain_fp)
+    got_counts = ledger_mor_resolve_counts_sql(chain_counts)
+    fp_direct = ledger_fingerprints_sql(latest)
+    counts_direct = ledger_shingle_counts_sql(fp_direct)
+    return f"""
+WITH fpm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_fp
+  FROM {got_fp} a FULL JOIN {fp_direct} b USING (id)
+  WHERE a.n IS DISTINCT FROM b.n OR a.hs IS DISTINCT FROM b.hs
+),
+cm AS (
+  SELECT count(*)::BIGINT AS n_mismatch_counts
+  FROM {got_counts} a FULL JOIN {counts_direct} b USING (sh)
+  WHERE a.df_count IS DISTINCT FROM b.df_count
+),
+sz AS (
+  SELECT (SELECT count(*) FROM {got_fp})::BIGINT AS n_docs_state,
+         (SELECT count(*) FROM {tomb})::BIGINT AS n_tombstoned
+)
+SELECT n_docs_state, n_tombstoned, n_mismatch_fp, n_mismatch_counts
+FROM sz, fpm, cm
+"""
+
+
 def events_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC time-bar downsampling (operators/bars.time_bars): hourly
     open/high/low/close/count/sum bars over the event value stream in
@@ -6934,6 +7122,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_ledger_compact_bloom": sketch_ledger_compact_bloom,
     "dedup_ledger_retire": dedup_ledger_retire,
     "dedup_ledger_expire": dedup_ledger_expire,
+    "dedup_ledger_mor": dedup_ledger_mor,
     "sketch_ledger_drift": sketch_ledger_drift,
     "dedup_ledger_bloom": dedup_ledger_bloom,
     "sketch_ledger_rollup": sketch_ledger_rollup,
@@ -7114,6 +7303,7 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_ledger_compact_bloom": _sketch_ledger_compact_bloom_sql(),
     "dedup_ledger_retire": _dedup_ledger_retire_sql(),
     "dedup_ledger_expire": _dedup_ledger_expire_sql(),
+    "dedup_ledger_mor": _dedup_ledger_mor_sql(),
     "sketch_ledger_drift": _sketch_ledger_drift_sql(),
     "dedup_ledger_bloom": _dedup_ledger_bloom_sql(),
     "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
@@ -7218,15 +7408,16 @@ ORACLE_SQL: dict[str, str] = {
 # the r11 verdict's mandatory list exactly).  Lead with the 1 gate NEW
 # this round (never driver-checked beats stale), then ALL 26 r8
 # stragglers (staleness 3 — mandatory per the rotation contract), then
-# the r9 gates in their r9 window order; the 50-cut takes 1+26+23, and
-# the 27 r9 gates that miss the cut (events_stream_anomaly …
-# events_session_paths, see CORRECTNESS_r09.json order) lead the r13
-# window at staleness 4 — the standing pigeonhole allowance (177 gates,
-# 50-gate window).
+# the r9 gates in their r9 window order; the 50-cut takes 2+26+22, and
+# the 28 r9 gates that miss the cut (dedup_cluster_sizes,
+# events_stream_anomaly … events_session_paths, see
+# CORRECTNESS_r09.json order) lead the r13 window at staleness 4 — the
+# standing pigeonhole allowance (178 gates, 50-gate window).
 
 _ROUND12_FRONT = [
     # new this round — never driver-checked
     "dedup_ledger_expire",
+    "dedup_ledger_mor",
     # the 26 staleness-3 gates (last driver-checked r8) — MANDATORY
     # this round per the r11 verdict's rotation contract
     "customers_without_orders",
@@ -7279,7 +7470,8 @@ _ROUND12_FRONT = [
     "dedup_cluster_reps",
     "graph_pagerank",
     "dedup_containment",
-    "dedup_cluster_sizes",
+    # dedup_cluster_sizes drops to the r13 window to make room for the
+    # second new gate (window cap 50) — it joins the 27 r9 stragglers
 ]
 
 def _rotated(d: dict) -> dict:

@@ -424,9 +424,10 @@ def _state_marker_tag(state_path: str) -> str | None:
     import re
 
     if os.path.exists(_manifest_path(state_path)):
-        m = _manifest_read(state_path)
-        if m is not None:
-            return m[1]
+        with open(_manifest_path(state_path)) as f:
+            parts = f.read().split()
+        if parts:  # lineage field: "mor v LINEAGE upto base" | "v LINEAGE upto"
+            return parts[2] if parts[0] == "mor" else parts[1]
     marker_re = re.compile(r"^_folded_([0-9a-f]{8})_(\d+)$")
     for d in (state_path, f"{state_path}.old"):
         if os.path.isdir(d):
@@ -834,14 +835,24 @@ def _manifest_path(state_path: str) -> str:
 
 
 def _manifest_read(state_path: str):
-    """(version, lineage, folded_upto) or None if never published."""
+    """(version, lineage, folded_upto) or None if never published.
+    Refuses a merge-on-read manifest cleanly — a copy-on-write fold
+    pointed at MoR state would read the base version directory as if
+    it held the whole state and silently drop every delta."""
     import os
 
     mp = _manifest_path(state_path)
     if not os.path.exists(mp):
         return None
     with open(mp) as f:
-        version, lineage, upto = f.read().split()
+        parts = f.read().split()
+    if parts and parts[0] == "mor":
+        raise ValueError(
+            f"state at {state_path} is merge-on-read; fold it with "
+            "mode='mor' (and read it with ledger_state_mor), or start "
+            "a fresh state_path"
+        )
+    version, lineage, upto = parts
     return int(version), lineage, int(upto)
 
 
@@ -1017,6 +1028,8 @@ def stream_ledger_ingest(
     text_col: str = "text",
     shingle_k: int | None = None,
     checkpoint: str | None = None,
+    mode: str = "cow",
+    compact_every: int = 8,
 ):
     """Streaming maintenance of the DEDUP ledger: every microbatch of
     documents is applied to the (fingerprints, shingle-counts) state
@@ -1037,13 +1050,35 @@ def stream_ledger_ingest(
     discipline: lineage + high-water mark live inside the manifest
     (:func:`_fold_lineage`; a re-delivered batch id is skipped, a
     foreign checkpoint lineage refuses).  Read the current tables with
-    :func:`ledger_state_dirs`."""
+    :func:`ledger_state_dirs`.
+
+    ``mode`` picks the state layout:
+
+    - ``"cow"`` (default, copy-on-write): each fold REWRITES both full
+      tables into its version dir — simplest reads (plain parquet),
+      per-fold cost O(delta) compute + O(standing corpus) rewrite
+      (measured ~4 µs/doc at sf0.1, SCALE.md r12 probe).
+    - ``"mor"`` (merge-on-read): each fold writes only its DELTA pair
+      (fp upserts with a sequence number, signed count deltas) —
+      per-fold write cost O(batch); every ``compact_every`` folds the
+      delta stack compacts into a new base, amortizing the O(state)
+      write.  Read with :func:`ledger_state_mor` (latest-seq-wins +
+      tombstone drop + counts sum — operators.ledger.ledger_mor_*).
+      Retire docs with :func:`ledger_mor_retire` (a tombstone-delta
+      transaction).  The two layouts share the manifest's atomicity
+      and exactly-once discipline but refuse each other's state."""
     ck = checkpoint or tempfile.mkdtemp(prefix="slck_")
     lineage = _fold_lineage(ck, (state_path,))
-    return (
-        stream_docs.writeStream.foreachBatch(
-            _ledger_ingest_fn(state_path, lineage, id_col, text_col, shingle_k)
+    if mode == "cow":
+        fold = _ledger_ingest_fn(state_path, lineage, id_col, text_col, shingle_k)
+    elif mode == "mor":
+        fold = _ledger_ingest_fn_mor(
+            state_path, lineage, id_col, text_col, shingle_k, compact_every
         )
+    else:
+        raise ValueError(f"unknown ledger mode {mode!r}: expected cow | mor")
+    return (
+        stream_docs.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
@@ -1130,3 +1165,294 @@ def _ledger_ingest_fn(
         _manifest_gc(state_path, version)
 
     return _fold
+
+
+# ------------------------------------------- merge-on-read ledger fold
+#
+# The copy-on-write fold above rewrites both full state tables per
+# version; SCALE.md's r12 probe measured the rewrite term (~4 µs/doc)
+# and named the scale path: merge-on-read.  This block is that path —
+# the transactional-table-format delta/compact shape reduced to the
+# same minimum as the manifest protocol itself:
+#
+# - version dir of an INCREMENTAL fold: ``v-n/dfp`` (fp upserts /
+#   tombstones with seq=n) + ``v-n/dcounts`` (signed count deltas) —
+#   O(batch) bytes written, never O(corpus);
+# - version dir of a COMPACTION fold (every ``compact_every`` folds):
+#   ``v-n/fp`` + ``v-n/counts`` — the resolved chain materialized as a
+#   new base (the base fp keeps the (seq, tomb) columns so base and
+#   delta files are union-compatible);
+# - manifest line ``mor <version> <lineage> <upto> <base_version>`` —
+#   readers resolve versions [base..version]; the extra field is what
+#   lets the CoW/MoR folds refuse each other's state cleanly;
+# - GC keeps the previous manifest's chain one cycle (a reader resolving
+#   the old manifest mid-publish may still be scanning any of it).
+
+
+def _manifest_read_mor(state_path: str):
+    """(version, lineage, folded_upto, base_version) or None.  Refuses
+    a copy-on-write manifest cleanly (see :func:`_manifest_read` for
+    the mirror-image guard)."""
+    import os
+
+    mp = _manifest_path(state_path)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        parts = f.read().split()
+    if not parts or parts[0] != "mor":
+        raise ValueError(
+            f"state at {state_path} is copy-on-write; fold it with "
+            "mode='cow' (and read it with ledger_state_dirs), or start "
+            "a fresh state_path"
+        )
+    _, version, lineage, upto, base_v = parts
+    return int(version), lineage, int(upto), int(base_v)
+
+
+def _manifest_publish_mor(
+    state_path: str, version: int, lineage: str, batch_id: int, base_v: int
+) -> None:
+    import os
+
+    mp = _manifest_path(state_path)
+    tmp = f"{mp}.tmp-{version}"
+    with open(tmp, "w") as f:
+        f.write(f"mor {version} {lineage} {batch_id} {base_v}\n")
+    os.replace(tmp, mp)
+
+
+def _mor_fold_gate(state_path: str, lineage: str, batch_id: int):
+    """(version, base_version) — (-1, -1) if never published — or the
+    ``_SKIP`` sentinel; same refusals as :func:`_manifest_fold_gate`
+    (rename layout, foreign lineage) plus the CoW-manifest refusal
+    built into :func:`_manifest_read_mor`."""
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+    m = _manifest_read_mor(state_path)
+    if m is None:
+        if os.path.isdir(f"{state_path}.old") or any(
+            f.endswith(".parquet") or f.startswith("_folded_")
+            for f in os.listdir(state_path)
+        ):
+            raise ValueError(
+                f"state at {state_path} is rename-committed; folding it "
+                "as a merge-on-read ledger would orphan it — start a "
+                "fresh state_path"
+            )
+        return -1, -1
+    version, mk_lineage, folded_upto, base_v = m
+    if mk_lineage != lineage:
+        raise ValueError(
+            f"ledger state at {state_path} was folded under a "
+            "different checkpoint lineage; batch ids from this "
+            "checkpoint cannot be deduplicated against it — "
+            "resume with the original checkpoint, or fold into "
+            "a fresh state_path"
+        )
+    if batch_id <= folded_upto:
+        return _SKIP
+    return version, base_v
+
+
+def _mor_chains(spark, state_path: str, base_v: int, upto_v: int):
+    """(fp_chain, counts_chain) DataFrames over versions
+    [base_v..upto_v]: the base pair plus every delta pair, read in one
+    multi-path parquet scan each (base and delta files share schemas
+    by construction)."""
+    import os
+
+    fp_paths = [os.path.join(state_path, f"v-{base_v}", "fp")] + [
+        os.path.join(state_path, f"v-{i}", "dfp")
+        for i in range(base_v + 1, upto_v + 1)
+    ]
+    cnt_paths = [os.path.join(state_path, f"v-{base_v}", "counts")] + [
+        os.path.join(state_path, f"v-{i}", "dcounts")
+        for i in range(base_v + 1, upto_v + 1)
+    ]
+    return spark.read.parquet(*fp_paths), spark.read.parquet(*cnt_paths)
+
+
+def ledger_state_mor(spark, state_path: str):
+    """Resolve a merge-on-read ledger to its current ``(fp, counts)``
+    DataFrames (the same shapes :func:`ledger_state_dirs` reads for
+    copy-on-write state), or None if nothing is published.  Cost: one
+    window pass over base+deltas for fp, one groupBy-sum for counts —
+    the read-side price of O(batch) folds; compaction keeps the chain
+    short (≤ compact_every deltas)."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_mor_resolve_counts,
+        ledger_mor_resolve_fp,
+    )
+
+    m = _manifest_read_mor(state_path)
+    if m is None:
+        return None
+    version, _, _, base_v = m
+    fp_chain, cnt_chain = _mor_chains(spark, state_path, base_v, version)
+    return ledger_mor_resolve_fp(fp_chain), ledger_mor_resolve_counts(cnt_chain)
+
+
+def _ledger_ingest_fn_mor(
+    state_path: str,
+    lineage: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int | None = None,
+    compact_every: int = 8,
+):
+    """The foreachBatch body of merge-on-read
+    :func:`stream_ledger_ingest`, exposed for deterministic tests.
+
+    Per fold: fingerprint the (within-batch-deduped) docs; the fp delta
+    is those rows at seq = new version (tomb false); the counts delta is
+    new contributions MINUS the replaced ids' old contributions (looked
+    up by resolving the current chain semi-joined to the batch ids — an
+    O(state) READ, but the fold WRITES only O(batch)).  Every
+    ``compact_every`` folds the chain is resolved and materialized as a
+    new base instead, amortizing the O(state) write the CoW fold pays
+    every time."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_mor_resolve_counts,
+        ledger_mor_resolve_fp,
+        ledger_shingle_counts,
+    )
+
+    if compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def _fp(df):
+        if shingle_k is None:
+            return ledger_fingerprints(df, id_col, text_col)
+        return ledger_fingerprints(df, id_col, text_col, shingle_k)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        gate = _mor_fold_gate(state_path, lineage, batch_id)
+        if gate is _SKIP:
+            return
+        version, base_v = gate
+        new_v = version + 1
+        # same within-batch dedup contract as the CoW fold
+        uniq = batch_df.groupBy(F.col(id_col)).agg(
+            F.max(text_col).alias(text_col)
+        )
+        rev_fp = _fp(uniq).persist()  # feeds dfp + pos counts (+ compact)
+        try:
+            pos = ledger_shingle_counts(rev_fp)
+            if version >= 0:
+                fp_chain, cnt_chain = _mor_chains(
+                    spark, state_path, base_v, version
+                )
+                old = ledger_mor_resolve_fp(fp_chain).join(
+                    rev_fp.select("id"), "id", "left_semi"
+                )
+                neg = ledger_shingle_counts(old).select(
+                    "sh", (-F.col("df_count")).alias("df_count")
+                )
+                dcounts = (
+                    pos.unionByName(neg)
+                    .groupBy("sh")
+                    .agg(F.sum("df_count").alias("df_count"))
+                    .where(F.col("df_count") != 0)
+                )
+            else:
+                dcounts = pos
+            dfp = rev_fp.select(
+                "id", "n", "hs",
+                F.lit(new_v).cast("int").alias("seq"),
+                F.lit(False).alias("tomb"),
+            )
+            new_dir = os.path.join(state_path, f"v-{new_v}")
+            compact = version >= 0 and (new_v - base_v) >= compact_every
+            if compact or version < 0:
+                # materialize a new BASE: resolved chain + this delta
+                if version >= 0:
+                    full_fp = ledger_mor_resolve_fp(
+                        fp_chain.unionByName(dfp)
+                    ).select(
+                        "id", "n", "hs",
+                        F.lit(new_v).cast("int").alias("seq"),
+                        F.lit(False).alias("tomb"),
+                    )
+                    full_counts = ledger_mor_resolve_counts(
+                        cnt_chain.unionByName(dcounts)
+                    )
+                else:
+                    full_fp, full_counts = dfp, dcounts
+                full_fp.write.mode("overwrite").parquet(
+                    os.path.join(new_dir, "fp")
+                )
+                full_counts.write.mode("overwrite").parquet(
+                    os.path.join(new_dir, "counts")
+                )
+                new_base = new_v
+            else:
+                dfp.write.mode("overwrite").parquet(
+                    os.path.join(new_dir, "dfp")
+                )
+                dcounts.write.mode("overwrite").parquet(
+                    os.path.join(new_dir, "dcounts")
+                )
+                new_base = base_v
+        finally:
+            rev_fp.unpersist()
+        _manifest_publish_mor(state_path, new_v, lineage, batch_id, new_base)
+        # the previous manifest's readers need [base_v..version]; keep
+        # that whole chain one cycle
+        _manifest_gc(state_path, base_v if base_v >= 0 else 0)
+
+    return _fold
+
+
+def ledger_mor_retire(spark, state_path: str, retired_ids) -> None:
+    """Out-of-band retirement TRANSACTION on a merge-on-read ledger
+    (takedown / retention expiry / erasure): publish one tombstone
+    delta — fp rows (id, NULL, NULL, seq, tomb=true) plus the retired
+    docs' negative count contributions — as its own manifest version.
+    Consumes no stream batch id (the high-water mark is republished
+    unchanged), exactly like the CoW retirement transactions the r12
+    ledger_sim runs; ids absent from the state are no-ops.
+    ``retired_ids``: a one-column ``id`` DataFrame."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.ledger import (
+        ledger_mor_resolve_fp,
+        ledger_shingle_counts,
+    )
+
+    m = _manifest_read_mor(state_path)
+    if m is None:
+        raise ValueError(f"no published merge-on-read state at {state_path}")
+    version, lineage, upto, base_v = m
+    new_v = version + 1
+    ids = retired_ids.select("id").distinct()
+    fp_chain, _ = _mor_chains(spark, state_path, base_v, version)
+    removed = ledger_mor_resolve_fp(fp_chain).join(ids, "id", "left_semi")
+    neg = ledger_shingle_counts(removed).select(
+        "sh", (-F.col("df_count")).alias("df_count")
+    )
+    # tombstone only ids actually present — a no-op retire publishes
+    # empty deltas, which resolve harmlessly.  NULL columns take their
+    # types from the resolved state so the multi-path chain scan never
+    # hits a parquet type mismatch
+    tomb = removed.select(
+        "id",
+        F.lit(None).cast(removed.schema["n"].dataType).alias("n"),
+        F.lit(None).cast(removed.schema["hs"].dataType).alias("hs"),
+        F.lit(new_v).cast("int").alias("seq"),
+        F.lit(True).alias("tomb"),
+    )
+    new_dir = os.path.join(state_path, f"v-{new_v}")
+    tomb.write.mode("overwrite").parquet(os.path.join(new_dir, "dfp"))
+    neg.write.mode("overwrite").parquet(os.path.join(new_dir, "dcounts"))
+    _manifest_publish_mor(state_path, new_v, lineage, upto, base_v)
+    _manifest_gc(state_path, base_v)

@@ -423,3 +423,80 @@ def test_expire_sql_twin_matches(spark):
     )
     want_c = sorted((r.sh, r.df_count) for r in new_counts.collect())
     assert got_c == want_c
+
+
+def test_mor_resolve_equals_from_scratch(spark):
+    """Merge-on-read resolve (ledger_mor_resolve_fp/counts): a base +
+    revision delta + tombstone delta chain resolves to exactly the
+    from-scratch state over the latest surviving corpus, and the DuckDB
+    twins agree row-for-row."""
+    from scholarmind_spark.operators.ledger import (
+        ledger_mor_resolve_counts,
+        ledger_mor_resolve_counts_sql,
+        ledger_mor_resolve_fp,
+        ledger_mor_resolve_fp_sql,
+    )
+
+    def _seq(fp, seq, tomb=False):
+        return fp.select(
+            "id", "n", "hs",
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(tomb).alias("tomb"),
+        )
+
+    _, fp0 = _ledger_state(spark, DOCS)  # base: docs 1-6, seq 0
+    rev_rows = [(2, "the quick brown fox jumps over the lazy dog REVISED"),
+                (7, "a brand new seventh document arrives in wave one ok")]
+    _, fp1 = _ledger_state(spark, rev_rows)  # delta: revise 2, insert 7
+    tomb = spark.createDataFrame([(1,)], "id int").select(
+        "id",
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("array<bigint>").alias("hs"),
+        F.lit(2).cast("int").alias("seq"),
+        F.lit(True).alias("tomb"),
+    )
+    chain = _seq(fp0, 0).unionByName(_seq(fp1, 1)).unionByName(tomb)
+
+    latest = [r for r in DOCS if r[0] not in (1, 2)] + rev_rows
+    _, fp_direct = _ledger_state(spark, latest)
+    want_fp = sorted((r.id, r.n, tuple(r.hs)) for r in fp_direct.collect())
+    got_fp = sorted(
+        (r.id, r.n, tuple(r.hs))
+        for r in ledger_mor_resolve_fp(chain).collect()
+    )
+    assert got_fp == want_fp
+
+    # counts chain: base counts + signed deltas (pos of wave-1 fp, neg of
+    # replaced doc 2's base fp, neg of tombstoned doc 1's base fp)
+    base_counts = ledger_shingle_counts(fp0)
+    pos1 = ledger_shingle_counts(fp1)
+    neg = ledger_shingle_counts(
+        fp0.where(F.col("id").isin([1, 2]))
+    ).select("sh", (-F.col("df_count")).alias("df_count"))
+    cchain = base_counts.unionByName(pos1).unionByName(neg)
+    want_c = sorted(
+        tuple(r) for r in ledger_shingle_counts(fp_direct).collect()
+    )
+    got_c = sorted(
+        tuple(r) for r in ledger_mor_resolve_counts(cchain).collect()
+    )
+    assert got_c == want_c
+
+    # DuckDB twins over the identical chains
+    con = duckdb.connect()
+    con.register("fpchain", chain.toPandas())
+    con.register("cchain", cchain.toPandas())
+    sql_fp = sorted(
+        (int(i), int(n), tuple(h))
+        for i, n, h in con.execute(
+            f"SELECT id, n, hs FROM {ledger_mor_resolve_fp_sql('fpchain')}"
+        ).fetchall()
+    )
+    assert sql_fp == want_fp
+    sql_c = sorted(
+        (int(s), int(c))
+        for s, c in con.execute(
+            f"SELECT sh, df_count FROM {ledger_mor_resolve_counts_sql('cchain')}"
+        ).fetchall()
+    )
+    assert sql_c == want_c

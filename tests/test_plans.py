@@ -78,6 +78,9 @@ BNLJ_OK = {
     # identical one-row-counters assembly (retained/expired sizes, the
     # two full-outer mismatch counters)
     "dedup_ledger_expire",
+    # round-12: merge-on-read resolve self-verifier — same one-row
+    # mismatch-counter assembly as retire/expire
+    "dedup_ledger_mor",
     # one-row pruning-stat attaches + the one-row bitmap-map broadcast
     "orders_bloom_prune",
     # the tiny quantile-literal frame (2-3 rows) crossing the bounded

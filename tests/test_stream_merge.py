@@ -958,3 +958,224 @@ def test_manifest_gc_ignores_stray_entries(spark, tmp_path):
     left = sorted(os.listdir(state))
     # v-0 (dir, old) collected; v-backup and the v-1 FILE survive
     assert left == ["v-1", "v-2", "v-backup"]
+
+
+# ------------------------------------------- merge-on-read ledger fold
+
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+MOR_DOCS = [
+    (i, f"word{i % 7} alpha beta gamma delta epsilon zeta eta doc {i} body")
+    for i in range(12)
+]
+
+
+def _mor_batches(spark):
+    """Four microbatches: inserts 0-2 / 3-5 / 6-8(+revise 0,1) / 9-11
+    (+revise 0 again) — exercises insert, revise, and re-revise."""
+    rows = dict(MOR_DOCS)
+    b = []
+    b.append([(i, rows[i]) for i in range(0, 3)])
+    b.append([(i, rows[i]) for i in range(3, 6)])
+    b.append([(i, rows[i]) for i in range(6, 9)]
+             + [(0, rows[0] + " r2"), (1, rows[1] + " r2")])
+    b.append([(i, rows[i]) for i in range(9, 12)] + [(0, rows[0] + " r3")])
+    return [spark.createDataFrame(x, DOC_SCHEMA) for x in b]
+
+
+def _mor_expected(spark, retired=()):
+    rows = dict(MOR_DOCS)
+    rows[0] = rows[0] + " r3"
+    rows[1] = rows[1] + " r2"
+    latest = [(i, t) for i, t in rows.items() if i not in retired]
+    return spark.createDataFrame(latest, DOC_SCHEMA)
+
+
+def _assert_mor_state_equals(spark, state, expected_docs):
+    from scholarmind_spark.operators.ledger import (
+        ledger_fingerprints,
+        ledger_shingle_counts,
+    )
+    from scholarmind_spark.streaming import ledger_state_mor
+
+    got_fp, got_counts = ledger_state_mor(spark, state)
+    fp_direct = ledger_fingerprints(expected_docs)
+    assert sorted((r.id, r.n, tuple(r.hs)) for r in got_fp.collect()) == sorted(
+        (r.id, r.n, tuple(r.hs)) for r in fp_direct.collect()
+    )
+    assert sorted(tuple(r) for r in got_counts.collect()) == sorted(
+        tuple(r) for r in ledger_shingle_counts(fp_direct).collect()
+    )
+
+
+def test_mor_fold_equals_from_scratch_with_compaction(spark, tmp_path):
+    """Merge-on-read ledger ingest: four folds (inserts, revisions, a
+    re-revision) with compact_every=2 — the published state resolves to
+    the from-scratch build after EVERY fold, compaction materializes a
+    new base on schedule, and incremental version dirs hold only delta
+    files (the O(batch)-write claim, checked on disk)."""
+    import os
+
+    from scholarmind_spark.streaming.pipeline import (
+        _ledger_ingest_fn_mor,
+        _manifest_read_mor,
+    )
+
+    state = str(tmp_path / "state")
+    fold = _ledger_ingest_fn_mor(state, "cafebabe", compact_every=2)
+    batches = _mor_batches(spark)
+    expected_per_fold = [
+        spark.createDataFrame([(i, dict(MOR_DOCS)[i]) for i in range(3)], DOC_SCHEMA),
+        spark.createDataFrame([(i, dict(MOR_DOCS)[i]) for i in range(6)], DOC_SCHEMA),
+        None,  # built below
+        None,
+    ]
+    rows = dict(MOR_DOCS)
+    r2 = dict(rows); r2[0] += " r2"; r2[1] += " r2"
+    expected_per_fold[2] = spark.createDataFrame(
+        [(i, r2[i]) for i in range(9)], DOC_SCHEMA
+    )
+    r3 = dict(r2); r3[0] = rows[0] + " r3"
+    expected_per_fold[3] = spark.createDataFrame(
+        [(i, r3[i]) for i in range(12)], DOC_SCHEMA
+    )
+
+    for bid, (batch, exp) in enumerate(zip(batches, expected_per_fold)):
+        fold(batch, bid)
+        _assert_mor_state_equals(spark, state, exp)
+
+    # fold 0 wrote the first base (v-0); fold 1 was incremental; fold 2
+    # compacted (new_v - base_v = 2 hits compact_every); fold 3 is
+    # incremental again on the new base
+    assert _manifest_read_mor(state) == (3, "cafebabe", 3, 2)
+    assert os.path.isdir(os.path.join(state, "v-2", "fp"))  # base
+    assert os.path.isdir(os.path.join(state, "v-3", "dfp"))
+    # the incremental dir holds ONLY deltas — never a full table
+    assert not os.path.isdir(os.path.join(state, "v-3", "fp"))
+    # fold 3's GC dropped the pre-compaction chain (v-0, v-1)
+    assert not os.path.isdir(os.path.join(state, "v-0"))
+    assert not os.path.isdir(os.path.join(state, "v-1"))
+
+
+def test_mor_fold_redelivery_and_lineage(spark, tmp_path):
+    """A re-delivered batch id is a no-op; a foreign checkpoint lineage
+    refuses — the sketch-fold exactly-once discipline, MoR flavor."""
+    import pytest as _pytest
+
+    from scholarmind_spark.streaming.pipeline import _ledger_ingest_fn_mor
+
+    state = str(tmp_path / "state")
+    batches = _mor_batches(spark)
+    fold = _ledger_ingest_fn_mor(state, "cafebabe", compact_every=4)
+    fold(batches[0], 0)
+    fold(batches[1], 1)
+    fold(batches[1], 1)  # re-delivery: must not double doc 3-5 counts
+    exp = spark.createDataFrame(
+        [(i, dict(MOR_DOCS)[i]) for i in range(6)], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp)
+    with _pytest.raises(ValueError, match="different checkpoint lineage"):
+        _ledger_ingest_fn_mor(state, "deadbeef")(batches[2], 0)
+
+
+def test_mor_cow_refuse_each_other(spark, tmp_path):
+    """A CoW fold pointed at MoR state would read the base version dir
+    as the whole state and silently drop every delta; an MoR fold on
+    CoW state would mis-parse its manifest.  Both directions refuse,
+    and the CoW reader refuses MoR state too."""
+    import pytest as _pytest
+
+    from scholarmind_spark.streaming import ledger_state_dirs
+    from scholarmind_spark.streaming.pipeline import (
+        _ledger_ingest_fn,
+        _ledger_ingest_fn_mor,
+    )
+
+    batches = _mor_batches(spark)
+    mor_state = str(tmp_path / "mor")
+    _ledger_ingest_fn_mor(mor_state, "cafebabe")(batches[0], 0)
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        _ledger_ingest_fn(mor_state, "cafebabe")(batches[1], 1)
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        ledger_state_dirs(mor_state)
+
+    cow_state = str(tmp_path / "cow")
+    _ledger_ingest_fn(cow_state, "cafebabe")(batches[0], 0)
+    with _pytest.raises(ValueError, match="copy-on-write"):
+        _ledger_ingest_fn_mor(cow_state, "cafebabe")(batches[1], 1)
+
+
+def test_mor_retire_transaction(spark, tmp_path):
+    """ledger_mor_retire publishes a tombstone delta as its own
+    version: retired docs vanish from the resolved state (== a
+    from-scratch build over the survivors), absent ids are no-ops, and
+    the stream's batch high-water mark is unchanged so the next fold
+    proceeds."""
+    from scholarmind_spark.streaming import ledger_mor_retire
+    from scholarmind_spark.streaming.pipeline import (
+        _ledger_ingest_fn_mor,
+        _manifest_read_mor,
+    )
+
+    state = str(tmp_path / "state")
+    batches = _mor_batches(spark)
+    fold = _ledger_ingest_fn_mor(state, "cafebabe", compact_every=10)
+    for bid, batch in enumerate(batches[:3]):
+        fold(batch, bid)
+
+    retired = spark.createDataFrame([(4,), (7,), (999,)], "id bigint")
+    ledger_mor_retire(spark, state, retired)
+    rows = dict(MOR_DOCS)
+    rows[0] += " r2"
+    rows[1] += " r2"
+    exp = spark.createDataFrame(
+        [(i, rows[i]) for i in range(9) if i not in (4, 7)], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp)
+    assert _manifest_read_mor(state)[2] == 2  # high-water unchanged
+
+    fold(batches[3], 3)  # stream resumes over the retired state
+    rows[0] = dict(MOR_DOCS)[0] + " r3"
+    rows.update({i: dict(MOR_DOCS)[i] for i in range(9, 12)})
+    exp = spark.createDataFrame(
+        [(i, t) for i, t in rows.items() if i not in (4, 7)], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp)
+
+
+def test_mor_crash_before_publish_recovers(spark, tmp_path):
+    """An orphan version directory from a crash after the delta write
+    but before the manifest publish is overwritten by the retried
+    batch — the previous manifest stays live throughout."""
+    import shutil as _shutil
+
+    from scholarmind_spark.streaming.pipeline import (
+        _ledger_ingest_fn_mor,
+        _manifest_read_mor,
+    )
+
+    state = str(tmp_path / "state")
+    batches = _mor_batches(spark)
+    fold = _ledger_ingest_fn_mor(state, "cafebabe", compact_every=10)
+    fold(batches[0], 0)
+    # simulate the crash: run fold 1 fully, then roll back the manifest
+    # and leave v-1 as the orphan
+    import os
+
+    mp = os.path.join(state, "MANIFEST")
+    saved = open(mp).read()
+    fold(batches[1], 1)
+    with open(mp, "w") as f:
+        f.write(saved)  # crash happened "before" this publish
+    _shutil.rmtree(os.path.join(state, "v-1", "dcounts"))  # torn write
+    exp0 = spark.createDataFrame(
+        [(i, dict(MOR_DOCS)[i]) for i in range(3)], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp0)  # old state still live
+    fold(batches[1], 1)  # retry overwrites the orphan and publishes
+    assert _manifest_read_mor(state) == (1, "cafebabe", 1, 0)
+    exp = spark.createDataFrame(
+        [(i, dict(MOR_DOCS)[i]) for i in range(6)], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp)
