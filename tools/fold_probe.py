@@ -502,6 +502,112 @@ def main() -> None:
         fp_direct.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
+    if "ledger_sim_mor" in modes:
+        # the SAME 30-fold scenario through the merge-on-read fold
+        # (mode='mor', compact_every=8) — O(batch) incremental writes,
+        # periodic compaction; retirement as tombstone-delta
+        # transactions.  Reported separately: incremental-fold vs
+        # compaction-fold medians, so the amortization is a number.
+        from scholarmind_spark.operators.ledger import (
+            ledger_fingerprints,
+            ledger_shingle_counts,
+        )
+        from scholarmind_spark.streaming.pipeline import (
+            _ledger_ingest_fn_mor,
+            _manifest_read_mor,
+            ledger_mor_retire,
+            ledger_state_mor,
+        )
+
+        root = tempfile.mkdtemp(prefix="ledgersimmor_")
+        state = os.path.join(root, "state")
+        lineage = "cafef00d"
+        compact_every = 8
+        fold = _ledger_ingest_fn_mor(state, lineage, compact_every=compact_every)
+        n_batches, batch_sz, n_rev = 30, 150, 50
+        retired_ids: list[int] = []
+        inc_times: list[float] = []
+        compact_times: list[float] = []
+        t_all = time.time()
+        for i in range(n_batches):
+            lo = i * batch_sz
+            batch = docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + batch_sz)
+            ).select("doc_id", "text")
+            if i > 0 and i % 3 == 0:
+                batch = batch.unionByName(
+                    docs.where(F.col("doc_id") < n_rev).select(
+                        "doc_id",
+                        F.concat("text", F.lit(f" rev{i}")).alias("text"),
+                    )
+                )
+            pre = _manifest_read_mor(state) if i > 0 else None
+            t0 = time.time()
+            fold(batch, i)
+            dt = time.time() - t0
+            post = _manifest_read_mor(state)
+            # a fold that moved the base forward was a compaction
+            if pre is None or post[3] > (pre[3] if pre else -1):
+                compact_times.append(dt)
+            else:
+                inc_times.append(dt)
+            if i % 10 == 9:
+                ids = list(range(lo - 100, lo - 80))
+                retired_ids.extend(ids)
+                ledger_mor_retire(
+                    spark,
+                    state,
+                    spark.createDataFrame([(x,) for x in ids], "id bigint"),
+                )
+        elapsed = time.time() - t_all
+
+        last_rev = max(i for i in range(n_batches) if i > 0 and i % 3 == 0)
+        expected = (
+            docs.where(F.col("doc_id") < n_batches * batch_sz)
+            .where(~F.col("doc_id").isin(retired_ids))
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") < n_rev,
+                    F.concat("text", F.lit(f" rev{last_rev}")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        fp_direct = ledger_fingerprints(expected).persist()
+        counts_direct = ledger_shingle_counts(fp_direct)
+        got_fp, got_counts = ledger_state_mor(spark, state)
+        fp_mism = (
+            got_fp.alias("a")
+            .join(fp_direct.alias("b"), "id", "full")
+            .where(
+                ~F.col("a.n").eqNullSafe(F.col("b.n"))
+                | ~F.col("a.hs").eqNullSafe(F.col("b.hs"))
+            )
+            .count()
+        )
+        cnt_mism = (
+            got_counts.alias("a")
+            .join(counts_direct.alias("b"), "sh", "full")
+            .where(~F.col("a.df_count").eqNullSafe(F.col("b.df_count")))
+            .count()
+        )
+        n_state = got_fp.count()
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        print(
+            f"| stream_ledger_ingest MoR 30-fold sim (compact_every="
+            f"{compact_every}, revisions + tombstone retirements) "
+            f"| final state {n_state} docs | resolved state == "
+            f"from-scratch: fp mismatch {fp_mism}, counts mismatch "
+            f"{cnt_mism} | incremental folds med {med(inc_times):.2f}s "
+            f"({len(inc_times)}), compaction folds med "
+            f"{med(compact_times):.2f}s ({len(compact_times)}) | "
+            f"{elapsed:.0f}s total |"
+        )
+        fp_direct.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
