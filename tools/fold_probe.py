@@ -502,6 +502,113 @@ def main() -> None:
         fp_direct.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
+    if "ledger_write_probe" in modes:
+        # head-to-head WRITE cost, CoW vs MoR incremental, ACTUAL parquet
+        # writes (the ledger_probe above forces noop sinks, so it times
+        # compute + state SCAN but not the write term the MoR design
+        # removes): fold ONE FIXED 500-doc revision batch into standing
+        # state of 1x/10x/20x corpus size and time the full fold work —
+        # CoW = revise + write BOTH full tables; MoR = neg-lookup
+        # (O(state) read) + write the two DELTA files only.
+        from scholarmind_spark.operators.ledger import (
+            ledger_fingerprints,
+            ledger_mor_resolve_fp,
+            ledger_revise,
+            ledger_shingle_counts,
+        )
+
+        root = tempfile.mkdtemp(prefix="ledgerwrite_")
+        rev = docs.where(F.col("doc_id") < 500).select(
+            "doc_id", F.concat("text", F.lit(" probe-rev")).alias("text")
+        )
+        rev_fp = ledger_fingerprints(rev).persist()
+        rev_fp.count()
+
+        medians: dict[str, dict[int, float]] = {
+            "cow_fold_write": {},
+            "mor_fold_write": {},
+        }
+        for k in KS:
+            reps_df = spark.range(k).select(F.col("id").alias("i"))
+            corpus = docs.crossJoin(reps_df).select(
+                (F.col("doc_id") + F.col("i") * 10_000_000).alias("doc_id"),
+                "text",
+            )
+            fp_dir = os.path.join(root, f"fp_{k}")
+            cnt_dir = os.path.join(root, f"cnt_{k}")
+            ledger_fingerprints(corpus).write.mode("overwrite").parquet(fp_dir)
+            fp_state = spark.read.parquet(fp_dir)
+            ledger_shingle_counts(fp_state).write.mode("overwrite").parquet(
+                cnt_dir
+            )
+            counts_state = spark.read.parquet(cnt_dir)
+            n_state = fp_state.count()
+            base_chain = fp_state.select(
+                "id", "n", "hs",
+                F.lit(0).cast("int").alias("seq"),
+                F.lit(False).alias("tomb"),
+            )
+            out = os.path.join(root, f"out_{k}")
+            for name, fn in (
+                ("cow_fold_write", None),
+                ("mor_fold_write", None),
+            ):
+                per = []
+                for r in range(REPS):
+                    t0 = time.time()
+                    if name == "cow_fold_write":
+                        new_fp, new_counts = ledger_revise(
+                            fp_state, counts_state, rev_fp
+                        )
+                        new_fp.write.mode("overwrite").parquet(
+                            os.path.join(out, "fp")
+                        )
+                        new_counts.write.mode("overwrite").parquet(
+                            os.path.join(out, "counts")
+                        )
+                    else:
+                        old = ledger_mor_resolve_fp(base_chain).join(
+                            rev_fp.select("id"), "id", "left_semi"
+                        )
+                        neg = ledger_shingle_counts(old).select(
+                            "sh", (-F.col("df_count")).alias("df_count")
+                        )
+                        dcounts = (
+                            ledger_shingle_counts(rev_fp)
+                            .unionByName(neg)
+                            .groupBy("sh")
+                            .agg(F.sum("df_count").alias("df_count"))
+                            .where(F.col("df_count") != 0)
+                        )
+                        dfp = rev_fp.select(
+                            "id", "n", "hs",
+                            F.lit(1).cast("int").alias("seq"),
+                            F.lit(False).alias("tomb"),
+                        )
+                        dfp.write.mode("overwrite").parquet(
+                            os.path.join(out, "dfp")
+                        )
+                        dcounts.write.mode("overwrite").parquet(
+                            os.path.join(out, "dcounts")
+                        )
+                    per.append(time.time() - t0)
+                    spark.catalog.clearCache()
+                per.sort()
+                medians[name][k] = per[len(per) // 2]
+                print(
+                    f"# k={k} ({n_state} standing docs) {name}: median "
+                    f"{per[len(per) // 2]:.2f}s of {[round(p, 2) for p in per]}",
+                    file=sys.stderr,
+                )
+        print(
+            "| operator | 1x med | 10x med | 20x med | fixed a | slope b ± se |"
+        )
+        print("|---|---|---|---|---|---|")
+        for name, by_k in medians.items():
+            print(_fit_row(name, by_k))
+        rev_fp.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
     if "ledger_sim_mor" in modes:
         # the SAME 30-fold scenario through the merge-on-read fold
         # (mode='mor', compact_every=8) — O(batch) incremental writes,
