@@ -195,8 +195,16 @@ def main() -> None:
     spark = get_spark(app_name="scholarmind-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM, parquet footer reads, codegen
+    # warmup: JVM, parquet footer reads, codegen.  A full mid-weight
+    # query through the noop sink (not just a limit-count) — with the
+    # expensive queries now running FIRST, a thin warmup left the
+    # session's codegen/shuffle warmup inside rep 1 of the most
+    # expensive query (observed: dedup_ledger_roundtrip reps
+    # 23.0/17.5/15.7 — rep 1 carried ~7 s of session warmup)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
+    SPARK_QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # SPARK_GRAFT_BENCH_ONLY=a,b,c — isolated-measure mode for anchor
