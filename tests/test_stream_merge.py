@@ -1179,3 +1179,34 @@ def test_mor_crash_before_publish_recovers(spark, tmp_path):
         [(i, dict(MOR_DOCS)[i]) for i in range(6)], DOC_SCHEMA
     )
     _assert_mor_state_equals(spark, state, exp)
+
+
+def test_mor_reingest_after_retire(spark, tmp_path):
+    """A RETIRED id re-ingested later must come back: the new delta's
+    higher seq outranks the tombstone in the fp resolve, and the counts
+    delta adds only the new contributions (the neg-lookup resolves the
+    tombstoned chain and finds nothing to subtract) — state equals the
+    from-scratch build with the doc present at its new text."""
+    from scholarmind_spark.streaming import ledger_mor_retire
+    from scholarmind_spark.streaming.pipeline import _ledger_ingest_fn_mor
+
+    state = str(tmp_path / "state")
+    fold = _ledger_ingest_fn_mor(state, "cafebabe", compact_every=10)
+    rows = dict(MOR_DOCS)
+    fold(spark.createDataFrame([(i, rows[i]) for i in range(3)], DOC_SCHEMA), 0)
+    ledger_mor_retire(
+        spark, state, spark.createDataFrame([(1,)], "id bigint")
+    )
+    exp = spark.createDataFrame(
+        [(0, rows[0]), (2, rows[2])], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp)
+
+    # re-ingest id 1 with NEW text in the next stream batch
+    fold(
+        spark.createDataFrame([(1, rows[1] + " reborn")], DOC_SCHEMA), 1
+    )
+    exp = spark.createDataFrame(
+        [(0, rows[0]), (1, rows[1] + " reborn"), (2, rows[2])], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp)
