@@ -695,7 +695,11 @@ def _maybe_compact(
             f"{day_col!r} key that does not render as an integer "
             "epoch-day (e.g. a date string): retention would silently "
             "never engage for them — key days by epoch-day "
-            "(datediff from 1970-01-01) before folding"
+            "(datediff from 1970-01-01) before folding.  (If the state "
+            "was batch-compacted under a custom period_prefix, note "
+            "the streaming fold loop recognizes only the default 'm' "
+            "labels — fold such state with the batch compactors "
+            "instead.)"
         )
     if max_day is None:
         return merged
