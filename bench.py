@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "events_asof_join",
     "events_range_join",
     "order_price_quantiles",
@@ -136,6 +137,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "graph_pagerank",
     "text_lm_score",
+    "text_ccnet_buckets",
+    "text_quality_classifier",
     "link_fuzzy_vocab",
     "events_rolling_anomaly",
     "embed_centroid_classify",

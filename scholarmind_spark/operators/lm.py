@@ -231,3 +231,87 @@ JOIN __right r ON c.v = r.v
 WHERE c.c_uv >= {min_count}
 ORDER BY pmi_micro DESC, c.u, c.v
 LIMIT {k}"""
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): within every language, rank documents by LM score and cut the
+    ranking into ``n_buckets`` equal-depth tiers — CCNet keeps "head"
+    (lowest perplexity) for pretraining and drops or down-weights "tail".
+
+    Divergence from the paper, stated: CCNet scores with per-language
+    Wikipedia-trained 5-gram KenLM models; here the model is the engine's
+    self-trained corpus bigram LM (:func:`bigram_lm_score`) — ONE model,
+    with the bucket windows per-language exactly as in CCNet.  Swapping
+    in per-language external scores is a one-join change (the bucket
+    stage only consumes ``(id, class, score)``).
+
+    Shape: the LM scoring's two shuffles + one window over
+    ``partitionBy(class) orderBy(nll_micro, id)`` — ntile is a single
+    pass per partition and languages are few, so the window shuffle is
+    one exchange on a low-cardinality key; the deterministic (score, id)
+    order makes the tier split engine-exact.
+
+    Returns ``id_col, class_col, n_bigrams, nll_micro, bucket, tier``
+    (``bucket`` 1-based, ``tier`` = head/middle/tail when ``n_buckets``
+    is 3, else ``b<k>``).  Docs with no bigrams are unscorable and
+    omitted (the :func:`bigram_lm_score` contract).
+    """
+    from pyspark.sql.window import Window
+
+    scored = bigram_lm_score(df, id_col=id_col, text_col=text_col)
+    cls = df.select(F.col(id_col), F.col(class_col))
+    w = Window.partitionBy(class_col).orderBy("nll_micro", id_col)
+    ranked = (
+        scored.join(cls, id_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        tier = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    out = ranked.select(
+        id_col, class_col, "n_bigrams", "nll_micro", "bucket", tier.alias("tier")
+    )
+    from scholarmind_spark.util import attach_caches
+
+    return attach_caches(out, list(getattr(scored, "_sm_caches", ())))
+
+
+def perplexity_buckets_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    class_col: str = "lang",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB twin of :func:`perplexity_buckets`."""
+    if n_buckets == 3:
+        tier = (
+            "CASE b.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+            " ELSE 'tail' END"
+        )
+    else:
+        tier = "'b' || b.bucket::VARCHAR"
+    return f"""
+WITH __lm AS ({bigram_lm_score_sql(table, id_col, text_col)}),
+__b AS (
+  SELECT s.{id_col}, c.{class_col}, s.n_bigrams, s.nll_micro,
+         ntile({n_buckets}) OVER (PARTITION BY c.{class_col}
+                                  ORDER BY s.nll_micro, s.{id_col}) AS bucket
+  FROM __lm s JOIN {table} c ON s.{id_col} = c.{id_col}
+)
+SELECT b.{id_col}, b.{class_col}, b.n_bigrams, b.nll_micro, b.bucket,
+       {tier} AS tier
+FROM __b b
+"""

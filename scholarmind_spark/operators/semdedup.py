@@ -1,0 +1,216 @@
+"""SemDeDup — semantic deduplication via k-means-cell-bounded cosine
+pairs (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication").
+
+The published recipe: cluster the embedding corpus with k-means, compare
+pairs ONLY within a cluster, and inside every near-duplicate relation keep
+the example with the LOWEST similarity to its cluster centroid (the
+"outlier" of the group — the paper's default, shown to beat keeping the
+most-central example).
+
+Spark-first shape — no iteration, no driver loop:
+
+- assignment is a PURE PROJECTION: the codebook is k tiny rows by
+  contract (the :func:`operators.kmeans.kmeans_fit` output — its
+  ``_materialize`` collects it every iteration for the same reason), so
+  it is collected once at plan-build time and inlined as a literal
+  array of (cid, cvec) structs; per row the argmin is one
+  ``array_min(transform(...))`` over k struct(d, cid) entries —
+  lexicographic (d, cid), deterministic ties — with NO join, NO
+  aggregate and NO shuffle (the previous corpus × broadcast(codebook)
+  cross + min(struct) aggregate planned as back-to-back SortAggregates
+  that sorted corpus rows carrying the embedding arrays);
+- the pair stage is ONE self-equi-join on the cell id, so candidate
+  volume is Σ cell_size² — bounded by the codebook granularity ``k``
+  exactly like the IVF index, never the corpus' n²;
+- the keep decision is a single EXISTS (anti-join): a vector is dropped
+  iff some co-cell neighbour with cosine ≥ τ sits FARTHER from the
+  centroid (exact distance ties: the smaller id survives), which
+  reproduces the paper's
+  triangular-matrix sweep without ordering state — y being dropped
+  itself does not rescue x, exactly as in the reference implementation's
+  upper-triangular formulation.
+
+At 100 TB the cell join is the only part that can misbehave: a mega-cell
+(skewed codebook) turns its self-join quadratic.  Production guidance:
+train the codebook with :func:`operators.kmeans.kmeans_fit` at a ``k``
+that caps expected cell size, and re-split any over-capacity cell by
+sub-clustering it (the same operator applied recursively to one cell's
+rows); AQE's skew-join split handles the residual imbalance.
+
+Angle-band prefilter (sound, oracle needs no mirror): per row we
+precompute the angle θ to one fixed reference direction; on the unit
+sphere |θ_a − θ_b| ≤ arccos(cos(a,b)), so any pair with angle gap above
+``arccos(τ) + ε`` cannot reach the threshold and dies on a one-
+subtraction scalar test before the d-dimensional dot product.
+
+Zero-norm vectors have no defined cosine: they never pair, so they are
+always kept (both engines filter them out of the pair join).
+
+Reference parity note: the upstream reference system (ScholarMind) has no
+embedding pipeline at all — this operator extends the engine for
+LLM-training-data curation, where SemDeDup is the standard semantic-
+level pass after exact/MinHash dedup.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.similarity import _dot, _norm, _plane_signs
+from scholarmind_spark.util import attach_caches
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-vector SemDeDup verdicts under a trained codebook.
+
+    ``centroids`` is ``(cid long, cvec array)`` — from
+    :func:`operators.kmeans.kmeans_fit` in production, or any
+    deterministic subset when an external twin must reproduce the cells.
+
+    Returns ``id_col, cell, dist, kept`` (``dist`` = squared-L2 distance
+    to the assigned centroid, rounded 6 for presentation; the keep
+    ordering uses the full double).
+    """
+    # k rows by contract — inline as a literal so assignment is map-only
+    cent_rows = centroids.select("cid", "cvec").collect()
+    if not cent_rows:
+        raise ValueError("semdedup: empty codebook (no centroid rows)")
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cent,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        c["cvec"],
+                        lambda x, y: (x.cast("double") - y) ** 2,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cid"].alias("cell"),
+        best["d"].alias("dist"),
+    ).persist()
+
+    u = [c / math.sqrt(dim) for c in _plane_signs(1, dim)[0]]
+    uvec = F.array(*[F.lit(float(c)) for c in u])
+    theta = F.acos(
+        F.least(
+            F.greatest(_dot(F.col(vec_col), uvec) / _norm(F.col(vec_col)), F.lit(-1.0)),
+            F.lit(1.0),
+        )
+    )
+    band = math.acos(max(-1.0, min(1.0, threshold))) + 1e-6
+
+    side = assigned.filter(_norm(F.col(vec_col)) > 0).select(
+        F.col(id_col).alias("id"),
+        "cell",
+        F.col("dist").alias("d"),
+        theta.alias("th"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    # x dropped iff ∃ co-cell y with cos(x,y) ≥ τ that the keep order
+    # prefers: farther from the centroid, smaller id on an exact tie
+    removed = (
+        side.alias("l")
+        .join(side.alias("r"), on="cell")
+        .filter(F.col("l.id") != F.col("r.id"))
+        .filter(
+            (F.col("r.d") > F.col("l.d"))
+            | ((F.col("r.d") == F.col("l.d")) & (F.col("r.id") < F.col("l.id")))
+        )
+        .filter(F.abs(F.col("l.th") - F.col("r.th")) <= band)
+        .filter(
+            _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+            >= threshold
+        )
+        .select(F.col("l.id").alias(id_col))
+        .distinct()
+        .withColumn("__rm", F.lit(True))
+    )
+    out = (
+        assigned.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.round("dist", 6).alias("dist"),
+            F.coalesce(~F.col("__rm"), F.lit(True)).alias("kept"),
+        )
+    )
+    return attach_caches(out, [assigned])
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    centroid_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`semdedup` under a corpus-subset codebook
+    (``centroid_ids`` rows of ``table`` are the centroids — the same
+    device as the kmeans/IVF gates, so the oracle reproduces the cells).
+    The angle-band prefilter is NOT mirrored (it is sound, so the result
+    set is identical without it)."""
+    ids = ", ".join(str(i) for i in centroid_ids or [])
+    sq = (
+        f"list_sum(list_transform(list_zip(e.{vec_col}, c.cvec),"
+        " p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+    dot = (
+        f"list_sum(list_transform(list_zip(l.v, r.v),"
+        " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    nrm = "sqrt(list_sum(list_transform({}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table} WHERE {id_col} IN ({ids})
+),
+a AS (
+  SELECT id, cell, d, v FROM (
+    SELECT e.{id_col} AS id, c.cid AS cell, {sq} AS d, e.{vec_col} AS v,
+           row_number() OVER (PARTITION BY e.{id_col} ORDER BY {sq}, c.cid) AS rn
+    FROM {table} e CROSS JOIN c
+  ) WHERE rn = 1
+),
+s AS (
+  SELECT id, cell, d, v, {nrm.format('v')} AS nrm FROM a
+  WHERE {nrm.format('v')} > 0
+),
+rm AS (
+  SELECT DISTINCT l.id FROM s l JOIN s r ON l.cell = r.cell AND l.id <> r.id
+  WHERE (r.d > l.d OR (r.d = l.d AND r.id < l.id))
+    AND {dot} / (l.nrm * r.nrm) >= {threshold}
+)
+SELECT a.id AS {id_col}, a.cell, round(a.d, 6) AS dist,
+       (rm.id IS NULL) AS kept
+FROM a LEFT JOIN rm ON a.id = rm.id
+"""

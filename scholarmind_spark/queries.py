@@ -7029,6 +7029,86 @@ FROM (SELECT doc_id, {bpe_pieces_sql('text')} AS pieces FROM documents)
 
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup): k-means-cell-bounded cosine pairs;
+    inside every near-dup relation the member FARTHEST from its centroid
+    survives (Abbas et al. 2023's default).  Cells come from the FIXED
+    deterministic IVF codebook (the kmeans_assign_cells device) so the
+    oracle reproduces them; threshold 0.25 because the synthetic
+    embeddings are near-orthogonal (max pairwise cosine ~0.49 — a
+    production 0.9 returns nothing, see dedup_embedding_cosine)."""
+    from scholarmind_spark.operators.semdedup import semdedup
+    from scholarmind_spark.operators.similarity import IVF_CENTROID_IDS
+    from scholarmind_spark.util import attach_caches
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    out = semdedup(e, cents, threshold=0.25)
+    return attach_caches(
+        out.orderBy("vec_id"), list(getattr(out, "_sm_caches", ()))
+    )
+
+
+def _dedup_semantic_sql() -> str:
+    from scholarmind_spark.operators.semdedup import semdedup_sql
+    from scholarmind_spark.operators.similarity import IVF_CENTROID_IDS
+
+    return (
+        "SELECT * FROM ("
+        + semdedup_sql("embeddings", IVF_CENTROID_IDS, threshold=0.25)
+        + ") ORDER BY vec_id"
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier scoring (operators/nbquality): a
+    multinomial Naive-Bayes filter TRAINED IN-PLAN on Gopher-keep weak
+    labels (the CCNet/LLaMA quality-filter stage), scoring every doc with
+    its integer-micro-nat log-odds."""
+    from scholarmind_spark.operators.nbquality import nb_quality_score
+    from scholarmind_spark.util import attach_caches
+
+    out = nb_quality_score(_t(spark, sf_dir, "documents"))
+    return attach_caches(
+        out.orderBy("doc_id"), list(getattr(out, "_sm_caches", ()))
+    )
+
+
+def _text_quality_classifier_sql() -> str:
+    from scholarmind_spark.operators.nbquality import nb_quality_score_sql
+
+    return (
+        "SELECT * FROM ("
+        + nb_quality_score_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers (operators/lm.
+    perplexity_buckets): per-language equal-depth LM-score buckets —
+    the stage CCNet uses to keep "head" for pretraining."""
+    from scholarmind_spark.operators.lm import perplexity_buckets
+    from scholarmind_spark.util import attach_caches
+
+    out = perplexity_buckets(_t(spark, sf_dir, "documents"))
+    return attach_caches(
+        out.orderBy("doc_id"), list(getattr(out, "_sm_caches", ()))
+    )
+
+
+def _text_ccnet_buckets_sql() -> str:
+    from scholarmind_spark.operators.lm import perplexity_buckets_sql
+
+    return (
+        "SELECT * FROM ("
+        + perplexity_buckets_sql("documents")
+        + ") ORDER BY doc_id"
+    )
+
+
 SPARK_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -7128,6 +7208,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "sketch_ledger_rollup": sketch_ledger_rollup,
     "sketch_ledger_distinct": sketch_ledger_distinct,
     "sketch_ledger_membership": sketch_ledger_membership,
+    "dedup_semantic": dedup_semantic,
+    "text_quality_classifier": text_quality_classifier,
+    "text_ccnet_buckets": text_ccnet_buckets,
     "link_multipass": link_multipass,
     "dedup_ledger_roundtrip": dedup_ledger_roundtrip,
     "events_hdr_quantiles": events_hdr_quantiles,
@@ -7309,6 +7392,9 @@ ORACLE_SQL: dict[str, str] = {
     "sketch_ledger_rollup": _sketch_ledger_rollup_sql(),
     "sketch_ledger_distinct": _sketch_ledger_distinct_sql(),
     "sketch_ledger_membership": _sketch_ledger_membership_sql(),
+    "dedup_semantic": _dedup_semantic_sql(),
+    "text_quality_classifier": _text_quality_classifier_sql(),
+    "text_ccnet_buckets": _text_ccnet_buckets_sql(),
     "link_multipass": _link_multipass_sql(),
     "dedup_ledger_roundtrip": _dedup_ledger_roundtrip_sql(),
     "events_hdr_quantiles": _events_hdr_quantiles_sql(),
@@ -7418,6 +7504,9 @@ _ROUND12_FRONT = [
     # new this round — never driver-checked
     "dedup_ledger_expire",
     "dedup_ledger_mor",
+    "dedup_semantic",
+    "text_quality_classifier",
+    "text_ccnet_buckets",
     # the 26 staleness-3 gates (last driver-checked r8) — MANDATORY
     # this round per the r11 verdict's rotation contract
     "customers_without_orders",
@@ -7467,11 +7556,10 @@ _ROUND12_FRONT = [
     "token_topk",
     "text_pii_redact",
     "dedup_incremental",
-    "dedup_cluster_reps",
-    "graph_pagerank",
-    "dedup_containment",
-    # dedup_cluster_sizes drops to the r13 window to make room for the
-    # second new gate (window cap 50) — it joins the 27 r9 stragglers
+    # dedup_cluster_sizes, dedup_cluster_reps, graph_pagerank and
+    # dedup_containment drop to the r13 window to make room for the
+    # five new gates (window cap 50) — they join the r9 stragglers,
+    # all at staleness 3 in r13 and therefore mandatory there
 ]
 
 def _rotated(d: dict) -> dict:

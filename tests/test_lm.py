@@ -107,3 +107,58 @@ def test_collocations_match_duckdb(spark, tmp_path):
     con.sql(f"CREATE VIEW d AS SELECT * FROM '{p}/*.parquet'")
     want = con.sql(collocations_sql("d", min_count=3, k=10)).fetchall()
     assert got == want and len(got) == 10
+
+
+def test_perplexity_buckets_split_per_language(spark):
+    """9 docs across 2 languages: each language's ranking cuts into
+    head/middle/tail independently, ordered by (nll_micro, doc_id)."""
+    from scholarmind_spark.operators.lm import perplexity_buckets
+
+    fluent = "the cat sat on the mat and the cat slept on the mat"
+    rows = []
+    # 6 'en' docs: 3 fluent twins (low nll), 3 unique-gibberish (high)
+    for i in range(3):
+        rows.append((i, fluent, "en"))
+    for i in range(3, 6):
+        rows.append((i, f"zx{i} qq{i} vv{i} kk{i} jj{i} ww{i}", "en"))
+    # 3 'de' docs
+    for i in range(6, 9):
+        rows.append((i, f"der hund lief schnell weg heute {i}", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df)
+    got = {r.doc_id: r for r in out.collect()}
+    release_caches(out)
+    assert len(got) == 9
+    # per-language bucket sizes are equal-depth (6 → 2/2/2, 3 → 1/1/1)
+    en = [got[i] for i in range(6)]
+    de = [got[i] for i in range(6, 9)]
+    assert sorted(r.bucket for r in en) == [1, 1, 2, 2, 3, 3]
+    assert sorted(r.bucket for r in de) == [1, 2, 3]
+    assert {r.tier for r in en} == {"head", "middle", "tail"}
+    # the fluent twins outrank the gibberish inside 'en'
+    fluent_buckets = {got[i].bucket for i in range(3)}
+    gib_buckets = {got[i].bucket for i in range(3, 6)}
+    assert max(fluent_buckets) <= min(gib_buckets)
+
+
+def test_perplexity_buckets_match_duckdb(spark, tmp_path):
+    from scholarmind_spark.operators.lm import (
+        perplexity_buckets,
+        perplexity_buckets_sql,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = perplexity_buckets(df).orderBy("doc_id")
+    got = [(r.doc_id, r.lang, r.n_bigrams, r.nll_micro, r.bucket, r.tier)
+           for r in out.collect()]
+    release_caches(out)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(
+        "SELECT * FROM (" + perplexity_buckets_sql("documents") + ") ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]

