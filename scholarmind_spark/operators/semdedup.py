@@ -71,6 +71,7 @@ def semdedup(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int = 64,
+    inline_max: int = 256,
 ) -> DataFrame:
     """Per-vector SemDeDup verdicts under a trained codebook.
 
@@ -78,46 +79,69 @@ def semdedup(
     :func:`operators.kmeans.kmeans_fit` in production, or any
     deterministic subset when an external twin must reproduce the cells.
 
+    Assignment is two-tier by codebook size (both tiers compute the
+    identical (d, cid)-lexicographic argmin, pinned by a path-parity
+    test): up to ``inline_max`` centroids the codebook inlines as a plan
+    literal (map-only, no shuffle); beyond that the literal plan's
+    per-row O(k·d) evaluation and plan size stop paying and assignment
+    falls back to the corpus × broadcast(codebook) + ``min(struct)``
+    aggregate of :func:`operators.kmeans._assign`.  The probe
+    (tools/semdedup_probe.py) is what forced this honesty: scaling k
+    WITH the corpus keeps the pair stage linear but makes the literal
+    assignment itself O(n·k·d) — at a codebook too big to broadcast,
+    coarse-quantize the codebook itself (IVF-style two-level
+    assignment) before reaching for this operator.
+
     Returns ``id_col, cell, dist, kept`` (``dist`` = squared-L2 distance
     to the assigned centroid, rounded 6 for presentation; the keep
     ordering uses the full double).
     """
-    # k rows by contract — inline as a literal so assignment is map-only
+    # k rows by contract — a driver-sized collect either way (the
+    # empty-codebook check needs it, and the literal tier inlines it)
     cent_rows = centroids.select("cid", "cvec").collect()
     if not cent_rows:
         raise ValueError("semdedup: empty codebook (no centroid rows)")
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cid"])).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
-    best = F.array_min(
-        F.transform(
-            cent,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        c["cvec"],
-                        lambda x, y: (x.cast("double") - y) ** 2,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                c["cid"].alias("cid"),
-            ),
+    if len(cent_rows) <= inline_max:
+        cent = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cid"])).cast("long").alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+                )
+                for r in cent_rows
+            ]
         )
-    )
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        best["cid"].alias("cell"),
-        best["d"].alias("dist"),
-    ).persist()
+        best = F.array_min(
+            F.transform(
+                cent,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            c["cvec"],
+                            lambda x, y: (x.cast("double") - y) ** 2,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            best["cid"].alias("cell"),
+            best["d"].alias("dist"),
+        ).persist()
+    else:
+        from scholarmind_spark.operators.kmeans import _assign
+
+        assigned = (
+            _assign(df, centroids, id_col, vec_col)
+            .select(id_col, vec_col, "cell", "dist")
+            .persist()
+        )
 
     u = [c / math.sqrt(dim) for c in _plane_signs(1, dim)[0]]
     uvec = F.array(*[F.lit(float(c)) for c in u])

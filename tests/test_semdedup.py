@@ -112,3 +112,22 @@ def test_matches_trained_codebook(spark):
     assert len(rows) == e.count()
     kept = sum(1 for r in rows if r.kept)
     assert 0 < kept <= len(rows)
+
+
+def test_assignment_tiers_agree(spark):
+    """The literal-inline and broadcast-join assignment tiers compute the
+    identical verdicts (forced via inline_max=0 vs the default)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    cents = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("long").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    lit_out = semdedup(e, cents, threshold=0.25)
+    join_out = semdedup(e, cents, threshold=0.25, inline_max=0)
+    lit_rows = sorted(map(tuple, lit_out.collect()))
+    join_rows = sorted(map(tuple, join_out.collect()))
+    release_caches(lit_out)
+    release_caches(join_out)
+    assert lit_rows == join_rows

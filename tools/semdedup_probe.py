@@ -72,7 +72,35 @@ def main() -> None:
         out.write.mode("overwrite").format("noop").save()
         release_caches(out)
 
+    def cand_pairs(df, cents) -> int:
+        """Unordered candidate-pair count Σ s·(s−1)/2 over cell sizes —
+        the quantity the fixed-k series grows quadratically; measured
+        (not inferred) so the table can show it even where wall time is
+        still fixed-cost-dominated."""
+        out = semdedup(df, cents, threshold=THRESHOLD)
+        n = (
+            out.groupBy("cell")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .first()[0]
+        )
+        release_caches(out)
+        return int(n)
+
+    # untimed warmup: the first Spark action of a session carries ~2.5 s
+    # of codegen/shuffle setup that otherwise lands inside the first
+    # measured series (observed: identical c=1 work read 5.2 s first vs
+    # 2.7 s second)
+    e0 = replicated_embeddings(spark, sf_dir, 1)
+    run(
+        e0,
+        e0.filter(F.col("vec_id").isin(list(IVF_CENTROID_IDS))).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        ),
+    )
+
     medians: dict[str, dict[int, float]] = {"fixed_k": {}, "scaled_k": {}}
+    pairs: dict[str, dict[int, int]] = {"fixed_k": {}, "scaled_k": {}}
     for c in KS:
         df = replicated_embeddings(spark, sf_dir, c).persist()
         n = df.count()
@@ -95,16 +123,21 @@ def main() -> None:
                 df.count()
             per.sort()
             medians[name][c] = per[len(per) // 2]
+            pairs[name][c] = cand_pairs(df, cents)
             print(
                 f"# c={c} n={n} {name} ({16 if name == 'fixed_k' else 16 * c}"
                 f" cells): median {medians[name][c]:.2f}s of"
-                f" {[round(p, 2) for p in per]}",
+                f" {[round(p, 2) for p in per]};"
+                f" candidate pairs {pairs[name][c]}",
                 file=sys.stderr,
             )
         df.unpersist()
 
-    print("| series | 1x med | 4x med | 8x med | fixed a | slope b ± se |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| series | 1x med | 4x med | 8x med | fixed a | slope b ± se"
+        " | pairs 1x/4x/8x |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for name, by_k in medians.items():
         xs = list(KS)
         ys = [by_k[k] for k in KS]
@@ -115,9 +148,11 @@ def main() -> None:
         a = my - b * mx
         resid = [y - (a + b * x) for x, y in zip(xs, ys)]
         se = (sum(r * r for r in resid) / (n - 2) / sxx) ** 0.5
+        pr = pairs[name]
         print(
             f"| semdedup {name} | {by_k[1]:.1f}s | {by_k[4]:.1f}s | {by_k[8]:.1f}s "
-            f"| {a:.1f}s | {b:.2f} ± {se:.2f} s/unit |"
+            f"| {a:.1f}s | {b:.2f} ± {se:.2f} s/unit "
+            f"| {pr[1]:,}/{pr[4]:,}/{pr[8]:,} |"
         )
 
 
