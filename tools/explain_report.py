@@ -102,6 +102,25 @@ cached relation materialized once.  The BNLJ is fuzzy_link's tiny-path
 one-row min/max broadcast; per-bin terms are micro-nat int64 BEFORE
 summation, and non-finite values are dropped on both engines (Spark's
 non-ANSI cast would silently bin NaN at 0 where DuckDB raises).""",
+    "dedup_semantic": """Round-12 note: NO join anywhere in the assignment — the 16-centroid
+codebook is inlined as a plan literal (k-sized by contract), so the
+argmin is a map-only projection feeding the persisted assignment
+relation, and the only joins are the cell-equi self-join of the pair
+stage plus the id-equi verdict attach.  Candidate volume is Σ
+cell_size² — measured exactly quadratic under a fixed codebook and
+linear when cells scale with the corpus (SCALE.md round-12 batch 2);
+beyond inline_max=256 centroids the operator switches to the broadcast
++ min(struct) assignment tier (path parity pinned by test).""",
+    "text_quality_classifier": """Round-12 note: the BNLJ crosses are the one-row class-totals and
+prior aggregates (broadcast attaches, the text_lm_score device); the
+train relation is consumed by ONE vocab-sized histogram groupBy, from
+which totals and vocabulary size fold without re-scanning the corpus.
+Weak labels (Gopher rule battery) are projection-only and persisted,
+so the labeler runs once.""",
+    "text_ccnet_buckets": """Round-12 note: inherits text_lm_score's shape (two model shuffles +
+the one-row vocab attach) plus exactly ONE additional exchange: the
+per-language ntile window on a low-cardinality key with a
+deterministic (nll_micro, id) order.""",
 }
 
 
