@@ -73,7 +73,13 @@ def nb_quality_score(
 
     ``labels`` is ``(id_col, keep boolean)``; default: the Gopher rule
     battery over ``df`` itself (weak supervision).  Documents whose label
-    row is missing are scored but excluded from training.
+    row is missing are scored but excluded from training.  Documents with
+    ZERO tokens are omitted (no likelihood is defined for them — the
+    ``bigram_lm_score`` contract, one level down).  An EMPTY label
+    relation still yields defined scores: the class sums coalesce to 0
+    and V clamps to ≥1, so every term collapses to ``ln(1) - ln(V) -
+    ln(1) + ln(V) = 0`` and the prior to ``ln(1/1) = 0`` — score 0,
+    ``pred_keep`` false — rather than NULL-poisoning the whole column.
     """
     if labels is None:
         from scholarmind_spark.operators.quality import gopher_quality_flags
@@ -96,16 +102,20 @@ def nb_quality_score(
     # class token totals + vocabulary size from the vocab-sized histogram
     # (n1 = Σc1, n0 = Σc0, V = rows); document-count priors from labels —
     # all one-row aggregates (broadcast attaches)
+    # sums coalesce to 0 so an empty/one-class label relation degrades to
+    # defined scores instead of a NULL aggregate poisoning every row
+    # V clamps to ≥1 (uniform smoothing over a 1-token vocabulary when
+    # nothing trained) so no ln(0) reaches a term
     totals = model.agg(
-        F.sum("c1").alias("n1"),
-        F.sum("c0").alias("n0"),
-        F.count("*").alias("V"),
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
+        F.greatest(F.count("*"), F.lit(1)).alias("V"),
     )
     prior = lab.agg(
         F.round(
             (
-                F.log(F.sum(F.when(F.col("y"), 1).otherwise(0)) + 1)
-                - F.log(F.sum(F.when(F.col("y"), 0).otherwise(1)) + 1)
+                F.log(F.coalesce(F.sum(F.when(F.col("y"), 1).otherwise(0)), F.lit(0)) + 1)
+                - F.log(F.coalesce(F.sum(F.when(F.col("y"), 0).otherwise(1)), F.lit(0)) + 1)
             )
             * F.lit(1000000.0)
         )
@@ -175,13 +185,14 @@ __model AS (
   FROM __train GROUP BY w
 ),
 __tot AS (
-  SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0,
-         count(*)::BIGINT AS V
+  SELECT coalesce(sum(c1), 0)::BIGINT AS n1, coalesce(sum(c0), 0)::BIGINT AS n0,
+         greatest(count(*), 1)::BIGINT AS V
   FROM __model
 ),
 __prior AS (
-  SELECT round((ln(sum(CASE WHEN y THEN 1 ELSE 0 END) + 1)
-              - ln(sum(CASE WHEN y THEN 0 ELSE 1 END) + 1)) * 1000000.0)::BIGINT
+  SELECT round((ln(coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) + 1)
+              - ln(coalesce(sum(CASE WHEN y THEN 0 ELSE 1 END), 0) + 1))
+              * 1000000.0)::BIGINT
          AS prior_micro
   FROM __lab
 ),

@@ -99,3 +99,12 @@ def test_micro_quantization_matches_closed_form(spark):
                 * 1000000.0
             )
         assert got[did].nbq_micro == s + prior, (did, got[did].nbq_micro, s)
+
+
+def test_empty_label_relation_degrades_to_zero_scores(spark):
+    # nothing trains: scores must be DEFINED (0 via the coalesce/clamp
+    # guards), not NULL — the shape a mis-joined label feed produces
+    docs = [(0, GOOD), (1, BAD)]
+    got = _score(spark, docs, labels=[])
+    assert len(got) == 2
+    assert all(r.nbq_micro == 0 and r.pred_keep is False for r in got.values())
