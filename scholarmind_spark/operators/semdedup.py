@@ -192,6 +192,140 @@ def semdedup(
     return attach_caches(out, [assigned])
 
 
+def cap_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    max_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Refine a codebook until no cell exceeds ``max_cell`` members — the
+    capacity tool :func:`semdedup`'s 100 TB posture depends on (its pair
+    stage is Σ cell_size², so ONE runaway cell is a quadratic hot spot).
+
+    Spark-first: every oversized cell is sub-clustered SIMULTANEOUSLY by
+    a grouped Lloyd — one k-means whose state is keyed by (cell, sub), so
+    a level costs the same shuffle structure regardless of whether 1 or
+    100k cells are over capacity (NO per-cell driver loop; the driver
+    only counts oversized cells once per level, ``max_depth`` ≤ 3 levels):
+
+    - per-cell k is derived in-plan (``ceil(size / max_cell)``, ≥ 2);
+    - init picks each cell's k hash-smallest members (one window over the
+      oversized membership — the ``kmeans_fit`` seeding argument, grouped);
+    - assignment joins members to sub-centroids ON THE CELL KEY, so
+      candidate volume is Σ size_c · k_c ≈ Σ size_c²/max_cell per
+      iteration — bounded by the same quantity the cap exists to control;
+    - the update is the ``kmeans_fit`` posexplode/rebuild device keyed by
+      (cell, sub); empty sub-cells keep their previous centroid;
+    - each level's state is ``localCheckpoint(eager=True)``-ed (the
+      pagerank/cluster lineage-truncation device) — the sub-centroid
+      table is NOT driver-sized in general, so the ``_materialize``
+      collect of ``kmeans_fit`` would be wrong here.
+
+    Best-effort by construction: a cell of near-identical vectors cannot
+    be split by ANY clustering and stays over capacity after
+    ``max_depth`` levels — harmless for SemDeDup specifically, because
+    such a cell is one duplicate group and collapses to one survivor
+    anyway.  New sub-cells get fresh cids above the codebook's max.
+
+    Returns the refined ``(cid, cvec)`` codebook (array<double> cvec).
+    """
+    from pyspark.sql.window import Window
+
+    from scholarmind_spark.operators.kmeans import _assign
+    from scholarmind_spark.util import unpersist_any
+
+    cents = centroids.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.transform(F.col("cvec"), lambda x: x.cast("double")).alias("cvec"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_depth):
+        assigned = _assign(df, cents, id_col, vec_col)
+        over = (
+            assigned.groupBy("cell")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_cell)
+            .select(
+                "cell",
+                F.greatest(
+                    F.ceil(F.col("__n") / F.lit(max_cell)).cast("int"), F.lit(2)
+                ).alias("__k"),
+            )
+        ).localCheckpoint(eager=True)
+        if over.count() == 0:
+            unpersist_any(over)
+            break
+        members = (
+            assigned.join(over, "cell")
+            .select("cell", "__k", F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ).localCheckpoint(eager=True)
+
+        w = Window.partitionBy("cell").orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        sub = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__k"))
+            .select("cell", F.col("__rn").cast("long").alias("sub"),
+                    F.transform("v", lambda x: x.cast("double")).alias("cvec"))
+        ).localCheckpoint(eager=True)
+
+        for _i in range(iters):
+            dc = F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), F.col("cvec"),
+                        lambda x, y: (x.cast("double") - y) ** 2,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, vv: acc + vv,
+                ).alias("d"),
+                F.col("sub").alias("sub"),
+            )
+            hit = (
+                members.join(sub, "cell")
+                .select("cell", "id", "v", dc.alias("dc"))
+                .groupBy("cell", "id")
+                .agg(F.min("dc")["sub"].alias("sub"), F.first("v").alias("v"))
+            )
+            means = (
+                hit.select("cell", "sub", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "sub", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cell", "sub")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select(
+                    "cell", "sub",
+                    F.transform("pm", lambda p: p["m"]).alias("cvec"),
+                )
+            )
+            kept_subs = sub.join(means, ["cell", "sub"], "left_anti")
+            refreshed = means.unionByName(kept_subs).localCheckpoint(eager=True)
+            unpersist_any(sub)
+            sub = refreshed
+
+        base = cents.agg(F.max("cid")).first()[0]
+        # codebook-sized single exchange (constant partition key stated
+        # explicitly — same plan, no spurious global-window warning)
+        w2 = Window.partitionBy(F.lit(0)).orderBy("cell", "sub")
+        new_cents = sub.select(
+            (F.lit(int(base)) + F.row_number().over(w2)).cast("long").alias("cid"),
+            "cvec",
+        )
+        refreshed_cents = (
+            cents.join(over.select(F.col("cell").alias("cid")), "cid", "left_anti")
+            .unionByName(new_cents)
+            .localCheckpoint(eager=True)
+        )
+        unpersist_any(cents)
+        unpersist_any(sub)
+        unpersist_any(members)
+        unpersist_any(over)
+        cents = refreshed_cents
+    return cents
+
+
 def semdedup_sql(
     table: str = "embeddings",
     centroid_ids: list[int] | None = None,

@@ -131,3 +131,65 @@ def test_assignment_tiers_agree(spark):
     release_caches(lit_out)
     release_caches(join_out)
     assert lit_rows == join_rows
+
+
+def _max_cell_size(spark, df, cents):
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.kmeans import _assign
+
+    return (
+        _assign(df, cents, "vec_id", "embedding")
+        .groupBy("cell").count().agg(F.max("count")).first()[0]
+    )
+
+
+def test_cap_cells_splits_oversized_cells(spark):
+    """One centroid owns a 40-vector spread-out blob (cap 10): capping
+    sub-clusters it in place and the max cell size drops to ~cap while
+    the other cell is untouched."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.semdedup import cap_cells
+
+    rows = []
+    # 40 spread vectors around the origin-side centroid (splittable:
+    # four true sub-blobs at distinct corners)
+    corners = [(5.0, 0.0), (0.0, 5.0), (-5.0, 0.0), (0.0, -5.0)]
+    for i in range(40):
+        cx, cy = corners[i % 4]
+        rows.append((i, [cx + 0.05 * (i // 4), cy - 0.05 * (i // 4), 0.0, 0.0]))
+    # 3 vectors near the far centroid
+    for i in range(40, 43):
+        rows.append((i, [100.0, 100.0, 100.0, 100.0 + i - 40]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _cents(spark)  # [0,0,0,0] and [100,100,100,100]
+
+    assert _max_cell_size(spark, df, cents) == 40
+    refined = cap_cells(df, cents, max_cell=10)
+    assert _max_cell_size(spark, df, refined) <= 10
+    # the far cell's centroid survives untouched
+    assert refined.filter("cid = 1").count() == 1
+    # refined codebook still drives semdedup end-to-end
+    out = semdedup(df, refined, threshold=0.95, dim=4)
+    rows_out = out.collect()
+    release_caches(out)
+    assert len(rows_out) == 43
+
+
+def test_cap_cells_degenerate_duplicates_terminate(spark):
+    """A cell of IDENTICAL vectors cannot be split: cap_cells must
+    terminate at max_depth with the cell still over cap (documented
+    best-effort), not loop or error — and semdedup then collapses the
+    group to one survivor anyway."""
+    from scholarmind_spark.operators.semdedup import cap_cells
+
+    rows = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _cents(spark)
+    refined = cap_cells(df, cents, max_cell=4, max_depth=2)
+    assert refined.count() >= 2
+    out = semdedup(df, refined, threshold=0.95, dim=4)
+    kept = [r.vec_id for r in out.collect() if r.kept]
+    release_caches(out)
+    assert len(kept) == 1
