@@ -156,5 +156,61 @@ def main() -> None:
         )
 
 
+def cap_probe() -> None:
+    """Grouped-Lloyd level-cost certification: ONE cap_cells level over a
+    FIXED corpus whose oversized-cell COUNT varies 2/8/32 (codebook =
+    the C hash-smallest vec_ids, so every cell is over the cap at every
+    C).  The claim under test — the splitter is one (cell, sub)-keyed
+    k-means, so a level's cost does not scale with how many cells are
+    over capacity — holds iff the wall time stays flat in C.
+
+    Usage: python tools/semdedup_probe.py cap [sf_dir]
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.operators.semdedup import cap_cells
+    from scholarmind_spark.util import release_caches  # noqa: F401  (parity)
+
+    spark = get_spark(app_name="semdedup-cap-probe")
+    df = replicated_embeddings(spark, sf_dir, 8).persist()
+    n = df.count()
+
+    def codebook(c: int):
+        ids = [
+            r["vec_id"]
+            for r in df.select("vec_id")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(c)
+            .collect()
+        ]
+        return df.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+
+    # warmup (the first-action codegen/shuffle setup — see main())
+    cap_cells(df, codebook(2), max_cell=n, max_depth=1).count()
+
+    print("| oversized cells C | rows | level med (3 reps) |")
+    print("|---|---|---|")
+    for c in (2, 8, 32):
+        cb = codebook(c)
+        per = []
+        for _ in range(REPS):
+            t0 = time.time()
+            # max_cell = n//(4*c) forces EVERY cell over cap; depth 1
+            # isolates one level's cost
+            refined = cap_cells(df, cb, max_cell=max(2, n // (4 * c)), max_depth=1)
+            refined.count()
+            per.append(time.time() - t0)
+        per.sort()
+        print(f"| {c} | {n} | {per[len(per) // 2]:.2f}s of {[round(p, 2) for p in per]} |")
+    df.unpersist()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "cap":
+        cap_probe()
+    else:
+        main()
