@@ -193,3 +193,74 @@ def test_cap_cells_degenerate_duplicates_terminate(spark):
     kept = [r.vec_id for r in out.collect() if r.kept]
     release_caches(out)
     assert len(kept) == 1
+
+
+# ---- property: operator == brute-force reference on random corpora ----
+
+from hypothesis import given, settings, strategies as st
+
+
+def _brute_semdedup(rows, cents, threshold):
+    """Pure-Python reference with the operator's exact float semantics:
+    doubles, left-to-right sums, (d, cid) lexicographic assignment,
+    (d desc, id asc) keep order, zero-norm rows never pair."""
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) ** 2
+        return acc
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    import math as m
+
+    assign = {}
+    for vid, v in rows:
+        best = min((sqd(v, cv), cid) for cid, cv in cents)
+        assign[vid] = best
+    out = {}
+    for vid, v in rows:
+        d, cell = assign[vid][0], assign[vid][1]
+        nv = m.sqrt(dot(v, v))
+        removed = False
+        if nv > 0:
+            for wid, w in rows:
+                if wid == vid:
+                    continue
+                dw, cw = assign[wid][0], assign[wid][1]
+                nw = m.sqrt(dot(w, w))
+                if cw != cell or nw <= 0:
+                    continue
+                if not (dw > d or (dw == d and wid < vid)):
+                    continue
+                if dot(v, w) / (nv * nw) >= threshold:
+                    removed = True
+                    break
+        out[vid] = (cell, not removed)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4),
+        min_size=1,
+        max_size=10,
+    ),
+    ncents=st.integers(min_value=1, max_value=3),
+    threshold=st.sampled_from([-0.5, 0.0, 0.5, 0.9]),
+)
+def test_matches_bruteforce_reference(spark, data, ncents, threshold):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+    cent_rows = [(100 + j, [float(j), float(-j), 1.0, 0.0]) for j in range(ncents)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(cent_rows, "cid long, cvec array<double>")
+    out = semdedup(df, cents, threshold=threshold, dim=4)
+    got = {r.vec_id: (r.cell, r.kept) for r in out.collect()}
+    release_caches(out)
+    want = _brute_semdedup(rows, cent_rows, threshold)
+    assert got == want
