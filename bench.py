@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "text_scrub_spans",
     "text_url_canonical",
     "dataset_mixture",
+    "dataset_token_mixture",
     "events_json_props",
     "profile_documents",
     "kmeans_assign_cells",

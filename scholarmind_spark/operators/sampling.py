@@ -243,3 +243,110 @@ SELECT t.* FROM {table} t
 JOIN rates ON t.{class_expr} = rates.__cls
 WHERE {hash_bucket_sql(key_expr, buckets)} < floor(__rate * {buckets})::BIGINT
 """
+
+
+def mixture_sample_tokens(
+    df: DataFrame,
+    key: str,
+    class_col: str,
+    text_col: str,
+    target_weights: dict[str, float],
+) -> DataFrame:
+    """Down-sample to a target TOKEN mixture — the realistic pretraining
+    recipe knob: training mixes are specified in token shares (e.g. "60%
+    web / 25% code tokens"), and when per-document lengths differ across
+    sources, row-proportional sampling (:func:`mixture_sample`) silently
+    misses the token target.
+
+    Same derivation as the row mixture with the measure swapped: per-class
+    TOKEN totals T_c (whitespace tokens, the ``textstats.token_count``
+    device), binding scale ``T = min(T_c / w_c)``, per-class keep rate
+    ``w_c·T / T_c`` (exactly 1.0 for the binding class, same
+    float-equality pinning), deterministic hash-bucket keep on ``key``.
+
+    Honesty note: rows are kept whole, so the realized token share is the
+    target IN EXPECTATION (hash-sampling rows is unbiased in tokens);
+    per-run realized shares wobble by the length distribution.  Exact
+    token-level shares would require splitting documents — a different
+    operator (chunking) composed upstream, not a sampling concern.
+
+    One aggregate over class token totals (map-side partial sum, shuffle
+    is |classes| rows), one broadcast rate join, zero data shuffles.
+    """
+    from scholarmind_spark.operators.textstats import token_count
+
+    total_w = sum(target_weights.values())
+    w_expr: Column = None
+    for cls, w in sorted(target_weights.items()):
+        cond = F.col(class_col) == cls
+        lit = F.lit(w / total_w)
+        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
+    w_expr = w_expr.otherwise(F.lit(None))
+    counts = (
+        df.withColumn("__w", w_expr)
+        .filter(F.col("__w").isNotNull())
+        # token counts sum as BIGINT: integer addition is order-free, so
+        # the class totals (and every rate derived from them) are
+        # identical on any partitioning and any engine — a double sum
+        # here would make the mixture nondeterministic at the margin
+        .withColumn("__tc", token_count(F.col(text_col)).cast("bigint"))
+        .groupBy(class_col, "__w")
+        .agg(F.sum("__tc").alias("__n"))
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        class_col,
+        F.when((F.col("__n") / F.col("__w")) <= F.col("__t"), F.lit(1.0))
+        .otherwise(
+            F.least(F.lit(1.0), (F.col("__w") * F.col("__t")) / F.col("__n"))
+        )
+        .alias("__rate"),
+    )
+    b = hash_bucket(F.col(key))
+    return (
+        df.join(F.broadcast(rates), on=class_col)
+        .filter(b < (F.col("__rate") * N_BUCKETS).cast("bigint"))
+        .drop("__rate")
+    )
+
+
+def mixture_sample_tokens_sql(
+    table: str,
+    key_expr: str,
+    class_expr: str,
+    text_expr: str,
+    target_weights: dict[str, float],
+    buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`mixture_sample_tokens` (same token count,
+    same rate derivation, same hash buckets, same float order)."""
+    from scholarmind_spark.operators.textstats import tokens_sql
+
+    total_w = sum(target_weights.values())
+    w_case = "NULL"
+    for cls, w in sorted(target_weights.items(), reverse=True):
+        w_case = (
+            f"CASE WHEN {class_expr} = '{cls}' THEN {w / total_w!r}"
+            f" ELSE {w_case} END"
+        )
+    tc = f"len({tokens_sql(text_expr)})::BIGINT"
+    return f"""
+WITH w AS (
+  SELECT *, {w_case} AS __w FROM {table}
+),
+counts AS (
+  SELECT {class_expr} AS __cls, __w, sum({tc})::BIGINT AS __n
+  FROM w WHERE __w IS NOT NULL GROUP BY __cls, __w
+),
+scale AS (
+  SELECT min(__n / __w) AS __t FROM counts
+),
+rates AS (
+  SELECT __cls, CASE WHEN (__n / __w) <= __t THEN 1.0
+                     ELSE least(1.0, (__w * __t) / __n) END AS __rate
+  FROM counts CROSS JOIN scale
+)
+SELECT t.* FROM {table} t
+JOIN rates ON t.{class_expr} = rates.__cls
+WHERE {hash_bucket_sql(key_expr, buckets)} < floor(__rate * {buckets})::BIGINT
+"""

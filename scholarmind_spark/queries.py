@@ -3335,6 +3335,43 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                           target_weights=MIXTURE_WEIGHTS).orderBy("doc_id")
 
 
+def dataset_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset mixing (operators/sampling.
+    mixture_sample_tokens): down-sample to a 60/25/15 en/de/fr TOKEN
+    mixture — the realistic recipe knob (training mixes are token
+    shares); per-class rates derive from exact integer token totals,
+    keep decision is the deterministic hash bucket.  Output: kept doc
+    ids with class and token count."""
+    from scholarmind_spark.operators.sampling import mixture_sample_tokens
+    from scholarmind_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = mixture_sample_tokens(
+        d, key="doc_id", class_col="lang", text_col="text",
+        target_weights=MIXTURE_WEIGHTS,
+    )
+    return kept.select(
+        "doc_id", "lang", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def _dataset_token_mixture_sql() -> str:
+    from scholarmind_spark.operators.sampling import mixture_sample_tokens_sql
+    from scholarmind_spark.operators.textstats import tokens_sql
+
+    inner = mixture_sample_tokens_sql(
+        "(SELECT doc_id, lang, text FROM documents)",
+        key_expr="doc_id",
+        class_expr="lang",
+        text_expr="text",
+        target_weights=MIXTURE_WEIGHTS,
+    )
+    return (
+        f"SELECT doc_id, lang, len({tokens_sql('text')})::BIGINT AS n_tokens"
+        f" FROM ({inner}) ORDER BY doc_id"
+    )
+
+
 def _dataset_mixture_sql() -> str:
     from scholarmind_spark.operators.sampling import mixture_sample_sql
 
@@ -7185,6 +7222,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_pack_sequences": text_pack_sequences,
     "text_pack_stats": text_pack_stats,
     "dataset_mixture": dataset_mixture,
+    "dataset_token_mixture": dataset_token_mixture,
     "dataset_weighted_sample": dataset_weighted_sample,
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
@@ -7369,6 +7407,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pack_sequences": _pack_sql(),
     "text_pack_stats": _pack_stats_sql(),
     "dataset_mixture": _dataset_mixture_sql(),
+    "dataset_token_mixture": _dataset_token_mixture_sql(),
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
@@ -7507,6 +7546,7 @@ _ROUND12_FRONT = [
     "dedup_semantic",
     "text_quality_classifier",
     "text_ccnet_buckets",
+    "dataset_token_mixture",
     # the 26 staleness-3 gates (last driver-checked r8) — MANDATORY
     # this round per the r11 verdict's rotation contract
     "customers_without_orders",
@@ -7555,11 +7595,11 @@ _ROUND12_FRONT = [
     "text_clean",
     "token_topk",
     "text_pii_redact",
-    "dedup_incremental",
-    # dedup_cluster_sizes, dedup_cluster_reps, graph_pagerank and
-    # dedup_containment drop to the r13 window to make room for the
-    # five new gates (window cap 50) — they join the r9 stragglers,
-    # all at staleness 3 in r13 and therefore mandatory there
+    # dedup_incremental, dedup_cluster_sizes, dedup_cluster_reps,
+    # graph_pagerank and dedup_containment drop to the r13 window to
+    # make room for the six new gates (window cap 50) — they join the
+    # r9 stragglers, all at staleness 3 in r13 and therefore mandatory
+    # there
 ]
 
 def _rotated(d: dict) -> dict:

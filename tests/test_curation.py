@@ -175,3 +175,75 @@ def test_split_leakage_audit_counts(spark):
     else:
         # both landed on the same side → nothing crosses
         assert pairs == []
+
+
+def test_mixture_sample_tokens_hits_token_shares(spark):
+    """Classes with very different doc lengths: the TOKEN mixture keeps
+    the binding class whole and samples the other to its token share —
+    where the ROW mixture would miss the token target badly."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.sampling import mixture_sample_tokens
+
+    # class a: 1000 docs × 10 tokens = 10_000 tokens
+    # class b: 100 docs × 50 tokens = 5_000 tokens
+    rows = [(i, "a", "w " * 10) for i in range(1000)] + [
+        (i + 10_000, "b", "w " * 50) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, text string")
+    # 50/50 token target: b is binding (5_000 / 0.5 = 10_000 <
+    # 10_000 / 0.5 = 20_000), so keep ALL of b and ~half of a's TOKENS
+    out = mixture_sample_tokens(
+        df, key="doc_id", class_col="cls", text_col="text",
+        target_weights={"a": 0.5, "b": 0.5},
+    )
+    kept = out.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    got = {r.cls: r.n for r in kept}
+    assert got["b"] == 100                     # binding class fully kept
+    # ~500 of a's 1000 docs ≈ 5_000 of its 10_000 tokens
+    assert abs(got["a"] - 500) <= 60
+    # deterministic
+    again = mixture_sample_tokens(
+        df, key="doc_id", class_col="cls", text_col="text",
+        target_weights={"a": 0.5, "b": 0.5},
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_mixture_tokens_vs_rows_divergence(spark):
+    """The reason the operator exists: with unequal doc lengths the row
+    mixture's kept-token share misses the target; the token mixture's
+    lands on it."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.sampling import (
+        mixture_sample,
+        mixture_sample_tokens,
+    )
+    from scholarmind_spark.operators.textstats import token_count
+
+    rows = [(i, "a", "w " * 2) for i in range(1000)] + [
+        (i + 10_000, "b", "w " * 40) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, text string")
+    w = {"a": 0.5, "b": 0.5}
+
+    def token_share(out):
+        t = (
+            out.groupBy("cls")
+            .agg(F.sum(token_count(F.col("text"))).alias("t"))
+            .collect()
+        )
+        tot = {r.cls: r.t for r in t}
+        return tot.get("a", 0) / (tot.get("a", 0) + tot.get("b", 0))
+
+    by_rows = token_share(mixture_sample(df, "doc_id", "cls", w))
+    by_tokens = token_share(
+        mixture_sample_tokens(df, "doc_id", "cls", "text", w)
+    )
+    # row mixture keeps 1000/1000 docs → token share a = 2/42 ≈ 0.048
+    assert by_rows < 0.1
+    # token mixture keeps all of a (binding) and ~1/20 of b's docs
+    assert abs(by_tokens - 0.5) < 0.1

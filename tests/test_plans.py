@@ -89,6 +89,9 @@ BNLJ_OK = {
     # cell-equi pair join
     "text_quality_classifier",
     "text_ccnet_buckets",
+    # the one-row binding-scale attach of the token-mixture rate
+    # derivation (the dataset_mixture shape with token totals)
+    "dataset_token_mixture",
     # one-row pruning-stat attaches + the one-row bitmap-map broadcast
     "orders_bloom_prune",
     # the tiny quantile-literal frame (2-3 rows) crossing the bounded
