@@ -39,6 +39,93 @@ import os
 import sys
 import time
 
+# --------------------------------------------------------- load forensics
+#
+# Two consecutive driver-recorded benches (r11, r12) landed in external-
+# load windows and the exoneration had to be reconstructed after the fact
+# from SCALE.md prose and manual re-runs.  The artifact now defends
+# itself: every query window measures EXTERNAL CPU — host busy jiffies
+# (/proc/stat, host-wide even in a container) minus this process tree's
+# own jiffies (self + descendants utime/stime + reaped-children
+# cutime/cstime) — so "someone else was burning N cores during this
+# query" is a number IN the JSON, not an inference.  Plain loadavg is
+# recorded too, but mid-run it is dominated by our own local[32] threads;
+# ext_cores is the signal, loadavg the corroboration.  A query whose
+# window saw ext_cores > EXT_CORES_SUSPECT is flagged suspect, and the
+# summary carries {load_start, load_max, ext_max, n_suspect, suspect}.
+# Threshold documented in SCALE.md ("Bench load forensics").
+
+EXT_CORES_SUSPECT = 2.0  # >2 external cores busy during a window → suspect
+LOAD_START_SUSPECT = 2.0  # 1-min loadavg before Spark starts; idle host <1
+
+_HZ = os.sysconf("SC_CLK_TCK") or 100
+
+
+def _host_busy_jiffies() -> int:
+    """Non-idle jiffies across all host CPUs (user+nice+system+irq+
+    softirq+steal+guest; idle and iowait excluded)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals) - idle
+
+
+def _own_tree_jiffies() -> int:
+    """utime+stime+cutime+cstime summed over this process and every live
+    descendant (the Spark JVM and its pyspark workers are children)."""
+    me = os.getpid()
+    ppid_of: dict[int, int] = {}
+    stat_of: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw[raw.rfind(")") + 2 :].split()
+        pid = int(d)
+        ppid_of[pid] = int(rest[1])
+        # rest[11..14] = utime stime cutime cstime (fields 14-17)
+        stat_of[pid] = sum(int(x) for x in rest[11:15])
+    total = 0
+    for pid in stat_of:
+        p = pid
+        for _ in range(64):  # ancestor walk, cycle-bounded
+            if p == me:
+                total += stat_of[pid]
+                break
+            p = ppid_of.get(p, 0)
+            if p <= 1:
+                break
+    return total
+
+
+class _LoadMeter:
+    """Per-window external-CPU meter + loadavg tracker."""
+
+    def __init__(self) -> None:
+        self.load_start = round(os.getloadavg()[0], 2)
+        self.load_max = self.load_start
+        self._t = self._host = self._own = 0.0
+
+    def begin(self) -> None:
+        self.load_max = max(self.load_max, round(os.getloadavg()[0], 2))
+        self._t = time.time()
+        self._host = _host_busy_jiffies()
+        self._own = _own_tree_jiffies()
+
+    def end(self) -> float:
+        """External cores busy during the window (≥ 0)."""
+        dt = max(time.time() - self._t, 1e-3)
+        host = _host_busy_jiffies() - self._host
+        own = _own_tree_jiffies() - self._own
+        self.load_max = max(self.load_max, round(os.getloadavg()[0], 2))
+        return max(0.0, (host - own) / _HZ / dt)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
@@ -225,12 +312,15 @@ def main() -> None:
         bench_queries = wanted
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    ext_cores: dict[str, float] = {}
+    meter = _LoadMeter()
     from scholarmind_spark.queries import reset_shared_components
 
     for name in bench_queries:
         fn = SPARK_QUERIES[name]
         per_rep: list[float] = []
         n = 0
+        meter.begin()
         for _ in range(n_reps):
             if name == "dedup_cluster_sizes":
                 # first cluster-family query: pay the shared CC cost inside
@@ -255,10 +345,15 @@ def main() -> None:
             # tail of the run ~10x (observed: 282s -> 73s total at sf0.1).
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+        ext_cores[name] = round(meter.end(), 2)
         reps[name] = per_rep
         timings[name] = sorted(per_rep)[len(per_rep) // 2]
         n = fn(spark, sf_dir).count()  # row count for the log, untimed
-        print(f"# {name}: {timings[name]}s median of {per_rep} ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]}s median of {per_rep} ({n} rows,"
+            f" ext_cores {ext_cores[name]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -274,6 +369,23 @@ def main() -> None:
     items = sorted(full.items())
     for i in range(0, len(items), 8):
         print("#q " + json.dumps(dict(items[i : i + 8]), separators=(",", ":")))
+    # per-query external-cores map, same short-line discipline (#l lines)
+    litems = sorted(ext_cores.items())
+    for i in range(0, len(litems), 8):
+        print("#l " + json.dumps(dict(litems[i : i + 8]), separators=(",", ":")))
+    suspects = sorted(
+        (k for k, v in ext_cores.items() if v > EXT_CORES_SUSPECT),
+        key=lambda k: -ext_cores[k],
+    )
+    load = {
+        "start": meter.load_start,
+        "max": meter.load_max,
+        "ext_max": max(ext_cores.values()) if ext_cores else 0.0,
+        "n_suspect": len(suspects),
+        "suspect_queries": suspects[:5],
+        "suspect": bool(suspects) or meter.load_start > LOAD_START_SUSPECT,
+    }
+    print("# load: " + json.dumps(load), file=sys.stderr)
     slowest = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     summary = {
         "metric": "headline-query wall-clock total",
@@ -281,11 +393,15 @@ def main() -> None:
         "unit": "sec",
         "queries": dict(slowest),
         "n_queries": len(full),
+        "load": load,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(summary, separators=(",", ":"))
-    while len(line) > 950 and summary["queries"]:
-        summary["queries"].popitem()
+    while len(line) > 950 and (summary["queries"] or load["suspect_queries"]):
+        if summary["queries"]:
+            summary["queries"].popitem()
+        else:
+            load["suspect_queries"].pop()
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
     sys.stdout.flush()

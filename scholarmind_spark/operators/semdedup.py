@@ -8,6 +8,17 @@ the example with the LOWEST similarity to its cluster centroid (the
 "outlier" of the group — the paper's default, shown to beat keeping the
 most-central example).
 
+Keep-order normalization assumption: this implementation orders the keep
+decision by squared-L2 distance to the assigned centroid.  Within a cell
+the centroid is a constant, so for UNIT-NORM corpus embeddings
+``dist² = 1 + ‖c‖² − 2·(x·c)`` is strictly decreasing in ``x·c`` and the
+L2 order IS the paper's lowest-cosine-to-centroid order (regardless of
+the centroid's own norm).  SemDeDup normalizes embeddings before
+clustering (Abbas et al. §3); do the same upstream — on unnormalized
+embeddings the survivor choice diverges from the paper's default (the
+pair THRESHOLD is true cosine either way; only the within-group survivor
+pick is affected).  Pinned by ``test_keep_order_matches_cosine_on_unit_norm``.
+
 Spark-first shape — no iteration, no driver loop:
 
 - assignment is a PURE PROJECTION: the codebook is k tiny rows by
@@ -96,9 +107,12 @@ def semdedup(
     to the assigned centroid, rounded 6 for presentation; the keep
     ordering uses the full double).
     """
-    # k rows by contract — a driver-sized collect either way (the
-    # empty-codebook check needs it, and the literal tier inlines it)
-    cent_rows = centroids.select("cid", "cvec").collect()
+    # Size/emptiness probe bounded at inline_max+1 rows: the broadcast
+    # tier exists precisely for codebooks too big to want on the driver,
+    # so an unconditional full collect() here would defeat it (r12
+    # ADVICE) — only the literal tier ever materializes full rows, and
+    # the probe doubles as its row source.
+    cent_rows = centroids.select("cid", "cvec").limit(inline_max + 1).collect()
     if not cent_rows:
         raise ValueError("semdedup: empty codebook (no centroid rows)")
     if len(cent_rows) <= inline_max:

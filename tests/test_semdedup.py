@@ -195,6 +195,34 @@ def test_cap_cells_degenerate_duplicates_terminate(spark):
     assert len(kept) == 1
 
 
+def test_keep_order_matches_cosine_on_unit_norm(spark):
+    """The docstring's normalization claim, made load-bearing: on
+    UNIT-NORM embeddings the operator's squared-L2 keep order picks the
+    same survivor as the paper's lowest-cosine-to-centroid rule, even
+    under a centroid whose own norm is far from 1 (within a cell
+    dist² = 1 + ‖c‖² − 2·x·c is strictly decreasing in x·c)."""
+    # one cell: centroid direction (1,0,0,0) scaled to norm 0.37 — a
+    # realistic k-means mean of a spread cluster, NOT unit norm
+    cvec = [0.37, 0.0, 0.0, 0.0]
+    cents = spark.createDataFrame(
+        [(0, cvec)], "cid long, cvec array<double>"
+    )
+    # unit-norm near-duplicates of each other (pairwise cos > 0.95),
+    # at distinct angles to the centroid direction
+    angles = [0.05, 0.20, 0.12, 0.28]
+    rows = [
+        (i, [math.cos(a), math.sin(a), 0.0, 0.0]) for i, a in enumerate(angles)
+    ]
+    out = semdedup(_df(spark, rows), cents, threshold=0.95, dim=DIM)
+    got = {r.vec_id: r.kept for r in out.collect()}
+    release_caches(out)
+    # paper rule: survivor = lowest cosine to centroid = largest angle
+    cos_to_c = {i: math.cos(a) for i, a in enumerate(angles)}
+    survivor = min(cos_to_c, key=cos_to_c.get)
+    assert survivor == 3
+    assert got == {i: (i == survivor) for i in range(4)}
+
+
 # ---- property: operator == brute-force reference on random corpora ----
 
 from hypothesis import given, settings, strategies as st
