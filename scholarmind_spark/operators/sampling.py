@@ -350,3 +350,167 @@ SELECT t.* FROM {table} t
 JOIN rates ON t.{class_expr} = rates.__cls
 WHERE {hash_bucket_sql(key_expr, buckets)} < floor(__rate * {buckets})::BIGINT
 """
+
+
+def mixture_sample_tokens_upsample(
+    df: DataFrame,
+    key: str,
+    class_col: str,
+    text_col: str,
+    target_weights: dict[str, float],
+    max_epochs: int = 4,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Token-budget mixing with UP-sampling under a repetition cap — the
+    full pretraining recipe: scarce high-quality sources are repeated
+    (bounded epochs, e.g. LLaMA's Wikipedia at 2.45 epochs, Books at
+    2.23; Touvron et al. 2023 Table 1) rather than the mix silently
+    missing its target the way a down-sample-only pass must when the
+    scarce class runs out of tokens (:func:`mixture_sample_tokens`
+    clamps rates to ≤ 1.0).
+
+    Derivation: per-class TOKEN totals ``T_c`` (exact BIGINT sums — the
+    order-free discipline of the down-sample twin), binding scale
+    ``m = min(T_c / w_c)``; the realized total is pushed to the largest
+    value every class can serve within ``max_epochs`` repetitions, so
+    ``rate_c = least(max_epochs, (w_c · m / T_c) · max_epochs)`` — the
+    BINDING class (the min, float-equality pinned) lands exactly at
+    ``max_epochs``, abundant classes keep ``rate < 1`` (pure
+    down-sample), scarce non-binding classes land in ``(1, max_epochs)``.
+
+    Materialization is deterministic and join-free past the one
+    |classes|-row broadcast rate join: each row explodes into
+    ``ceil(rate)`` epoch-tagged candidates (``epoch_col`` = 0, 1, …);
+    epochs below ``floor(rate)`` are whole copies, the one fractional
+    epoch keeps the row iff ``hash_bucket(key + '#' + epoch)`` clears the
+    fractional rate — per-epoch hashes, so the fractional subset is
+    independent of the epoch-0 keep decision and stable under any
+    partitioning/engine.  With ``max_epochs = 1`` this degrades exactly
+    to the down-sample operator's keep set (different hash salt).
+
+    Scale shape: one vocab-free aggregate (|classes| rows shuffled), one
+    broadcast join, one generator projection — zero data shuffles; the
+    output is at most ``max_epochs`` × the input, and only for classes
+    the recipe explicitly repeats.  Realized shares are the target in
+    expectation (rows kept whole — the down-sample twin's honesty note
+    applies unchanged).
+    """
+    from scholarmind_spark.operators.textstats import token_count
+
+    e = int(max_epochs)
+    if e < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    total_w = sum(target_weights.values())
+    w_expr: Column = None
+    for cls, w in sorted(target_weights.items()):
+        cond = F.col(class_col) == cls
+        lit = F.lit(w / total_w)
+        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
+    w_expr = w_expr.otherwise(F.lit(None))
+    counts = (
+        df.withColumn("__w", w_expr)
+        .filter(F.col("__w").isNotNull())
+        .withColumn("__tc", token_count(F.col(text_col)).cast("bigint"))
+        .groupBy(class_col, "__w")
+        .agg(F.sum("__tc").alias("__n"))
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    # binding class pinned by float equality (it IS the min of the same
+    # computed doubles), exactly the down-sample twin's discipline
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        class_col,
+        F.when((F.col("__n") / F.col("__w")) <= F.col("__t"), F.lit(float(e)))
+        .otherwise(
+            F.least(
+                F.lit(float(e)),
+                (F.col("__w") * F.col("__t") / F.col("__n")) * F.lit(float(e)),
+            )
+        )
+        .alias("__rate"),
+    )
+    frac_cut = (
+        (F.col("__rate") - F.floor(F.col("__rate"))) * N_BUCKETS
+    ).cast("bigint")
+    b = hash_bucket(
+        F.concat_ws("#", F.col(key).cast("string"), F.col(epoch_col).cast("string"))
+    )
+    out = (
+        df.join(F.broadcast(rates), on=class_col)
+        .withColumn(
+            epoch_col,
+            # int sequence bounds → array<int> → epoch is INT unexploded
+            # (a cast wrapper around explode would nest the generator)
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.col("__rate")).cast("int"), F.lit(1)
+                    ) - F.lit(1),
+                )
+            ),
+        )
+        .filter((F.col(epoch_col) < F.floor(F.col("__rate"))) | (b < frac_cut))
+        .drop("__rate")
+    )
+    return out
+
+
+def mixture_sample_tokens_upsample_sql(
+    table: str,
+    key_expr: str,
+    class_expr: str,
+    text_expr: str,
+    target_weights: dict[str, float],
+    max_epochs: int = 4,
+    epoch_col: str = "epoch",
+    buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`mixture_sample_tokens_upsample` (same token
+    count, same rate derivation and float order, same per-epoch hash)."""
+    from scholarmind_spark.operators.textstats import tokens_sql
+
+    e = int(max_epochs)
+    total_w = sum(target_weights.values())
+    w_case = "NULL"
+    for cls, w in sorted(target_weights.items(), reverse=True):
+        w_case = (
+            f"CASE WHEN {class_expr} = '{cls}' THEN {w / total_w!r}"
+            f" ELSE {w_case} END"
+        )
+    tc = f"len({tokens_sql(text_expr)})::BIGINT"
+    eh = hash_bucket_sql(
+        f"({key_expr})::VARCHAR || '#' || {epoch_col}::VARCHAR", buckets
+    )
+    return f"""
+WITH w AS (
+  SELECT *, {w_case} AS __w FROM {table}
+),
+counts AS (
+  SELECT {class_expr} AS __cls, __w, sum({tc})::BIGINT AS __n
+  FROM w WHERE __w IS NOT NULL GROUP BY __cls, __w
+),
+scale AS (
+  SELECT min(__n / __w) AS __t FROM counts
+),
+rates AS (
+  SELECT __cls,
+         CASE WHEN (__n / __w) <= __t THEN CAST({e} AS DOUBLE)
+              ELSE least(CAST({e} AS DOUBLE), (__w * __t / __n) * CAST({e} AS DOUBLE))
+         END AS __rate
+  FROM counts CROSS JOIN scale
+),
+cand AS MATERIALIZED (
+  -- MATERIALIZED: the binder cannot resolve the unnest() output column
+  -- once this CTE is inlined under the outer EXCLUDE projection
+  SELECT t.*, rates.__rate,
+         unnest(range(0, greatest(ceil(rates.__rate)::BIGINT, 1))) AS __e
+  FROM {table} t
+  JOIN rates ON t.{class_expr} = rates.__cls
+),
+tagged AS (
+  SELECT * EXCLUDE (__e), __e::INTEGER AS {epoch_col} FROM cand
+)
+SELECT * EXCLUDE (__rate) FROM tagged
+WHERE {epoch_col} < floor(__rate)
+   OR {eh} < floor((__rate - floor(__rate)) * {buckets})::BIGINT
+"""

@@ -3372,6 +3372,55 @@ def _dataset_token_mixture_sql() -> str:
     )
 
 
+# weights under which 'en' (the dominant source in the synthetic corpus)
+# is targeted BELOW its natural share and 'de'/'fr' above — a mix a
+# down-sample-only pass cannot reach (it would have to discard most of
+# the corpus); the binding scarce class is repeated up to 3 epochs
+UPSAMPLE_WEIGHTS = {"en": 0.2, "de": 0.45, "fr": 0.35}
+
+
+def dataset_token_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing WITH up-sampling under a repetition cap
+    (operators/sampling.mixture_sample_tokens_upsample): the full
+    pretraining recipe — scarce high-quality classes are repeated
+    (epoch-tagged deterministic copies, ≤ max_epochs) instead of the
+    realized mix silently missing its target the way the down-sample-only
+    twin must.  Output: kept (doc_id, epoch) pairs with class and token
+    count."""
+    from scholarmind_spark.operators.sampling import mixture_sample_tokens_upsample
+    from scholarmind_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = mixture_sample_tokens_upsample(
+        d, key="doc_id", class_col="lang", text_col="text",
+        target_weights=UPSAMPLE_WEIGHTS, max_epochs=3,
+    )
+    return kept.select(
+        "doc_id", "lang", "epoch",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id", "epoch")
+
+
+def _dataset_token_mixture_upsample_sql() -> str:
+    from scholarmind_spark.operators.sampling import (
+        mixture_sample_tokens_upsample_sql,
+    )
+    from scholarmind_spark.operators.textstats import tokens_sql
+
+    inner = mixture_sample_tokens_upsample_sql(
+        "(SELECT doc_id, lang, text FROM documents)",
+        key_expr="doc_id",
+        class_expr="lang",
+        text_expr="text",
+        target_weights=UPSAMPLE_WEIGHTS,
+        max_epochs=3,
+    )
+    return (
+        f"SELECT doc_id, lang, epoch, len({tokens_sql('text')})::BIGINT"
+        f" AS n_tokens FROM ({inner}) ORDER BY doc_id, epoch"
+    )
+
+
 def _dataset_mixture_sql() -> str:
     from scholarmind_spark.operators.sampling import mixture_sample_sql
 
@@ -7223,6 +7272,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "text_pack_stats": text_pack_stats,
     "dataset_mixture": dataset_mixture,
     "dataset_token_mixture": dataset_token_mixture,
+    "dataset_token_mixture_upsample": dataset_token_mixture_upsample,
     "dataset_weighted_sample": dataset_weighted_sample,
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
@@ -7408,6 +7458,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_pack_stats": _pack_stats_sql(),
     "dataset_mixture": _dataset_mixture_sql(),
     "dataset_token_mixture": _dataset_token_mixture_sql(),
+    "dataset_token_mixture_upsample": _dataset_token_mixture_upsample_sql(),
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),

@@ -247,3 +247,92 @@ def test_mixture_tokens_vs_rows_divergence(spark):
     assert by_rows < 0.1
     # token mixture keeps all of a (binding) and ~1/20 of b's docs
     assert abs(by_tokens - 0.5) < 0.1
+
+
+def test_mixture_upsample_reaches_unreachable_target(spark):
+    """The r12 gap made load-bearing: a 70/30 target where the scarce
+    class holds only ~9% of the tokens.  Down-sample-only realizes the
+    target by discarding ~96% of the abundant class; up-sampling with
+    max_epochs=3 instead repeats the scarce class and keeps 3x the
+    corpus at the same realized shares."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.sampling import (
+        mixture_sample_tokens,
+        mixture_sample_tokens_upsample,
+    )
+    from scholarmind_spark.operators.textstats import token_count
+
+    # scarce: 100 docs x 10 tokens = 1_000; abundant: 1000 docs x 10 =
+    # 10_000 tokens → scarce natural token share 1/11 ≈ 0.09
+    rows = [(i, "scarce", "w " * 10) for i in range(100)] + [
+        (i + 10_000, "abundant", "w " * 10) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, text string")
+    w = {"scarce": 0.3, "abundant": 0.7}
+
+    def shares_and_total(out):
+        t = (
+            out.groupBy("cls")
+            .agg(F.sum(token_count(F.col("text"))).alias("t"))
+            .collect()
+        )
+        tot = {r.cls: r.t for r in t}
+        s = sum(tot.values())
+        return {k: v / s for k, v in tot.items()}, s
+
+    down_sh, down_total = shares_and_total(
+        mixture_sample_tokens(df, "doc_id", "cls", "text", w)
+    )
+    up = mixture_sample_tokens_upsample(
+        df, "doc_id", "cls", "text", w, max_epochs=3
+    )
+    up_sh, up_total = shares_and_total(up)
+    # both hit the shares (scarce binds in both derivations)...
+    assert abs(down_sh["scarce"] - 0.3) < 0.05
+    assert abs(up_sh["scarce"] - 0.3) < 0.05
+    # ...but the up-sampled mix serves ~3x the tokens at those shares —
+    # the budget a down-sample-only pass cannot reach
+    assert up_total > 2.5 * down_total
+
+    # repetition cap honored, binding class repeated exactly 3 epochs
+    eps = {r.cls: r.m for r in up.groupBy("cls").agg(
+        F.max("epoch").alias("m")).collect()}
+    assert eps["scarce"] == 2          # epochs 0,1,2 = 3 full copies
+    assert eps["abundant"] <= 2
+    # epoch-tagged copies are exact duplicates of the source rows
+    dup = (
+        up.filter((F.col("cls") == "scarce") & (F.col("epoch") > 0))
+        .join(df.filter(F.col("cls") == "scarce"), ["doc_id", "cls", "text"])
+    )
+    assert dup.count() == 200          # 100 docs x epochs 1,2
+
+
+def test_mixture_upsample_epoch1_degrades_to_downsample_rates(spark):
+    """max_epochs=1: every rate clamps to <= 1 and exactly one epoch-0
+    pass survives — same keep-rate derivation as the down-sample twin
+    (hash salt differs, so the kept SET may differ; the SIZE per class
+    must match within hash noise and no epoch exceeds 0)."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.sampling import (
+        mixture_sample_tokens,
+        mixture_sample_tokens_upsample,
+    )
+
+    rows = [(i, "a", "w " * 10) for i in range(1000)] + [
+        (i + 10_000, "b", "w " * 50) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, text string")
+    w = {"a": 0.5, "b": 0.5}
+    up = mixture_sample_tokens_upsample(
+        df, "doc_id", "cls", "text", w, max_epochs=1
+    )
+    assert up.agg(F.max("epoch")).first()[0] == 0
+    down_n = {r.cls: r.n for r in mixture_sample_tokens(
+        df, "doc_id", "cls", "text", w
+    ).groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    up_n = {r.cls: r.n for r in up.groupBy("cls").agg(
+        F.count("*").alias("n")).collect()}
+    assert up_n["b"] == down_n["b"] == 100      # binding class whole
+    assert abs(up_n["a"] - down_n["a"]) <= 60   # same rate, other salt
