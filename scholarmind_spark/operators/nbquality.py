@@ -10,8 +10,11 @@ estimate is a pair of token histograms, which Spark computes in ONE
 groupBy — the training is as distributed and as deterministic as the
 scoring, and the learned per-token log-odds table is exactly the linear
 model a fastText-style filter applies (unigram features, additive
-scores).  Swapping in externally-trained weights is a one-join change
-(the model relation is ``token → weight``).
+scores).  Swapping in externally-trained weights is a one-join change:
+:func:`nb_quality_score_weights` scores any ``(token, weight_micro)``
+relation (+ prior/OOV constants) with no training pass, and
+:func:`nb_export_weights` emits the self-trained model in that portable
+form — export→score parity is bit-exact (``test_external_weights_parity``).
 
 Labels default to the engine's own Gopher RULE battery
 (:func:`operators.quality.gopher_quality_flags` — the projection-only,
@@ -212,3 +215,130 @@ SELECT s.id AS {id_col}, s.n_tokens,
        (s.s_micro + p.prior_micro) > 0 AS pred_keep
 FROM __scored s CROSS JOIN __prior p
 """
+
+
+def nb_export_weights(
+    df: DataFrame,
+    labels: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, int, int]:
+    """Export the trained model as the portable linear form:
+    ``((token, weight_micro) DataFrame, prior_micro, oov_micro)`` —
+    per-token integer micro-nat log-odds, the document-count prior, and
+    the weight an out-of-vocabulary token scores (the smoothing
+    constant ``ln(1) − ln(n1+V) − ln(1) + ln(n0+V)``, same float order
+    as the in-line scorer's coalesce-to-0 path).
+
+    This is the docstring's "swapping in externally-trained weights is a
+    one-join change" claim made load-bearing: feeding the export into
+    :func:`nb_quality_score_weights` reproduces :func:`nb_quality_score`
+    bit-for-bit (pinned by ``test_external_weights_parity``), and any
+    fastText/logistic model distilled to per-token micro-nat weights
+    scores through the identical join + sum.
+
+    ``prior_micro``/``oov_micro`` are driver-side ints (one-row
+    aggregates — the external-model use case hands them over in a
+    config anyway); the weight relation stays distributed.
+    """
+    if labels is None:
+        from scholarmind_spark.operators.quality import gopher_quality_flags
+
+        labels = gopher_quality_flags(df, id_col, text_col).select(id_col, "keep")
+    lab = labels.select(F.col(id_col).alias("id"), F.col("keep").alias("y"))
+    toks = _doc_tokens(df, id_col, text_col)
+    train = toks.join(lab, "id")
+    model = train.groupBy("w").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c0"),
+    )
+    totals = model.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
+        F.greatest(F.count("*"), F.lit(1)).alias("V"),
+    )
+
+    def _term(c1, c0):
+        return F.round(
+            (
+                F.log(c1 + 1)
+                - F.log(F.col("n1") + F.col("V"))
+                - F.log(c0 + 1)
+                + F.log(F.col("n0") + F.col("V"))
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint")
+
+    weights = model.crossJoin(F.broadcast(totals)).select(
+        "w",
+        _term(
+            F.coalesce(F.col("c1"), F.lit(0)), F.coalesce(F.col("c0"), F.lit(0))
+        ).alias("weight_micro"),
+    )
+    oov_micro = int(
+        totals.select(
+            _term(F.lit(0), F.lit(0)).alias("o")
+        ).first()["o"]
+    )
+    prior_micro = int(
+        lab.agg(
+            F.round(
+                (
+                    F.log(
+                        F.coalesce(
+                            F.sum(F.when(F.col("y"), 1).otherwise(0)), F.lit(0)
+                        )
+                        + 1
+                    )
+                    - F.log(
+                        F.coalesce(
+                            F.sum(F.when(F.col("y"), 0).otherwise(1)), F.lit(0)
+                        )
+                        + 1
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("p")
+        ).first()["p"]
+    )
+    return weights, prior_micro, oov_micro
+
+
+def nb_quality_score_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    prior_micro: int = 0,
+    oov_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with an EXTERNALLY-supplied linear model —
+    ``weights`` is any ``(w string, weight_micro bigint)`` relation
+    (a :func:`nb_export_weights` export, a distilled fastText model, a
+    hand-curated keyword table); ``oov_micro`` scores tokens the model
+    has never seen, ``prior_micro`` is the additive document prior.
+
+    Same output contract and scale shape as :func:`nb_quality_score`'s
+    scoring half: one token explode, one token-keyed join (AQE
+    broadcasts a small model), one per-document sum — no training pass
+    at all, which is the point: score 100 TB with a model trained
+    elsewhere (or last week) without re-aggregating the corpus.
+    """
+    toks = _doc_tokens(df, id_col, text_col)
+    w = weights.select(
+        F.col("w"), F.col("weight_micro").cast("bigint").alias("__wm")
+    )
+    scored = (
+        toks.join(w, "w", "left")
+        .select("id", F.coalesce(F.col("__wm"), F.lit(int(oov_micro))).alias("__t"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("__t").alias("__s"))
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("__s") + F.lit(int(prior_micro))).alias("nbq_micro"),
+        ((F.col("__s") + F.lit(int(prior_micro))) > 0).alias("pred_keep"),
+    )

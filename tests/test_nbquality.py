@@ -108,3 +108,78 @@ def test_empty_label_relation_degrades_to_zero_scores(spark):
     got = _score(spark, docs, labels=[])
     assert len(got) == 2
     assert all(r.nbq_micro == 0 and r.pred_keep is False for r in got.values())
+
+
+def test_external_weights_parity(spark):
+    """The docstring's one-join-swap claim, load-bearing: scoring through
+    nb_quality_score_weights with the model nb_export_weights exported
+    reproduces the self-trained nb_quality_score bit-for-bit — including
+    OOV tokens (doc 2 contains words the training labels never saw)."""
+    from scholarmind_spark.operators.nbquality import (
+        nb_export_weights,
+        nb_quality_score_weights,
+    )
+
+    docs = [(0, GOOD), (1, BAD), (2, GOOD + " zebra quasar unseen")]
+    labels = [(0, True), (1, False)]  # doc 2 scored, never trained
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, keep boolean")
+
+    inline = nb_quality_score(df, labels=lab)
+    got_inline = {r.doc_id: r for r in inline.collect()}
+    release_caches(inline)
+
+    weights, prior_micro, oov_micro = nb_export_weights(df, labels=lab)
+    got_ext = {
+        r.doc_id: r
+        for r in nb_quality_score_weights(
+            df, weights, prior_micro=prior_micro, oov_micro=oov_micro
+        ).collect()
+    }
+    assert set(got_ext) == set(got_inline) == {0, 1, 2}
+    for did in got_inline:
+        a, b = got_inline[did], got_ext[did]
+        assert (a.n_tokens, a.nbq_micro, a.pred_keep) == (
+            b.n_tokens,
+            b.nbq_micro,
+            b.pred_keep,
+        ), did
+
+
+def test_external_weights_shifted_model_diverges(spark):
+    """A genuinely different external model produces different scores —
+    per-token +1000 micro shifts every document by exactly
+    n_tokens * 1000 (the additive linear form doing what it claims)."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.nbquality import (
+        nb_export_weights,
+        nb_quality_score_weights,
+    )
+
+    docs = [(0, GOOD), (1, BAD)]
+    labels = [(0, True), (1, False)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, keep boolean")
+    weights, prior_micro, oov_micro = nb_export_weights(df, labels=lab)
+
+    base = {
+        r.doc_id: r
+        for r in nb_quality_score_weights(
+            df, weights, prior_micro, oov_micro
+        ).collect()
+    }
+    shifted_w = weights.select(
+        "w", (F.col("weight_micro") + 1000).alias("weight_micro")
+    )
+    shifted = {
+        r.doc_id: r
+        for r in nb_quality_score_weights(
+            df, shifted_w, prior_micro, oov_micro + 1000
+        ).collect()
+    }
+    for did in base:
+        assert (
+            shifted[did].nbq_micro - base[did].nbq_micro
+            == base[did].n_tokens * 1000
+        )
