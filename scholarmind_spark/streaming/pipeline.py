@@ -1025,6 +1025,21 @@ def _sketch_fold_fn_manifest(
     return _fold
 
 
+# Merge-on-read base fp files are hash-partitioned by a bucket of the
+# doc id, with the bucket COUNT chosen at compaction time from the
+# resolved row count — each bucket holds ~_MOR_BUCKET_ROWS rows no
+# matter how big the corpus grows, so a fold's neg-lookup (which only
+# needs the batch ids' current rows) reads ≤ |batch| buckets ×
+# ~constant rows: O(batch), flat in the standing corpus.  This is the
+# chain-read pruning SCALE.md's r12 MoR entry named as the residual
+# (the fold WROTE O(batch) but still READ O(state) per fold).
+# Production default 100k rows/bucket ≈ tens of MB of fingerprints per
+# bucket file; the probe overrides it down to make the read term
+# measurable at test scale.
+_MOR_BUCKET_ROWS = 100_000
+_MOR_MAX_BUCKETS = 4096
+
+
 def stream_ledger_ingest(
     stream_docs: DataFrame,
     state_path: str,
@@ -1034,6 +1049,7 @@ def stream_ledger_ingest(
     checkpoint: str | None = None,
     mode: str = "cow",
     compact_every: int = 8,
+    bucket_rows: int = _MOR_BUCKET_ROWS,
 ):
     """Streaming maintenance of the DEDUP ledger: every microbatch of
     documents is applied to the (fingerprints, shingle-counts) state
@@ -1077,7 +1093,8 @@ def stream_ledger_ingest(
         fold = _ledger_ingest_fn(state_path, lineage, id_col, text_col, shingle_k)
     elif mode == "mor":
         fold = _ledger_ingest_fn_mor(
-            state_path, lineage, id_col, text_col, shingle_k, compact_every
+            state_path, lineage, id_col, text_col, shingle_k, compact_every,
+            bucket_rows,
         )
     else:
         raise ValueError(f"unknown ledger mode {mode!r}: expected cow | mor")
@@ -1260,22 +1277,84 @@ def _mor_fold_gate(state_path: str, lineage: str, batch_id: int):
     return version, base_v
 
 
-def _mor_chains(spark, state_path: str, base_v: int, upto_v: int):
-    """(fp_chain, counts_chain) DataFrames over versions
-    [base_v..upto_v]: the base pair plus every delta pair, read in one
-    multi-path parquet scan each (base and delta files share schemas
-    by construction)."""
+def _mor_bucket_expr(nb: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64("id"), F.lit(nb))
+
+
+def _mor_nbuckets(state_path: str, base_v: int) -> int | None:
+    """Bucket count of the base at ``base_v`` (sidecar written by the
+    compaction that produced it), or None for a pre-bucketing base."""
     import os
 
-    fp_paths = [os.path.join(state_path, f"v-{base_v}", "fp")] + [
+    p = os.path.join(state_path, f"v-{base_v}", "nbuckets.txt")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _mor_write_base_fp(full_fp, new_dir: str, n_rows: int, bucket_rows: int) -> None:
+    """Materialize a base fp table partitioned by id-hash bucket, with
+    the bucket count derived from the resolved size (sidecar-recorded
+    for the pruned read path)."""
+    import math
+    import os
+
+    nb = max(1, min(_MOR_MAX_BUCKETS, math.ceil(max(n_rows, 1) / bucket_rows)))
+    full_fp.withColumn("bucket", _mor_bucket_expr(nb)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(new_dir, "fp"))
+    with open(os.path.join(new_dir, "nbuckets.txt"), "w") as f:
+        f.write(f"{nb}\n")
+
+
+def _mor_chains(
+    spark, state_path: str, base_v: int, upto_v: int, fp_buckets=None
+):
+    """(fp_chain, counts_chain) DataFrames over versions
+    [base_v..upto_v]: the base pair plus every delta pair.  The fp base
+    is read on its own (it may be bucket-partitioned; deltas never are)
+    and unioned with one multi-path delta scan.  ``fp_buckets`` — an
+    iterable of bucket ids — prunes the base scan to those partitions
+    (exact for any id whose bucket is in the set: an id's base rows
+    live ONLY in its bucket, and every delta is still read)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    fp_base = spark.read.parquet(os.path.join(state_path, f"v-{base_v}", "fp"))
+    if "bucket" in fp_base.columns:
+        if fp_buckets is not None:
+            fp_base = fp_base.where(F.col("bucket").isin(list(fp_buckets)))
+        fp_base = fp_base.select("id", "n", "hs", "seq", "tomb")
+    dfp_paths = [
         os.path.join(state_path, f"v-{i}", "dfp")
         for i in range(base_v + 1, upto_v + 1)
     ]
+    fp_chain = fp_base
+    if dfp_paths:
+        fp_chain = fp_chain.unionByName(spark.read.parquet(*dfp_paths))
     cnt_paths = [os.path.join(state_path, f"v-{base_v}", "counts")] + [
         os.path.join(state_path, f"v-{i}", "dcounts")
         for i in range(base_v + 1, upto_v + 1)
     ]
-    return spark.read.parquet(*fp_paths), spark.read.parquet(*cnt_paths)
+    return fp_chain, spark.read.parquet(*cnt_paths)
+
+
+def _mor_touched_buckets(ids_df, state_path: str, base_v: int):
+    """Bucket ids the given id set touches, for base-scan pruning — or
+    None when the base predates bucketing.  The collect is bounded by
+    min(|ids|, nbuckets) values: microbatch-sized driver data, the same
+    bound the fold's own batch already satisfies."""
+    nb = _mor_nbuckets(state_path, base_v)
+    if nb is None or nb <= 1:
+        return None
+    return [
+        r["b"]
+        for r in ids_df.select(_mor_bucket_expr(nb).alias("b")).distinct().collect()
+    ]
 
 
 def ledger_state_mor(spark, state_path: str):
@@ -1305,18 +1384,22 @@ def _ledger_ingest_fn_mor(
     text_col: str = "text",
     shingle_k: int | None = None,
     compact_every: int = 8,
+    bucket_rows: int = _MOR_BUCKET_ROWS,
 ):
     """The foreachBatch body of merge-on-read
     :func:`stream_ledger_ingest`, exposed for deterministic tests.
 
     Per fold: fingerprint the (within-batch-deduped) docs; the fp delta
     is those rows at seq = new version (tomb false); the counts delta is
-    new contributions MINUS the replaced ids' old contributions (looked
-    up by resolving the current chain semi-joined to the batch ids — an
-    O(state) READ, but the fold WRITES only O(batch)).  Every
-    ``compact_every`` folds the chain is resolved and materialized as a
-    new base instead, amortizing the O(state) write the CoW fold pays
-    every time."""
+    new contributions MINUS the replaced ids' old contributions, looked
+    up by resolving base+deltas PRUNED to the id-hash buckets the batch
+    touches — the base is bucket-partitioned at compaction with the
+    bucket count sized to the corpus (``bucket_rows`` per bucket), so
+    this read is O(batch), not O(state); the r12 residual closed.
+    Every ``compact_every`` folds the chain is resolved (unpruned —
+    the one deliberately O(state) read, amortized) and materialized as
+    a new base, amortizing the O(state) write the CoW fold pays every
+    time."""
     import os
 
     from pyspark.sql import functions as F
@@ -1351,10 +1434,17 @@ def _ledger_ingest_fn_mor(
         try:
             pos = ledger_shingle_counts(rev_fp)
             if version >= 0:
-                fp_chain, cnt_chain = _mor_chains(
-                    spark, state_path, base_v, version
+                # the neg-lookup needs ONLY the batch ids' current rows:
+                # prune the base scan to the buckets the batch touches —
+                # O(batch) read against a bucketed base, vs the full
+                # O(state) chain the compaction path still (rightly) pays
+                touched = _mor_touched_buckets(
+                    rev_fp.select("id"), state_path, base_v
                 )
-                old = ledger_mor_resolve_fp(fp_chain).join(
+                lookup_chain, _ = _mor_chains(
+                    spark, state_path, base_v, version, fp_buckets=touched
+                )
+                old = ledger_mor_resolve_fp(lookup_chain).join(
                     rev_fp.select("id"), "id", "left_semi"
                 )
                 neg = ledger_shingle_counts(old).select(
@@ -1376,8 +1466,13 @@ def _ledger_ingest_fn_mor(
             new_dir = os.path.join(state_path, f"v-{new_v}")
             compact = version >= 0 and (new_v - base_v) >= compact_every
             if compact or version < 0:
-                # materialize a new BASE: resolved chain + this delta
+                # materialize a new BASE: resolved chain + this delta —
+                # the one path that reads the UNPRUNED chain (O(state)
+                # by design, amortized over compact_every folds)
                 if version >= 0:
+                    fp_chain, cnt_chain = _mor_chains(
+                        spark, state_path, base_v, version
+                    )
                     full_fp = ledger_mor_resolve_fp(
                         fp_chain.unionByName(dfp)
                     ).select(
@@ -1390,9 +1485,16 @@ def _ledger_ingest_fn_mor(
                     )
                 else:
                     full_fp, full_counts = dfp, dcounts
-                full_fp.write.mode("overwrite").parquet(
-                    os.path.join(new_dir, "fp")
-                )
+                full_fp = full_fp.persist()
+                try:
+                    # the count sizes the new base's bucket layout; the
+                    # resolved table is about to be written anyway, so
+                    # the extra action stays inside the amortized path
+                    _mor_write_base_fp(
+                        full_fp, new_dir, full_fp.count(), bucket_rows
+                    )
+                finally:
+                    full_fp.unpersist()
                 full_counts.write.mode("overwrite").parquet(
                     os.path.join(new_dir, "counts")
                 )
@@ -1439,7 +1541,12 @@ def ledger_mor_retire(spark, state_path: str, retired_ids) -> None:
     version, lineage, upto, base_v = m
     new_v = version + 1
     ids = retired_ids.select("id").distinct()
-    fp_chain, _ = _mor_chains(spark, state_path, base_v, version)
+    # same bucket pruning as the fold's neg-lookup: only the retired
+    # ids' current rows are needed
+    touched = _mor_touched_buckets(ids, state_path, base_v)
+    fp_chain, _ = _mor_chains(
+        spark, state_path, base_v, version, fp_buckets=touched
+    )
     removed = ledger_mor_resolve_fp(fp_chain).join(ids, "id", "left_semi")
     neg = ledger_shingle_counts(removed).select(
         "sh", (-F.col("df_count")).alias("df_count")

@@ -1210,3 +1210,65 @@ def test_mor_reingest_after_retire(spark, tmp_path):
         [(0, rows[0]), (1, rows[1] + " reborn"), (2, rows[2])], DOC_SCHEMA
     )
     _assert_mor_state_equals(spark, state, exp)
+
+
+def test_mor_base_bucketed_and_pruned_lookup_exact(spark, tmp_path):
+    """The r12 chain-read residual, closed: a compaction-written base is
+    hash-partitioned by id bucket with a corpus-sized bucket count
+    (sidecar-recorded), and the fold's neg-lookup resolve over the
+    PRUNED chain (touched buckets only) equals the full-chain resolve
+    on the batch ids — while genuinely scanning fewer base rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.ledger import ledger_mor_resolve_fp
+    from scholarmind_spark.streaming.pipeline import (
+        _ledger_ingest_fn_mor,
+        _manifest_read_mor,
+        _mor_chains,
+        _mor_nbuckets,
+        _mor_touched_buckets,
+    )
+
+    state = str(tmp_path / "state")
+    # bucket_rows=3 over 12 docs → 4 buckets in the compacted base
+    fold = _ledger_ingest_fn_mor(
+        state, "cafebabe", compact_every=2, bucket_rows=3
+    )
+    for bid, batch in enumerate(_mor_batches(spark)):
+        fold(batch, bid)
+    version, _, _, base_v = _manifest_read_mor(state)
+    assert base_v == 2 and version == 3
+
+    # base layout: bucket=N partition dirs + the sidecar — the v-2 base
+    # resolves 9 docs (fold 3's three live in the delta): ceil(9/3) = 3
+    nb = _mor_nbuckets(state, base_v)
+    assert nb == 3
+    bucket_dirs = [
+        d
+        for d in os.listdir(os.path.join(state, f"v-{base_v}", "fp"))
+        if d.startswith("bucket=")
+    ]
+    assert 1 < len(bucket_dirs) <= nb
+
+    # a 2-id batch prunes to ≤ 2 buckets and resolves identically
+    ids = spark.createDataFrame([(0,), (7,)], "id bigint")
+    touched = _mor_touched_buckets(ids, state, base_v)
+    assert touched is not None and len(touched) <= 2
+    pruned, _ = _mor_chains(spark, state, base_v, version, fp_buckets=touched)
+    full, _ = _mor_chains(spark, state, base_v, version)
+    assert pruned.count() < full.count()
+    res_p = sorted(
+        (r.id, r.n, tuple(r.hs))
+        for r in ledger_mor_resolve_fp(pruned)
+        .join(ids, "id", "left_semi")
+        .collect()
+    )
+    res_f = sorted(
+        (r.id, r.n, tuple(r.hs))
+        for r in ledger_mor_resolve_fp(full)
+        .join(ids, "id", "left_semi")
+        .collect()
+    )
+    assert res_p == res_f and len(res_p) == 2

@@ -48,8 +48,18 @@ Round 12 extends the same certification to the STREAMING DEDUP LEDGER
   the last sim fold is re-run against a ONE-SHOT rebuild of the same
   corpus and must cost the same.
 
+Round 13 adds ``mor_read`` — the merge-on-read CHAIN-READ term, made
+measurable and pinned (the r12 verdict's named residual): standing
+corpora of 1x/10x/20x are folded into bucket-partitioned MoR state
+(bucket_rows=500), then a FIXED 20-doc revision batch's neg-lookup is
+measured both ways — pruned to the batch's touched buckets vs the old
+full-chain read — in ROWS SCANNED (ground truth, the SemDeDup
+pair-count discipline) and wall; the pruned resolve is asserted equal
+to the unpruned resolve on the batch ids at every k.  The pruned read
+is bounded by |batch| x bucket_rows + deltas regardless of corpus.
+
 Usage: python tools/fold_probe.py [sf_dir]
-[probe|simulate|ledger_probe|ledger_sim] ...
+[probe|simulate|ledger_probe|ledger_sim|ledger_sim_mor|mor_read] ...
 (default: probe+simulate, sf0.1).  Prints markdown rows to paste into
 SCALE.md.
 """
@@ -69,7 +79,7 @@ REPS = 3
 BASE_DAYS = 30  # the events table spans days 19723..19752
 
 
-def _fit_row(name: str, by_k: dict[int, float]) -> str:
+def _fit_row(name: str, by_k: dict[int, float], unit: str = "s") -> str:
     xs = list(KS)
     ys = [by_k[k] for k in KS]
     n = len(xs)
@@ -80,8 +90,9 @@ def _fit_row(name: str, by_k: dict[int, float]) -> str:
     resid = [y - (a + b * x) for x, y in zip(xs, ys)]
     se = (sum(r * r for r in resid) / (n - 2) / sxx) ** 0.5
     return (
-        f"| {name} | {by_k[1]:.1f}s | {by_k[10]:.1f}s | {by_k[20]:.1f}s "
-        f"| {a:.1f}s | {b:.2f} ± {se:.2f} s/unit |"
+        f"| {name} | {by_k[1]:.1f}{unit} | {by_k[10]:.1f}{unit} "
+        f"| {by_k[20]:.1f}{unit} "
+        f"| {a:.1f}{unit} | {b:.2f} ± {se:.2f} {unit}/unit |"
     )
 
 
@@ -714,6 +725,103 @@ def main() -> None:
         )
         fp_direct.unpersist()
         shutil.rmtree(root, ignore_errors=True)
+
+
+
+    if "mor_read" in modes:
+        # the r12 residual, measured: neg-lookup read term vs standing
+        # corpus, pruned (bucketed base, touched buckets only) vs the
+        # old full-chain read.  Rows scanned are the ground truth; wall
+        # corroborates.  Exactness: pruned resolve == unpruned resolve
+        # on the batch ids at every k.
+        from scholarmind_spark.operators.ledger import ledger_mor_resolve_fp
+        from scholarmind_spark.streaming.pipeline import (
+            _ledger_ingest_fn_mor,
+            _mor_chains,
+            _mor_touched_buckets,
+            _manifest_read_mor,
+        )
+
+        bucket_rows, batch_n = 500, 20
+        rows_pruned: dict[int, float] = {}
+        rows_full: dict[int, float] = {}
+        wall_pruned: dict[int, float] = {}
+        wall_full: dict[int, float] = {}
+        n_docs_total = docs.count()
+        for k in KS:
+            root = tempfile.mkdtemp(prefix=f"morread{k}_")
+            state = os.path.join(root, "state")
+            reps_df = spark.range(k).select(F.col("id").alias("i"))
+            corpus = docs.crossJoin(reps_df).select(
+                (F.col("doc_id") + F.col("i") * 10_000_000).alias("doc_id"),
+                "text",
+            )
+            fold = _ledger_ingest_fn_mor(
+                state, "cafef00d", compact_every=64, bucket_rows=bucket_rows
+            )
+            # initial fold writes the bucketed base; a second small fold
+            # stacks one real delta so the chain is base+delta shaped
+            fold(corpus, 0)
+            fold(
+                docs.where(F.col("doc_id") < 100).select(
+                    "doc_id", F.concat("text", F.lit(" d1")).alias("text")
+                ),
+                1,
+            )
+            version, _, _, base_v = _manifest_read_mor(state)
+            batch_ids = spark.range(batch_n).select(F.col("id"))
+            per_p, per_f = [], []
+            for _ in range(REPS):
+                t0 = time.time()
+                touched = _mor_touched_buckets(batch_ids, state, base_v)
+                chain_p, _ = _mor_chains(
+                    spark, state, base_v, version, fp_buckets=touched
+                )
+                n_p = chain_p.count()
+                per_p.append(time.time() - t0)
+                t0 = time.time()
+                chain_f, _ = _mor_chains(spark, state, base_v, version)
+                n_f = chain_f.count()
+                per_f.append(time.time() - t0)
+                spark.catalog.clearCache()
+            # exactness: resolved rows for the batch ids agree
+            res_p = ledger_mor_resolve_fp(chain_p).join(
+                batch_ids, "id", "left_semi"
+            )
+            res_f = ledger_mor_resolve_fp(chain_f).join(
+                batch_ids, "id", "left_semi"
+            )
+            mism = (
+                res_p.alias("a")
+                .join(res_f.alias("b"), "id", "full")
+                .where(
+                    ~F.col("a.n").eqNullSafe(F.col("b.n"))
+                    | ~F.col("a.hs").eqNullSafe(F.col("b.hs"))
+                )
+                .count()
+            )
+            assert mism == 0, f"pruned resolve diverged at k={k}: {mism}"
+            per_p.sort(); per_f.sort()
+            rows_pruned[k], rows_full[k] = float(n_p), float(n_f)
+            wall_pruned[k] = per_p[len(per_p) // 2]
+            wall_full[k] = per_f[len(per_f) // 2]
+            print(
+                f"# k={k} ({k * n_docs_total} standing docs): pruned "
+                f"{n_p} rows {wall_pruned[k]:.2f}s | full {n_f} rows "
+                f"{wall_full[k]:.2f}s | batch-id resolve mismatch 0",
+                file=sys.stderr,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+        print(
+            f"| neg-lookup read (fixed {batch_n}-doc batch, "
+            f"bucket_rows={bucket_rows}) | 1x | 10x | 20x | fixed a | "
+            f"slope b +- se |"
+        )
+        print("|---|---|---|---|---|---|")
+        print(_fit_row("mor chain rows PRUNED", rows_pruned, unit=" rows"))
+        print(_fit_row("mor chain rows FULL (old path)", rows_full, unit=" rows"))
+        print(_fit_row("mor chain wall PRUNED (s)", wall_pruned))
+        print(_fit_row("mor chain wall FULL (s)", wall_full))
 
 
 if __name__ == "__main__":
