@@ -3401,6 +3401,45 @@ def dataset_token_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("doc_id", "epoch")
 
 
+def dataset_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir, Xie et al. 2023):
+    fit hashed unigram+bigram bag distributions on a TARGET corpus (the
+    English documents as the in-repo proxy for the paper's
+    Wikipedia+books) and the RAW corpus, score every raw document with
+    its summed micro-nat log importance ratio, and Gumbel-top-k
+    resample 100 docs ∝ importance weight — deterministically, via
+    hash-derived Gumbel noise.  Two m-bounded histograms, one broadcast
+    ratio join, one TakeOrderedAndProject."""
+    from scholarmind_spark.operators.dsir import (
+        dsir_bucket_logratio,
+        dsir_score,
+        dsir_select,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = d.filter(F.col("lang") == "en")
+    ratios = dsir_bucket_logratio(d, target)
+    return dsir_select(dsir_score(d, ratios), 100).orderBy(
+        F.desc("gkey"), "doc_id"
+    )
+
+
+def _dataset_dsir_select_sql() -> str:
+    from scholarmind_spark.operators.dsir import (
+        dsir_logratio_sql,
+        dsir_score_sql,
+        dsir_select_sql,
+    )
+
+    raw = "(SELECT doc_id, text FROM documents)"
+    target = "(SELECT doc_id, text FROM documents WHERE lang = 'en')"
+    scores = dsir_score_sql(raw, dsir_logratio_sql(raw, target))
+    return (
+        f"SELECT * FROM {dsir_select_sql(scores, 100)}"
+        f" ORDER BY gkey DESC, doc_id"
+    )
+
+
 def _dataset_token_mixture_upsample_sql() -> str:
     from scholarmind_spark.operators.sampling import (
         mixture_sample_tokens_upsample_sql,
@@ -7273,6 +7312,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dataset_mixture": dataset_mixture,
     "dataset_token_mixture": dataset_token_mixture,
     "dataset_token_mixture_upsample": dataset_token_mixture_upsample,
+    "dataset_dsir_select": dataset_dsir_select,
     "dataset_weighted_sample": dataset_weighted_sample,
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
@@ -7459,6 +7499,7 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_mixture": _dataset_mixture_sql(),
     "dataset_token_mixture": _dataset_token_mixture_sql(),
     "dataset_token_mixture_upsample": _dataset_token_mixture_upsample_sql(),
+    "dataset_dsir_select": _dataset_dsir_select_sql(),
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
@@ -7577,84 +7618,81 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-12 window: stalest-first, sixth sweep.  After the r11 window
-# the staleness ledger reads 26 gates last driver-checked in r8, 50 in
-# r9, 50 in r10 and 50 in r11 (union of CORRECTNESS_r01..r11 keys,
-# last-seen round; verified by set arithmetic — the 26 r8 names match
-# the r11 verdict's mandatory list exactly).  Lead with the 1 gate NEW
-# this round (never driver-checked beats stale), then ALL 26 r8
-# stragglers (staleness 3 — mandatory per the rotation contract), then
-# the r9 gates in their r9 window order; the 50-cut takes 2+26+22, and
-# the 28 r9 gates that miss the cut (dedup_cluster_sizes,
-# events_stream_anomaly … events_session_paths, see
-# CORRECTNESS_r09.json order) lead the r13 window at staleness 4 — the
-# standing pigeonhole allowance (178 gates, 50-gate window).
+# Round-13 window: stalest-first, seventh sweep.  After the r12 window
+# the staleness ledger reads 32 gates last driver-checked in r9, 50 in
+# r10, 50 in r11 and 50 in r12 (union of CORRECTNESS_r01..r12 keys,
+# last-seen round; verified by set arithmetic — the 32 r9 names match
+# the r12 verdict's mandatory list exactly).  For the record, the r12
+# window cut was 6 new + 26 mandatory + 18 r9 gates (the stale
+# "2+26+22" / "23 fit" arithmetic in the old header was wrong — r13
+# ADVICE).  This round: lead with the gates NEW this round (never
+# driver-checked beats stale), then ALL 32 r9 stragglers (staleness 3 —
+# mandatory per the rotation contract), then r10-checked gates in their
+# r10 window order up to the 50-gate cap.  The r10 gates that miss the
+# cut lead the r14 window at staleness 4 — the standing pigeonhole
+# allowance (184 gates, 50-gate window).
 
-_ROUND12_FRONT = [
+_ROUND13_FRONT = [
     # new this round — never driver-checked
-    "dedup_ledger_expire",
-    "dedup_ledger_mor",
-    "dedup_semantic",
-    "text_quality_classifier",
-    "text_ccnet_buckets",
-    "dataset_token_mixture",
-    # the 26 staleness-3 gates (last driver-checked r8) — MANDATORY
-    # this round per the r11 verdict's rotation contract
-    "customers_without_orders",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_users_per_type",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "orders_running_total",
-    "q4_returned_orders",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_customers",
-    "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "rollup_order_stats",
-    "top_customers_per_nation",
-    # oldest r9-checked gates, in r9 window order (23 of the 50 fit
-    # after the new gate + the 26 mandatory ones)
-    "text_bpe_tokens",
-    "link_multipass",
-    "dedup_ledger_roundtrip",
-    "events_hdr_quantiles",
-    "sketch_bloom_membership",
-    "events_time_bars",
-    "events_kmv_by_segment",
-    "dedup_ledger_revise",
-    "orders_bloom_prune",
-    "events_hdr_by_type",
-    "diag_jsonl_len",
-    "diag_jsonl_hash",
-    "diag_orc_ints",
-    "diag_orc_price",
-    "text_quality_stats",
-    "text_clean",
-    "token_topk",
-    "text_pii_redact",
-    # dedup_incremental, dedup_cluster_sizes, dedup_cluster_reps,
-    # graph_pagerank and dedup_containment drop to the r13 window to
-    # make room for the six new gates (window cap 50) — they join the
-    # r9 stragglers, all at staleness 3 in r13 and therefore mandatory
-    # there
+    "dataset_token_mixture_upsample",
+    "dataset_dsir_select",
+    # the 32 staleness-3 gates (last driver-checked r9) — MANDATORY
+    # this round per the r12 verdict's rotation contract
+    "dedup_cluster_reps",
+    "dedup_cluster_sizes",
+    "dedup_containment",
+    "dedup_incremental",
+    "embed_centroid_classify",
+    "events_benford_audit",
+    "events_daily_drift",
+    "events_interarrival",
+    "events_mad_outliers",
+    "events_mutual_information",
+    "events_rolling_anomaly",
+    "events_session_paths",
+    "events_session_stream",
+    "events_sliding_stream",
+    "events_stateful_user_stats",
+    "events_stream_anomaly",
+    "events_stream_dedup",
+    "events_stream_enrich",
+    "events_stream_interval_join",
+    "events_winsorize",
+    "fk_audit",
+    "graph_pagerank",
+    "lineitem_weighted_median",
+    "link_fuzzy_vocab",
+    "orders_fd_audit",
+    "orders_scd2_history",
+    "orders_snapshot_diff",
+    "text_bm25_topk",
+    "text_char_entropy",
+    "text_collocations",
+    "text_hash_features",
+    "text_lm_score",
+    # oldest r10-checked gates, in r10 window order, filling the
+    # remaining slots of the 50 cut
+    "text_bpe_tokens_large",
+    "sketch_ledger_roundtrip",
+    "sketch_ledger_drift",
+    "dedup_ledger_bloom",
+    "sketch_ledger_rollup",
+    "sketch_ledger_distinct",
+    "sketch_ledger_membership",
+    "dataset_mixture",
+    "dataset_shuffle_order",
+    "dataset_weighted_sample",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_sliding",
+    "kmeans_assign_cells",
+    "source_health_report",
+    "source_vocab_overlap",
+    "text_chunk_documents",
 ]
 
 def _rotated(d: dict) -> dict:
-    front = {k: d[k] for k in _ROUND12_FRONT if k in d}
+    front = {k: d[k] for k in _ROUND13_FRONT if k in d}
     front.update({k: v for k, v in d.items() if k not in front})
     return front
 

@@ -92,6 +92,13 @@ BNLJ_OK = {
     # the one-row binding-scale attach of the token-mixture rate
     # derivation (the dataset_mixture shape with token totals)
     "dataset_token_mixture",
+    # round-13: the up-sampling twin inherits the identical one-row
+    # binding-scale attach (rates still |classes|-row broadcast)
+    "dataset_token_mixture_upsample",
+    # round-13: DSIR crossJoins the TWO one-row histogram totals (T, R)
+    # into the m-bounded ratio table — both sides bounded by the
+    # hashed-feature dimensionality, never the corpus
+    "dataset_dsir_select",
     # one-row pruning-stat attaches + the one-row bitmap-map broadcast
     "orders_bloom_prune",
     # the tiny quantile-literal frame (2-3 rows) crossing the bounded
