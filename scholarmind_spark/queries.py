@@ -3401,6 +3401,30 @@ def dataset_token_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("doc_id", "epoch")
 
 
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (operators/dupspans,
+    Lee et al. 2021): maximal token spans covered by 5-gram shingles
+    occurring ≥2 times corpus-wide — substring-level dedup, firing on
+    the SECOND occurrence anywhere (vs the ≥50-doc boilerplate
+    hotlist).  Runs on the seeded banner corpus so cross-doc spans and
+    the adjacent-banner interval merge are both exercised."""
+    from scholarmind_spark.operators.dupspans import duplicate_spans
+
+    return duplicate_spans(
+        _boilerplate_docs(spark, sf_dir), k=5, min_count=2
+    ).orderBy("doc_id", "span_start")
+
+
+def _text_duplicate_spans_sql() -> str:
+    from scholarmind_spark.operators.dupspans import duplicate_spans_sql
+
+    return (
+        "SELECT * FROM "
+        + duplicate_spans_sql(_BOILERPLATE_SYNTH_SQL, k=5, min_count=2)
+        + " ORDER BY doc_id, span_start"
+    )
+
+
 def dataset_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/dsir, Xie et al. 2023):
     fit hashed unigram+bigram bag distributions on a TARGET corpus (the
@@ -7313,6 +7337,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dataset_token_mixture": dataset_token_mixture,
     "dataset_token_mixture_upsample": dataset_token_mixture_upsample,
     "dataset_dsir_select": dataset_dsir_select,
+    "text_duplicate_spans": text_duplicate_spans,
     "dataset_weighted_sample": dataset_weighted_sample,
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
@@ -7500,6 +7525,7 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_token_mixture": _dataset_token_mixture_sql(),
     "dataset_token_mixture_upsample": _dataset_token_mixture_upsample_sql(),
     "dataset_dsir_select": _dataset_dsir_select_sql(),
+    "text_duplicate_spans": _text_duplicate_spans_sql(),
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
@@ -7636,6 +7662,7 @@ _ROUND13_FRONT = [
     # new this round — never driver-checked
     "dataset_token_mixture_upsample",
     "dataset_dsir_select",
+    "text_duplicate_spans",
     # the 32 staleness-3 gates (last driver-checked r9) — MANDATORY
     # this round per the r12 verdict's rotation contract
     "dedup_cluster_reps",

@@ -1,0 +1,83 @@
+"""Duplicate-span detection (ExactSubstr semantics at token
+granularity): spans fire on the second occurrence anywhere, abutting
+covered intervals merge maximally, short docs and singletons stay
+silent."""
+
+from __future__ import annotations
+
+from scholarmind_spark.operators.dupspans import duplicate_spans
+
+BANNER_A = "all rights reserved contact us"     # 5 words
+BANNER_B = "subscribe to our newsletter today"  # 5 words
+
+
+def _run(spark, rows, k=5, min_count=2):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, k=k, min_count=min_count)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_words)
+        )
+    return {k2: sorted(v) for k2, v in got.items()}
+
+
+def test_cross_doc_banner_spans(spark):
+    rows = [
+        (0, f"{BANNER_B} alpha beta gamma delta epsilon"),
+        (1, f"{BANNER_B} zeta eta theta iota kappa"),
+        (2, "completely unrelated words that never repeat anywhere else"),
+    ]
+    got = _run(spark, rows)
+    assert got == {0: [(0, 4, 5)], 1: [(0, 4, 5)]}
+
+
+def test_adjacent_duplicated_regions_merge(spark):
+    # doc 0 carries A then B back-to-back; A duplicated via doc 1, B via
+    # doc 2 — different sources, but the covered intervals abut, so doc
+    # 0 reports ONE maximal 10-word span (the scrub semantics)
+    rows = [
+        (0, f"{BANNER_A} {BANNER_B} and then some closing words"),
+        (1, f"{BANNER_A} padding words to finish the line"),
+        (2, f"{BANNER_B} other padding words to finish it"),
+    ]
+    got = _run(spark, rows)
+    assert got[0] == [(0, 9, 10)]
+    assert got[1] == [(0, 4, 5)] and got[2] == [(0, 4, 5)]
+
+
+def test_within_doc_repeat_counts(spark):
+    # a 6-token phrase repeated inside ONE doc duplicates itself — the
+    # suffix-array semantics Lee et al. use (no other doc involved)
+    phrase = "one two three four five six"
+    rows = [
+        (0, f"{phrase} filler filler {phrase}"),
+        (1, "nothing shared with anything else at all here"),
+    ]
+    got = _run(spark, rows)
+    assert 0 in got and 1 not in got
+    spans = got[0]
+    # both occurrences covered: words 0-5 and 8-13
+    assert spans == [(0, 5, 6), (8, 13, 6)]
+
+
+def test_interior_span_not_anchored_at_doc_start(spark):
+    rows = [
+        (0, f"lead in words then {BANNER_B} trailing words here"),
+        (1, f"other opening stuff {BANNER_B} and different tail"),
+    ]
+    got = _run(spark, rows)
+    assert got[0] == [(4, 8, 5)]
+    assert got[1] == [(3, 7, 5)]
+
+
+def test_min_count_threshold_and_short_docs(spark):
+    rows = [
+        (0, f"{BANNER_B} alpha beta gamma"),
+        (1, f"{BANNER_B} delta epsilon zeta"),
+        (2, "tiny doc"),  # shorter than k: no shingles, no crash
+    ]
+    # raising min_count above the occurrence count silences everything
+    assert _run(spark, rows, min_count=3) == {}
+    got = _run(spark, rows, min_count=2)
+    assert set(got) == {0, 1}
