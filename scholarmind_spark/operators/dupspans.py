@@ -173,3 +173,88 @@ def duplicate_spans_sql(
         max("end")::INT AS span_end,
         (max("end") - min(pos) + 1)::INT AS n_words
  FROM spans GROUP BY id, span_id)"""
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rebuild each document with every duplicated span CUT — the
+    removal pass of Lee et al.'s ExactSubstr tool (their released
+    deduplicator cuts every occurrence of a duplicated substring; they
+    note models see the content once via the surviving shorter copies
+    below the k threshold).  Keeps every row (a fully-duplicated doc
+    becomes empty text, it does not disappear — dropping rows is a
+    policy for the caller), preserves surviving token order, single-
+    space rejoins.
+
+    One posexplode + one range join... deliberately NOT: the span table
+    is doc-keyed and tiny relative to tokens, so tokens join spans ON
+    THE DOC ID (equi-join) and the in-span test is a post-join filter —
+    no interval-join machinery needed because spans within a doc are
+    disjoint by construction (maximal merge).
+    """
+    spans = duplicate_spans(df, id_col, text_col, k, min_count).select(
+        F.col(id_col).alias("id"),
+        F.struct("span_start", "span_end").alias("sp"),
+    )
+    per_doc = spans.groupBy("id").agg(F.collect_list("sp").alias("sps"))
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    joined = df.select(F.col(id_col).alias("id"), toks.alias("__t")).join(
+        per_doc, "id", "left"
+    )
+    keep = F.filter(
+        F.transform(
+            F.col("__t"),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("sps"),
+                F.array().cast("array<struct<span_start:int,span_end:int>>"),
+            ),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(F.transform(keep, lambda s: s["w"]), " ").alias(text_col),
+    )
+
+
+def scrub_duplicate_spans_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`scrub_duplicate_spans`."""
+    spans = duplicate_spans_sql(table, id_col, text_col, k, min_count)
+    toks = f"list_transform({tokens_sql(text_col)}, w -> lower(w))"
+    return f"""
+(WITH sp AS (
+   SELECT {id_col} AS id,
+          list(struct_pack(s := span_start, e := span_end)) AS sps
+   FROM {spans} GROUP BY {id_col}
+ ),
+ tk AS (SELECT {id_col} AS id, {toks} AS t FROM {table})
+ SELECT tk.id AS {id_col},
+        -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        -- array_join([]) is '' (the fully-scrubbed-doc case)
+        coalesce(array_to_string(
+          list_transform(
+            list_filter(
+              list_transform(t, (w, i) -> struct_pack(w := w, i := i - 1)),
+              -- nested list_filter instead of EXISTS: DuckDB rejects
+              -- subqueries inside lambda bodies
+              s -> len(list_filter(
+                     coalesce(sps, []),
+                     x -> s.i >= x.s AND s.i <= x.e)) = 0
+            ),
+            s -> s.w
+          ), ' '), '') AS {text_col}
+ FROM tk LEFT JOIN sp ON tk.id = sp.id)"""

@@ -3425,6 +3425,28 @@ def _text_duplicate_spans_sql() -> str:
     )
 
 
+def text_scrub_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (operators/dupspans.scrub_duplicate_spans):
+    every maximal duplicated span is cut and the survivors rejoin —
+    Lee et al.'s scrub pass, row count preserved (fully-duplicated docs
+    keep an empty text rather than vanish)."""
+    from scholarmind_spark.operators.dupspans import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(
+        _boilerplate_docs(spark, sf_dir), k=5, min_count=2
+    ).orderBy("doc_id")
+
+
+def _text_scrub_dupspans_sql() -> str:
+    from scholarmind_spark.operators.dupspans import scrub_duplicate_spans_sql
+
+    return (
+        "SELECT * FROM "
+        + scrub_duplicate_spans_sql(_BOILERPLATE_SYNTH_SQL, k=5, min_count=2)
+        + " ORDER BY doc_id"
+    )
+
+
 def dataset_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/dsir, Xie et al. 2023):
     fit hashed unigram+bigram bag distributions on a TARGET corpus (the
@@ -7338,6 +7360,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dataset_token_mixture_upsample": dataset_token_mixture_upsample,
     "dataset_dsir_select": dataset_dsir_select,
     "text_duplicate_spans": text_duplicate_spans,
+    "text_scrub_dupspans": text_scrub_dupspans,
     "dataset_weighted_sample": dataset_weighted_sample,
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
@@ -7526,6 +7549,7 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_token_mixture_upsample": _dataset_token_mixture_upsample_sql(),
     "dataset_dsir_select": _dataset_dsir_select_sql(),
     "text_duplicate_spans": _text_duplicate_spans_sql(),
+    "text_scrub_dupspans": _text_scrub_dupspans_sql(),
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
@@ -7663,6 +7687,7 @@ _ROUND13_FRONT = [
     "dataset_token_mixture_upsample",
     "dataset_dsir_select",
     "text_duplicate_spans",
+    "text_scrub_dupspans",
     # the 32 staleness-3 gates (last driver-checked r9) — MANDATORY
     # this round per the r12 verdict's rotation contract
     "dedup_cluster_reps",

@@ -81,3 +81,39 @@ def test_min_count_threshold_and_short_docs(spark):
     assert _run(spark, rows, min_count=3) == {}
     got = _run(spark, rows, min_count=2)
     assert set(got) == {0, 1}
+
+
+def test_scrub_removes_spans_keeps_rows(spark):
+    from scholarmind_spark.operators.dupspans import scrub_duplicate_spans
+
+    rows = [
+        (0, f"{BANNER_B} the quick brown fox jumps over"),
+        (1, f"{BANNER_B} something entirely different here now ok"),
+        (2, "untouched words that never repeat anywhere else at all"),
+        (3, f"{BANNER_B} extra {BANNER_B}"),  # fully duplicated + self-repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in scrub_duplicate_spans(df).collect()}
+    assert got[0] == "the quick brown fox jumps over"
+    assert got[1] == "something entirely different here now ok"
+    assert got[2] == rows[2][1]
+    # doc 3: banner twice → both occurrences + the bridging 'extra'
+    # shingle context... the banners duplicate, 'extra' sits between two
+    # covered regions only if its own shingles are duplicated — they are
+    # not, but the covering intervals [0,4] and [6,10] leave word 5
+    # ('extra') alive
+    assert got[3] == "extra"
+    # every row survives, including fully-scrubbed ones
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_scrub_noop_on_dup_free_corpus(spark):
+    from scholarmind_spark.operators.dupspans import scrub_duplicate_spans
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "eta theta iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in scrub_duplicate_spans(df).collect()}
+    assert got == {0: rows[0][1], 1: rows[1][1]}
