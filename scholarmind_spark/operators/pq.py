@@ -1,0 +1,299 @@
+"""Product quantization ANN (Jégou, Douze, Schmid 2011, "Product
+Quantization for Nearest Neighbor Search") — the memory-side scale path
+of the ANN family: vectors are split into ``m`` subvectors, each
+subvector is quantized to one of ``codes`` codewords in ITS OWN
+subspace codebook, and a vector is stored as ``m`` small integers (8
+bytes at m=8, codes≤256 — a 32× compression of a 64-dim float vector).
+Queries rank candidates by ADC (asymmetric distance computation): the
+UNQUANTIZED query subvector's squared-L2 to each stored code's
+codeword, summed over subspaces — the paper's Eq. 12.
+
+Where it sits in the family: ``cosine_topk`` is the exact scan,
+``ann_lsh_topk``/``ivf_topk`` prune WHICH vectors are scored; PQ
+compresses WHAT is scored — at 100 TB the encoded corpus (bytes/vector)
+fits executor memory where the raw floats cannot, and IVF×PQ composes
+(probe cells, then ADC within) exactly as in the paper's IVFADC.
+
+Spark-first shape:
+
+- the codebook is ``codes`` corpus rows by contract (deterministic-
+  subset device of the IVF/semdedup gates, so the DuckDB oracle
+  reproduces the training set; a k-means-per-subspace codebook drops in
+  via ``codebook_df`` without changing the plan shape) — collected once
+  and inlined as plan literals, so ENCODING IS A PURE PROJECTION: per
+  row, m independent argmins over codes codewords, no join, no shuffle;
+- ADC scoring joins the encoded corpus against the broadcast query set
+  and decodes each code from the same literals — m element_at lookups
+  + m×(dim/m) subtract-squares per pair, identical flops to one full
+  d-dim distance, on a corpus that now lives in m bytes/row;
+- top-k is one query-partitioned window over per-pair scalars.
+
+Honesty: ADC distance is an APPROXIMATION of the true distance (the
+quantization error is the paper's whole trade); the gate pins the
+APPROXIMATE ranking bit-for-bit against the oracle, and
+``tools/ann_recall.py pq`` measures recall@10 against the exact scan —
+approximation quality is a MEASURED number, not an assertion.
+
+Assignment ties break lexicographic (d, code) — smaller code on exact
+ties, mirrored in the SQL twin.  Zero-norm rows are NOT special here
+(L2 quantization is defined for them), matching the paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq(a, b):
+    """Σ (a_i − b_i)² left-to-right — the semdedup float discipline."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    codebook_ids: list[int] | None = None,
+    codebook_df: DataFrame | None = None,
+    subspace_codebook_df: DataFrame | None = None,
+) -> DataFrame:
+    """``query_id, neighbor_id, adc, rank`` — PQ/ADC approximate top-k
+    by ascending asymmetric squared-L2.  Codebook, most-general first:
+
+    - ``subspace_codebook_df`` (``sub int, code long, cw array`` — one
+      row per (subspace, codeword)): the true PQ form, independently
+      trained per subspace (:func:`pq_train`);
+    - ``codebook_df`` (``code long, cvec array`` full-dim rows whose m
+      slices are the codewords);
+    - ``codebook_ids`` rows of ``df`` (default ids 0..15) — the
+      deterministic corpus-subset device the DuckDB oracle mirrors.
+
+    Every form is m×codes rows by contract, collected once and inlined
+    as plan literals (encoding stays a pure projection)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    if subspace_codebook_df is not None:
+        by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in subspace_codebook_df.collect():
+            by_sub.setdefault(int(r["sub"]), []).append(
+                (int(r["code"]), [float(x) for x in r["cw"]])
+            )
+        missing = [s for s in range(m) if not by_sub.get(s)]
+        if missing:
+            raise ValueError(f"pq_topk: no codewords for subspaces {missing}")
+        sub_rows = [sorted(by_sub[s]) for s in range(m)]
+    else:
+        if codebook_df is None:
+            ids = codebook_ids if codebook_ids is not None else list(range(16))
+            codebook_df = df.filter(F.col(id_col).isin(ids)).select(
+                F.col(id_col).cast("long").alias("code"),
+                F.col(vec_col).alias("cvec"),
+            )
+        cb_rows = sorted(
+            ((int(r["code"]), [float(x) for x in r["cvec"]])
+             for r in codebook_df.collect()),
+        )
+        if not cb_rows:
+            raise ValueError("pq_topk: empty codebook")
+        sub_rows = [
+            [(code, v[s * w : (s + 1) * w]) for code, v in cb_rows]
+            for s in range(m)
+        ]
+    # per-subspace literal codeword tables: sub s → array of
+    # struct(code, cw[w]) — codes rows by contract, plan-inlined.
+    # ``code`` here is the POSITION in the value-sorted table, not the
+    # caller's code value: the ADC decode below is an element_at by
+    # position, which must hold for ARBITRARY code ids (a trained
+    # codebook's cids, a corpus subset's sparse vec_ids).  Rows are
+    # sorted by code value, so the positional (d, pos) argmin breaks
+    # ties exactly like the SQL twin's ORDER BY d, code-value.
+    sub_lits = []
+    for s in range(m):
+        sub_lits.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pos).cast("int").alias("code"),
+                        F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
+                    )
+                    for pos, (_code, cw) in enumerate(sub_rows[s])
+                ]
+            )
+        )
+
+    def _argmin_code(vec, s):
+        # a SEPARATE function per subspace binds s by scope — a default-
+        # arg lambda (`lambda c, _s=s`) would be a TWO-argument HOF,
+        # which F.transform calls as (element, index): _s silently
+        # becomes the codeword index and every row encodes garbage
+        return F.array_min(
+            F.transform(
+                sub_lits[s],
+                lambda c: F.struct(
+                    _sq(F.slice(vec, s * w + 1, w), c["cw"]).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    def encode(vec):
+        # m independent argmins — (d, code) lexicographic via array_min
+        return F.array(*[_argmin_code(vec, s) for s in range(m)])
+
+    enc = df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq"))
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    # ADC: per pair, decode each stored code from the literal table and
+    # accumulate the query subvector's squared-L2 to it, left-to-right
+    # over subspaces (fixed order → engine-exact float parity)
+    adc = None
+    for s in range(m):
+        cw = F.element_at(
+            F.transform(sub_lits[s], lambda c: c["cw"]),
+            F.element_at(F.col("pq"), s + 1) + 1,
+        )
+        term = _sq(F.slice(F.col("qvec"), s * w + 1, w), cw)
+        adc = term if adc is None else adc + term
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_raw"))
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_raw", 6).alias("adc"),
+            "rank",
+        )
+    )
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    codebook_ids: list[int] | None = None,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` under the corpus-subset codebook
+    (same slices, same (d, code) assignment tiebreak, same subspace
+    accumulation order)."""
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list")
+    w = dim // m
+    qids = ", ".join(str(i) for i in query_ids)
+    cids = ", ".join(str(i) for i in (codebook_ids or range(16)))
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1]::DOUBLE - p[2]::DOUBLE)"
+            " * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+        )
+
+    sub = lambda col, s: f"list_slice({col}, {s * w + 1}, {(s + 1) * w})"  # noqa: E731
+    assigns = []
+    for s in range(m):
+        assigns.append(f"""
+ a{s} AS (
+   SELECT id, code FROM (
+     SELECT e.id, c.code,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY {sq(sub('e.v', s), sub('c.cvec', s))}, c.code) AS rn
+     FROM corpus e CROSS JOIN cb c
+   ) WHERE rn = 1
+ )""")
+    adc_terms = " + ".join(
+        sq(sub("q.qvec", s), sub(f"c{s}.cvec", s)) for s in range(m)
+    )
+    code_joins = "".join(
+        f"\n   JOIN a{s} ON a{s}.id = e.id JOIN cb c{s} ON c{s}.code = a{s}.code"
+        for s in range(m)
+    )
+    return f"""
+(WITH corpus AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+ cb AS (
+   SELECT {id_col}::BIGINT AS code, {vec_col} AS cvec FROM {table}
+   WHERE {id_col} IN ({cids})
+ ),{",".join(assigns)},
+ q AS (
+   SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+   WHERE {id_col} IN ({qids})
+ ),
+ scored AS (
+   SELECT q.query_id, e.id AS neighbor_id, {adc_terms} AS adc_raw
+   FROM corpus e{code_joins}
+   CROSS JOIN q
+   WHERE e.id <> q.query_id
+ )
+ SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank FROM (
+   SELECT query_id, neighbor_id, adc_raw,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_raw ASC, neighbor_id ASC) AS rank
+   FROM scored
+ ) WHERE rank <= {k})"""
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Train the per-subspace PQ codebooks — m INDEPENDENT k-means over
+    the corpus's subvector slices (the paper's training step) — and
+    return ``(sub, code, cw)`` for :func:`pq_topk`'s
+    ``subspace_codebook_df``.
+
+    Shape note: the loop below is over ``m`` (a plan constant, the same
+    status as the operator's m literal tables — NOT a data-dependent
+    driver loop); each iteration is one :func:`operators.kmeans.
+    kmeans_fit` job over a projected (id, subvector) corpus.  The m jobs
+    are independent — on a shared cluster they can be submitted
+    concurrently; sequentially they cost m × one k-means, each of which
+    is the linear-scan Lloyd the kmeans gates certify."""
+    from scholarmind_spark.operators.kmeans import kmeans_fit
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    spark = df.sparkSession
+    out_rows = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
+        )
+        cents, _ = kmeans_fit(sub, k=codes, iters=iters)
+        for r in cents.collect():  # codes rows by kmeans_fit contract
+            out_rows.append((s, int(r["cid"]), [float(x) for x in r["cvec"]]))
+    return spark.createDataFrame(
+        out_rows, "sub int, code long, cw array<double>"
+    )

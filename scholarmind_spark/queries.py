@@ -1752,6 +1752,31 @@ def ann_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10)
 
 
+def ann_pq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k (operators/pq, Jégou et al. 2011) — the
+    memory-compression ANN path: m=8 subspace codebooks (deterministic
+    corpus-subset codewords, the IVF gate device), plan-literal encoding,
+    asymmetric-distance ranking.  Recall vs the exact scan is measured
+    by tools/ann_recall.py pq."""
+    from scholarmind_spark.operators.pq import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(e, q, k=10).orderBy("query_id", "rank")
+
+
+def _ann_pq_sql() -> str:
+    from scholarmind_spark.operators.pq import pq_topk_sql
+
+    return (
+        "SELECT * FROM "
+        + pq_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10)
+        + " ORDER BY query_id, rank"
+    )
+
+
 def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket join + exact verify."""
     from scholarmind_spark.operators.similarity import embedding_neardup_pairs
@@ -7336,6 +7361,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": ann_cosine_docs,
     "ann_lsh_topk": ann_lsh_docs,
     "ann_ivf_topk": ann_ivf_docs,
+    "ann_pq_topk": ann_pq_docs,
     "dedup_embedding_cosine": dedup_embedding_docs,
     "media_byte_stats": media_stats,
     "media_decode": media_decode,
@@ -7525,6 +7551,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": ANN_SQL,
     "ann_lsh_topk": ann_lsh_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
     "ann_ivf_topk": ivf_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
+    "ann_pq_topk": _ann_pq_sql(),
     "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,
@@ -7688,6 +7715,7 @@ _ROUND13_FRONT = [
     "dataset_dsir_select",
     "text_duplicate_spans",
     "text_scrub_dupspans",
+    "ann_pq_topk",
     # the 32 staleness-3 gates (last driver-checked r9) — MANDATORY
     # this round per the r12 verdict's rotation contract
     "dedup_cluster_reps",

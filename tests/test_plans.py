@@ -28,6 +28,10 @@ SKIP = {
 # one-row scalar attaches (mixture rate derivation, BM25 corpus stats)
 BNLJ_OK = {
     "ann_cosine_topk", "ann_ivf_topk", "kmeans_assign_cells",
+    # round-13: PQ/ADC scores the encoded corpus against the broadcast
+    # 5-query set (the ann_cosine_topk shape; the codebook itself is a
+    # plan literal, join-free)
+    "ann_pq_topk",
     "dataset_mixture", "text_bm25_topk", "text_lm_score",
     "embed_centroid_classify", "source_vocab_overlap", "fk_audit",
     "events_mutual_information", "skew_key_report", "text_collocations",

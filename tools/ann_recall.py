@@ -257,8 +257,113 @@ def clustered_main():
     print(f"appended to {out_md}")
 
 
+
+
+def pq_main():
+    """PQ/ADC recall vs the exact squared-L2 scan (the metric PQ ranks
+    by — cosine would confound the quantizer with the metric change),
+    across codebook sizes and subspace counts, with the compression
+    ratio in the same row.  Usage: python tools/ann_recall.py pq
+    [sf_dir] [k] [n_queries]."""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    nq = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.operators.pq import pq_topk
+
+    spark = get_spark(app_name="pq-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    n_corpus = e.count()
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    qids = sorted(ids)[:nq]
+    # exact squared-L2 top-k (numpy — the ground truth for a probe)
+    exact = {}
+    for qid in qids:
+        qv = V[ids == qid][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        top = [int(ids[i]) for i in order if ids[i] != qid][:k]
+        exact[qid] = set(top)
+
+    q = e.filter(F.col("vec_id").isin([int(x) for x in qids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from scholarmind_spark.operators.pq import pq_train
+
+    trained = {}
+    results = {}
+    for name, m, ncodes in [
+        ("pq_m8_c16", 8, 16),
+        ("pq_m8_c64", 8, 64),
+        ("pq_m8_c256", 8, 256),
+        ("pq_m16_c64", 16, 64),
+        ("pq_m16_c256", 16, 256),
+        ("pq_m8_c64_trained", 8, 64),
+        ("pq_m16_c256_trained", 16, 256),
+    ]:
+        if ncodes > n_corpus:
+            continue
+        if name.endswith("_trained"):
+            key = (m, ncodes)
+            if key not in trained:
+                trained[key] = pq_train(e, m=m, dim=dim, codes=ncodes, iters=4)
+            out = pq_topk(
+                e, q, k=k, m=m, dim=dim, subspace_codebook_df=trained[key]
+            )
+        else:
+            out = pq_topk(
+                e, q, k=k, m=m, dim=dim,
+                codebook_ids=[int(x) for x in sorted(ids)[:ncodes]],
+            )
+        approx = {}
+        for r in out.collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rec = [
+            len(approx.get(qid, set()) & hits) / len(hits)
+            for qid, hits in exact.items()
+        ]
+        comp = dim * 4 / m  # float32 corpus bytes per PQ byte-ish code
+        results[name] = (sum(rec) / len(rec), comp)
+        print(f"{name}: recall@{k} = {results[name][0]:.3f} "
+              f"(compression {comp:.0f}x vs float32)")
+
+    out_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    with open(out_md, "a") as f:
+        f.write(
+            f"\n\n## PQ/ADC recall@{k} vs exact squared-L2 ({sf_dir}, "
+            f"{nq} queries, {n_corpus} vectors, corpus-subset codebooks)\n\n"
+            "| config | recall | compression vs float32 |\n|---|---|---|\n"
+            + "".join(
+                f"| {n} | {r:.3f} | {c:.0f}x |\n"
+                for n, (r, c) in results.items()
+            )
+            + "\nCorpus-subset codebooks (no k-means training) are the\n"
+            "recall FLOOR: trained per-subspace codebooks only improve the\n"
+            "quantizer.  Isotropic-Gaussian embeddings are additionally the\n"
+            "hardest case (no cluster structure for codewords to exploit).\n"
+            "The trade on display: bytes/vector shrink by the compression\n"
+            "column while the scan stays full-corpus — compose with IVF\n"
+            "(probe cells, ADC within) for the paper's IVFADC shape.\n"
+        )
+    print(f"appended to {out_md}")
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "clustered":
         clustered_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "pq":
+        pq_main()
     else:
         main()
