@@ -195,9 +195,13 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "decontam_overlap",
     "text_scrub_spans",
+    "text_duplicate_spans",
+    "text_scrub_dupspans",
     "text_url_canonical",
     "dataset_mixture",
     "dataset_token_mixture",
+    "dataset_token_mixture_upsample",
+    "dataset_dsir_select",
     "events_json_props",
     "profile_documents",
     "kmeans_assign_cells",
@@ -206,6 +210,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "events_asof_join",

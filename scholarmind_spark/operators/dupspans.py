@@ -88,7 +88,12 @@ def duplicate_spans(
     ``min_count``+ times corpus-wide.  min_count=2 is the Lee et al.
     duplicated-anywhere threshold; raise it to tolerate low-copy
     repetition (quotes, licenses)."""
-    ps = _pos_shingles(df, id_col, text_col, k)
+    from scholarmind_spark.util import attach_caches
+
+    # the positions table feeds BOTH the hot-shingle count and the
+    # join-back — persist so the tokenize+hash pass runs once, not twice
+    # (caller releases via release_caches; the gate wrappers do)
+    ps = _pos_shingles(df, id_col, text_col, k).persist()
     hot = (
         ps.groupBy("sh")
         .agg(F.count("*").alias("c"))
@@ -110,7 +115,7 @@ def duplicate_spans(
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("span_id", F.sum("new_span").over(w))
-    return (
+    out = (
         marked.groupBy("id", "span_id")
         .agg(F.min("pos").alias("span_start"), F.max("end").alias("span_end"))
         .select(
@@ -122,6 +127,7 @@ def duplicate_spans(
             .alias("n_words"),
         )
     )
+    return attach_caches(out, [ps])
 
 
 def _pos_shingles_sql(table: str, id_col: str, text_col: str, k: int) -> str:
@@ -197,7 +203,10 @@ def scrub_duplicate_spans(
     no interval-join machinery needed because spans within a doc are
     disjoint by construction (maximal merge).
     """
-    spans = duplicate_spans(df, id_col, text_col, k, min_count).select(
+    from scholarmind_spark.util import attach_caches
+
+    span_df = duplicate_spans(df, id_col, text_col, k, min_count)
+    spans = span_df.select(
         F.col(id_col).alias("id"),
         F.struct("span_start", "span_end").alias("sp"),
     )
@@ -219,10 +228,11 @@ def scrub_duplicate_spans(
             lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
         ),
     )
-    return joined.select(
+    out = joined.select(
         F.col("id").alias(id_col),
         F.array_join(F.transform(keep, lambda s: s["w"]), " ").alias(text_col),
     )
+    return attach_caches(out, list(getattr(span_df, "_sm_caches", ())))
 
 
 def scrub_duplicate_spans_sql(

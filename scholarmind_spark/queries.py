@@ -3434,10 +3434,13 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hotlist).  Runs on the seeded banner corpus so cross-doc spans and
     the adjacent-banner interval merge are both exercised."""
     from scholarmind_spark.operators.dupspans import duplicate_spans
+    from scholarmind_spark.util import attach_caches
 
-    return duplicate_spans(
-        _boilerplate_docs(spark, sf_dir), k=5, min_count=2
-    ).orderBy("doc_id", "span_start")
+    out = duplicate_spans(_boilerplate_docs(spark, sf_dir), k=5, min_count=2)
+    return attach_caches(
+        out.orderBy("doc_id", "span_start"),
+        list(getattr(out, "_sm_caches", ())),
+    )
 
 
 def _text_duplicate_spans_sql() -> str:
@@ -3456,10 +3459,12 @@ def text_scrub_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee et al.'s scrub pass, row count preserved (fully-duplicated docs
     keep an empty text rather than vanish)."""
     from scholarmind_spark.operators.dupspans import scrub_duplicate_spans
+    from scholarmind_spark.util import attach_caches
 
-    return scrub_duplicate_spans(
-        _boilerplate_docs(spark, sf_dir), k=5, min_count=2
-    ).orderBy("doc_id")
+    out = scrub_duplicate_spans(_boilerplate_docs(spark, sf_dir), k=5, min_count=2)
+    return attach_caches(
+        out.orderBy("doc_id"), list(getattr(out, "_sm_caches", ()))
+    )
 
 
 def _text_scrub_dupspans_sql() -> str:
