@@ -121,6 +121,39 @@ so the labeler runs once.""",
 the one-row vocab attach) plus exactly ONE additional exchange: the
 per-language ntile window on a low-cardinality key with a
 deterministic (nll_micro, id) order.""",
+    "dataset_token_mixture_upsample": """Round-13 note: the down-sample twin's shape plus a generator — one
+|classes|-row token-total shuffle, the one-row binding-scale broadcast
+(the whitelisted BNLJ), one broadcast rate join, then an explode over
+ceil(rate) epoch ids per row (no shuffle).  Output ≤ max_epochs × input
+and only for classes the recipe repeats; per-epoch hash keeps the
+fractional pass deterministic under any partitioning.""",
+    "dataset_dsir_select": """Round-13 note: two m-bounded hashed-feature histograms (explode +
+map-side-combined groupBy, shuffle carries ≤ m=10k buckets each), a
+full-outer histogram merge with the TWO one-row totals crossJoined in
+(the whitelisted BNLJs), one feature→ratio join + per-doc sum, then
+TakeOrderedAndProject for the Gumbel top-k — no full sort, no
+corpus-sized state.  All log terms micro-nat-rounded before summation
+(engine-exact); the Gumbel is hash-derived, so the resample is
+deterministic and auditable.""",
+    "text_duplicate_spans": """Round-13 note: positions table persisted (feeds the hot count AND the
+join-back — r13 fix, halved the anchor); shuffles are the
+distinct-shingle histogram and the hash-keyed semi-join, both linear in
+corpus tokens; the interval merge is doc-partitioned windows (no global
+sort).  The md5 shingle hash is the oracle-parity device shared with
+the minhash family — the dominant per-row cost at the anchor.""",
+    "text_scrub_dupspans": """Round-13 note: duplicate_spans' plan (shared persisted positions)
+plus one doc-keyed equi-join of tokens against the collected per-doc
+span list and a filter-transform reassembly — the in-span test is a
+post-join array filter because spans within a doc are disjoint by
+construction (maximal merge), so no interval-join machinery.""",
+    "ann_pq_topk": """Round-13 note: encoding is a PURE PROJECTION (m argmins over the
+plan-literal codeword tables — no join, no shuffle, the dedup_semantic
+literal tier); the one BNLJ is the broadcast 5-query ADC cross (the
+ann_cosine_topk shape); top-k is a query-partitioned window.  The
+encoded corpus is m ints/row — the 16-32x memory compression the
+operator exists for; recall vs exact L2 measured in SCALE.md (PQ/ADC
+recall), trained per-subspace codebooks via pq_train drop in without
+changing the plan.""",
 }
 
 
