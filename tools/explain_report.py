@@ -132,7 +132,11 @@ map-side-combined groupBy, shuffle carries ≤ m=10k buckets each), a
 full-outer histogram merge with the TWO one-row totals crossJoined in
 (the whitelisted BNLJs), one feature→ratio join + per-doc sum, then
 TakeOrderedAndProject for the Gumbel top-k — no full sort, no
-corpus-sized state.  All log terms micro-nat-rounded before summation
+corpus-sized state.  Post-AQE the corpus-side scoring join is a
+BroadcastHashJoin (ratio table ≤ m rows); the one surviving
+SortMergeJoin is the FULL-OUTER histogram merge, which cannot
+broadcast by semantics and is m-bounded on BOTH sides — never
+corpus-sized.  All log terms micro-nat-rounded before summation
 (engine-exact); the Gumbel is hash-derived, so the resample is
 deterministic and auditable.""",
     "text_duplicate_spans": """Round-13 note: positions table persisted (feeds the hot count AND the
