@@ -268,3 +268,106 @@ def scrub_duplicate_spans_sql(
             s -> s.w
           ), ' '), '') AS {text_col}
  FROM tk LEFT JOIN sp ON tk.id = sp.id)"""
+
+
+def contamination_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """``id_col, span_start, span_end, n_words`` — maximal corpus spans
+    covered by k-token shingles that appear ANYWHERE in ``benchmark`` —
+    span-level eval-set decontamination (the GPT-3/PaLM appendix recipe:
+    n-gram collision against the benchmark, cut the span, keep the doc;
+    the doc-level twin is ``operators/decontam.decontamination_overlap``,
+    which flags whole documents by overlap fraction).
+
+    One distinct-shingle projection of the benchmark (its size bounds
+    the hot set — eval sets are tiny next to the corpus, so the semi-
+    join's build side is benchmark-bounded), then exactly the
+    :func:`duplicate_spans` join + doc-local interval merge on the
+    corpus side.  A span here means "every position in it sits in some
+    ≥k-token benchmark collision" — the scrub-oriented guarantee.
+
+    Compose with :func:`scrub_duplicate_spans`' reassembly by feeding
+    these spans in place of the duplicate ones, or drop the rows whose
+    span coverage exceeds a policy threshold.
+    """
+    from scholarmind_spark.util import attach_caches
+
+    ps = _pos_shingles(df, id_col, text_col, k).persist()
+    hot = (
+        _pos_shingles(benchmark, bench_id_col, bench_text_col, k)
+        .select("sh")
+        .distinct()
+    )
+    dup = ps.join(hot, "sh", "left_semi").select(
+        "id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    marked = dup.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(wprev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("span_id", F.sum("new_span").over(w))
+    out = (
+        marked.groupBy("id", "span_id")
+        .agg(F.min("pos").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("n_words"),
+        )
+    )
+    return attach_caches(out, [ps])
+
+
+def contamination_spans_sql(
+    table: str,
+    bench_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`contamination_spans`."""
+    ps = _pos_shingles_sql(table, id_col, text_col, k)
+    bs = _pos_shingles_sql(bench_table, bench_id_col, bench_text_col, k)
+    return f"""
+(WITH ps AS MATERIALIZED {ps},
+ hot AS (SELECT DISTINCT sh FROM {bs}),
+ dup AS (
+   SELECT id, pos, pos + {k - 1} AS "end"
+   FROM ps SEMI JOIN hot USING (sh)
+ ),
+ marked AS (
+   SELECT id, pos, "end",
+          CASE WHEN pos > coalesce(max("end") OVER (
+                 PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+               THEN 1 ELSE 0 END AS new_span
+   FROM dup
+ ),
+ spans AS (
+   SELECT id, pos, "end",
+          sum(new_span) OVER (
+            PARTITION BY id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+   FROM marked
+ )
+ SELECT id AS {id_col},
+        min(pos)::INT AS span_start,
+        max("end")::INT AS span_end,
+        (max("end") - min(pos) + 1)::INT AS n_words
+ FROM spans GROUP BY id, span_id)"""

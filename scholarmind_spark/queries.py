@@ -3477,6 +3477,46 @@ def _text_scrub_dupspans_sql() -> str:
     )
 
 
+def decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination (operators/dupspans.
+    contamination_spans): corpus spans covered by 5-gram collisions with
+    a benchmark table are reported for cutting — the GPT-3/PaLM appendix
+    recipe, vs the doc-level decontam_overlap flags.  Benchmark = three
+    raw documents (their seeded corpus twins collide in full) plus the
+    banner itself (every corpus doc collides at its prefix)."""
+    from scholarmind_spark.operators.dupspans import contamination_spans
+    from scholarmind_spark.util import attach_caches
+
+    corpus = _boilerplate_docs(spark, sf_dir)
+    bench = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3).select(
+        "doc_id", "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, "subscribe to our newsletter today")],
+            "doc_id long, text string",
+        )
+    )
+    out = contamination_spans(corpus, bench, k=5)
+    return attach_caches(
+        out.orderBy("doc_id", "span_start"),
+        list(getattr(out, "_sm_caches", ())),
+    )
+
+
+def _decontam_spans_sql() -> str:
+    from scholarmind_spark.operators.dupspans import contamination_spans_sql
+
+    bench = (
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 3"
+        " UNION ALL SELECT -1, 'subscribe to our newsletter today')"
+    )
+    return (
+        "SELECT * FROM "
+        + contamination_spans_sql(_BOILERPLATE_SYNTH_SQL, bench, k=5)
+        + " ORDER BY doc_id, span_start"
+    )
+
+
 def dataset_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/dsir, Xie et al. 2023):
     fit hashed unigram+bigram bag distributions on a TARGET corpus (the
@@ -7392,6 +7432,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "dataset_dsir_select": dataset_dsir_select,
     "text_duplicate_spans": text_duplicate_spans,
     "text_scrub_dupspans": text_scrub_dupspans,
+    "decontam_spans": decontam_spans,
     "dataset_weighted_sample": dataset_weighted_sample,
     "orders_scd2_history": orders_scd2_history,
     "text_url_domains": text_url_domains,
@@ -7582,6 +7623,7 @@ ORACLE_SQL: dict[str, str] = {
     "dataset_dsir_select": _dataset_dsir_select_sql(),
     "text_duplicate_spans": _text_duplicate_spans_sql(),
     "text_scrub_dupspans": _text_scrub_dupspans_sql(),
+    "decontam_spans": _decontam_spans_sql(),
     "dataset_weighted_sample": _dataset_weighted_sample_sql(),
     "orders_scd2_history": _orders_scd2_history_sql(),
     "text_url_domains": _text_url_domains_sql(),
@@ -7720,6 +7762,7 @@ _ROUND13_FRONT = [
     "dataset_dsir_select",
     "text_duplicate_spans",
     "text_scrub_dupspans",
+    "decontam_spans",
     "ann_pq_topk",
     # the 32 staleness-3 gates (last driver-checked r9) — MANDATORY
     # this round per the r12 verdict's rotation contract

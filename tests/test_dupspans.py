@@ -117,3 +117,51 @@ def test_scrub_noop_on_dup_free_corpus(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.text for r in scrub_duplicate_spans(df).collect()}
     assert got == {0: rows[0][1], 1: rows[1][1]}
+
+
+def test_contamination_spans_against_benchmark(spark):
+    from scholarmind_spark.operators.dupspans import contamination_spans
+    from scholarmind_spark.util import release_caches
+
+    corpus = spark.createDataFrame(
+        [
+            # contains an exact 6-word benchmark passage mid-document
+            (0, "intro words here what is the capital of france asked nobody"),
+            (1, "clean document with entirely original content all the way through"),
+            # contains the benchmark passage at the start
+            (2, "what is the capital of france and other trivia"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")], "doc_id long, text string"
+    )
+    out = contamination_spans(corpus, bench, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    release_caches(out)
+    # doc 0: the 6-word passage occupies words 3..8 (two overlapping
+    # 5-shingles merge); doc 2: words 0..5; doc 1 clean
+    assert got == {0: [(3, 8)], 2: [(0, 5)]}
+    # corpus-internal duplication alone must NOT fire (docs share no
+    # 5-grams with each other here) — the hot set is benchmark-only
+
+
+def test_contamination_spans_ignores_corpus_internal_dups(spark):
+    from scholarmind_spark.operators.dupspans import contamination_spans
+    from scholarmind_spark.util import release_caches
+
+    dup = "repeated corpus phrase appears twice here"
+    corpus = spark.createDataFrame(
+        [(0, dup + " tail one"), (1, dup + " tail two")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "totally unrelated benchmark question text")],
+        "doc_id long, text string",
+    )
+    out = contamination_spans(corpus, bench, k=5)
+    n = out.count()
+    release_caches(out)
+    assert n == 0  # cross-doc corpus dup is duplicate_spans' job, not this
