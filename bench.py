@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "text_scrub_spans",
     "text_duplicate_spans",
     "text_scrub_dupspans",
+    "decontam_spans",
     "text_url_canonical",
     "dataset_mixture",
     "dataset_token_mixture",

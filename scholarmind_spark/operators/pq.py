@@ -55,6 +55,99 @@ def _sq(a, b):
     )
 
 
+def _resolve_sub_rows(
+    df, id_col, vec_col, m, w,
+    codebook_ids, codebook_df, subspace_codebook_df,
+):
+    """Resolve whichever codebook form the caller passed into the
+    per-subspace ``[(code, cw), ...]`` lists (value-sorted)."""
+    if subspace_codebook_df is not None:
+        by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in subspace_codebook_df.collect():
+            by_sub.setdefault(int(r["sub"]), []).append(
+                (int(r["code"]), [float(x) for x in r["cw"]])
+            )
+        missing = [s for s in range(m) if not by_sub.get(s)]
+        if missing:
+            raise ValueError(f"pq: no codewords for subspaces {missing}")
+        return [sorted(by_sub[s]) for s in range(m)]
+    if codebook_df is None:
+        ids = codebook_ids if codebook_ids is not None else list(range(16))
+        codebook_df = df.filter(F.col(id_col).isin(ids)).select(
+            F.col(id_col).cast("long").alias("code"),
+            F.col(vec_col).alias("cvec"),
+        )
+    cb_rows = sorted(
+        ((int(r["code"]), [float(x) for x in r["cvec"]])
+         for r in codebook_df.collect()),
+    )
+    if not cb_rows:
+        raise ValueError("pq: empty codebook")
+    return [
+        [(code, v[s * w : (s + 1) * w]) for code, v in cb_rows]
+        for s in range(m)
+    ]
+
+
+def _build_sub_lits(sub_rows):
+    """Per-subspace literal codeword tables: sub s → array of
+    struct(code, cw[w]) — codes rows by contract, plan-inlined.
+    ``code`` is the POSITION in the value-sorted table, not the
+    caller's code value: the ADC decode is an element_at by position,
+    which must hold for ARBITRARY code ids (a trained codebook's cids,
+    a corpus subset's sparse vec_ids).  Rows are sorted by code value,
+    so the positional (d, pos) argmin breaks ties exactly like the SQL
+    twin's ORDER BY d, code-value."""
+    return [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(pos).cast("int").alias("code"),
+                    F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
+                )
+                for pos, (_code, cw) in enumerate(rows_s)
+            ]
+        )
+        for rows_s in sub_rows
+    ]
+
+
+def _argmin_code(sub_lits, vec, s, w):
+    # a SEPARATE function per subspace binds s by scope — a default-
+    # arg lambda (`lambda c, _s=s`) would be a TWO-argument HOF,
+    # which F.transform calls as (element, index): _s silently
+    # becomes the codeword index and every row encodes garbage
+    return F.array_min(
+        F.transform(
+            sub_lits[s],
+            lambda c: F.struct(
+                _sq(F.slice(vec, s * w + 1, w), c["cw"]).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+    )["code"]
+
+
+def _encode_expr(sub_lits, vec, m, w):
+    """m independent argmins — (d, code) lexicographic via array_min."""
+    return F.array(*[_argmin_code(sub_lits, vec, s, w) for s in range(m)])
+
+
+def _adc_expr(sub_lits, qvec, pq, m, w):
+    """ADC: decode each stored code from the literal table and
+    accumulate the query subvector's squared-L2 to it, left-to-right
+    over subspaces (fixed order → engine-exact float parity)."""
+    adc = None
+    for s in range(m):
+        cw = F.element_at(
+            F.transform(sub_lits[s], lambda c: c["cw"]),
+            F.element_at(pq, s + 1) + 1,
+        )
+        term = _sq(F.slice(qvec, s * w + 1, w), cw)
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def pq_topk(
     df: DataFrame,
     queries_df: DataFrame,
@@ -85,90 +178,19 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     w = dim // m
-    if subspace_codebook_df is not None:
-        by_sub: dict[int, list[tuple[int, list[float]]]] = {}
-        for r in subspace_codebook_df.collect():
-            by_sub.setdefault(int(r["sub"]), []).append(
-                (int(r["code"]), [float(x) for x in r["cw"]])
-            )
-        missing = [s for s in range(m) if not by_sub.get(s)]
-        if missing:
-            raise ValueError(f"pq_topk: no codewords for subspaces {missing}")
-        sub_rows = [sorted(by_sub[s]) for s in range(m)]
-    else:
-        if codebook_df is None:
-            ids = codebook_ids if codebook_ids is not None else list(range(16))
-            codebook_df = df.filter(F.col(id_col).isin(ids)).select(
-                F.col(id_col).cast("long").alias("code"),
-                F.col(vec_col).alias("cvec"),
-            )
-        cb_rows = sorted(
-            ((int(r["code"]), [float(x) for x in r["cvec"]])
-             for r in codebook_df.collect()),
-        )
-        if not cb_rows:
-            raise ValueError("pq_topk: empty codebook")
-        sub_rows = [
-            [(code, v[s * w : (s + 1) * w]) for code, v in cb_rows]
-            for s in range(m)
-        ]
-    # per-subspace literal codeword tables: sub s → array of
-    # struct(code, cw[w]) — codes rows by contract, plan-inlined.
-    # ``code`` here is the POSITION in the value-sorted table, not the
-    # caller's code value: the ADC decode below is an element_at by
-    # position, which must hold for ARBITRARY code ids (a trained
-    # codebook's cids, a corpus subset's sparse vec_ids).  Rows are
-    # sorted by code value, so the positional (d, pos) argmin breaks
-    # ties exactly like the SQL twin's ORDER BY d, code-value.
-    sub_lits = []
-    for s in range(m):
-        sub_lits.append(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(pos).cast("int").alias("code"),
-                        F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
-                    )
-                    for pos, (_code, cw) in enumerate(sub_rows[s])
-                ]
-            )
-        )
-
-    def _argmin_code(vec, s):
-        # a SEPARATE function per subspace binds s by scope — a default-
-        # arg lambda (`lambda c, _s=s`) would be a TWO-argument HOF,
-        # which F.transform calls as (element, index): _s silently
-        # becomes the codeword index and every row encodes garbage
-        return F.array_min(
-            F.transform(
-                sub_lits[s],
-                lambda c: F.struct(
-                    _sq(F.slice(vec, s * w + 1, w), c["cw"]).alias("d"),
-                    c["code"].alias("code"),
-                ),
-            )
-        )["code"]
-
-    def encode(vec):
-        # m independent argmins — (d, code) lexicographic via array_min
-        return F.array(*[_argmin_code(vec, s) for s in range(m)])
-
-    enc = df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq"))
+    sub_rows = _resolve_sub_rows(
+        df, id_col, vec_col, m, w,
+        codebook_ids, codebook_df, subspace_codebook_df,
+    )
+    sub_lits = _build_sub_lits(sub_rows)
+    enc = df.select(
+        F.col(id_col), _encode_expr(sub_lits, F.col(vec_col), m, w).alias("pq")
+    )
     q = queries_df.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qvec"),
     )
-    # ADC: per pair, decode each stored code from the literal table and
-    # accumulate the query subvector's squared-L2 to it, left-to-right
-    # over subspaces (fixed order → engine-exact float parity)
-    adc = None
-    for s in range(m):
-        cw = F.element_at(
-            F.transform(sub_lits[s], lambda c: c["cw"]),
-            F.element_at(F.col("pq"), s + 1) + 1,
-        )
-        term = _sq(F.slice(F.col("qvec"), s * w + 1, w), cw)
-        adc = term if adc is None else adc + term
+    adc = _adc_expr(sub_lits, F.col("qvec"), F.col("pq"), m, w)
     scored = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -296,4 +318,96 @@ def pq_train(
             out_rows.append((s, int(r["cid"]), [float(x) for x in r["cvec"]]))
     return spark.createDataFrame(
         out_rows, "sub int, code long, cw array<double>"
+    )
+
+
+def ivfadc_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    coarse_df: DataFrame | None = None,
+    coarse_ids: list[int] | None = None,
+    codebook_ids: list[int] | None = None,
+    codebook_df: DataFrame | None = None,
+    subspace_codebook_df: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. §5): the coarse quantizer (L2, the
+    ``kmeans._assign`` device) routes every vector to an inverted list;
+    a query probes its ``nprobe`` nearest cells and ADC-ranks ONLY the
+    residents — the composition the module docstring promises, as one
+    operator.  Candidate volume is Σ probed-cell sizes instead of the
+    corpus; the encoded residents are still m ints each.
+
+    Honest divergence: the paper encodes RESIDUALS (vector − coarse
+    centroid) for the product quantizer; this operator encodes raw
+    vectors, trading some quantization error for keeping the PQ codes
+    coarse-cell-independent (one code table serves any routing — the
+    same reason Faiss offers ``by_residual=false``).  Pinned by
+    ``test_ivfadc_equals_pq_within_probed_cells``: the ranking equals
+    plain :func:`pq_topk` restricted to the probed candidates.
+
+    ``coarse_df`` (``cid, cvec``) or ``coarse_ids`` corpus rows (default
+    0..3) form the coarse codebook — broadcast, (d, cid) argmin ties."""
+    from scholarmind_spark.operators.kmeans import _assign
+
+    if coarse_df is None:
+        cids = coarse_ids if coarse_ids is not None else list(range(4))
+        coarse_df = df.filter(F.col(id_col).isin(cids)).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+    coarse_df = coarse_df.select("cid", "cvec")
+
+    w = dim // m
+    sub_rows = _resolve_sub_rows(
+        df, id_col, vec_col, m, w,
+        codebook_ids, codebook_df, subspace_codebook_df,
+    )
+    sub_lits = _build_sub_lits(sub_rows)
+
+    data = _assign(df, coarse_df, id_col, vec_col).select(
+        id_col, "cell",
+        _encode_expr(sub_lits, F.col(vec_col), m, w).alias("pq"),
+    )
+    # query probes: nprobe nearest coarse cells by the same (d, cid) order
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    qs = q.crossJoin(F.broadcast(coarse_df)).select(
+        "query_id", "qvec", F.col("cid").alias("cell"),
+        _sq(F.col("qvec"), F.col("cvec")).alias("cd"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("cd", "cell")
+    probes = (
+        qs.withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    adc = _adc_expr(sub_lits, F.col("qvec"), F.col("pq"), m, w)
+    scored = (
+        data.join(F.broadcast(probes), on="cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_raw")
+        )
+        .distinct()
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("adc_raw", 6).alias("adc"), "rank",
+        )
     )
