@@ -150,6 +150,12 @@ plus one doc-keyed equi-join of tokens against the collected per-doc
 span list and a filter-transform reassembly — the in-span test is a
 post-join array filter because spans within a doc are disjoint by
 construction (maximal merge), so no interval-join machinery.""",
+    "decontam_spans": """Round-13 note: the hot set is the BENCHMARK's distinct shingles —
+eval sets are tiny next to the corpus, so the semi-join's build side is
+benchmark-bounded and broadcasts; the corpus side is the persisted
+positions projection + doc-local interval-merge windows (the
+text_duplicate_spans shape with the corpus-wide count replaced by the
+benchmark lookup).""",
     "ann_pq_topk": """Round-13 note: encoding is a PURE PROJECTION (m argmins over the
 plan-literal codeword tables — no join, no shuffle, the dedup_semantic
 literal tier); the one BNLJ is the broadcast 5-query ADC cross (the
