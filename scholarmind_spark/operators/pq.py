@@ -337,6 +337,7 @@ def ivfadc_topk(
     codebook_ids: list[int] | None = None,
     codebook_df: DataFrame | None = None,
     subspace_codebook_df: DataFrame | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVFADC (Jégou et al. §5): the coarse quantizer (L2, the
     ``kmeans._assign`` device) routes every vector to an inverted list;
@@ -345,13 +346,20 @@ def ivfadc_topk(
     operator.  Candidate volume is Σ probed-cell sizes instead of the
     corpus; the encoded residents are still m ints each.
 
-    Honest divergence: the paper encodes RESIDUALS (vector − coarse
-    centroid) for the product quantizer; this operator encodes raw
-    vectors, trading some quantization error for keeping the PQ codes
-    coarse-cell-independent (one code table serves any routing — the
-    same reason Faiss offers ``by_residual=false``).  Pinned by
-    ``test_ivfadc_equals_pq_within_probed_cells``: the ranking equals
-    plain :func:`pq_topk` restricted to the probed candidates.
+    ``by_residual`` picks the encoding (both Faiss variants exist here):
+
+    - False (default): encode RAW vectors — the PQ codes are coarse-
+      cell-independent (one code table serves any routing; Faiss
+      ``by_residual=false``).  Pinned by
+      ``test_ivfadc_equals_pq_within_probed_cells``: the ranking equals
+      plain :func:`pq_topk` restricted to the probed candidates.
+    - True: encode RESIDUALS (vector − its cell centroid) — the paper's
+      §5 recipe; residuals are smaller than raw vectors wherever the
+      coarse quantizer captures structure, so the same code budget
+      quantizes finer.  The query side compares (query − PROBED cell
+      centroid) against resident codes, per probe — two extra broadcast
+      joins of the k-row coarse table, nothing data-sized.  Recall
+      lift measured in SCALE.md ("PQ/ADC recall", ivfadc rows).
 
     ``coarse_df`` (``cid, cvec``) or ``coarse_ids`` corpus rows (default
     0..3) form the coarse codebook — broadcast, (d, cid) argmin ties."""
@@ -372,10 +380,26 @@ def ivfadc_topk(
     )
     sub_lits = _build_sub_lits(sub_rows)
 
-    data = _assign(df, coarse_df, id_col, vec_col).select(
-        id_col, "cell",
-        _encode_expr(sub_lits, F.col(vec_col), m, w).alias("pq"),
+    _res = lambda v, c: F.zip_with(  # noqa: E731
+        v, c, lambda x, y: x.cast("double") - y.cast("double")
     )
+    assigned = _assign(df, coarse_df, id_col, vec_col)
+    if by_residual:
+        enc_in = _res(F.col(vec_col), F.col("cvec"))
+        data = (
+            assigned.join(
+                F.broadcast(coarse_df), assigned["cell"] == coarse_df["cid"]
+            )
+            .select(
+                id_col, "cell",
+                _encode_expr(sub_lits, enc_in, m, w).alias("pq"),
+            )
+        )
+    else:
+        data = assigned.select(
+            id_col, "cell",
+            _encode_expr(sub_lits, F.col(vec_col), m, w).alias("pq"),
+        )
     # query probes: nprobe nearest coarse cells by the same (d, cid) order
     q = queries_df.select(
         F.col(query_id_col).alias("query_id"),
@@ -391,6 +415,15 @@ def ivfadc_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qvec", "cell")
     )
+    if by_residual:
+        # per-probe query residual vs the probed cell's centroid — the
+        # paper's per-inverted-list distance tables
+        probes = probes.join(
+            F.broadcast(coarse_df), probes["cell"] == coarse_df["cid"]
+        ).select(
+            "query_id", _res(F.col("qvec"), F.col("cvec")).alias("qvec"),
+            "cell",
+        )
     adc = _adc_expr(sub_lits, F.col("qvec"), F.col("pq"), m, w)
     scored = (
         data.join(F.broadcast(probes), on="cell")
@@ -411,3 +444,35 @@ def ivfadc_topk(
             F.round("adc_raw", 6).alias("adc"), "rank",
         )
     )
+
+
+def pq_train_residual(
+    df: DataFrame,
+    coarse_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Train per-subspace codebooks in RESIDUAL space (vector − its
+    coarse cell centroid) — the codebook :func:`ivfadc_topk`'s
+    ``by_residual=True`` needs: residuals concentrate near zero, so
+    raw-space codewords (a corpus subset, or :func:`pq_train` output)
+    quantize them badly.  One coarse assignment + broadcast centroid
+    join, then :func:`pq_train` on the residual relation."""
+    from scholarmind_spark.operators.kmeans import _assign
+
+    coarse_df = coarse_df.select("cid", "cvec")
+    assigned = _assign(df, coarse_df, id_col, vec_col)
+    residuals = assigned.join(
+        F.broadcast(coarse_df), assigned["cell"] == coarse_df["cid"]
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias("embedding"),
+    )
+    return pq_train(residuals, m=m, dim=dim, codes=codes, iters=iters)

@@ -190,3 +190,88 @@ def test_ivfadc_nprobe_widens_candidates(spark):
     both = ivfadc_topk(df, q, nprobe=2, **kw)
     assert near_only.count() == 3          # own cell minus self
     assert both.count() == 7               # all minus self
+
+
+def test_ivfadc_residual_exact_on_representable_corpus(spark):
+    """by_residual=True with a residual-space codebook: residents whose
+    residuals ARE codewords reconstruct exactly, so the query's ADC to
+    them equals the true squared-L2 of the residual difference."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pq import ivfadc_topk
+
+    # cell centroids at 0 and 100; residents sit at centroid + known
+    # residual patterns
+    rows = [
+        (0, [0.0] * 8),                      # coarse centroid A
+        (1, [100.0] * 8),                    # coarse centroid B
+        (2, [1.0] * 8),                      # residual +1 in cell A
+        (3, [2.0] * 8),                      # residual +2 in cell A
+        (4, [101.0] * 8),                    # residual +1 in cell B
+    ]
+    df = _df(spark, rows)
+    q = _q(spark, rows, [2])
+    cb = spark.createDataFrame(
+        [(s, c, [float(v)] * 4) for s in range(2) for c, v in [(0, 0.0), (1, 1.0), (2, 2.0)]],
+        "sub int, code long, cw array<double>",
+    )
+    out = ivfadc_topk(
+        df, q, k=4, m=2, dim=DIM, nprobe=1,
+        coarse_ids=[0, 1], subspace_codebook_df=cb, by_residual=True,
+    )
+    got = {r.neighbor_id: r.adc for r in out.collect()}
+    # query 2's residual is +1; resident 0 has residual 0 (it IS the
+    # centroid): ADC = 8*(1-0)^2; resident 3 residual +2: ADC = 8*(1-2)^2
+    assert got[0] == round(8 * 1.0, 6)
+    assert got[3] == round(8 * 1.0, 6)
+    # only cell-A residents scored at nprobe=1
+    assert set(got) == {0, 3}
+
+
+def test_ivfadc_residual_beats_raw_on_clustered_corpus(spark):
+    """The paper's reason for residual encoding, measured: on a
+    2-cluster corpus with a shared within-cluster shape, the same code
+    budget ranks strictly better under by_residual=True (raw codewords
+    must span cluster offsets; residual codewords only span the shape)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pq import (
+        ivfadc_topk,
+        pq_train,
+        pq_train_residual,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = [np.zeros(8), np.full(8, 60.0)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, (c + rng.normal(0, 1.0, 8)).tolist()))
+            vid += 1
+    df = _df(spark, rows)
+    q = _q(spark, rows, [0])
+    coarse = spark.createDataFrame(
+        [(0, centers[0].tolist()), (1, centers[1].tolist())],
+        "cid long, cvec array<double>",
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows])
+    qv = V[0]
+    d2 = ((V - qv) ** 2).sum(axis=1)
+    exact = [int(ids[i]) for i in np.lexsort((ids, d2)) if ids[i] != 0][:5]
+
+    def recall(out):
+        got = [r.neighbor_id for r in out.orderBy("rank").collect()]
+        return len(set(got[:5]) & set(exact)) / 5
+
+    kw = dict(k=5, m=2, dim=DIM, nprobe=1, coarse_df=coarse)
+    raw_cb = pq_train(df, m=2, dim=DIM, codes=4, iters=4)
+    res_cb = pq_train_residual(df, coarse, m=2, dim=DIM, codes=4, iters=4)
+    r_raw = recall(ivfadc_topk(df, q, subspace_codebook_df=raw_cb, **kw))
+    r_res = recall(
+        ivfadc_topk(df, q, subspace_codebook_df=res_cb, by_residual=True, **kw)
+    )
+    assert r_res >= r_raw
+    assert r_res >= 0.6
