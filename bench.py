@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfadc_topk",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "events_asof_join",

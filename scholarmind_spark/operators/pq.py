@@ -476,3 +476,96 @@ def pq_train_residual(
         ).alias("embedding"),
     )
     return pq_train(residuals, m=m, dim=dim, codes=codes, iters=iters)
+
+
+def ivfadc_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    coarse_ids: list[int] | None = None,
+    codebook_ids: list[int] | None = None,
+) -> str:
+    """DuckDB twin of :func:`ivfadc_topk` (raw encoding, corpus-subset
+    coarse + code tables — same (d, cid)/(d, code) tiebreaks, same
+    probe order, same subspace accumulation order)."""
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list")
+    w = dim // m
+    qids = ", ".join(str(i) for i in query_ids)
+    ccids = ", ".join(str(i) for i in (coarse_ids or range(4)))
+    cbids = ", ".join(str(i) for i in (codebook_ids or range(16)))
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1]::DOUBLE - p[2]::DOUBLE)"
+            " * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+        )
+
+    sub = lambda col, s: f"list_slice({col}, {s * w + 1}, {(s + 1) * w})"  # noqa: E731
+    assigns = []
+    for s in range(m):
+        assigns.append(f"""
+ a{s} AS (
+   SELECT id, code FROM (
+     SELECT e.id, c.code,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY {sq(sub('e.v', s), sub('c.cvec', s))}, c.code) AS rn
+     FROM corpus e CROSS JOIN cb c
+   ) WHERE rn = 1
+ )""")
+    adc_terms = " + ".join(
+        sq(sub("p.qvec", s), sub(f"c{s}.cvec", s)) for s in range(m)
+    )
+    code_joins = "".join(
+        f"\n   JOIN a{s} ON a{s}.id = e.id JOIN cb c{s} ON c{s}.code = a{s}.code"
+        for s in range(m)
+    )
+    return f"""
+(WITH corpus AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+ coarse AS (
+   SELECT {id_col}::BIGINT AS ccid, {vec_col} AS ccvec FROM {table}
+   WHERE {id_col} IN ({ccids})
+ ),
+ cb AS (
+   SELECT {id_col}::BIGINT AS code, {vec_col} AS cvec FROM {table}
+   WHERE {id_col} IN ({cbids})
+ ),
+ cells AS (
+   SELECT id, ccid AS cell FROM (
+     SELECT e.id, g.ccid,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY {sq('e.v', 'g.ccvec')}, g.ccid) AS rn
+     FROM corpus e CROSS JOIN coarse g
+   ) WHERE rn = 1
+ ),{",".join(assigns)},
+ q AS (
+   SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+   WHERE {id_col} IN ({qids})
+ ),
+ probes AS (
+   SELECT query_id, qvec, cell FROM (
+     SELECT q.query_id, q.qvec, g.ccid AS cell,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY {sq('q.qvec', 'g.ccvec')}, g.ccid) AS rn
+     FROM q CROSS JOIN coarse g
+   ) WHERE rn <= {nprobe}
+ ),
+ scored AS (
+   SELECT DISTINCT p.query_id, e.id AS neighbor_id, {adc_terms} AS adc_raw
+   FROM corpus e{code_joins}
+   JOIN cells ON cells.id = e.id
+   JOIN probes p ON p.cell = cells.cell
+   WHERE e.id <> p.query_id
+ )
+ SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank FROM (
+   SELECT query_id, neighbor_id, adc_raw,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_raw ASC, neighbor_id ASC) AS rank
+   FROM scored
+ ) WHERE rank <= {k})"""

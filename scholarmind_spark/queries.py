@@ -1767,6 +1767,30 @@ def ann_pq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, q, k=10).orderBy("query_id", "rank")
 
 
+def ann_ivfadc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC composed index (operators/pq.ivfadc_topk): coarse
+    quantizer routes to inverted lists (corpus-subset coarse codebook,
+    ids 0-3), queries probe 2 cells, PQ/ADC ranks the residents —
+    candidate volume Σ probed-cell sizes, residents m ints each."""
+    from scholarmind_spark.operators.pq import ivfadc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfadc_topk(e, q, k=10, nprobe=2).orderBy("query_id", "rank")
+
+
+def _ann_ivfadc_sql() -> str:
+    from scholarmind_spark.operators.pq import ivfadc_topk_sql
+
+    return (
+        "SELECT * FROM "
+        + ivfadc_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10, nprobe=2)
+        + " ORDER BY query_id, rank"
+    )
+
+
 def _ann_pq_sql() -> str:
     from scholarmind_spark.operators.pq import pq_topk_sql
 
@@ -7407,6 +7431,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": ann_lsh_docs,
     "ann_ivf_topk": ann_ivf_docs,
     "ann_pq_topk": ann_pq_docs,
+    "ann_ivfadc_topk": ann_ivfadc_docs,
     "dedup_embedding_cosine": dedup_embedding_docs,
     "media_byte_stats": media_stats,
     "media_decode": media_decode,
@@ -7598,6 +7623,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": ann_lsh_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
     "ann_ivf_topk": ivf_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
     "ann_pq_topk": _ann_pq_sql(),
+    "ann_ivfadc_topk": _ann_ivfadc_sql(),
     "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,
@@ -7764,6 +7790,7 @@ _ROUND13_FRONT = [
     "text_scrub_dupspans",
     "decontam_spans",
     "ann_pq_topk",
+    "ann_ivfadc_topk",
     # the 32 staleness-3 gates (last driver-checked r9) — MANDATORY
     # this round per the r12 verdict's rotation contract
     "dedup_cluster_reps",

@@ -32,6 +32,9 @@ BNLJ_OK = {
     # 5-query set (the ann_cosine_topk shape; the codebook itself is a
     # plan literal, join-free)
     "ann_pq_topk",
+    # round-13: IVFADC's coarse assignment crosses the corpus/queries
+    # with the broadcast 4-row coarse table (the ann_ivf_topk shape)
+    "ann_ivfadc_topk",
     "dataset_mixture", "text_bm25_topk", "text_lm_score",
     "embed_centroid_classify", "source_vocab_overlap", "fk_audit",
     "events_mutual_information", "skew_key_report", "text_collocations",
