@@ -1567,3 +1567,229 @@ def ledger_mor_retire(spark, state_path: str, retired_ids) -> None:
     neg.write.mode("overwrite").parquet(os.path.join(new_dir, "dcounts"))
     _manifest_publish_mor(state_path, new_v, lineage, upto, base_v)
     _manifest_gc(state_path, base_v)
+
+
+# ------------------------------------------- streaming ANN index fold
+#
+# The IVF-PQ index as MAINTAINED STATE: microbatches of vectors fold
+# into a manifest-committed (routing, codes) table — the
+# production-vector-store shape (new embeddings arrive continuously;
+# rebuilding the index per batch is the naive O(corpus) path) — and
+# queries read the PUBLISHED version (atomic, exactly-once, the same
+# manifest protocol as the sketch/ledger folds).
+#
+# Version dir layout: ``v-n/enc`` (id, cell, pq array<int> — m ints per
+# vector, the PQ compression is exactly why the standing state stays
+# small), ``v-n/coarse`` (cid, cvec) and ``v-n/cb`` (sub, code, cw) —
+# the codebooks are IMMUTABLE for the state's lifetime and are copied
+# into every version dir (tiny by contract) so a resumed stream or a
+# reader needs only the current manifest.  Retraining codebooks means a
+# new state path — the Faiss operational reality, stated rather than
+# hidden.  Re-ingested ids REPLACE their rows (latest wins, the ledger
+# revise semantics); the enc rewrite is CoW per fold — enc rows are m
+# ints, so the rewrite term is ~32x smaller than the raw vectors, and
+# the MoR delta/compact upgrade demonstrated on the dedup ledger
+# (mode="mor") applies verbatim if it ever matters.
+
+
+def stream_vector_ingest(
+    stream_vecs: DataFrame,
+    state_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    checkpoint: str | None = None,
+    coarse_df: DataFrame | None = None,
+    coarse_ids: list[int] | None = None,
+    subspace_codebook_df: DataFrame | None = None,
+    codebook_ids: list[int] | None = None,
+):
+    """Maintain an IVF-PQ vector index from a stream of embeddings.
+
+    First fold CREATES the state: the coarse codebook (``coarse_df`` or
+    ``coarse_ids`` rows of the first batch) and the PQ codebook
+    (``subspace_codebook_df`` — e.g. :func:`operators.pq.pq_train` — or
+    ``codebook_ids`` rows) are frozen into the state.  Later folds read
+    the codebooks FROM the state (the creation args are ignored), so a
+    resumed stream cannot silently re-encode under different codewords.
+    Query the published index with :func:`ann_state_query`."""
+    ck = checkpoint or tempfile.mkdtemp(prefix="svck_")
+    lineage = _fold_lineage(ck, (state_path,))
+    fold = _vector_ingest_fn(
+        state_path, lineage, id_col, vec_col, m, dim,
+        coarse_df, coarse_ids, subspace_codebook_df, codebook_ids,
+    )
+    return (
+        stream_vecs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _vector_ingest_fn(
+    state_path: str,
+    lineage: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    coarse_df: DataFrame | None = None,
+    coarse_ids: list[int] | None = None,
+    subspace_codebook_df: DataFrame | None = None,
+    codebook_ids: list[int] | None = None,
+):
+    """The foreachBatch body of :func:`stream_vector_ingest`, exposed
+    for deterministic re-delivery / lineage tests."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.kmeans import _assign
+    from scholarmind_spark.operators.pq import (
+        _build_sub_lits,
+        _encode_expr,
+        _resolve_sub_rows,
+    )
+
+    w = dim // m
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version = _manifest_fold_gate(state_path, lineage, batch_id, "ann")
+        if version is _SKIP:
+            return
+        # one row per id within the batch: arrays order lexicographically,
+        # so max(vec) is a deterministic pick (the ledger fold's contract)
+        uniq = batch_df.groupBy(F.col(id_col)).agg(
+            F.max(vec_col).alias(vec_col)
+        )
+        if version >= 0:
+            base = os.path.join(state_path, f"v-{version}")
+            coarse = spark.read.parquet(os.path.join(base, "coarse"))
+            cb = spark.read.parquet(os.path.join(base, "cb"))
+        else:
+            if coarse_df is not None:
+                coarse = coarse_df.select("cid", "cvec")
+            else:
+                cids = coarse_ids if coarse_ids is not None else list(range(4))
+                coarse = uniq.filter(F.col(id_col).isin(cids)).select(
+                    F.col(id_col).cast("long").alias("cid"),
+                    F.col(vec_col).alias("cvec"),
+                )
+            if subspace_codebook_df is not None:
+                cb = subspace_codebook_df.select("sub", "code", "cw")
+            else:
+                rows = _resolve_sub_rows(
+                    uniq, id_col, vec_col, m, w, codebook_ids, None, None
+                )
+                cb = spark.createDataFrame(
+                    [
+                        (s, int(code), [float(x) for x in cw])
+                        for s, rows_s in enumerate(rows)
+                        for code, cw in rows_s
+                    ],
+                    "sub int, code long, cw array<double>",
+                )
+        sub_rows_state = _resolve_sub_rows(
+            None, id_col, vec_col, m, w, None, None, cb
+        )
+        sub_lits = _build_sub_lits(sub_rows_state)
+        enc_new = _assign(uniq, coarse, id_col, vec_col).select(
+            F.col(id_col).alias("id"),
+            F.col("cell").cast("long").alias("cell"),
+            _encode_expr(sub_lits, F.col(vec_col), m, w).alias("pq"),
+        )
+        if version >= 0:
+            old = spark.read.parquet(
+                os.path.join(state_path, f"v-{version}", "enc")
+            )
+            enc = old.join(
+                enc_new.select("id"), "id", "left_anti"
+            ).unionByName(enc_new)
+        else:
+            enc = enc_new
+        new_dir = os.path.join(state_path, f"v-{version + 1}")
+        enc.write.mode("overwrite").parquet(os.path.join(new_dir, "enc"))
+        # codebooks copy forward so GC of old versions never strands them
+        coarse.write.mode("overwrite").parquet(os.path.join(new_dir, "coarse"))
+        cb.write.mode("overwrite").parquet(os.path.join(new_dir, "cb"))
+        _manifest_publish(state_path, version + 1, lineage, batch_id)
+        _manifest_gc(state_path, version)
+
+    return _fold
+
+
+def ann_state_query(
+    spark,
+    state_path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    m: int = 8,
+    dim: int = 64,
+):
+    """ADC top-k against the PUBLISHED index state — the read side of
+    :func:`stream_vector_ingest`: probe the query's ``nprobe`` nearest
+    coarse cells, rank the probed residents by asymmetric distance
+    DECODED FROM THE STORED CODES (the corpus is never re-read, never
+    re-encoded — the standing state is m ints/vector).  Returns
+    ``query_id, neighbor_id, adc, rank`` (the :func:`operators.pq.
+    ivfadc_topk` contract), or None if nothing is published."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from scholarmind_spark.operators.pq import (
+        _adc_expr,
+        _build_sub_lits,
+        _resolve_sub_rows,
+        _sq,
+    )
+
+    base = manifest_state_dir(state_path)
+    if base is None:
+        return None
+    w = dim // m
+    coarse = spark.read.parquet(os.path.join(base, "coarse"))
+    cb = spark.read.parquet(os.path.join(base, "cb"))
+    enc = spark.read.parquet(os.path.join(base, "enc"))
+    sub_lits = _build_sub_lits(
+        _resolve_sub_rows(None, "id", "v", m, w, None, None, cb)
+    )
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    qs = q.crossJoin(F.broadcast(coarse)).select(
+        "query_id", "qvec", F.col("cid").cast("long").alias("cell"),
+        _sq(F.col("qvec"), F.col("cvec")).alias("cd"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("cd", "cell")
+    probes = (
+        qs.withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    adc = _adc_expr(sub_lits, F.col("qvec"), F.col("pq"), m, w)
+    scored = (
+        enc.join(F.broadcast(probes), on="cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), adc.alias("adc_raw"))
+        .distinct()
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("adc_raw", 6).alias("adc"), "rank",
+        )
+    )

@@ -1272,3 +1272,114 @@ def test_mor_base_bucketed_and_pruned_lookup_exact(spark, tmp_path):
         .collect()
     )
     assert res_p == res_f and len(res_p) == 2
+
+
+# ------------------------------------------- streaming ANN index fold
+
+
+def _vec_rows(n0, n, dim=8, bump=0.0):
+    return [
+        (i, [float((i * 7 + j * 3) % 5) + bump + (10.0 if i % 2 else 0.0)
+             for j in range(dim)])
+        for i in range(n0, n0 + n)
+    ]
+
+
+def test_stream_vector_ingest_state_equals_full_rebuild(spark, tmp_path):
+    """Three folds (insert, insert, revise) maintain the IVF-PQ index:
+    the published state's query answer equals ivfadc_topk over the
+    latest version of every vector under the SAME frozen codebooks, and
+    the enc table holds exactly one row per id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pq import ivfadc_topk
+    from scholarmind_spark.streaming.pipeline import (
+        _manifest_read,
+        _vector_ingest_fn,
+        ann_state_query,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "state")
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1], codebook_ids=[0, 1, 2, 3]
+    )
+    b0 = _vec_rows(0, 6)
+    b1 = _vec_rows(6, 6)
+    rev = [(2, [9.9] * 8), (7, [0.1] * 8)]  # revise two earlier ids
+    fold(spark.createDataFrame(b0, VS), 0)
+    fold(spark.createDataFrame(b1, VS), 1)
+    fold(spark.createDataFrame(rev, VS), 2)
+    assert _manifest_read(state)[0] == 2
+
+    latest = {i: v for i, v in b0 + b1}
+    latest.update(dict(rev))
+    full = spark.createDataFrame(sorted(latest.items()), VS)
+    # frozen codebooks: the creation-batch subset (ids 0-3 of batch 0)
+    coarse = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1)], "cid long, cvec array<double>"
+    )
+    cb_src = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1, 2, 3)], VS
+    )
+    q = full.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    expect = sorted(
+        map(tuple, ivfadc_topk(
+            full, q, k=5, m=2, dim=8, nprobe=2, coarse_df=coarse,
+            codebook_df=cb_src.select(
+                F.col("vec_id").cast("long").alias("code"),
+                F.col("embedding").alias("cvec"),
+            ),
+        ).collect())
+    )
+    got_df = ann_state_query(spark, state, q, k=5, nprobe=2, m=2, dim=8)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == expect
+
+    enc = spark.read.parquet(
+        os.path.join(state, "v-2", "enc")
+    )
+    assert enc.count() == enc.select("id").distinct().count() == 12
+    # the revision actually moved id 2's codes
+    enc0 = spark.read.parquet(os.path.join(state, "v-1", "enc"))
+    old2 = enc0.filter("id = 2").first()
+    new2 = enc.filter("id = 2").first()
+    assert (old2.cell, list(old2.pq)) != (new2.cell, list(new2.pq))
+
+
+def test_stream_vector_ingest_redelivery_and_lineage(spark, tmp_path):
+    import pytest
+
+    from scholarmind_spark.streaming.pipeline import (
+        _manifest_read,
+        _vector_ingest_fn,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "state")
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1], codebook_ids=[0, 1]
+    )
+    fold(spark.createDataFrame(_vec_rows(0, 4), VS), 0)
+    v1 = _manifest_read(state)
+    fold(spark.createDataFrame(_vec_rows(0, 4), VS), 0)  # re-delivery
+    assert _manifest_read(state) == v1
+    other = _vector_ingest_fn(
+        state, "0ddba11", m=2, dim=8, coarse_ids=[0, 1], codebook_ids=[0, 1]
+    )
+    with pytest.raises(ValueError, match="lineage"):
+        other(spark.createDataFrame(_vec_rows(4, 2), VS), 1)
+
+
+def test_ann_state_query_unpublished_returns_none(spark, tmp_path):
+    from scholarmind_spark.streaming.pipeline import ann_state_query
+
+    assert ann_state_query(
+        spark, str(tmp_path / "nothing"),
+        spark.createDataFrame([], "query_id long, query_vec array<double>"),
+    ) is None

@@ -156,6 +156,13 @@ benchmark-bounded and broadcasts; the corpus side is the persisted
 positions projection + doc-local interval-merge windows (the
 text_duplicate_spans shape with the corpus-wide count replaced by the
 benchmark lookup).""",
+    "ann_ivfadc_topk": """Round-13 note: the two BNLJ crosses are corpus/queries against the
+broadcast 4-row coarse table (the ann_ivf_topk assignment shape); the
+PQ code tables are plan literals (join-free), the probe join is
+cell-equi with the broadcast probe side, and ADC evaluates on Σ
+probed-cell residents instead of the corpus — the IVFADC composition's
+whole point.  Residual mode (by_residual=True) adds two more broadcast
+joins of the same k-row coarse table, nothing data-sized.""",
     "ann_pq_topk": """Round-13 note: encoding is a PURE PROJECTION (m argmins over the
 plan-literal codeword tables — no join, no shuffle, the dedup_semantic
 literal tier); the one BNLJ is the broadcast 5-query ADC cross (the
