@@ -65,15 +65,32 @@ import time
 EXT_CORES_SUSPECT = 2.0  # >2 external cores busy during a window → suspect
 LOAD_START_SUSPECT = 2.0  # 1-min loadavg before Spark starts; idle host <1
 
+# Round 14: ANCHOR TRIAGE — the last manual forensics step automated.
+# bench_anchors.json pins per-query clean-window medians (seeded from a
+# clean run, updated only from clean runs); every query gets a verdict:
+#   at_anchor      — median within ANCHOR_TOL of its anchor (or faster)
+#   elevated_dirty — slower, but NO rep had a clean external-CPU window:
+#                    not comparable, says so itself
+#   elevated_clean — slower WITH a clean window: the only category that
+#                    means a real regression → diff the plan digest
+#   new            — no anchor recorded yet
+# The summary carries the counts + the elevated_clean names; per-query
+# ratios go to stdout as #t lines (short-line discipline).
+ANCHOR_TOL_RATIO = 1.30  # >= 30% over anchor → elevated
+ANCHOR_TOL_ABS = 0.40    # ...but never flag sub-half-second jitter
+
 _HZ = os.sysconf("SC_CLK_TCK") or 100
 
 
 def _host_busy_jiffies() -> int:
     """Non-idle jiffies across all host CPUs (user+nice+system+irq+
-    softirq+steal+guest; idle and iowait excluded)."""
+    softirq+steal; idle and iowait excluded).  guest and guest_nice
+    (fields 9-10) are excluded too: the kernel already accounts guest
+    time inside user and guest_nice inside nice, so summing them would
+    double-count VM time and inflate ext_cores on virtualized hosts."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
-    vals = [int(x) for x in parts]
+    vals = [int(x) for x in parts[:8]]  # user..steal only
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
     return sum(vals) - idle
 
@@ -220,6 +237,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfadc_topk",
+    "ann_pq_trained",
+    "ann_index_stream",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "events_asof_join",
@@ -331,6 +350,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     ext_cores: dict[str, float] = {}
+    clean_counts: dict[str, int] = {}
     meter = _LoadMeter()
     from scholarmind_spark.queries import reset_shared_components
 
@@ -376,6 +396,7 @@ def main() -> None:
         clean = [t for t, x in zip(per_rep, per_ext) if x <= EXT_CORES_SUSPECT]
         basis = sorted(clean) if clean else sorted(per_rep)
         timings[name] = basis[len(basis) // 2]
+        clean_counts[name] = len(clean)
         ext_cores[name] = min(per_ext) if clean else round(
             sum(per_ext) / len(per_ext), 2
         )
@@ -406,6 +427,44 @@ def main() -> None:
     litems = sorted(ext_cores.items())
     for i in range(0, len(litems), 8):
         print("#l " + json.dumps(dict(litems[i : i + 8]), separators=(",", ":")))
+    # ---- anchor triage (round 14): per-query verdicts vs bench_anchors.json
+    anchors_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_anchors.json"
+    )
+    anchors: dict[str, float] = {}
+    if os.path.exists(anchors_path):
+        with open(anchors_path) as f:
+            anchors = json.load(f).get("anchors", {})
+    triage: dict[str, str] = {}
+    for name, med in timings.items():
+        a = anchors.get(name)
+        if a is None:
+            triage[name] = "new"
+        elif med <= max(a * ANCHOR_TOL_RATIO, a + ANCHOR_TOL_ABS):
+            triage[name] = "at_anchor"
+        elif clean_counts.get(name, 0) == 0:
+            triage[name] = "elevated_dirty"
+        else:
+            triage[name] = "elevated_clean"
+    # per-query ratio detail: short #t stdout lines (greppable, intact)
+    tit = sorted(
+        (k, [round(v, 2), anchors.get(k), triage[k]])
+        for k, v in timings.items()
+        if triage[k] != "at_anchor"
+    )
+    for i in range(0, len(tit), 6):
+        print("#t " + json.dumps(dict(tit[i : i + 6]), separators=(",", ":")))
+    elevated_clean = sorted(
+        (k for k, v in triage.items() if v == "elevated_clean"),
+        key=lambda k: -(timings[k] / anchors[k]),
+    )
+    triage_summary = {
+        "at_anchor": sum(v == "at_anchor" for v in triage.values()),
+        "elev_dirty": sum(v == "elevated_dirty" for v in triage.values()),
+        "new": sum(v == "new" for v in triage.values()),
+        "elev_clean": elevated_clean[:5],
+    }
+
     suspects = sorted(
         (k for k, v in ext_cores.items() if v > EXT_CORES_SUSPECT),
         key=lambda k: -ext_cores[k],
@@ -427,12 +486,17 @@ def main() -> None:
         "queries": dict(slowest),
         "n_queries": len(full),
         "load": load,
+        "triage": triage_summary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(summary, separators=(",", ":"))
-    while len(line) > 950 and (summary["queries"] or load["suspect_queries"]):
+    while len(line) > 950 and (
+        summary["queries"] or load["suspect_queries"] or triage_summary["elev_clean"]
+    ):
         if summary["queries"]:
             summary["queries"].popitem()
+        elif triage_summary["elev_clean"]:
+            triage_summary["elev_clean"].pop()
         else:
             load["suspect_queries"].pop()
         line = json.dumps(summary, separators=(",", ":"))

@@ -245,13 +245,19 @@ def nb_export_weights(
         from scholarmind_spark.operators.quality import gopher_quality_flags
 
         labels = gopher_quality_flags(df, id_col, text_col).select(id_col, "keep")
-    lab = labels.select(F.col(id_col).alias("id"), F.col("keep").alias("y"))
+    # same persist discipline as nb_quality_score: the weak-label battery
+    # and the token histogram each feed MULTIPLE driver actions here (the
+    # oov/prior first()s below, plus whatever action the caller runs on
+    # the returned weights) — persist so they compute once, not per action
+    lab = labels.select(
+        F.col(id_col).alias("id"), F.col("keep").alias("y")
+    ).persist()
     toks = _doc_tokens(df, id_col, text_col)
     train = toks.join(lab, "id")
     model = train.groupBy("w").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c0"),
-    )
+    ).persist()
     totals = model.agg(
         F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
         F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
@@ -303,7 +309,9 @@ def nb_export_weights(
             .alias("p")
         ).first()["p"]
     )
-    return weights, prior_micro, oov_micro
+    # weights' plan reads the persisted model (already materialized by the
+    # oov action); the caller releases via release_caches(weights)
+    return attach_caches(weights, [lab, model]), prior_micro, oov_micro
 
 
 def nb_quality_score_weights(

@@ -64,9 +64,16 @@ def _resolve_sub_rows(
     if subspace_codebook_df is not None:
         by_sub: dict[int, list[tuple[int, list[float]]]] = {}
         for r in subspace_codebook_df.collect():
-            by_sub.setdefault(int(r["sub"]), []).append(
-                (int(r["code"]), [float(x) for x in r["cw"]])
-            )
+            cw = [float(x) for x in r["cw"]]
+            # width guard: a short/long codeword would make _sq's
+            # zip_with emit NULL-poisoned distances downstream —
+            # silently NULL-ranked garbage instead of an error
+            if len(cw) != w:
+                raise ValueError(
+                    f"pq: codeword width {len(cw)} != dim/m = {w} "
+                    f"(sub {int(r['sub'])}, code {int(r['code'])})"
+                )
+            by_sub.setdefault(int(r["sub"]), []).append((int(r["code"]), cw))
         missing = [s for s in range(m) if not by_sub.get(s)]
         if missing:
             raise ValueError(f"pq: no codewords for subspaces {missing}")
@@ -83,6 +90,13 @@ def _resolve_sub_rows(
     )
     if not cb_rows:
         raise ValueError("pq: empty codebook")
+    for code, v in cb_rows:
+        # full-vector form: every slice below assumes exactly m*w values
+        if len(v) != m * w:
+            raise ValueError(
+                f"pq: codebook vector length {len(v)} != dim = {m * w} "
+                f"(code {code})"
+            )
     return [
         [(code, v[s * w : (s + 1) * w]) for code, v in cb_rows]
         for s in range(m)
@@ -562,6 +576,155 @@ def ivfadc_topk_sql(
    JOIN cells ON cells.id = e.id
    JOIN probes p ON p.cell = cells.cell
    WHERE e.id <> p.query_id
+ )
+ SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank FROM (
+   SELECT query_id, neighbor_id, adc_raw,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_raw ASC, neighbor_id ASC) AS rank
+   FROM scored
+ ) WHERE rank <= {k})"""
+
+
+MICRO = 1_000_000
+
+
+def pq_train_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+) -> DataFrame:
+    """A DATA-DERIVED subspace codebook computed ENGINE-EXACTLY — one
+    Lloyd mean-update step under the deterministic ``id % codes``
+    assignment, in the repo's q_micro integer arithmetic (components
+    quantized to integer micro units once; codewords are integer means
+    ``sum div n``; published as ``micro / 1e6`` doubles, identical IEEE
+    values in any engine).  Returns ``(sub, code, cw)`` for
+    :func:`pq_topk`'s ``subspace_codebook_df``.
+
+    Why this exists alongside :func:`pq_train`: the full trainer's
+    ``F.avg`` means are float partial-aggregation-order dependent — the
+    same determinism boundary that keeps Lloyd training out of the
+    ``kmeans_assign_cells`` gate — so a DuckDB oracle cannot pin its
+    VALUES without flaking.  This trainer is the mean-update half of
+    the same algorithm made order-free, which puts the production
+    codebook FORM (a trained ``(sub, code, cw)`` table, codewords that
+    are corpus means rather than corpus rows) under a hard driver gate
+    (``ann_pq_trained``); :func:`pq_train` itself is pinned by pytest
+    (within-session reproducibility + the literal-rematerialization
+    parity below it).
+
+    Scale shape: one posexplode of (id, coordinate) → ONE partial-
+    aggregated groupBy (codes × dim rows out — vocab-sized, never
+    corpus-sized) → codes × m packed rows.  ``id_col`` must be
+    non-negative integral (the gate corpus contract)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    q = df.select(
+        F.pmod(F.col(id_col).cast("long"), F.lit(codes)).alias("code"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                # double BEFORE multiply (operators/centroid.py device)
+                lambda v: F.round(v.cast("double") * MICRO).cast("long"),
+            )
+        ).alias("j", "v"),
+    )
+    means = q.groupBy("code", "j").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    ).select("code", "j", F.expr("s div n").alias("c"))
+    return (
+        means.withColumn("sub", F.expr(f"j div {w}").cast("int"))
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda x: x["c"].cast("double") / MICRO,
+            ).alias("cw")
+        )
+        .select("sub", F.col("code").cast("long").alias("code"), "cw")
+    )
+
+
+def pq_topk_trained_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` under a :func:`pq_train_exact`
+    codebook — the oracle DERIVES the trained table (integer-micro
+    means under ``id % codes``) rather than quoting it, then runs the
+    same per-subspace assignment / ADC / top-k as :func:`pq_topk_sql`
+    with the codebook in its native ``(sub, code, cw)`` form."""
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list")
+    w = dim // m
+    qids = ", ".join(str(i) for i in query_ids)
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1]::DOUBLE - p[2]::DOUBLE)"
+            " * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+        )
+
+    sub = lambda col, s: f"list_slice({col}, {s * w + 1}, {(s + 1) * w})"  # noqa: E731
+    assigns = []
+    for s in range(m):
+        assigns.append(f"""
+ a{s} AS (
+   SELECT id, code FROM (
+     SELECT e.id, c.code,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY {sq(sub('e.v', s), 'c.cw')}, c.code) AS rn
+     FROM corpus e CROSS JOIN (SELECT code, cw FROM cb WHERE sub = {s}) c
+   ) WHERE rn = 1
+ )""")
+    adc_terms = " + ".join(
+        sq(sub("q.qvec", s), f"c{s}.cw") for s in range(m)
+    )
+    code_joins = "".join(
+        f"\n   JOIN a{s} ON a{s}.id = e.id"
+        f" JOIN cb c{s} ON c{s}.sub = {s} AND c{s}.code = a{s}.code"
+        for s in range(m)
+    )
+    return f"""
+(WITH corpus AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+ cbq AS (
+   SELECT {id_col}::BIGINT % {codes} AS code,
+          list_transform({vec_col}, v -> round(v::DOUBLE * {MICRO})::BIGINT) AS e
+   FROM {table}
+ ),
+ cbc AS (
+   SELECT code, i.i AS j, e[i.i] AS v
+   FROM cbq, unnest(range(1, len(e) + 1)) AS i(i)
+ ),
+ cbm AS (
+   SELECT code, j, sum(v)::BIGINT // count(*)::BIGINT AS c
+   FROM cbc GROUP BY code, j
+ ),
+ cb AS (
+   SELECT ((j - 1) // {w})::INT AS sub, code,
+          list(c::DOUBLE / {MICRO}.0 ORDER BY j) AS cw
+   FROM cbm GROUP BY 1, 2
+ ),{",".join(assigns)},
+ q AS (
+   SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+   WHERE {id_col} IN ({qids})
+ ),
+ scored AS (
+   SELECT q.query_id, e.id AS neighbor_id, {adc_terms} AS adc_raw
+   FROM corpus e{code_joins}
+   CROSS JOIN q
+   WHERE e.id <> q.query_id
  )
  SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank FROM (
    SELECT query_id, neighbor_id, adc_raw,

@@ -1801,6 +1801,82 @@ def _ann_pq_sql() -> str:
     )
 
 
+def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC under a TRAINED-FORM codebook (operators/pq.pq_train_exact
+    — codewords are corpus MEANS, not corpus rows): the production
+    ``(sub, code, cw)`` codebook path through pq_topk, driver-gated.
+    The trainer is one engine-exact Lloyd mean-update step (integer-
+    micro means under ``vec_id % codes``) so the oracle DERIVES the
+    same table; pq_train's float-avg means are partial-aggregation-
+    order dependent (the kmeans_assign_cells determinism boundary) and
+    are pinned by pytest instead."""
+    from scholarmind_spark.operators.pq import pq_topk, pq_train_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_train_exact(e, m=8, dim=64, codes=8)
+    q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(
+        e, q, k=10, m=8, dim=64, subspace_codebook_df=cb
+    ).orderBy("query_id", "rank")
+
+
+def _ann_pq_trained_sql() -> str:
+    from scholarmind_spark.operators.pq import pq_topk_trained_sql
+
+    return (
+        "SELECT * FROM "
+        + pq_topk_trained_sql(
+            "embeddings", query_ids=ANN_QUERY_IDS, k=10, m=8, dim=64, codes=8
+        )
+        + " ORDER BY query_id, rank"
+    )
+
+
+def ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming IVF-PQ vector index end-to-end (r13 verdict ask
+    #1): the embeddings corpus folds in three microbatches (insert,
+    insert, insert + idempotent re-ingest of ids < 8) through the
+    merge-on-read index fold (streaming/pipeline.stream_vector_ingest —
+    per-fold encode DELTAS, cell-partitioned base, manifest commit),
+    and raw-mode ann_state_query over the PUBLISHED state must equal
+    the batch ivfadc_topk DuckDB oracle over the same corpus and
+    codebooks (cell-pruned reads provably change nothing).  The state
+    dir is a per-process temp reused across calls — the manifest
+    high-water mark makes re-folds no-ops, so bench reps time the
+    query path against standing state, the production read shape."""
+    import hashlib
+
+    from scholarmind_spark.streaming.pipeline import (
+        _vector_ingest_fn,
+        ann_state_query,
+    )
+    from scholarmind_spark.util import proc_tmp_dir
+
+    e = _t(spark, sf_dir, "embeddings")
+    state = proc_tmp_dir(
+        "ann_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    # compact_every=3: creation compacts (v-0 base), folds 1-2 stay
+    # deltas — the query exercises pruned-base + delta-stack resolution
+    fold = _vector_ingest_fn(state, "annidxgate", compact_every=3)
+    vid = F.col("vec_id")
+    b0 = e.filter((vid < 16) | (vid % 3 == 0))  # carries codebook ids 0-15
+    b1 = e.filter((vid >= 16) & (vid % 3 == 1))
+    b2 = e.filter((vid >= 16) & (vid % 3 == 2)).unionByName(
+        e.filter(vid < 8)  # re-ingest: latest-wins upsert, same vectors
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        fold(b, i)
+    q = e.filter(vid.isin(ANN_QUERY_IDS)).select(
+        vid.alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_state_query(spark, state, q, k=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket join + exact verify."""
     from scholarmind_spark.operators.similarity import embedding_neardup_pairs
@@ -7432,6 +7508,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": ann_ivf_docs,
     "ann_pq_topk": ann_pq_docs,
     "ann_ivfadc_topk": ann_ivfadc_docs,
+    "ann_pq_trained": ann_pq_trained,
+    "ann_index_stream": ann_index_stream,
     "dedup_embedding_cosine": dedup_embedding_docs,
     "media_byte_stats": media_stats,
     "media_decode": media_decode,
@@ -7624,6 +7702,10 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": ivf_topk_sql("embeddings", query_ids=ANN_QUERY_IDS, k=10),
     "ann_pq_topk": _ann_pq_sql(),
     "ann_ivfadc_topk": _ann_ivfadc_sql(),
+    "ann_pq_trained": _ann_pq_trained_sql(),
+    # the streamed index resolves to the SAME corpus + codebooks the
+    # batch ivfadc gate certifies — one oracle serves both
+    "ann_index_stream": _ann_ivfadc_sql(),
     "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,
@@ -7768,86 +7850,84 @@ ORACLE_SQL: dict[str, str] = {
 # checked gates, riskiest first, then the rest in their original order.
 # Both dicts get the same order so queries()/oracle_sql() stay aligned.
 #
-# Round-13 window: stalest-first, seventh sweep.  After the r12 window
-# the staleness ledger reads 32 gates last driver-checked in r9, 50 in
-# r10, 50 in r11 and 50 in r12 (union of CORRECTNESS_r01..r12 keys,
-# last-seen round; verified by set arithmetic — the 32 r9 names match
-# the r12 verdict's mandatory list exactly).  For the record, the r12
-# window cut was 6 new + 26 mandatory + 18 r9 gates (the stale
-# "2+26+22" / "23 fit" arithmetic in the old header was wrong — r13
-# ADVICE).  This round: lead with the gates NEW this round (never
-# driver-checked beats stale), then ALL 32 r9 stragglers (staleness 3 —
-# mandatory per the rotation contract), then r10-checked gates in their
-# r10 window order up to the 50-gate cap.  The r10 gates that miss the
-# cut lead the r14 window at staleness 4 — the standing pigeonhole
-# allowance (184 gates, 50-gate window).
+# Round-14 window: TOOL-GENERATED (tools/rotation.py, basis round 13)
+# and pinned by tests/test_rotation.py — hand-authored windows produced
+# one wrong-arithmetic header (r12, caught by ADVICE), so the ledger,
+# the selection, and the staleness invariant are now mechanical.
+# Selection: never-driver-checked gates first (name order), then the
+# MANDATORY staleness-3 cohort (last checked r10 — skipping one would
+# cross the max-staleness-3 contract), then stalest-first fill to 50.
+#
+# ≥200-GATE POLICY (decided now, per the r13 verdict, before the
+# pigeonhole bound bites): the contract "every gate driver-checked at
+# least every 4 rounds" caps the registry at 4x50 = 200.  At 191 gates
+# (+2 this round) the next 1-2 rounds of additions cross it.  When they
+# do, tools/rotation.py:STALENESS4_OK names the ONLY gates allowed to
+# reach staleness 4 — eligibility is semantic redundancy (the operator
+# is also pinned by a sibling gate sharing its oracle, or by an
+# equality pytest: stream==batch twins, fold==direct sketch pairs),
+# and the tool fails loudly if the mandatory set overflows beyond the
+# allowance.  Past ~250 the policy is to freeze gate additions, not to
+# stretch staleness further.
 
-_ROUND13_FRONT = [
-    # new this round — never driver-checked
-    "dataset_token_mixture_upsample",
-    "dataset_dsir_select",
-    "text_duplicate_spans",
-    "text_scrub_dupspans",
-    "decontam_spans",
-    "ann_pq_topk",
-    "ann_ivfadc_topk",
-    # the 32 staleness-3 gates (last driver-checked r9) — MANDATORY
-    # this round per the r12 verdict's rotation contract
-    "dedup_cluster_reps",
-    "dedup_cluster_sizes",
-    "dedup_containment",
-    "dedup_incremental",
-    "embed_centroid_classify",
-    "events_benford_audit",
-    "events_daily_drift",
-    "events_interarrival",
-    "events_mad_outliers",
-    "events_mutual_information",
-    "events_rolling_anomaly",
-    "events_session_paths",
-    "events_session_stream",
-    "events_sliding_stream",
-    "events_stateful_user_stats",
-    "events_stream_anomaly",
-    "events_stream_dedup",
-    "events_stream_enrich",
-    "events_stream_interval_join",
-    "events_winsorize",
-    "fk_audit",
-    "graph_pagerank",
-    "lineitem_weighted_median",
-    "link_fuzzy_vocab",
-    "orders_fd_audit",
-    "orders_scd2_history",
-    "orders_snapshot_diff",
-    "text_bm25_topk",
-    "text_char_entropy",
-    "text_collocations",
-    "text_hash_features",
-    "text_lm_score",
-    # oldest r10-checked gates, in r10 window order, filling the
-    # remaining slots of the 50 cut
-    "text_bpe_tokens_large",
-    "sketch_ledger_roundtrip",
-    "sketch_ledger_drift",
-    "dedup_ledger_bloom",
-    "sketch_ledger_rollup",
-    "sketch_ledger_distinct",
-    "sketch_ledger_membership",
-    "dataset_mixture",
-    "dataset_shuffle_order",
-    "dataset_weighted_sample",
-    "events_cohort_retention",
+_WINDOW_BASIS_ROUND = 13  # newest CORRECTNESS_r*.json the window derives from
+
+_ROUND14_FRONT = [
+    "ann_index_stream",
+    "ann_pq_trained",
+    "bucketed_join_revenue",
+    "cube_order_stats",
+    "dataset_split",
+    "decontam_overlap",
+    "embed_quantize_int8",
+    "events_asof_join",
     "events_funnel",
+    "events_json_props",
+    "events_range_join",
+    "events_sessionize",
     "events_sliding",
+    "events_tumbling",
+    "events_tumbling_stream",
+    "events_value_histogram",
     "kmeans_assign_cells",
+    "lit_flatten_presentation",
+    "lit_incremental_merge",
+    "lit_llm_extract",
+    "media_resize",
+    "partitioned_prune_events",
+    "pivot_status_counts",
+    "profile_documents",
+    "skew_key_report",
+    "skew_salted_join",
+    "skew_two_phase_distinct",
     "source_health_report",
     "source_vocab_overlap",
+    "sql_surface_revenue",
+    "stratified_sample",
     "text_chunk_documents",
+    "text_gopher_flags",
+    "text_gopher_repetition",
+    "text_pack_sequences",
+    "text_pack_stats",
+    "text_scrub_spans",
+    "text_span_hotlist",
+    "text_top_terms",
+    "text_url_domains",
+    "text_word_repetition",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "corpus_curation",
+    "dataset_split_leakage",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ledger_retire",
+    "diag_curation_stages",
 ]
 
+
 def _rotated(d: dict) -> dict:
-    front = {k: d[k] for k in _ROUND13_FRONT if k in d}
+    front = {k: d[k] for k in _ROUND14_FRONT if k in d}
     front.update({k: v for k, v in d.items() if k not in front})
     return front
 

@@ -130,12 +130,17 @@ def test_external_weights_parity(spark):
     release_caches(inline)
 
     weights, prior_micro, oov_micro = nb_export_weights(df, labels=lab)
+    # the export triggers multiple driver actions over the label battery
+    # and the token histogram — the persist discipline (r13 ADVICE) tags
+    # the returned weights with its caches, and they are live persists
+    assert [c.storageLevel.useMemory for c in weights._sm_caches] == [True, True]
     got_ext = {
         r.doc_id: r
         for r in nb_quality_score_weights(
             df, weights, prior_micro=prior_micro, oov_micro=oov_micro
         ).collect()
     }
+    release_caches(weights)
     assert set(got_ext) == set(got_inline) == {0, 1, 2}
     for did in got_inline:
         a, b = got_inline[did], got_ext[did]

@@ -275,3 +275,35 @@ def test_ivfadc_residual_beats_raw_on_clustered_corpus(spark):
     )
     assert r_res >= r_raw
     assert r_res >= 0.6
+
+
+def test_malformed_codeword_width_raises(spark):
+    """A codebook row whose vector is the wrong width must refuse
+    loudly — short slices would NULL-poison _sq's zip_with and the
+    ranking silently returns garbage (r13 ADVICE)."""
+    import pytest
+
+    rows = [
+        (0, [1.0] * 8),
+        (1, [2.0] * 8),
+        (2, [3.0] * 8),
+    ]
+    df = _df(spark, rows)
+    q = _q(spark, rows, [2])
+
+    # subspace form: cw shorter than dim/m
+    bad_sub = spark.createDataFrame(
+        [(0, 0, [1.0] * 4), (0, 1, [2.0] * 4),
+         (1, 0, [1.0] * 3), (1, 1, [2.0] * 4)],  # sub 1 code 0 short
+        "sub int, code long, cw array<double>",
+    )
+    with pytest.raises(ValueError, match="codeword width"):
+        pq_topk(df, q, k=2, m=2, dim=DIM, subspace_codebook_df=bad_sub)
+
+    # full-vector form: codebook vector shorter than dim
+    bad_full = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [2.0] * 7)],
+        "code long, cvec array<double>",
+    )
+    with pytest.raises(ValueError, match="vector length"):
+        pq_topk(df, q, k=2, m=2, dim=DIM, codebook_df=bad_full)

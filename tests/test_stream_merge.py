@@ -1274,6 +1274,54 @@ def test_mor_base_bucketed_and_pruned_lookup_exact(spark, tmp_path):
     assert res_p == res_f and len(res_p) == 2
 
 
+def test_mor_touched_buckets_canonicalize_id_type(spark, tmp_path):
+    """xxhash64 is TYPE-sensitive (int and long hash differently), so
+    the probe must hash caller ids AS THE STATE STORES THEM: for every
+    single id, an IntegerType probe column computes the same touched
+    bucket as the stored LongType — and an int-typed retirement
+    actually retires (tombstones written, counts decremented) instead
+    of pruning the base rows away and silently no-opping."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.streaming import ledger_mor_retire
+    from scholarmind_spark.streaming.pipeline import (
+        _ledger_ingest_fn_mor,
+        _manifest_read_mor,
+        _mor_touched_buckets,
+    )
+
+    state = str(tmp_path / "state")
+    fold = _ledger_ingest_fn_mor(
+        state, "cafebabe", compact_every=2, bucket_rows=2
+    )
+    for bid, batch in enumerate(_mor_batches(spark)):
+        fold(batch, bid)
+    _, _, _, base_v = _manifest_read_mor(state)
+
+    # per-id bucket parity: probe typed int == probe typed long
+    for i in range(12):
+        long_b = _mor_touched_buckets(
+            spark.createDataFrame([(i,)], "id bigint"), state, base_v
+        )
+        int_b = _mor_touched_buckets(
+            spark.createDataFrame([(i,)], "id int"), state, base_v
+        )
+        assert int_b == long_b, f"id {i}: int {int_b} != long {long_b}"
+
+    # end-to-end: retire base-resident ids with an INT-typed id column —
+    # ids 2..4 live only in the v-2 base (0, 1 were revised in deltas)
+    ledger_mor_retire(
+        spark, state, spark.createDataFrame([(2,), (3,), (4,)], "id int")
+    )
+    rows = dict(MOR_DOCS)
+    rows[0] += " r3"
+    rows[1] += " r2"
+    exp = spark.createDataFrame(
+        [(i, t) for i, t in rows.items() if i not in (2, 3, 4)], DOC_SCHEMA
+    )
+    _assert_mor_state_equals(spark, state, exp)
+
+
 # ------------------------------------------- streaming ANN index fold
 
 
@@ -1289,16 +1337,17 @@ def test_stream_vector_ingest_state_equals_full_rebuild(spark, tmp_path):
     """Three folds (insert, insert, revise) maintain the IVF-PQ index:
     the published state's query answer equals ivfadc_topk over the
     latest version of every vector under the SAME frozen codebooks, and
-    the enc table holds exactly one row per id."""
+    the resolved enc state holds exactly one row per id."""
     import os
 
     from pyspark.sql import functions as F
 
     from scholarmind_spark.operators.pq import ivfadc_topk
     from scholarmind_spark.streaming.pipeline import (
-        _manifest_read,
+        _manifest_read_mor,
         _vector_ingest_fn,
         ann_state_query,
+        vector_state_enc,
     )
 
     VS = "vec_id long, embedding array<double>"
@@ -1312,7 +1361,8 @@ def test_stream_vector_ingest_state_equals_full_rebuild(spark, tmp_path):
     fold(spark.createDataFrame(b0, VS), 0)
     fold(spark.createDataFrame(b1, VS), 1)
     fold(spark.createDataFrame(rev, VS), 2)
-    assert _manifest_read(state)[0] == 2
+    # MoR manifest: version 2, base = the creation compaction (v-0)
+    assert _manifest_read_mor(state) == (2, "feedbeef", 2, 0)
 
     latest = {i: v for i, v in b0 + b1}
     latest.update(dict(rev))
@@ -1341,22 +1391,120 @@ def test_stream_vector_ingest_state_equals_full_rebuild(spark, tmp_path):
     got = sorted(map(tuple, got_df.collect()))
     assert got == expect
 
-    enc = spark.read.parquet(
-        os.path.join(state, "v-2", "enc")
-    )
+    enc = vector_state_enc(spark, state)
     assert enc.count() == enc.select("id").distinct().count() == 12
-    # the revision actually moved id 2's codes
-    enc0 = spark.read.parquet(os.path.join(state, "v-1", "enc"))
-    old2 = enc0.filter("id = 2").first()
-    new2 = enc.filter("id = 2").first()
-    assert (old2.cell, list(old2.pq)) != (new2.cell, list(new2.pq))
+    # the revision actually moved id 2's codes: the base row (v-0) and
+    # the delta row (v-2) disagree, and the resolved state sides with
+    # the delta
+    base2 = (
+        spark.read.parquet(os.path.join(state, "v-0", "enc"))
+        .filter("id = 2").first()
+    )
+    delta2 = (
+        spark.read.parquet(os.path.join(state, "v-2", "denc"))
+        .filter("id = 2").first()
+    )
+    res2 = enc.filter("id = 2").first()
+    assert (int(base2.cell), list(base2.pq)) != (delta2.cell, list(delta2.pq))
+    assert (res2.cell, list(res2.pq)) == (delta2.cell, list(delta2.pq))
+
+
+def test_vector_ingest_delta_layout_and_pruned_query(spark, tmp_path):
+    """The MoR claims, checked on disk: incremental version dirs hold
+    ONLY a denc delta (never a full enc), compaction materializes a
+    cell-partitioned base on schedule, and the pruned query read stays
+    exact when a revision MOVES a vector across cells — the superseded
+    base row never resurrects, whichever side of the prune it falls on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pq import ivfadc_topk
+    from scholarmind_spark.streaming.pipeline import (
+        _manifest_read_mor,
+        _vector_ingest_fn,
+        ann_state_query,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "state")
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1],
+        codebook_ids=[0, 1, 2, 3], compact_every=2,
+    )
+    b0 = _vec_rows(0, 6)
+    fold(spark.createDataFrame(b0, VS), 0)          # v-0: creation base
+    fold(spark.createDataFrame(_vec_rows(6, 4), VS), 1)  # v-1: delta
+    # v-2: compaction (2 - 0 >= 2); then v-3: delta that MOVES id 0
+    # (coarse centroid 0's own row) to the far cell
+    fold(spark.createDataFrame(_vec_rows(10, 2), VS), 2)
+    moved = [(0, [float(x) + 10.0 for x in dict(b0)[1]])]
+    fold(spark.createDataFrame(moved, VS), 3)
+    assert _manifest_read_mor(state) == (3, "feedbeef", 3, 2)
+
+    # disk layout: v-1/v-3 are deltas, v-2 is a cell-partitioned base
+    assert os.path.isdir(os.path.join(state, "v-3", "denc"))
+    assert not os.path.isdir(os.path.join(state, "v-3", "enc"))
+    cell_dirs = [
+        d for d in os.listdir(os.path.join(state, "v-2", "enc"))
+        if d.startswith("cell=")
+    ]
+    assert len(cell_dirs) >= 1
+
+    latest = {i: v for i, v in b0 + _vec_rows(6, 4) + _vec_rows(10, 2)}
+    latest.update(dict(moved))
+    full = spark.createDataFrame(sorted(latest.items()), VS)
+    coarse = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1)], "cid long, cvec array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1, 2, 3)], VS
+    ).select(
+        F.col("vec_id").cast("long").alias("code"),
+        F.col("embedding").alias("cvec"),
+    )
+    # nprobe=1: each query reads ONE cell — the prune path where the
+    # moved id's stale base row sits in the probed cell but its live
+    # delta row does not (and vice versa for the other query)
+    for qid in (3, 5):
+        q = full.filter(F.col("vec_id") == qid).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        expect = sorted(map(tuple, ivfadc_topk(
+            full, q, k=4, m=2, dim=8, nprobe=1,
+            coarse_df=coarse, codebook_df=cb,
+        ).collect()))
+        got = sorted(map(tuple, ann_state_query(
+            spark, state, q, k=4, nprobe=1, m=2, dim=8
+        ).collect()))
+        assert got == expect, f"query {qid}"
+
+
+def test_vector_ingest_empty_coarse_raises(spark, tmp_path):
+    """A creation batch with NONE of the coarse id rows must refuse
+    loudly (the _resolve_sub_rows 'empty codebook' twin) — not freeze
+    an empty coarse codebook that routes every later fold to zero
+    cells and silently answers nothing."""
+    import pytest
+
+    from scholarmind_spark.streaming.pipeline import _vector_ingest_fn
+
+    VS = "vec_id long, embedding array<double>"
+    fold = _vector_ingest_fn(
+        str(tmp_path / "state"), "feedbeef", m=2, dim=8,
+        coarse_ids=[0, 1], codebook_ids=[100, 101],
+    )
+    batch = spark.createDataFrame(_vec_rows(100, 4), VS)  # no ids 0-1
+    with pytest.raises(ValueError, match="empty coarse codebook"):
+        fold(batch, 0)
 
 
 def test_stream_vector_ingest_redelivery_and_lineage(spark, tmp_path):
     import pytest
 
     from scholarmind_spark.streaming.pipeline import (
-        _manifest_read,
+        _manifest_read_mor,
         _vector_ingest_fn,
     )
 
@@ -1366,9 +1514,9 @@ def test_stream_vector_ingest_redelivery_and_lineage(spark, tmp_path):
         state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1], codebook_ids=[0, 1]
     )
     fold(spark.createDataFrame(_vec_rows(0, 4), VS), 0)
-    v1 = _manifest_read(state)
+    v1 = _manifest_read_mor(state)
     fold(spark.createDataFrame(_vec_rows(0, 4), VS), 0)  # re-delivery
-    assert _manifest_read(state) == v1
+    assert _manifest_read_mor(state) == v1
     other = _vector_ingest_fn(
         state, "0ddba11", m=2, dim=8, coarse_ids=[0, 1], codebook_ids=[0, 1]
     )

@@ -58,10 +58,18 @@ pair-count discipline) and wall; the pruned resolve is asserted equal
 to the unpruned resolve on the batch ids at every k.  The pruned read
 is bounded by |batch| x bucket_rows + deltas regardless of corpus.
 
+Round 14 adds ``vector`` — the streaming IVF-PQ vector index after its
+MoR-ification (the r13 verdict's named CoW regression): standing
+corpora of 1x/10x/20x are folded into a cell-partitioned base, then a
+FIXED 50-vector batch folds (delta rows written must equal the batch at
+every k — the CoW fold rewrote the whole enc table) and a fixed 5-query
+nprobe=2 read is measured pruned (probed cells + delta stack) vs the
+full chain, with pruned == full resolve asserted within probed cells.
+
 Usage: python tools/fold_probe.py [sf_dir]
-[probe|simulate|ledger_probe|ledger_sim|ledger_sim_mor|mor_read] ...
-(default: probe+simulate, sf0.1).  Prints markdown rows to paste into
-SCALE.md.
+[probe|simulate|ledger_probe|ledger_sim|ledger_sim_mor|mor_read|vector]
+... (default: probe+simulate, sf0.1).  Prints markdown rows to paste
+into SCALE.md.
 """
 
 from __future__ import annotations
@@ -822,6 +830,131 @@ def main() -> None:
         print(_fit_row("mor chain rows FULL (old path)", rows_full, unit=" rows"))
         print(_fit_row("mor chain wall PRUNED (s)", wall_pruned))
         print(_fit_row("mor chain wall FULL (s)", wall_full))
+
+    if "vector" in modes:
+        # Round 14: the streaming IVF-PQ vector index, MoR-ified — the
+        # r13 verdict's named regression closed and MEASURED.  Standing
+        # corpus 1x/10x/20x folded into a cell-partitioned base; then
+        # (a) a FIXED 50-vector batch folds as a delta — written rows
+        # must equal |batch| at every k (the CoW fold rewrote the whole
+        # enc table); (b) a 5-query nprobe=2 read — rows scanned pruned
+        # (probed cells + delta stack) vs the full chain (old path).
+        # Exactness: pruned resolve == full resolve within probed cells.
+        from scholarmind_spark.streaming.pipeline import (
+            _manifest_read_mor,
+            _vec_chain,
+            _vec_resolve,
+            _vector_ingest_fn,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_emb = emb.count()
+        batch_n, nq, nprobe = 50, 5, 2
+        dw: dict[int, float] = {}   # delta rows written
+        dwall: dict[int, float] = {}
+        qrows_p: dict[int, float] = {}
+        qrows_f: dict[int, float] = {}
+        qwall_p: dict[int, float] = {}
+        qwall_f: dict[int, float] = {}
+        for k in KS:
+            root = tempfile.mkdtemp(prefix=f"vecidx{k}_")
+            state = os.path.join(root, "state")
+            reps_df = spark.range(k).select(F.col("id").alias("i"))
+            corpus = emb.crossJoin(reps_df).select(
+                (F.col("vec_id") + F.col("i") * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+            fold = _vector_ingest_fn(
+                state, "cafef00d", compact_every=64,
+                coarse_ids=list(range(32)),
+            )
+            fold(corpus, 0)  # creation: cell-partitioned base (O(state), amortized)
+            t0 = time.time()
+            fold(emb.where(F.col("vec_id") < batch_n), 1)  # the fixed delta
+            dwall[k] = time.time() - t0
+            dw[k] = float(
+                spark.read.parquet(os.path.join(state, "v-1", "denc")).count()
+            )
+            version, _, _, base_v = _manifest_read_mor(state)
+            q = emb.where(F.col("vec_id").isin(list(range(nq)))).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            # probed cells, resolved the same way ann_state_query does
+            from scholarmind_spark.streaming.pipeline import ann_state_query
+
+            res = ann_state_query(
+                spark, state, q, k=10, nprobe=nprobe
+            )
+            res.collect()  # warm footer caches before timing
+            coarse = spark.read.parquet(
+                os.path.join(state, f"v-{version}", "coarse")
+            )
+            from scholarmind_spark.operators.pq import _sq as _sqd
+
+            qs = q.crossJoin(F.broadcast(coarse)).select(
+                "query_id", F.col("cid").cast("long").alias("cell"),
+                _sqd(F.col("query_vec"), F.col("cvec")).alias("cd"),
+            )
+            from pyspark.sql.window import Window as _W
+
+            pw = _W.partitionBy("query_id").orderBy("cd", "cell")
+            cells = [
+                r["cell"]
+                for r in qs.withColumn("rn", F.row_number().over(pw))
+                .filter(F.col("rn") <= nprobe)
+                .select("cell").distinct().collect()
+            ]
+            per_p, per_f = [], []
+            for _ in range(REPS):
+                t0 = time.time()
+                n_p = _vec_chain(spark, state, base_v, version, cells=cells).count()
+                per_p.append(time.time() - t0)
+                t0 = time.time()
+                n_f = _vec_chain(spark, state, base_v, version).count()
+                per_f.append(time.time() - t0)
+                spark.catalog.clearCache()
+            # exactness: pruned resolve == full resolve within probed cells
+            r_p = _vec_resolve(
+                _vec_chain(spark, state, base_v, version, cells=cells)
+            ).where(F.col("cell").isin(cells))
+            r_f = _vec_resolve(
+                _vec_chain(spark, state, base_v, version)
+            ).where(F.col("cell").isin(cells))
+            mism = (
+                r_p.alias("a")
+                .join(r_f.alias("b"), "id", "full")
+                .where(
+                    ~F.col("a.cell").eqNullSafe(F.col("b.cell"))
+                    | ~F.col("a.pq").eqNullSafe(F.col("b.pq"))
+                )
+                .count()
+            )
+            assert mism == 0, f"pruned vec resolve diverged at k={k}: {mism}"
+            per_p.sort(); per_f.sort()
+            qrows_p[k], qrows_f[k] = float(n_p), float(n_f)
+            qwall_p[k] = per_p[len(per_p) // 2]
+            qwall_f[k] = per_f[len(per_f) // 2]
+            print(
+                f"# k={k} ({k * n_emb} standing vectors): delta wrote "
+                f"{int(dw[k])} rows in {dwall[k]:.2f}s | query read pruned "
+                f"{n_p} rows {qwall_p[k]:.2f}s | full {n_f} rows "
+                f"{qwall_f[k]:.2f}s | probed-cell resolve mismatch 0",
+                file=sys.stderr,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+        print(
+            f"| vector index (fixed {batch_n}-vec batch, {nq} queries "
+            f"nprobe={nprobe}, 32 cells) | 1x | 10x | 20x | fixed a | "
+            f"slope b +- se |"
+        )
+        print("|---|---|---|---|---|---|")
+        print(_fit_row("vec fold delta rows WRITTEN", dw, unit=" rows"))
+        print(_fit_row("vec fold wall (s)", dwall))
+        print(_fit_row("vec query rows PRUNED", qrows_p, unit=" rows"))
+        print(_fit_row("vec query rows FULL (old path)", qrows_f, unit=" rows"))
+        print(_fit_row("vec query wall PRUNED (s)", qwall_p))
+        print(_fit_row("vec query wall FULL (s)", qwall_f))
 
 
 if __name__ == "__main__":
