@@ -21,6 +21,11 @@ SKIP = {
     "dedup_cluster_sizes",
     "jsonl_roundtrip", "partitioned_prune_events", "orc_roundtrip",
     "diag_jsonl_len", "diag_jsonl_hash", "diag_orc_ints", "diag_orc_price",
+    # round-14: the streaming vector-index gate FOLDS state (3 manifest
+    # commits) before querying — plan inspection would execute them; the
+    # query-side plan (pruned base + delta resolve + broadcast probes)
+    # is covered by the gate and tools/fold_probe.py vector
+    "ann_index_stream",
 }
 
 # deliberate broadcast nested-loop joins: the all-pairs exact baselines, the
@@ -35,6 +40,9 @@ BNLJ_OK = {
     # round-13: IVFADC's coarse assignment crosses the corpus/queries
     # with the broadcast 4-row coarse table (the ann_ivf_topk shape)
     "ann_ivfadc_topk",
+    # round-14: the trained-codebook PQ gate inherits ann_pq_topk's
+    # shape exactly (codebook inlined as literals, broadcast query set)
+    "ann_pq_trained",
     "dataset_mixture", "text_bm25_topk", "text_lm_score",
     "embed_centroid_classify", "source_vocab_overlap", "fk_audit",
     "events_mutual_information", "skew_key_report", "text_collocations",

@@ -307,3 +307,33 @@ def test_malformed_codeword_width_raises(spark):
     )
     with pytest.raises(ValueError, match="vector length"):
         pq_topk(df, q, k=2, m=2, dim=DIM, codebook_df=bad_full)
+
+
+def test_pq_train_exact_integer_micro_means(spark):
+    """pq_train_exact == hand-computed integer-micro means under the
+    id % codes assignment — the engine-exact trainer the ann_pq_trained
+    gate derives in DuckDB; and its codebook drops into pq_topk's
+    subspace form."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0, 10.0, 10.0, 10.0, 10.0]),
+        (1, [5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 3.0, 4.0, 5.0, 20.0, 20.0, 20.0, 20.0]),
+        (3, [7.0, 7.0, 7.0, 7.0, 2.0, 2.0, 2.0, 2.0]),
+    ]
+    from scholarmind_spark.operators.pq import pq_train_exact
+
+    cb = pq_train_exact(_df(spark, rows), m=2, dim=DIM, codes=2)
+    got = {
+        (r.sub, r.code): list(r.cw) for r in cb.collect()
+    }
+    # code 0 <- ids 0, 2; code 1 <- ids 1, 3; means exact in micro units
+    assert got[(0, 0)] == [1.5, 2.5, 3.5, 4.5]
+    assert got[(1, 0)] == [15.0, 15.0, 15.0, 15.0]
+    assert got[(0, 1)] == [6.0, 6.0, 6.0, 6.0]
+    assert got[(1, 1)] == [1.0, 1.0, 1.0, 1.0]
+
+    out = pq_topk(
+        _df(spark, rows), _q(spark, rows, [0]), k=1, m=2, dim=DIM,
+        subspace_codebook_df=cb,
+    )
+    assert out.count() == 1

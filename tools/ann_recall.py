@@ -390,10 +390,137 @@ def pq_main():
     spark.stop()
 
 
+def ivfadc_clustered_main():
+    """IVFADC recall in the CLUSTERED regime (r13 verdict ask #4 — the
+    SCALE.md ivfadc rows were isotropic-only, the honest floor; the
+    100 TB ANN story quotes the clustered regime, so measure it): the
+    same 16-Gaussian mixtures (seed 0, sigma 0.3 / 0.7) as the r12 IVF
+    probe study, raw vs residual encoding at m8/c64 and m16/c256,
+    kmeans-trained coarse (k=16) + pq_train / pq_train_residual
+    codebooks, nprobe 4.  Ground truth is the exact squared-L2 top-k
+    (numpy — ADC approximates L2, so L2 is the right referee); the scan
+    fraction uses the L2 cell assignment ivfadc actually routes by.
+
+    Usage: python tools/ann_recall.py ivfadc_clustered [k] [nq] [n_vec]
+    Appends a section to SCALE.md."""
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    nq = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    n_vec = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000
+    n_clusters, dim, nprobe = 16, 64, 4
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from scholarmind_spark import get_spark
+    from scholarmind_spark.operators.kmeans import _assign, kmeans_fit
+    from scholarmind_spark.operators.pq import (
+        _sq,
+        ivfadc_topk,
+        pq_train,
+        pq_train_residual,
+    )
+
+    spark = get_spark(app_name="ivfadc-clustered")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_rows = []
+    for sigma in (0.3, 0.7):
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((n_clusters, dim))
+        labels = rng.integers(0, n_clusters, n_vec)
+        pts = centers[labels] + sigma * rng.standard_normal((n_vec, dim))
+        e = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(n_vec)],
+            "vec_id bigint, embedding array<double>",
+        ).persist()
+        e.count()
+        # exact squared-L2 ground truth (numpy)
+        exact = {}
+        for qid in range(nq):
+            d2 = ((pts - pts[qid]) ** 2).sum(axis=1)
+            order = np.lexsort((np.arange(n_vec), d2))
+            exact[qid] = set([int(i) for i in order if i != qid][:k])
+        q = e.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        coarse, inertia = kmeans_fit(e, k=n_clusters, iters=5)
+        coarse = coarse.select("cid", "cvec").persist()
+        coarse.count()
+        print(
+            f"sigma={sigma}: kmeans-{n_clusters} inertia "
+            f"{inertia[0]:.0f} -> {inertia[-1]:.0f}"
+        )
+        # scan fraction under the L2 routing ivfadc uses
+        sizes = {
+            r.cell: r.n
+            for r in _assign(e, coarse, "vec_id", "embedding")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        qs = q.crossJoin(F.broadcast(coarse)).select(
+            "query_id", F.col("cid").alias("cell"),
+            _sq(F.col("query_vec"), F.col("cvec")).alias("cd"),
+        )
+        pw = Window.partitionBy("query_id").orderBy("cd", "cell")
+        per_q: dict[int, int] = {}
+        for r in (
+            qs.withColumn("rn", F.row_number().over(pw))
+            .filter(F.col("rn") <= nprobe).select("query_id", "cell").collect()
+        ):
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + sizes.get(r.cell, 0)
+        frac = sum(per_q.values()) / (len(per_q) * n_vec)
+
+        for m, codes in ((8, 64), (16, 256)):
+            raw_cb = pq_train(e, m=m, dim=dim, codes=codes, iters=3)
+            res_cb = pq_train_residual(
+                e, coarse, m=m, dim=dim, codes=codes, iters=3
+            )
+            for enc, cb, byres in (("raw", raw_cb, False),
+                                   ("residual", res_cb, True)):
+                out = ivfadc_topk(
+                    e, q, k=k, m=m, dim=dim, nprobe=nprobe,
+                    coarse_df=coarse, subspace_codebook_df=cb,
+                    by_residual=byres,
+                )
+                approx: dict[int, set] = {}
+                for r in out.collect():
+                    approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+                rec = sum(
+                    len(approx.get(qid, set()) & hits) / len(hits)
+                    for qid, hits in exact.items()
+                ) / len(exact)
+                name = f"ivfadc_m{m}_c{codes}_{enc}_nprobe{nprobe}"
+                out_rows.append((sigma, name, rec, frac))
+                print(f"sigma={sigma} {name}: recall@{k}={rec:.3f} "
+                      f"scan={frac:.3f}")
+        e.unpersist()
+        coarse.unpersist()
+
+    out_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    with open(out_md, "a") as f:
+        f.write(
+            f"\n\n## IVFADC recall@{k} on the CLUSTERED corpus "
+            f"(mixture of 16 Gaussians, {n_vec} vectors, dim 64, seed 0, "
+            f"{nq} queries, kmeans-16 coarse, trained codebooks, "
+            f"nprobe {nprobe})\n\n"
+            "| sigma | config | recall | scan fraction |\n|---|---|---|---|\n"
+            + "".join(
+                f"| {s} | {n} | {r:.3f} | {fr:.3f} |\n"
+                for s, n, r, fr in out_rows
+            )
+        )
+    print(f"appended to {out_md}")
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "clustered":
         clustered_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "pq":
         pq_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ivfadc_clustered":
+        ivfadc_clustered_main()
     else:
         main()
