@@ -1624,6 +1624,18 @@ def ledger_mor_retire(spark, state_path: str, retired_ids) -> None:
 # batch ``ivfadc_topk`` DuckDB oracle); probe: ``tools/fold_probe.py
 # vector`` measures fold-write and query-read volumes flat in the
 # standing corpus.
+#
+# Two production surfaces on top (round 14):
+# - ENCODING MODE is state, not an argument: ``by_residual=True``
+#   freezes residual encoding (vector − routed centroid; SCALE.md's
+#   clustered table measures it load-bearing there) into a per-version
+#   ``encmode.txt`` sidecar; folds and queries read the mode back, so
+#   raw and residual codes can never mix in one table.
+# - RETIREMENT (:func:`vector_index_retire`): a tombstone delta
+#   published as its own manifest version — O(|retired|) written,
+#   NOTHING read (unlike the ledger retire, no counts need negating) —
+#   dropped at resolve time and purged physically at the next
+#   compaction.
 
 
 def stream_vector_ingest(
@@ -1639,24 +1651,31 @@ def stream_vector_ingest(
     subspace_codebook_df: DataFrame | None = None,
     codebook_ids: list[int] | None = None,
     compact_every: int = 8,
+    by_residual: bool = False,
 ):
     """Maintain an IVF-PQ vector index from a stream of embeddings
     (merge-on-read: per-fold encode deltas, periodic compaction into a
     cell-partitioned base — see the block comment above).
 
     First fold CREATES the state: the coarse codebook (``coarse_df`` or
-    ``coarse_ids`` rows of the first batch) and the PQ codebook
+    ``coarse_ids`` rows of the first batch), the PQ codebook
     (``subspace_codebook_df`` — e.g. :func:`operators.pq.pq_train` — or
-    ``codebook_ids`` rows) are frozen into the state.  Later folds read
-    the codebooks FROM the state (the creation args are ignored), so a
-    resumed stream cannot silently re-encode under different codewords.
-    Query the published index with :func:`ann_state_query`."""
+    ``codebook_ids`` rows), and the ENCODING MODE (``by_residual`` —
+    raw vectors, or the paper's §5 residuals vs the routed cell's
+    centroid: SCALE.md's clustered-recall table measures residual
+    encoding as load-bearing there, 0.075 → 0.200 recall at m8/c64)
+    are all frozen into the state.  Later folds read codebooks AND mode
+    FROM the state (the creation args are ignored), so a resumed stream
+    can neither re-encode under different codewords nor silently mix
+    raw and residual codes.  Query with :func:`ann_state_query` (reads
+    the mode from the state); retire ids with
+    :func:`vector_index_retire`."""
     ck = checkpoint or tempfile.mkdtemp(prefix="svck_")
     lineage = _fold_lineage(ck, (state_path,))
     fold = _vector_ingest_fn(
         state_path, lineage, id_col, vec_col, m, dim,
         coarse_df, coarse_ids, subspace_codebook_df, codebook_ids,
-        compact_every,
+        compact_every, by_residual,
     )
     return (
         stream_vecs.writeStream.foreachBatch(fold)
@@ -1666,18 +1685,39 @@ def stream_vector_ingest(
     )
 
 
+def _vec_mode_write(version_dir: str, mode: str) -> None:
+    import os
+
+    with open(os.path.join(version_dir, "encmode.txt"), "w") as f:
+        f.write(f"{mode}\n")
+
+
+def _vec_mode(state_path: str, version: int) -> str:
+    """The state's frozen encoding mode (``raw`` | ``residual``) —
+    a per-version sidecar like the codebooks; absent (a pre-r14 state)
+    means raw."""
+    import os
+
+    p = os.path.join(state_path, f"v-{version}", "encmode.txt")
+    if not os.path.exists(p):
+        return "raw"
+    with open(p) as f:
+        return f.read().strip()
+
+
 def _vec_resolve(chain: DataFrame) -> DataFrame:
-    """Latest-seq-wins per id over a (base ∪ deltas) enc chain — the
-    vector twin of ``ledger_mor_resolve_fp`` (no tombstones: the index
-    has no retire surface; seq is unique per version so the pick is
-    deterministic)."""
+    """Latest-seq-wins per id over a (base ∪ deltas) enc chain, then
+    tombstone drop — the vector twin of ``ledger_mor_resolve_fp`` (seq
+    is unique per version so the pick is deterministic; a retired id's
+    tombstone wins the seq race and the id vanishes; a later re-ingest
+    outranks the tombstone)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy(F.desc("seq"))
     return (
         chain.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .filter((F.col("__rn") == 1) & ~F.col("tomb"))
+        .drop("__rn", "tomb")
     )
 
 
@@ -1686,16 +1726,17 @@ def _vec_chain(spark, state_path: str, base_v: int, upto_v: int, cells=None):
     PRUNED to ``cells`` — exact, because an id's base row lives only in
     its cell partition and every delta is still read; stale base rows a
     delta superseded lose the seq race in :func:`_vec_resolve`
-    regardless of which side was pruned) unioned with one multi-path
-    delta scan.  ``cell`` normalizes to long: partition discovery
-    re-infers the base's partition column as int."""
+    regardless of which side was pruned — and tombstone deltas, whose
+    cell is NULL, are never prune candidates at all) unioned with one
+    multi-path delta scan.  ``cell`` normalizes to long: partition
+    discovery re-infers the base's partition column as int."""
     import os
 
     base = spark.read.parquet(os.path.join(state_path, f"v-{base_v}", "enc"))
     if cells is not None:
         base = base.where(F.col("cell").isin(list(cells)))
     base = base.select(
-        "id", F.col("cell").cast("long").alias("cell"), "pq", "seq"
+        "id", F.col("cell").cast("long").alias("cell"), "pq", "seq", "tomb"
     )
     denc_paths = [
         os.path.join(state_path, f"v-{i}", "denc")
@@ -1703,7 +1744,9 @@ def _vec_chain(spark, state_path: str, base_v: int, upto_v: int, cells=None):
     ]
     if denc_paths:
         base = base.unionByName(
-            spark.read.parquet(*denc_paths).select("id", "cell", "pq", "seq")
+            spark.read.parquet(*denc_paths).select(
+                "id", "cell", "pq", "seq", "tomb"
+            )
         )
     return base
 
@@ -1734,6 +1777,7 @@ def _vector_ingest_fn(
     subspace_codebook_df: DataFrame | None = None,
     codebook_ids: list[int] | None = None,
     compact_every: int = 8,
+    by_residual: bool = False,
 ):
     """The foreachBatch body of :func:`stream_vector_ingest`, exposed
     for deterministic re-delivery / lineage tests."""
@@ -1752,6 +1796,9 @@ def _vector_ingest_fn(
         raise ValueError("compact_every must be >= 1")
     w = dim // m
 
+    def _res(v, c):
+        return F.zip_with(v, c, lambda x, y: x.cast("double") - y.cast("double"))
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         gate = _mor_fold_gate(state_path, lineage, batch_id)
@@ -1768,7 +1815,12 @@ def _vector_ingest_fn(
             cur = os.path.join(state_path, f"v-{version}")
             coarse = spark.read.parquet(os.path.join(cur, "coarse"))
             cb = spark.read.parquet(os.path.join(cur, "cb"))
+            # encoding mode is STATE, not a call argument: a resumed
+            # stream passing the wrong by_residual must not silently
+            # mix raw and residual codes in one table
+            residual = _vec_mode(state_path, version) == "residual"
         else:
+            residual = by_residual
             if coarse_df is not None:
                 coarse = coarse_df.select("cid", "cvec")
             else:
@@ -1807,11 +1859,23 @@ def _vector_ingest_fn(
             None, id_col, vec_col, m, w, None, None, cb
         )
         sub_lits = _build_sub_lits(sub_rows_state)
-        enc_new = _assign(uniq, coarse, id_col, vec_col).select(
+        assigned = _assign(uniq, coarse, id_col, vec_col)
+        if residual:
+            # the paper's §5 recipe, the ivfadc_topk(by_residual=True)
+            # device: encode (vector − its cell centroid) — one extra
+            # broadcast join of the k-row coarse table
+            assigned = assigned.join(
+                F.broadcast(coarse), assigned["cell"] == coarse["cid"]
+            )
+            enc_in = _res(F.col(vec_col), F.col("cvec"))
+        else:
+            enc_in = F.col(vec_col)
+        enc_new = assigned.select(
             F.col(id_col).alias("id"),
             F.col("cell").cast("long").alias("cell"),
-            _encode_expr(sub_lits, F.col(vec_col), m, w).alias("pq"),
+            _encode_expr(sub_lits, enc_in, m, w).alias("pq"),
             F.lit(new_v).cast("int").alias("seq"),
+            F.lit(False).alias("tomb"),
         )
         new_dir = os.path.join(state_path, f"v-{new_v}")
         compact = version >= 0 and (new_v - base_v) >= compact_every
@@ -1821,6 +1885,9 @@ def _vector_ingest_fn(
             # inverted-list layout queries prune on) — the one
             # O(standing-corpus) write, amortized over compact_every
             # folds; the standing rows are m ints each
+            # _vec_resolve drops tombstones, so compaction PURGES
+            # retired ids physically — the erasure actually lands on
+            # disk at the next compaction, not just at read time
             if version >= 0:
                 resolved = _vec_resolve(
                     _vec_chain(spark, state_path, base_v, version).unionByName(
@@ -1829,6 +1896,7 @@ def _vector_ingest_fn(
                 ).select(
                     "id", "cell", "pq",
                     F.lit(new_v).cast("int").alias("seq"),
+                    F.lit(False).alias("tomb"),
                 )
             else:
                 resolved = enc_new
@@ -1843,9 +1911,11 @@ def _vector_ingest_fn(
                 os.path.join(new_dir, "denc")
             )
             new_base = base_v
-        # codebooks copy forward so GC of old versions never strands them
+        # codebooks + encoding mode copy forward so GC of old versions
+        # never strands them
         coarse.write.mode("overwrite").parquet(os.path.join(new_dir, "coarse"))
         cb.write.mode("overwrite").parquet(os.path.join(new_dir, "cb"))
+        _vec_mode_write(new_dir, "residual" if residual else "raw")
         _manifest_publish_mor(state_path, new_v, lineage, batch_id, new_base)
         # the previous manifest's readers need [base_v..version]; keep
         # that whole chain one cycle
@@ -1914,6 +1984,21 @@ def ann_state_query(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qvec", "cell")
     )
+    if _vec_mode(state_path, version) == "residual":
+        # residual-encoded state: compare (query − PROBED cell centroid)
+        # against resident codes, per probe — the ivfadc_topk
+        # by_residual device, one broadcast join of the k-row coarse
+        probes = probes.join(
+            F.broadcast(coarse),
+            probes["cell"] == coarse["cid"],
+        ).select(
+            "query_id",
+            F.zip_with(
+                "qvec", "cvec",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("qvec"),
+            "cell",
+        )
     # the probed cell set is ≤ nprobe × |queries| driver values — the
     # same bounded-collect contract as the MoR ledger's touched buckets
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
@@ -1938,3 +2023,53 @@ def ann_state_query(
             F.round("adc_raw", 6).alias("adc"), "rank",
         )
     )
+
+
+def vector_index_retire(spark, state_path: str, retired_ids) -> None:
+    """Out-of-band retirement TRANSACTION on the vector index (takedown
+    / retention expiry / erasure — the :func:`ledger_mor_retire` twin):
+    publish one tombstone delta — rows ``(id, NULL cell, NULL pq,
+    seq=new, tomb=true)`` — as its own manifest version, consuming no
+    stream batch id (the high-water mark is republished unchanged).
+
+    Scale shape, deliberately DIFFERENT from the ledger retire: the
+    ledger must read the retired docs' current rows (their shingle
+    counts need negating), so it pays a bucket-pruned lookup; the
+    vector index needs nothing back — a tombstone is self-contained —
+    so this writes O(|retired|) and reads NOTHING.  Tombstones of ids
+    absent from the state resolve harmlessly; the next compaction
+    purges all tombstones physically (``_vec_resolve`` drops them
+    before the base write), which is when the erasure lands on disk.
+    ``retired_ids``: a one-column ``id`` DataFrame."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    m = _manifest_read_mor(state_path)
+    if m is None:
+        raise ValueError(f"no published vector-index state at {state_path}")
+    version, lineage, upto, base_v = m
+    new_v = version + 1
+    cur = os.path.join(state_path, f"v-{version}")
+    enc_schema = spark.read.parquet(os.path.join(cur, "enc")).schema \
+        if os.path.isdir(os.path.join(cur, "enc")) \
+        else spark.read.parquet(os.path.join(cur, "denc")).schema
+    id_type = enc_schema["id"].dataType
+    pq_type = enc_schema["pq"].dataType
+    tomb = retired_ids.select(
+        F.col("id").cast(id_type).alias("id"),
+        F.lit(None).cast("long").alias("cell"),
+        F.lit(None).cast(pq_type).alias("pq"),
+        F.lit(new_v).cast("int").alias("seq"),
+        F.lit(True).alias("tomb"),
+    ).distinct()
+    new_dir = os.path.join(state_path, f"v-{new_v}")
+    tomb.write.mode("overwrite").parquet(os.path.join(new_dir, "denc"))
+    # codebooks + mode copy forward (the fold's GC contract)
+    for part in ("coarse", "cb"):
+        spark.read.parquet(os.path.join(cur, part)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(new_dir, part))
+    _vec_mode_write(new_dir, _vec_mode(state_path, version))
+    _manifest_publish_mor(state_path, new_v, lineage, upto, base_v)
+    _manifest_gc(state_path, base_v)

@@ -1531,3 +1531,120 @@ def test_ann_state_query_unpublished_returns_none(spark, tmp_path):
         spark, str(tmp_path / "nothing"),
         spark.createDataFrame([], "query_id long, query_vec array<double>"),
     ) is None
+
+
+def test_vector_ingest_residual_mode_frozen_and_matches_batch(spark, tmp_path):
+    """A residual-encoded index state: the encoding mode is FROZEN into
+    the state (a resumed fold passing by_residual=False still encodes
+    residuals — mixing raw and residual codes in one table would be
+    silent garbage), and the state query equals the batch
+    ivfadc_topk(by_residual=True) under the same frozen codebooks."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pq import ivfadc_topk
+    from scholarmind_spark.streaming.pipeline import (
+        _vec_mode,
+        _vector_ingest_fn,
+        ann_state_query,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "state")
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1],
+        codebook_ids=[0, 1, 2, 3], by_residual=True,
+    )
+    b0 = _vec_rows(0, 6)
+    b1 = _vec_rows(6, 6)
+    fold(spark.createDataFrame(b0, VS), 0)
+    # resume with the WRONG creation arg: mode must come from the state
+    wrong = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, by_residual=False
+    )
+    wrong(spark.createDataFrame(b1, VS), 1)
+    assert _vec_mode(state, 1) == "residual"
+
+    full = spark.createDataFrame(sorted(dict(b0 + b1).items()), VS)
+    coarse = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1)], "cid long, cvec array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1, 2, 3)], VS
+    ).select(
+        F.col("vec_id").cast("long").alias("code"),
+        F.col("embedding").alias("cvec"),
+    )
+    q = full.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    expect = sorted(map(tuple, ivfadc_topk(
+        full, q, k=5, m=2, dim=8, nprobe=2, coarse_df=coarse,
+        codebook_df=cb, by_residual=True,
+    ).collect()))
+    got = sorted(map(tuple, ann_state_query(
+        spark, state, q, k=5, nprobe=2, m=2, dim=8
+    ).collect()))
+    assert got == expect
+
+
+def test_vector_index_retire(spark, tmp_path):
+    """vector_index_retire publishes a tombstone delta as its own
+    version: retired ids vanish from queries and the resolved state
+    (== a rebuild over the survivors), absent ids are no-ops, the
+    stream high-water is unchanged so the next fold proceeds, a
+    re-ingest after retirement resurrects the id, and the next
+    COMPACTION purges tombstones physically from the base files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.streaming.pipeline import (
+        _manifest_read_mor,
+        _vector_ingest_fn,
+        ann_state_query,
+        vector_index_retire,
+        vector_state_enc,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "state")
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1],
+        codebook_ids=[0, 1, 2, 3], compact_every=4,
+    )
+    b0, b1 = _vec_rows(0, 6), _vec_rows(6, 6)
+    fold(spark.createDataFrame(b0, VS), 0)
+    fold(spark.createDataFrame(b1, VS), 1)
+
+    retired = spark.createDataFrame([(3,), (7,), (999,)], "id bigint")
+    vector_index_retire(spark, state, retired)
+    assert _manifest_read_mor(state) == (2, "feedbeef", 1, 0)  # upto unchanged
+    enc = vector_state_enc(spark, state)
+    assert sorted(r.id for r in enc.collect()) == [
+        i for i in range(12) if i not in (3, 7)
+    ]
+    # a query never returns a retired id, from any probed cell
+    full = spark.createDataFrame(sorted(dict(b0 + b1).items()), VS)
+    q = full.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got_ids = {
+        r.neighbor_id
+        for r in ann_state_query(
+            spark, state, q, k=12, nprobe=2, m=2, dim=8
+        ).collect()
+    }
+    assert not ({3, 7} & got_ids) and got_ids
+
+    # stream resumes; batch 2 re-ingests id 3 (resurrection) and the
+    # NEXT fold compacts (new_v=4 - base 0 >= 4): tombstones purged
+    fold(spark.createDataFrame([(3, [0.5] * 8)], VS), 2)
+    fold(spark.createDataFrame(_vec_rows(12, 2), VS), 3)
+    version, _, _, base_v = _manifest_read_mor(state)
+    assert (version, base_v) == (4, 4)  # compacted base
+    base = spark.read.parquet(os.path.join(state, "v-4", "enc"))
+    ids = sorted(r.id for r in base.collect())
+    assert 7 not in ids and 3 in ids  # purged vs resurrected
+    assert not [r for r in base.collect() if r.tomb]
