@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "ann_ivfadc_topk",
     "ann_pq_trained",
     "ann_index_stream",
+    "ann_index_retire",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "events_asof_join",

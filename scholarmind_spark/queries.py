@@ -1877,6 +1877,61 @@ def ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_index_retire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector index's RETIREMENT surface, driver-gated (r14): fold
+    the embeddings corpus into its own index state (two batches), then
+    vector_index_retire every (vec_id % 10 == 7, >= 16) row — a
+    tombstone delta, O(|retired|) written, nothing read — and the state
+    query must equal the batch ivfadc_topk DuckDB oracle over the
+    SURVIVING corpus.  The retired set avoids the frozen coarse (0-3) /
+    codebook (0-15) ids and the query ids, so the oracle's codebooks
+    stay identical to the state's.  Separate per-process state from
+    ann_index_stream's (that gate's oracle is the full corpus);
+    repeated calls re-publish the same tombstones, which resolve
+    identically (retire is semantically idempotent)."""
+    import hashlib
+
+    from scholarmind_spark.streaming.pipeline import (
+        _vector_ingest_fn,
+        ann_state_query,
+        vector_index_retire,
+    )
+    from scholarmind_spark.util import proc_tmp_dir
+
+    e = _t(spark, sf_dir, "embeddings")
+    state = proc_tmp_dir(
+        "ann_ret_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    fold = _vector_ingest_fn(state, "annretgate", compact_every=8)
+    vid = F.col("vec_id")
+    fold(e.filter((vid < 16) | (vid % 2 == 0)), 0)
+    fold(e.filter((vid >= 16) & (vid % 2 == 1)), 1)
+    retired = e.filter((vid % 10 == 7) & (vid >= 16)).select(
+        vid.alias("id")
+    )
+    vector_index_retire(spark, state, retired)
+    q = e.filter(vid.isin(ANN_QUERY_IDS)).select(
+        vid.alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_state_query(spark, state, q, k=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ann_index_retire_sql() -> str:
+    from scholarmind_spark.operators.pq import ivfadc_topk_sql
+
+    survivors = (
+        "(SELECT * FROM embeddings"
+        " WHERE NOT (vec_id % 10 = 7 AND vec_id >= 16))"
+    )
+    return (
+        "SELECT * FROM "
+        + ivfadc_topk_sql(survivors, query_ids=ANN_QUERY_IDS, k=10, nprobe=2)
+        + " ORDER BY query_id, rank"
+    )
+
+
 def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket join + exact verify."""
     from scholarmind_spark.operators.similarity import embedding_neardup_pairs
@@ -7510,6 +7565,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "ann_ivfadc_topk": ann_ivfadc_docs,
     "ann_pq_trained": ann_pq_trained,
     "ann_index_stream": ann_index_stream,
+    "ann_index_retire": ann_index_retire,
     "dedup_embedding_cosine": dedup_embedding_docs,
     "media_byte_stats": media_stats,
     "media_decode": media_decode,
@@ -7706,6 +7762,7 @@ ORACLE_SQL: dict[str, str] = {
     # the streamed index resolves to the SAME corpus + codebooks the
     # batch ivfadc gate certifies — one oracle serves both
     "ann_index_stream": _ann_ivfadc_sql(),
+    "ann_index_retire": _ann_index_retire_sql(),
     "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,
@@ -7873,6 +7930,7 @@ ORACLE_SQL: dict[str, str] = {
 _WINDOW_BASIS_ROUND = 13  # newest CORRECTNESS_r*.json the window derives from
 
 _ROUND14_FRONT = [
+    "ann_index_retire",
     "ann_index_stream",
     "ann_pq_trained",
     "bucketed_join_revenue",
@@ -7922,7 +7980,6 @@ _ROUND14_FRONT = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ledger_retire",
-    "diag_curation_stages",
 ]
 
 

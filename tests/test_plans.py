@@ -26,6 +26,7 @@ SKIP = {
     # query-side plan (pruned base + delta resolve + broadcast probes)
     # is covered by the gate and tools/fold_probe.py vector
     "ann_index_stream",
+    "ann_index_retire",
 }
 
 # deliberate broadcast nested-loop joins: the all-pairs exact baselines, the
