@@ -435,7 +435,11 @@ def main() -> None:
     anchors: dict[str, float] = {}
     if os.path.exists(anchors_path):
         with open(anchors_path) as f:
-            anchors = json.load(f).get("anchors", {})
+            _a = json.load(f)
+        # anchors are per-SF: comparing an sf0.01 smoke to sf0.1 anchors
+        # would flag everything; off-sf runs triage as "new"
+        if str(_a.get("sf")) == sf:
+            anchors = _a.get("anchors", {})
     triage: dict[str, str] = {}
     for name, med in timings.items():
         a = anchors.get(name)
