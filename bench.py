@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "ann_pq_trained",
     "ann_index_stream",
     "ann_index_retire",
+    "ann_ivfadc_rerank",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "events_asof_join",

@@ -732,3 +732,125 @@ def pq_topk_trained_sql(
                              ORDER BY adc_raw ASC, neighbor_id ASC) AS rank
    FROM scored
  ) WHERE rank <= {k})"""
+
+
+def ivfadc_refine_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    rerank: int = 50,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    coarse_df: DataFrame | None = None,
+    coarse_ids: list[int] | None = None,
+    codebook_ids: list[int] | None = None,
+    codebook_df: DataFrame | None = None,
+    subspace_codebook_df: DataFrame | None = None,
+    by_residual: bool = False,
+) -> DataFrame:
+    """IVFADC + exact re-ranking (the paper's §5.3 "IVFADC+R" refine
+    step, the Faiss ``refine`` recipe): take the ADC top-``rerank``
+    candidates per query, fetch ONLY those candidates' raw vectors, and
+    re-rank by exact squared-L2 to the unquantized query.  Returns
+    ``query_id, neighbor_id, dist, rank`` (exact distances — unlike the
+    parent's approximate ``adc``).
+
+    Scale shape: the candidate set is ``rerank × |queries|`` rows —
+    broadcast against the corpus scan, so the refine costs one
+    hash-join pass (never all-pairs) and the exact-distance flops are
+    R×|q|, independent of the corpus.  Quantization error then affects
+    only RECALL of the candidate stage, never the final ordering of
+    what it surfaced — the standard production quality/cost point
+    (measured: tools/ann_recall.py ivfadc_clustered --rerank)."""
+    cand = ivfadc_topk(
+        df, queries_df, id_col, vec_col, query_id_col, query_vec_col,
+        k=rerank, m=m, dim=dim, nprobe=nprobe,
+        coarse_df=coarse_df, coarse_ids=coarse_ids,
+        codebook_ids=codebook_ids, codebook_df=codebook_df,
+        subspace_codebook_df=subspace_codebook_df,
+        by_residual=by_residual,
+    ).select("query_id", "neighbor_id")
+    raw = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    scored = (
+        raw.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _sq(F.col("__qvec"), F.col("__nvec")).alias("d_raw"),
+        )
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("d_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("d_raw", 6).alias("dist"), "rank",
+        )
+    )
+
+
+def ivfadc_refine_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    rerank: int = 50,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    coarse_ids: list[int] | None = None,
+    codebook_ids: list[int] | None = None,
+) -> str:
+    """DuckDB twin of :func:`ivfadc_refine_topk` (raw encoding): the
+    :func:`ivfadc_topk_sql` candidate stage at k=rerank, then an exact
+    squared-L2 re-rank over only those candidates."""
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list")
+    qids = ", ".join(str(i) for i in query_ids)
+    cand = ivfadc_topk_sql(
+        table, id_col, vec_col, query_ids=query_ids, k=rerank,
+        m=m, dim=dim, nprobe=nprobe,
+        coarse_ids=coarse_ids, codebook_ids=codebook_ids,
+    )
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1]::DOUBLE - p[2]::DOUBLE)"
+            " * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+        )
+
+    return f"""
+(WITH cand AS (SELECT query_id, neighbor_id FROM {cand}),
+ rq AS (
+   SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+   WHERE {id_col} IN ({qids})
+ ),
+ raw AS (SELECT {id_col} AS neighbor_id, {vec_col} AS nvec FROM {table}),
+ rescored AS (
+   SELECT c.query_id, c.neighbor_id, {sq('q.qvec', 'r.nvec')} AS d_raw
+   FROM cand c
+   JOIN raw r ON r.neighbor_id = c.neighbor_id
+   JOIN rq q ON q.query_id = c.query_id
+ )
+ SELECT query_id, neighbor_id, round(d_raw, 6) AS dist, rank FROM (
+   SELECT query_id, neighbor_id, d_raw,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY d_raw ASC, neighbor_id ASC) AS rank
+   FROM rescored
+ ) WHERE rank <= {k})"""

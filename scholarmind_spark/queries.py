@@ -1932,6 +1932,36 @@ def _ann_index_retire_sql() -> str:
     )
 
 
+def ann_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact re-ranking (operators/pq.ivfadc_refine_topk —
+    Jégou et al. §5.3 IVFADC+R / the Faiss refine recipe): ADC surfaces
+    top-50 candidates per query, their raw vectors alone are fetched
+    (rerank × |queries| rows, broadcast against one corpus scan) and
+    re-ranked by EXACT squared-L2 — quantization error then bounds only
+    candidate recall, never the final ordering of what was surfaced."""
+    from scholarmind_spark.operators.pq import ivfadc_refine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfadc_refine_topk(e, q, k=10, rerank=50, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ann_ivfadc_rerank_sql() -> str:
+    from scholarmind_spark.operators.pq import ivfadc_refine_topk_sql
+
+    return (
+        "SELECT * FROM "
+        + ivfadc_refine_topk_sql(
+            "embeddings", query_ids=ANN_QUERY_IDS, k=10, rerank=50, nprobe=2
+        )
+        + " ORDER BY query_id, rank"
+    )
+
+
 def dedup_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket join + exact verify."""
     from scholarmind_spark.operators.similarity import embedding_neardup_pairs
@@ -7566,6 +7596,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "ann_pq_trained": ann_pq_trained,
     "ann_index_stream": ann_index_stream,
     "ann_index_retire": ann_index_retire,
+    "ann_ivfadc_rerank": ann_ivfadc_rerank,
     "dedup_embedding_cosine": dedup_embedding_docs,
     "media_byte_stats": media_stats,
     "media_decode": media_decode,
@@ -7763,6 +7794,7 @@ ORACLE_SQL: dict[str, str] = {
     # batch ivfadc gate certifies — one oracle serves both
     "ann_index_stream": _ann_ivfadc_sql(),
     "ann_index_retire": _ann_index_retire_sql(),
+    "ann_ivfadc_rerank": _ann_ivfadc_rerank_sql(),
     "dedup_embedding_cosine": embedding_neardup_pairs_sql("embeddings", threshold=0.25),
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_decode": MEDIA_DECODE_SQL,
@@ -7932,6 +7964,7 @@ _WINDOW_BASIS_ROUND = 13  # newest CORRECTNESS_r*.json the window derives from
 _ROUND14_FRONT = [
     "ann_index_retire",
     "ann_index_stream",
+    "ann_ivfadc_rerank",
     "ann_pq_trained",
     "bucketed_join_revenue",
     "cube_order_stats",
@@ -7979,7 +8012,6 @@ _ROUND14_FRONT = [
     "dataset_split_leakage",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_ledger_retire",
 ]
 
 

@@ -44,6 +44,9 @@ BNLJ_OK = {
     # round-14: the trained-codebook PQ gate inherits ann_pq_topk's
     # shape exactly (codebook inlined as literals, broadcast query set)
     "ann_pq_trained",
+    # round-14: the refine stage inherits ivfadc's coarse BNLJ; the
+    # rerank joins are broadcast-hash (candidates R x |q| rows)
+    "ann_ivfadc_rerank",
     "dataset_mixture", "text_bm25_topk", "text_lm_score",
     "embed_centroid_classify", "source_vocab_overlap", "fk_audit",
     "events_mutual_information", "skew_key_report", "text_collocations",

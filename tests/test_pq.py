@@ -337,3 +337,36 @@ def test_pq_train_exact_integer_micro_means(spark):
         subspace_codebook_df=cb,
     )
     assert out.count() == 1
+
+
+def test_refine_reranks_candidates_exactly(spark):
+    """IVFADC+R: every cell-0 resident encodes to the SAME codes (ADC
+    ties for all of them, id-order fallback), but exact distances
+    differ — the refine stage must reorder by exact squared-L2 while
+    drawing only from the ADC candidate set."""
+    from pyspark.sql import Row
+
+    from scholarmind_spark.operators.pq import ivfadc_refine_topk, ivfadc_topk
+
+    rows = [
+        (0, [0.0] * 8),                                   # codeword/coarse 0
+        (1, [10.0] * 8),                                  # codeword/coarse 1
+        (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),    # encodes (0,0)
+        (3, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),    # encodes (0,0)
+    ]
+    df = _df(spark, rows)
+    q = spark.createDataFrame(
+        [Row(query_id=9, query_vec=[0.0, 2.0] + [0.0] * 6)]
+    )
+    common = dict(
+        m=2, dim=DIM, nprobe=1, coarse_ids=[0, 1], codebook_ids=[0, 1]
+    )
+    adc = [r.neighbor_id for r in ivfadc_topk(df, q, k=4, **common)
+           .orderBy("rank").collect()]
+    assert adc == [0, 2, 3]  # all-ADC-tied, id order
+    ref = ivfadc_refine_topk(df, q, k=4, rerank=4, **common).orderBy("rank")
+    got = [(r.neighbor_id, r.dist) for r in ref.collect()]
+    # exact distances: 3 -> 1, 0 -> 4, 2 -> 5
+    assert got == [(3, 1.0), (0, 4.0), (2, 5.0)]
+    # refine never surfaces anything outside the candidate set
+    assert {n for n, _ in got} <= set(adc)

@@ -475,24 +475,38 @@ def ivfadc_clustered_main():
             res_cb = pq_train_residual(
                 e, coarse, m=m, dim=dim, codes=codes, iters=3
             )
+            from scholarmind_spark.operators.pq import ivfadc_refine_topk
+
             for enc, cb, byres in (("raw", raw_cb, False),
                                    ("residual", res_cb, True)):
-                out = ivfadc_topk(
-                    e, q, k=k, m=m, dim=dim, nprobe=nprobe,
-                    coarse_df=coarse, subspace_codebook_df=cb,
-                    by_residual=byres,
-                )
-                approx: dict[int, set] = {}
-                for r in out.collect():
-                    approx.setdefault(r.query_id, set()).add(r.neighbor_id)
-                rec = sum(
-                    len(approx.get(qid, set()) & hits) / len(hits)
-                    for qid, hits in exact.items()
-                ) / len(exact)
-                name = f"ivfadc_m{m}_c{codes}_{enc}_nprobe{nprobe}"
-                out_rows.append((sigma, name, rec, frac))
-                print(f"sigma={sigma} {name}: recall@{k}={rec:.3f} "
-                      f"scan={frac:.3f}")
+                variants = [
+                    (f"ivfadc_m{m}_c{codes}_{enc}_nprobe{nprobe}",
+                     ivfadc_topk(
+                         e, q, k=k, m=m, dim=dim, nprobe=nprobe,
+                         coarse_df=coarse, subspace_codebook_df=cb,
+                         by_residual=byres,
+                     )),
+                    # IVFADC+R: same candidates, exact re-rank of the
+                    # ADC top-50 — quantization error now bounds only
+                    # candidate recall (rerank x |q| exact flops extra)
+                    (f"ivfadc_m{m}_c{codes}_{enc}_nprobe{nprobe}_rerank50",
+                     ivfadc_refine_topk(
+                         e, q, k=k, rerank=50, m=m, dim=dim,
+                         nprobe=nprobe, coarse_df=coarse,
+                         subspace_codebook_df=cb, by_residual=byres,
+                     )),
+                ]
+                for name, out in variants:
+                    approx: dict[int, set] = {}
+                    for r in out.collect():
+                        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+                    rec = sum(
+                        len(approx.get(qid, set()) & hits) / len(hits)
+                        for qid, hits in exact.items()
+                    ) / len(exact)
+                    out_rows.append((sigma, name, rec, frac))
+                    print(f"sigma={sigma} {name}: recall@{k}={rec:.3f} "
+                          f"scan={frac:.3f}")
         e.unpersist()
         coarse.unpersist()
 
