@@ -437,9 +437,13 @@ def main() -> None:
     if os.path.exists(anchors_path):
         with open(anchors_path) as f:
             _a = json.load(f)
-        # anchors are per-SF: comparing an sf0.01 smoke to sf0.1 anchors
-        # would flag everything; off-sf runs triage as "new"
-        if str(_a.get("sf")) == sf:
+        # anchors are per-SF AND per-protocol: comparing an sf0.01 smoke
+        # to sf0.1 anchors would flag everything, and a single-rep or
+        # BENCH_ONLY subset run pays cold fold/JIT costs the full-list
+        # multi-rep protocol amortizes (observed: ann_index_stream 24.1s
+        # on a 1-rep smoke vs its 3.2s in-context anchor — all warmup).
+        # Off-protocol runs triage as "new".
+        if str(_a.get("sf")) == sf and not only and n_reps >= 2:
             anchors = _a.get("anchors", {})
     triage: dict[str, str] = {}
     for name, med in timings.items():
