@@ -618,8 +618,11 @@ def pq_train_exact(
 
     Scale shape: one posexplode of (id, coordinate) → ONE partial-
     aggregated groupBy (codes × dim rows out — vocab-sized, never
-    corpus-sized) → codes × m packed rows.  ``id_col`` must be
-    non-negative integral (the gate corpus contract)."""
+    corpus-sized) → codes × m packed rows.  The assignment is
+    ``pmod(id, codes)`` — non-negative for ANY integral id — and the
+    DuckDB twin spells the same pmod as ``((id % c) + c) % c``
+    (DuckDB's ``%`` truncates toward zero, so a bare ``%`` would
+    assign negative ids differently between the engines)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     w = dim // m
@@ -663,7 +666,11 @@ def pq_topk_trained_sql(
     codebook — the oracle DERIVES the trained table (integer-micro
     means under ``id % codes``) rather than quoting it, then runs the
     same per-subspace assignment / ADC / top-k as :func:`pq_topk_sql`
-    with the codebook in its native ``(sub, code, cw)`` form."""
+    with the codebook in its native ``(sub, code, cw)`` form.  The
+    code assignment is ``((id % c) + c) % c`` — DuckDB's truncating
+    ``%`` made pmod-equivalent, so negative ids land on the same code
+    in both engines (the contract is enforced in arithmetic, not just
+    documented)."""
     if not query_ids:
         raise ValueError("query_ids must be a non-empty list")
     w = dim // m
@@ -699,7 +706,7 @@ def pq_topk_trained_sql(
     return f"""
 (WITH corpus AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
  cbq AS (
-   SELECT {id_col}::BIGINT % {codes} AS code,
+   SELECT (({id_col}::BIGINT % {codes}) + {codes}) % {codes} AS code,
           list_transform({vec_col}, v -> round(v::DOUBLE * {MICRO})::BIGINT) AS e
    FROM {table}
  ),

@@ -1210,10 +1210,13 @@ def _ledger_ingest_fn(
 #   the old manifest mid-publish may still be scanning any of it).
 
 
-def _manifest_read_mor(state_path: str):
+def _manifest_read_mor(state_path: str, what: str = "ledger"):
     """(version, lineage, folded_upto, base_version) or None.  Refuses
     a copy-on-write manifest cleanly (see :func:`_manifest_read` for
-    the mirror-image guard)."""
+    the mirror-image guard) — with remediation advice matched to the
+    CALLER's state family: 'fold it with mode=cow' only makes sense
+    for the dedup ledger; a vector-index caller hitting a CoW manifest
+    has pointed its index at some other state's directory."""
     import os
 
     mp = _manifest_path(state_path)
@@ -1222,6 +1225,12 @@ def _manifest_read_mor(state_path: str):
     with open(mp) as f:
         parts = f.read().split()
     if not parts or parts[0] != "mor":
+        if what == "vector index":
+            raise ValueError(
+                f"state at {state_path} carries a copy-on-write ledger "
+                "manifest, not a vector-index state — point the index "
+                "at a fresh state_path and re-fold the corpus into it"
+            )
         raise ValueError(
             f"state at {state_path} is copy-on-write; fold it with "
             "mode='cow' (and read it with ledger_state_dirs), or start "
@@ -1243,15 +1252,18 @@ def _manifest_publish_mor(
     os.replace(tmp, mp)
 
 
-def _mor_fold_gate(state_path: str, lineage: str, batch_id: int):
+def _mor_fold_gate(
+    state_path: str, lineage: str, batch_id: int, what: str = "ledger"
+):
     """(version, base_version) — (-1, -1) if never published — or the
     ``_SKIP`` sentinel; same refusals as :func:`_manifest_fold_gate`
     (rename layout, foreign lineage) plus the CoW-manifest refusal
-    built into :func:`_manifest_read_mor`."""
+    built into :func:`_manifest_read_mor` (``what`` picks that
+    refusal's remediation text: 'ledger' | 'vector index')."""
     import os
 
     os.makedirs(state_path, exist_ok=True)
-    m = _manifest_read_mor(state_path)
+    m = _manifest_read_mor(state_path, what)
     if m is None:
         if os.path.isdir(f"{state_path}.old") or any(
             f.endswith(".parquet") or f.startswith("_folded_")
@@ -1259,14 +1271,14 @@ def _mor_fold_gate(state_path: str, lineage: str, batch_id: int):
         ):
             raise ValueError(
                 f"state at {state_path} is rename-committed; folding it "
-                "as a merge-on-read ledger would orphan it — start a "
+                f"as a merge-on-read {what} would orphan it — start a "
                 "fresh state_path"
             )
         return -1, -1
     version, mk_lineage, folded_upto, base_v = m
     if mk_lineage != lineage:
         raise ValueError(
-            f"ledger state at {state_path} was folded under a "
+            f"{what} state at {state_path} was folded under a "
             "different checkpoint lineage; batch ids from this "
             "checkpoint cannot be deduplicated against it — "
             "resume with the original checkpoint, or fold into "
@@ -1694,8 +1706,11 @@ def _vec_mode_write(version_dir: str, mode: str) -> None:
 
 def _vec_mode(state_path: str, version: int) -> str:
     """The state's frozen encoding mode (``raw`` | ``residual``) —
-    a per-version sidecar like the codebooks; absent (a pre-r14 state)
-    means raw."""
+    a per-version sidecar like the codebooks.  Every published version
+    writes the sidecar, so absence means a hand-assembled or truncated
+    state dir; default raw rather than failing the read (the defensive
+    choice — a wrong guess surfaces as a parity mismatch, not silent
+    code-space mixing, because folds copy the sidecar forward)."""
     import os
 
     p = os.path.join(state_path, f"v-{version}", "encmode.txt")
@@ -1756,7 +1771,7 @@ def vector_state_enc(spark, state_path: str) -> DataFrame | None:
     per id, latest version wins — or None if nothing is published.
     Full-chain resolve (no pruning): the parity/test reader, and the
     input a from-scratch rebuild is compared against."""
-    m_ = _manifest_read_mor(state_path)
+    m_ = _manifest_read_mor(state_path, "vector index")
     if m_ is None:
         return None
     version, _, _, base_v = m_
@@ -1801,7 +1816,7 @@ def _vector_ingest_fn(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        gate = _mor_fold_gate(state_path, lineage, batch_id)
+        gate = _mor_fold_gate(state_path, lineage, batch_id, "vector index")
         if gate is _SKIP:
             return
         version, base_v = gate
@@ -1959,7 +1974,7 @@ def ann_state_query(
         _sq,
     )
 
-    m_ = _manifest_read_mor(state_path)
+    m_ = _manifest_read_mor(state_path, "vector index")
     if m_ is None:
         return None
     version, _, _, base_v = m_
@@ -2045,7 +2060,7 @@ def vector_index_retire(spark, state_path: str, retired_ids) -> None:
 
     from pyspark.sql import functions as F
 
-    m = _manifest_read_mor(state_path)
+    m = _manifest_read_mor(state_path, "vector index")
     if m is None:
         raise ValueError(f"no published vector-index state at {state_path}")
     version, lineage, upto, base_v = m

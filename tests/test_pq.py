@@ -339,6 +339,56 @@ def test_pq_train_exact_integer_micro_means(spark):
     assert out.count() == 1
 
 
+def test_pq_train_exact_negative_ids_match_duckdb(spark):
+    """Engine parity on NEGATIVE ids: pq_train_exact assigns with
+    pmod(id, codes) while DuckDB's % truncates toward zero (-3 % 5 =
+    -3), so the oracle spells ((id % c) + c) % c — this pins that both
+    engines put a negative id on the same code (the ADVICE-flagged
+    silent divergence)."""
+    import duckdb
+    import pandas as pd
+
+    from scholarmind_spark.operators.pq import MICRO, pq_train_exact
+
+    rows = [
+        (-3, [1.0, 2.0, 3.0, 4.0, 10.0, 10.0, 10.0, 10.0]),
+        (-1, [5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 0.0]),
+        (0, [2.0, 3.0, 4.0, 5.0, 20.0, 20.0, 20.0, 20.0]),
+        (4, [7.0, 7.0, 7.0, 7.0, 2.0, 2.0, 2.0, 2.0]),
+    ]
+    codes, w = 2, 4
+    cb = pq_train_exact(_df(spark, rows), m=2, dim=DIM, codes=codes)
+    got = {(r.sub, r.code): list(r.cw) for r in cb.collect()}
+    # pmod: -3 -> 1, -1 -> 1, 0 -> 0, 4 -> 0 (DuckDB bare % gives -1/-1)
+    assert set(r[1] for r in got) == {0, 1}
+
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    oracle = con.execute(f"""
+        WITH cbq AS (
+          SELECT ((vec_id::BIGINT % {codes}) + {codes}) % {codes} AS code,
+                 list_transform(embedding,
+                   v -> round(v::DOUBLE * {MICRO})::BIGINT) AS e
+          FROM t
+        ),
+        cbc AS (
+          SELECT code, i.i AS j, e[i.i] AS v
+          FROM cbq, unnest(range(1, len(e) + 1)) AS i(i)
+        ),
+        cbm AS (
+          SELECT code, j, sum(v)::BIGINT // count(*)::BIGINT AS c
+          FROM cbc GROUP BY code, j
+        )
+        SELECT ((j - 1) // {w})::INT AS sub, code,
+               list(c::DOUBLE / {MICRO}.0 ORDER BY j) AS cw
+        FROM cbm GROUP BY 1, 2
+    """).fetchall()
+    want = {(r[0], r[1]): list(r[2]) for r in oracle}
+    assert got == want
+
+
 def test_refine_reranks_candidates_exactly(spark):
     """IVFADC+R: every cell-0 resident encodes to the SAME codes (ADC
     ties for all of them, id-order fallback), but exact distances

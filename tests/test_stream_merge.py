@@ -1533,6 +1533,40 @@ def test_ann_state_query_unpublished_returns_none(spark, tmp_path):
     ) is None
 
 
+def test_vector_surfaces_refuse_cow_manifest_with_vector_advice(
+    spark, tmp_path
+):
+    """A vector-index surface pointed at a CoW-ledger state must refuse
+    with VECTOR remediation (fresh state_path / re-fold the corpus),
+    not the ledger's 'fold it with mode=cow' advice, which cannot apply
+    to an index (the ADVICE-flagged wrong-remediation path)."""
+    import pytest as _pytest
+
+    from scholarmind_spark.streaming.pipeline import (
+        _ledger_ingest_fn,
+        _vector_ingest_fn,
+        ann_state_query,
+        vector_state_enc,
+    )
+
+    cow = str(tmp_path / "cow")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    _ledger_ingest_fn(cow, "cafebabe")(docs, 0)
+    q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    for attempt in (
+        lambda: ann_state_query(spark, cow, q),
+        lambda: vector_state_enc(spark, cow),
+        lambda: _vector_ingest_fn(cow, "cafebabe", m=2, dim=8)(
+            spark.createDataFrame(_vec_rows(0, 4),
+                                  "vec_id long, embedding array<double>"), 0
+        ),
+    ):
+        with _pytest.raises(ValueError, match="not a vector-index state"):
+            attempt()
+
+
 def test_vector_ingest_residual_mode_frozen_and_matches_batch(spark, tmp_path):
     """A residual-encoded index state: the encoding mode is FROZEN into
     the state (a resumed fold passing by_residual=False still encodes
