@@ -503,16 +503,41 @@ def ivfadc_topk_sql(
     nprobe: int = 2,
     coarse_ids: list[int] | None = None,
     codebook_ids: list[int] | None = None,
+    by_residual: bool = False,
 ) -> str:
-    """DuckDB twin of :func:`ivfadc_topk` (raw encoding, corpus-subset
-    coarse + code tables — same (d, cid)/(d, code) tiebreaks, same
-    probe order, same subspace accumulation order)."""
+    """DuckDB twin of :func:`ivfadc_topk` (corpus-subset coarse + code
+    tables — same (d, cid)/(d, code) tiebreaks, same probe order, same
+    subspace accumulation order).  ``by_residual`` mirrors the engine's
+    two encodings: False encodes/compares RAW vectors; True encodes
+    each vector's RESIDUAL against its routed cell centroid and ranks
+    by the query's per-probe residual — the paper's §5 recipe, the
+    exact arithmetic of ``ivfadc_topk(by_residual=True)`` and of a
+    residual-mode index state (subtract as DOUBLE, then the same
+    codeword assignment and ADC accumulation)."""
     if not query_ids:
         raise ValueError("query_ids must be a non-empty list")
     w = dim // m
     qids = ", ".join(str(i) for i in query_ids)
     ccids = ", ".join(str(i) for i in (coarse_ids or range(4)))
     cbids = ", ".join(str(i) for i in (codebook_ids or range(16)))
+    enc_src = "res" if by_residual else "corpus"
+    probes_src = "probesr" if by_residual else "probes"
+    res_cte = """
+ res AS (
+   SELECT e.id,
+          list_transform(list_zip(e.v, g.ccvec),
+            p -> p[1]::DOUBLE - p[2]::DOUBLE) AS v
+   FROM corpus e JOIN cells ON cells.id = e.id
+   JOIN coarse g ON g.ccid = cells.cell
+ ),""" if by_residual else ""
+    probesr_cte = """
+ probesr AS (
+   SELECT p.query_id,
+          list_transform(list_zip(p.qvec, g.ccvec),
+            x -> x[1]::DOUBLE - x[2]::DOUBLE) AS qvec,
+          p.cell
+   FROM probes p JOIN coarse g ON g.ccid = p.cell
+ ),""" if by_residual else ""
 
     def sq(a: str, b: str) -> str:
         return (
@@ -530,7 +555,7 @@ def ivfadc_topk_sql(
      SELECT e.id, c.code,
             row_number() OVER (PARTITION BY e.id
               ORDER BY {sq(sub('e.v', s), sub('c.cvec', s))}, c.code) AS rn
-     FROM corpus e CROSS JOIN cb c
+     FROM {enc_src} e CROSS JOIN cb c
    ) WHERE rn = 1
  )""")
     adc_terms = " + ".join(
@@ -557,7 +582,7 @@ def ivfadc_topk_sql(
               ORDER BY {sq('e.v', 'g.ccvec')}, g.ccid) AS rn
      FROM corpus e CROSS JOIN coarse g
    ) WHERE rn = 1
- ),{",".join(assigns)},
+ ),{res_cte}{",".join(assigns)},
  q AS (
    SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
    WHERE {id_col} IN ({qids})
@@ -569,12 +594,12 @@ def ivfadc_topk_sql(
               ORDER BY {sq('q.qvec', 'g.ccvec')}, g.ccid) AS rn
      FROM q CROSS JOIN coarse g
    ) WHERE rn <= {nprobe}
- ),
+ ),{probesr_cte}
  scored AS (
    SELECT DISTINCT p.query_id, e.id AS neighbor_id, {adc_terms} AS adc_raw
    FROM corpus e{code_joins}
    JOIN cells ON cells.id = e.id
-   JOIN probes p ON p.cell = cells.cell
+   JOIN {probes_src} p ON p.cell = cells.cell
    WHERE e.id <> p.query_id
  )
  SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank FROM (

@@ -1613,11 +1613,17 @@ def ledger_mor_retire(spark, state_path: str, retired_ids) -> None:
 #   the ENCODED BATCH ONLY.  The fold never reads prior state at all
 #   (unlike the ledger fold, no negative contributions exist here), so
 #   the per-fold write AND read are O(batch), never O(corpus);
-# - compaction version dir (every ``compact_every`` folds): ``v-n/enc``
-#   — the resolved chain materialized as a new base, PARTITIONED BY
-#   ``cell`` so a query's probe set prunes the base scan to Σ probed
-#   cell sizes (parquet partition pruning on the routing key — the
-#   inverted-list file layout, literally);
+# - compaction version dir (every ``compact_every`` versions — folds
+#   AND retires consume slots): ``v-n/enc`` — a base FRAGMENT holding
+#   only the cells the delta stack touched, PARTITIONED BY ``cell`` so
+#   a query's probe set prunes the scan to Σ probed cell sizes
+#   (parquet partition pruning on the routing key — the inverted-list
+#   file layout, literally), plus ``v-n/cellmap`` naming, for every
+#   live cell, the fragment that owns it: untouched cells are carried
+#   forward BY REFERENCE, so compaction writes ∝ touched cells, not
+#   the standing corpus (round 15; full-rewrite fallback at
+#   ``_VEC_MAX_FRAGS`` fan-in — see the fragment block comment above
+#   :data:`_VEC_MAX_FRAGS`);
 # - every version dir also carries ``coarse`` (cid, cvec) and ``cb``
 #   (sub, code, cw): the codebooks are IMMUTABLE for the state's
 #   lifetime and tiny by contract, copied forward so GC never strands
@@ -1630,12 +1636,14 @@ def ledger_mor_retire(spark, state_path: str, retired_ids) -> None:
 #
 # Re-ingested ids REPLACE their rows (latest-seq-wins, the ledger
 # revise semantics), resolved at read time by one window over
-# (pruned base ∪ deltas) — the delta stack is ≤ compact_every batches
-# by construction, so the resolve term is bounded.  Gate:
-# ``ann_index_stream`` (raw-mode query over a folded corpus == the
-# batch ``ivfadc_topk`` DuckDB oracle); probe: ``tools/fold_probe.py
-# vector`` measures fold-write and query-read volumes flat in the
-# standing corpus.
+# (pruned fragments ∪ deltas) — the delta stack is ≤ compact_every
+# versions by construction (retire compacts at the same bound), so the
+# resolve term is bounded.  Gates: ``ann_index_stream`` /
+# ``ann_index_residual`` (state query over a folded corpus == the
+# batch ``ivfadc_topk`` DuckDB oracle, raw and residual modes) and
+# ``ann_index_rerank`` (the refined read path == the batch IVFADC+R
+# oracle); probe: ``tools/fold_probe.py vector`` measures fold-write,
+# query-read AND compaction-write volumes flat in the standing corpus.
 #
 # Two production surfaces on top (round 14):
 # - ENCODING MODE is state, not an argument: ``by_residual=True``
@@ -1720,6 +1728,109 @@ def _vec_mode(state_path: str, version: int) -> str:
         return f.read().strip()
 
 
+# Per-cell incremental compaction (round 15): a compaction no longer
+# rewrites the whole standing corpus.  The base is a set of immutable
+# FRAGMENTS — each a cell-partitioned enc dir from some past compaction
+# — and a CELLMAP (cell -> fragment version) names, for every live
+# cell, the one fragment that currently owns it.  Compaction rewrites
+# ONLY the cells the delta stack touched (insert cells + tombstone
+# victims' cells), points those cells at the new fragment, and carries
+# every untouched cell forward BY REFERENCE — write volume is
+# proportional to touched cells, not the standing corpus (the LSM
+# leveling discipline; fold_probe.py vector measures it).  Reads stay
+# exact because each fragment is consulted ONLY for the cells the
+# cellmap assigns it: a cell rewritten by a newer fragment is never
+# read from an older one, so purged (tombstoned-then-compacted) ids
+# cannot resurrect out of stale partitions.  Fragment fan-in is capped
+# at _VEC_MAX_FRAGS — crossing it (or a touched set too large to prune
+# by literal lists) falls back to a FULL rewrite, which re-bases every
+# cell onto one fragment and lets GC reclaim the rest.
+_VEC_MAX_FRAGS = 8
+_VEC_TOUCHED_ISIN_MAX = 10_000
+
+
+def _vec_sidecar_write(version_dir: str, name: str, text: str) -> None:
+    import os
+
+    with open(os.path.join(version_dir, name), "w") as f:
+        f.write(text if text.endswith("\n") else text + "\n")
+
+
+def _vec_sidecar(state_path: str, version: int, name: str) -> str | None:
+    import os
+
+    p = os.path.join(state_path, f"v-{version}", name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip()
+
+
+def _vec_frags(state_path: str, version: int) -> list[int]:
+    """Live base-fragment versions referenced by the cellmap at
+    ``version`` (frags.txt sidecar, written at every publish).  Absent
+    sidecar (a hand-assembled state) degrades to the single-fragment
+    reading of the version's own enc dir."""
+    txt = _vec_sidecar(state_path, version, "frags.txt")
+    if txt is None:
+        return [version]
+    return sorted(int(x) for x in txt.split())
+
+
+def _vec_compact_every(state_path: str, version: int) -> int | None:
+    """The fold's compaction cadence, recorded per version so an
+    out-of-band transaction (retire) can honor the same bound without
+    being handed the stream's argument."""
+    txt = _vec_sidecar(state_path, version, "compactevery.txt")
+    return int(txt) if txt else None
+
+
+def _vec_enc_schema(spark, state_path: str, version: int):
+    """The enc relation's schema — from the encschema.txt sidecar
+    (written at every publish since the fragment layout landed), or by
+    probing the version's enc/denc files for older/hand-built states."""
+    import json
+    import os
+
+    txt = _vec_sidecar(state_path, version, "encschema.txt")
+    if txt is not None:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(txt))
+    cur = os.path.join(state_path, f"v-{version}")
+    part = "enc" if os.path.isdir(os.path.join(cur, "enc")) else "denc"
+    return spark.read.parquet(os.path.join(cur, part)).schema
+
+
+def _vec_gc(state_path: str, live_frags, floor: int) -> None:
+    """Vector-state GC: a version dir survives if it is a live base
+    fragment (referenced by the current cellmap — fragments may be
+    arbitrarily older than the manifest's base version) or at/above
+    ``floor`` (the previous manifest's chain, kept one cycle for
+    readers mid-resolve).  The ledger's simpler delete-below-base rule
+    would destroy referenced fragments here."""
+    import os
+    import shutil as _shutil
+
+    keep = set(live_frags)
+    for f in os.listdir(state_path):
+        if (
+            f.startswith("v-")
+            and f[2:].isdigit()
+            and os.path.isdir(os.path.join(state_path, f))
+        ):
+            n = int(f[2:])
+            if n < floor and n not in keep:
+                _shutil.rmtree(
+                    os.path.join(state_path, f), ignore_errors=True
+                )
+        elif f.startswith("MANIFEST.tmp-"):
+            try:
+                os.remove(os.path.join(state_path, f))
+            except OSError:
+                pass
+
+
 def _vec_resolve(chain: DataFrame) -> DataFrame:
     """Latest-seq-wins per id over a (base ∪ deltas) enc chain, then
     tombstone drop — the vector twin of ``ledger_mor_resolve_fp`` (seq
@@ -1737,33 +1848,94 @@ def _vec_resolve(chain: DataFrame) -> DataFrame:
 
 
 def _vec_chain(spark, state_path: str, base_v: int, upto_v: int, cells=None):
-    """The enc chain over versions [base_v..upto_v]: the base (possibly
-    PRUNED to ``cells`` — exact, because an id's base row lives only in
-    its cell partition and every delta is still read; stale base rows a
-    delta superseded lose the seq race in :func:`_vec_resolve`
-    regardless of which side was pruned — and tombstone deltas, whose
-    cell is NULL, are never prune candidates at all) unioned with one
-    multi-path delta scan.  ``cell`` normalizes to long: partition
-    discovery re-infers the base's partition column as int."""
+    """The enc chain over versions [base_v..upto_v]: the base — one or
+    more cell-partitioned FRAGMENTS named by the cellmap at ``base_v``,
+    each consulted ONLY for the cells the cellmap assigns it (a cell
+    rewritten by a newer fragment must never be read from an older
+    one: its stale rows would win the seq race for ids the rewrite
+    purged) and possibly PRUNED to ``cells`` (exact, because an id's
+    base row lives only in its owning fragment's cell partition and
+    every delta is still read; stale base rows a delta superseded lose
+    the seq race in :func:`_vec_resolve` regardless of which side was
+    pruned — and tombstone deltas, whose cell is NULL, are never prune
+    candidates at all) — unioned with one multi-path delta scan.
+    ``cell`` normalizes to long: partition discovery re-infers the
+    partition column as int."""
     import os
 
-    base = spark.read.parquet(os.path.join(state_path, f"v-{base_v}", "enc"))
-    if cells is not None:
-        base = base.where(F.col("cell").isin(list(cells)))
-    base = base.select(
-        "id", F.col("cell").cast("long").alias("cell"), "pq", "seq", "tomb"
-    )
+    def _std(df):
+        return df.select(
+            "id", F.col("cell").cast("long").alias("cell"),
+            "pq", "seq", "tomb",
+        )
+
+    cm_path = os.path.join(state_path, f"v-{base_v}", "cellmap")
+    parts = []
+    if os.path.isdir(cm_path):
+        cm = spark.read.parquet(cm_path)
+        if cells is not None:
+            # bounded-collect contract: |cells| is the caller's probe
+            # set (≤ nprobe × |queries|) or a compaction's touched set
+            # (capped at _VEC_TOUCHED_ISIN_MAX before full rewrite)
+            by_frag: dict[int, list] = {}
+            for r in cm.where(F.col("cell").isin(list(cells))).collect():
+                by_frag.setdefault(int(r["frag"]), []).append(r["cell"])
+            for frag in sorted(by_frag):
+                enc = spark.read.parquet(
+                    os.path.join(state_path, f"v-{frag}", "enc")
+                )
+                # the isin doubles as partition pruning AND fragment
+                # ownership: by_frag[frag] lists exactly the probed
+                # cells this fragment currently owns
+                parts.append(
+                    _std(enc.where(F.col("cell").isin(by_frag[frag])))
+                )
+        else:
+            frags = sorted(
+                int(r["frag"])
+                for r in cm.select("frag").distinct().collect()
+            )  # ≤ _VEC_MAX_FRAGS by the compaction cap
+            for frag in frags:
+                enc = _std(spark.read.parquet(
+                    os.path.join(state_path, f"v-{frag}", "enc")
+                ))
+                if frag != base_v:
+                    # an older fragment may still hold partitions for
+                    # cells a newer one rewrote — keep only its OWN
+                    own = cm.where(F.col("frag") == frag).select(
+                        F.col("cell").cast("long").alias("cell")
+                    )
+                    enc = enc.join(F.broadcast(own), "cell", "left_semi")
+                parts.append(enc)
+    else:
+        # pre-fragment layout (hand-assembled state): the base version's
+        # own enc dir holds every cell
+        base = spark.read.parquet(
+            os.path.join(state_path, f"v-{base_v}", "enc")
+        )
+        if cells is not None:
+            base = base.where(F.col("cell").isin(list(cells)))
+        parts.append(_std(base))
     denc_paths = [
         os.path.join(state_path, f"v-{i}", "denc")
         for i in range(base_v + 1, upto_v + 1)
     ]
     if denc_paths:
-        base = base.unionByName(
+        parts.append(
             spark.read.parquet(*denc_paths).select(
                 "id", "cell", "pq", "seq", "tomb"
             )
         )
-    return base
+    if not parts:
+        # fully-retired-and-compacted state with no standing deltas:
+        # an empty relation with the recorded schema
+        parts.append(_std(spark.createDataFrame(
+            [], _vec_enc_schema(spark, state_path, base_v)
+        )))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def vector_state_enc(spark, state_path: str) -> DataFrame | None:
@@ -1777,6 +1949,166 @@ def vector_state_enc(spark, state_path: str) -> DataFrame | None:
     version, _, _, base_v = m_
     return _vec_resolve(_vec_chain(spark, state_path, base_v, version)).select(
         "id", "cell", "pq"
+    )
+
+
+def _vec_write_base(
+    spark,
+    state_path: str,
+    new_dir: str,
+    resolved: DataFrame,
+    new_v: int,
+    untouched_cm: DataFrame | None = None,
+    keep_frags: list[int] | None = None,
+) -> list[int]:
+    """Materialize a base fragment at ``new_dir``: write ``resolved``
+    (already re-stamped) partitioned by cell, then publish the cellmap
+    = untouched cells keeping their old fragments + the cells actually
+    present in this write pointing at ``new_v`` (a touched cell whose
+    every row was tombstoned simply vanishes from the map — dead cells
+    own no partition and no reader ever asks for them).  Also records
+    the frags.txt / encschema.txt sidecars.  Returns the live fragment
+    list for GC."""
+    import json
+    import os
+    import shutil as _shutil
+
+    schema_json = json.dumps(resolved.schema.jsonValue())
+    enc_dir = os.path.join(new_dir, "enc")
+    resolved.write.mode("overwrite").partitionBy("cell").parquet(enc_dir)
+    present = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(enc_dir)
+        if d.startswith("cell=")
+    )
+    if not present:
+        # a partitioned write of an empty frame leaves an unreadable
+        # _SUCCESS-only dir; no cellmap entry will ever point here
+        _shutil.rmtree(enc_dir, ignore_errors=True)
+    present_cm = spark.createDataFrame(
+        [(c, new_v) for c in present], "cell long, frag int"
+    )
+    cm_new = (
+        untouched_cm.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("frag").cast("int").alias("frag"),
+        ).unionByName(present_cm)
+        if untouched_cm is not None
+        else present_cm
+    )
+    # repartition(1): the map is ≤ |cells| rows (coarse-codebook-sized)
+    # and must stay readable even when empty — a single task always
+    # emits one footer-bearing file
+    cm_new.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(new_dir, "cellmap")
+    )
+    frags_new = sorted(
+        set(keep_frags or []) | ({new_v} if present else set())
+    )
+    _vec_sidecar_write(
+        new_dir, "frags.txt", " ".join(str(f) for f in frags_new)
+    )
+    _vec_sidecar_write(new_dir, "encschema.txt", schema_json)
+    return frags_new
+
+
+def _vec_compact(
+    spark,
+    state_path: str,
+    base_v: int,
+    version: int,
+    new_v: int,
+    extra_delta: DataFrame,
+    new_dir: str,
+) -> list[int]:
+    """Per-cell incremental compaction (see the fragment block comment
+    above :data:`_VEC_MAX_FRAGS`): resolve and rewrite ONLY the cells
+    touched since the last compaction — the delta stack's insert cells,
+    this transaction's own rows (``extra_delta``: the fold's encoded
+    batch, or a retire's tombstones), and tombstone victims' current
+    cells (resolved by a column-pruned (id, cell) scan of the live
+    fragments — tombstones carry a NULL cell by design) — carrying
+    every untouched cell forward by cellmap reference.  Falls back to
+    a FULL rewrite when the prospective fragment count would exceed
+    ``_VEC_MAX_FRAGS`` or the touched set outgrows literal-list
+    pruning (``_VEC_TOUCHED_ISIN_MAX``): write volume is then the
+    standing corpus, the classic amortized leveling merge.  Returns
+    the live fragment list for GC."""
+    import os
+
+    deltas = [
+        os.path.join(state_path, f"v-{i}", "denc")
+        for i in range(base_v + 1, version + 1)
+    ]
+    stack = extra_delta.select("id", "cell", "pq", "seq", "tomb")
+    if deltas:
+        stack = stack.unionByName(
+            spark.read.parquet(*deltas).select(
+                "id", "cell", "pq", "seq", "tomb"
+            )
+        )
+    touched_df = stack.where(F.col("cell").isNotNull()).select(
+        F.col("cell").cast("long").alias("cell")
+    )
+    # victims: the CURRENT base locations of every id the stack writes
+    # — tombstone victims (NULL cell by design) AND superseded rows
+    # whose re-ingest MOVED them to a different cell.  Rewriting the
+    # old cell too is what maintains the one-live-location-per-id
+    # invariant partial rewrites depend on: a stale copy left in an
+    # untouched cell would be re-stamped with a fresh seq the next
+    # time that cell alone is compacted, resurrecting the old row
+    # over the current one.
+    stack_ids = stack.select("id").distinct()
+    has_cm = os.path.isdir(
+        os.path.join(state_path, f"v-{base_v}", "cellmap")
+    )
+    frag_list = _vec_frags(state_path, base_v) if has_cm else [base_v]
+    for frag in frag_list:
+        # (id, cell) is a 2-column scan where cell is the partition
+        # value — parquet reads one column of data
+        enc = spark.read.parquet(
+            os.path.join(state_path, f"v-{frag}", "enc")
+        )
+        touched_df = touched_df.unionByName(
+            enc.select("id", F.col("cell").cast("long").alias("cell"))
+            .join(stack_ids, "id")
+            .select("cell")
+        )
+    touched = sorted(
+        r["cell"] for r in touched_df.distinct().collect()
+    )
+    full = not has_cm or len(touched) > _VEC_TOUCHED_ISIN_MAX
+    untouched_cm = None
+    keep_frags: list[int] = []
+    if not full:
+        cm = spark.read.parquet(
+            os.path.join(state_path, f"v-{base_v}", "cellmap")
+        )
+        touched_lit = spark.createDataFrame(
+            [(int(c),) for c in touched], "cell long"
+        )
+        untouched_cm = cm.join(touched_lit, "cell", "left_anti")
+        keep_frags = sorted(
+            int(r["frag"])
+            for r in untouched_cm.select("frag").distinct().collect()
+        )
+        if len(set(keep_frags) | {new_v}) > _VEC_MAX_FRAGS:
+            full = True
+            untouched_cm, keep_frags = None, []
+    chain = _vec_chain(
+        spark, state_path, base_v, version,
+        cells=None if full else touched,
+    )
+    resolved = _vec_resolve(
+        chain.unionByName(extra_delta.select(*chain.columns))
+    ).select(
+        "id", "cell", "pq",
+        F.lit(new_v).cast("int").alias("seq"),
+        F.lit(False).alias("tomb"),
+    )
+    return _vec_write_base(
+        spark, state_path, new_dir, resolved, new_v,
+        untouched_cm=untouched_cm, keep_frags=keep_frags,
     )
 
 
@@ -1894,29 +2226,23 @@ def _vector_ingest_fn(
         )
         new_dir = os.path.join(state_path, f"v-{new_v}")
         compact = version >= 0 and (new_v - base_v) >= compact_every
-        if version < 0 or compact:
-            # materialize a new BASE: resolved chain + this delta,
-            # re-stamped seq=new_v, written partitioned by cell (the
-            # inverted-list layout queries prune on) — the one
-            # O(standing-corpus) write, amortized over compact_every
-            # folds; the standing rows are m ints each
-            # _vec_resolve drops tombstones, so compaction PURGES
-            # retired ids physically — the erasure actually lands on
-            # disk at the next compaction, not just at read time
-            if version >= 0:
-                resolved = _vec_resolve(
-                    _vec_chain(spark, state_path, base_v, version).unionByName(
-                        enc_new
-                    )
-                ).select(
-                    "id", "cell", "pq",
-                    F.lit(new_v).cast("int").alias("seq"),
-                    F.lit(False).alias("tomb"),
-                )
-            else:
-                resolved = enc_new
-            resolved.write.mode("overwrite").partitionBy("cell").parquet(
-                os.path.join(new_dir, "enc")
+        if version < 0:
+            # creation: the encoded first batch IS the base fragment
+            live_frags = _vec_write_base(
+                spark, state_path, new_dir, enc_new, new_v
+            )
+            new_base = new_v
+        elif compact:
+            # per-cell compaction: rewrite ONLY the cells the delta
+            # stack (and this batch) touched, carry the rest forward
+            # by cellmap reference — write ∝ touched cells, never the
+            # standing corpus (_vec_compact; full-rewrite fallback at
+            # the fragment cap).  _vec_resolve drops tombstones, so
+            # compaction PURGES retired ids physically — the erasure
+            # lands on disk for every touched cell
+            live_frags = _vec_compact(
+                spark, state_path, base_v, version, new_v, enc_new,
+                new_dir,
             )
             new_base = new_v
         else:
@@ -1925,16 +2251,23 @@ def _vector_ingest_fn(
             enc_new.write.mode("overwrite").parquet(
                 os.path.join(new_dir, "denc")
             )
+            live_frags = _vec_frags(state_path, base_v)
+            for name in ("frags.txt", "encschema.txt"):
+                txt = _vec_sidecar(state_path, base_v, name)
+                if txt is not None:
+                    _vec_sidecar_write(new_dir, name, txt)
             new_base = base_v
-        # codebooks + encoding mode copy forward so GC of old versions
-        # never strands them
+        # codebooks, encoding mode and compaction cadence copy forward
+        # so GC of old versions never strands them (the cadence lets
+        # out-of-band retires honor the same delta-stack bound)
         coarse.write.mode("overwrite").parquet(os.path.join(new_dir, "coarse"))
         cb.write.mode("overwrite").parquet(os.path.join(new_dir, "cb"))
         _vec_mode_write(new_dir, "residual" if residual else "raw")
+        _vec_sidecar_write(new_dir, "compactevery.txt", str(compact_every))
         _manifest_publish_mor(state_path, new_v, lineage, batch_id, new_base)
         # the previous manifest's readers need [base_v..version]; keep
-        # that whole chain one cycle
-        _manifest_gc(state_path, base_v if base_v >= 0 else 0)
+        # that whole chain one cycle, and NEVER drop a live fragment
+        _vec_gc(state_path, live_frags, base_v if base_v >= 0 else 0)
 
     return _fold
 
@@ -1956,10 +2289,13 @@ def ann_state_query(
     DECODED FROM THE STORED CODES (the corpus is never re-read, never
     re-encoded — the standing state is m ints/vector).  The base scan
     is PRUNED to the probed cells (partition pruning on the
-    cell-partitioned base; deltas — ≤ compact_every batches — are read
+    cell-partitioned fragments the cellmap names; deltas are read
     whole so latest-seq-wins resolves before the cell filter, never
-    resurrecting a superseded row).  Read volume is Σ probed-cell sizes
-    + the delta stack, independent of the standing corpus.  Returns
+    resurrecting a superseded row).  The delta stack is ≤
+    compact_every VERSIONS — folds and retire transactions both
+    consume slots, and a retire compacts at the same bound
+    (:func:`vector_index_retire`) — so read volume is Σ probed-cell
+    sizes + a bounded stack, independent of the standing corpus.  Returns
     ``query_id, neighbor_id, adc, rank`` (the :func:`operators.pq.
     ivfadc_topk` contract), or None if nothing is published."""
     import os
@@ -2040,7 +2376,87 @@ def ann_state_query(
     )
 
 
-def vector_index_retire(spark, state_path: str, retired_ids) -> None:
+def ann_state_query_refined(
+    spark,
+    state_path: str,
+    queries_df: DataFrame,
+    raw_df: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+):
+    """:func:`ann_state_query` + exact re-ranking — the production read
+    recipe served FROM THE PUBLISHED STATE (the batch twin is
+    :func:`operators.pq.ivfadc_refine_topk`, Jégou et al. §5.3
+    IVFADC+R / the Faiss refine): the state's ADC ranking surfaces
+    top-``rerank`` candidates per query, their RAW vectors alone are
+    fetched from ``raw_df`` and re-ranked by exact squared-L2 to the
+    unquantized query.  Measured on the clustered mixtures (SCALE.md),
+    this stage is worth +0.375 absolute recall over the ADC ranking at
+    the production residual/m16/c256 point — without it the compressed
+    index's quality ceiling is the quantizer's.
+
+    ``raw_df`` is the caller's raw-vector relation (``id_col``,
+    ``vec_col``): the index state deliberately stores m-int codes, not
+    vectors, so the exact stage needs the source corpus — the standard
+    split between a compressed serving index and the store of record.
+
+    Scale shape: the candidate set is ``rerank × |queries|`` rows —
+    broadcast against ONE pass of ``raw_df`` (never all-pairs); the
+    exact-distance flops are R×|q|, independent of both the corpus and
+    the standing state.  Returns ``query_id, neighbor_id, dist, rank``
+    (exact distances, the refine contract), or None if nothing is
+    published."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from scholarmind_spark.operators.pq import _sq
+
+    cand = ann_state_query(
+        spark, state_path, queries_df, k=rerank, nprobe=nprobe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        m=m, dim=dim,
+    )
+    if cand is None:
+        return None
+    cand = cand.select("query_id", "neighbor_id")
+    raw = raw_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    scored = (
+        raw.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _sq(F.col("__qvec"), F.col("__nvec")).alias("d_raw"),
+        )
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("d_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("d_raw", 6).alias("dist"), "rank",
+        )
+    )
+
+
+def vector_index_retire(
+    spark, state_path: str, retired_ids, compact_every: int | None = None
+) -> None:
     """Out-of-band retirement TRANSACTION on the vector index (takedown
     / retention expiry / erasure — the :func:`ledger_mor_retire` twin):
     publish one tombstone delta — rows ``(id, NULL cell, NULL pq,
@@ -2051,10 +2467,18 @@ def vector_index_retire(spark, state_path: str, retired_ids) -> None:
     ledger must read the retired docs' current rows (their shingle
     counts need negating), so it pays a bucket-pruned lookup; the
     vector index needs nothing back — a tombstone is self-contained —
-    so this writes O(|retired|) and reads NOTHING.  Tombstones of ids
-    absent from the state resolve harmlessly; the next compaction
-    purges all tombstones physically (``_vec_resolve`` drops them
-    before the base write), which is when the erasure lands on disk.
+    so the delta write is O(|retired|) and reads NOTHING.  Tombstones
+    of ids absent from the state resolve harmlessly; compaction purges
+    tombstones physically (``_vec_resolve`` drops them before the base
+    write), which is when the erasure lands on disk.
+
+    A retire consumes a delta-stack slot like any fold, so it honors
+    the SAME compaction bound: when the chain since the last base
+    reaches ``compact_every`` versions (the fold's recorded cadence —
+    the per-version compactevery.txt sidecar — or this call's explicit
+    override), the transaction compacts instead of publishing another
+    delta, keeping the documented "deltas ≤ compact_every versions"
+    read bound true under repeated retires on a quiescent stream.
     ``retired_ids``: a one-column ``id`` DataFrame."""
     import os
 
@@ -2066,9 +2490,7 @@ def vector_index_retire(spark, state_path: str, retired_ids) -> None:
     version, lineage, upto, base_v = m
     new_v = version + 1
     cur = os.path.join(state_path, f"v-{version}")
-    enc_schema = spark.read.parquet(os.path.join(cur, "enc")).schema \
-        if os.path.isdir(os.path.join(cur, "enc")) \
-        else spark.read.parquet(os.path.join(cur, "denc")).schema
+    enc_schema = _vec_enc_schema(spark, state_path, version)
     id_type = enc_schema["id"].dataType
     pq_type = enc_schema["pq"].dataType
     tomb = retired_ids.select(
@@ -2079,12 +2501,32 @@ def vector_index_retire(spark, state_path: str, retired_ids) -> None:
         F.lit(True).alias("tomb"),
     ).distinct()
     new_dir = os.path.join(state_path, f"v-{new_v}")
-    tomb.write.mode("overwrite").parquet(os.path.join(new_dir, "denc"))
-    # codebooks + mode copy forward (the fold's GC contract)
+    ce = (
+        compact_every
+        if compact_every is not None
+        else _vec_compact_every(state_path, version)
+    )
+    if ce is not None and (new_v - base_v) >= ce:
+        live_frags = _vec_compact(
+            spark, state_path, base_v, version, new_v, tomb, new_dir
+        )
+        new_base = new_v
+    else:
+        tomb.write.mode("overwrite").parquet(os.path.join(new_dir, "denc"))
+        live_frags = _vec_frags(state_path, base_v)
+        for name in ("frags.txt", "encschema.txt"):
+            txt = _vec_sidecar(state_path, base_v, name)
+            if txt is not None:
+                _vec_sidecar_write(new_dir, name, txt)
+        new_base = base_v
+    # codebooks + mode + cadence copy forward (the fold's GC contract)
     for part in ("coarse", "cb"):
         spark.read.parquet(os.path.join(cur, part)).write.mode(
             "overwrite"
         ).parquet(os.path.join(new_dir, part))
     _vec_mode_write(new_dir, _vec_mode(state_path, version))
-    _manifest_publish_mor(state_path, new_v, lineage, upto, base_v)
-    _manifest_gc(state_path, base_v)
+    prev_ce = _vec_sidecar(state_path, version, "compactevery.txt")
+    if prev_ce is not None:
+        _vec_sidecar_write(new_dir, "compactevery.txt", prev_ce)
+    _manifest_publish_mor(state_path, new_v, lineage, upto, new_base)
+    _vec_gc(state_path, live_frags, base_v)

@@ -1622,6 +1622,72 @@ def test_vector_ingest_residual_mode_frozen_and_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_ann_state_query_refined_matches_batch_refine(spark, tmp_path):
+    """The refine stage on the STREAMING surface: ann_state_query_refined
+    over a folded state (raw mode, deltas standing) equals the batch
+    ivfadc_refine_topk under the same frozen codebooks — exact
+    distances, exact ranks — and in RESIDUAL mode (the production
+    recipe) the refined answer equals the residual batch refine.  The
+    state stores m-int codes only, so the exact stage draws raw vectors
+    from the caller-supplied corpus relation."""
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pq import ivfadc_refine_topk
+    from scholarmind_spark.streaming.pipeline import (
+        _vector_ingest_fn,
+        ann_state_query_refined,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    b0 = _vec_rows(0, 6)
+    b1 = _vec_rows(6, 6)
+    rev = [(2, [9.9] * 8), (7, [0.1] * 8)]
+    latest = dict(b0 + b1)
+    latest.update(dict(rev))
+    full = spark.createDataFrame(sorted(latest.items()), VS)
+    coarse = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1)], "cid long, cvec array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1, 2, 3)], VS
+    ).select(
+        F.col("vec_id").cast("long").alias("code"),
+        F.col("embedding").alias("cvec"),
+    )
+    q = full.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    for residual in (False, True):
+        state = str(tmp_path / f"state_{residual}")
+        fold = _vector_ingest_fn(
+            state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1],
+            codebook_ids=[0, 1, 2, 3], by_residual=residual,
+        )
+        fold(spark.createDataFrame(b0, VS), 0)
+        fold(spark.createDataFrame(b1, VS), 1)
+        fold(spark.createDataFrame(rev, VS), 2)  # delta stack stands
+        expect = sorted(map(tuple, ivfadc_refine_topk(
+            full, q, k=4, rerank=8, m=2, dim=8, nprobe=2,
+            coarse_df=coarse, codebook_df=cb, by_residual=residual,
+        ).collect()))
+        got = sorted(map(tuple, ann_state_query_refined(
+            spark, state, q, raw_df=full, k=4, rerank=8, nprobe=2,
+            m=2, dim=8,
+        ).collect()))
+        assert got == expect, f"residual={residual}"
+
+
+def test_ann_state_query_refined_unpublished_returns_none(spark, tmp_path):
+    from scholarmind_spark.streaming.pipeline import ann_state_query_refined
+
+    empty = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    assert ann_state_query_refined(
+        spark, str(tmp_path / "nothing"), empty,
+        raw_df=spark.createDataFrame([], "vec_id long, embedding array<double>"),
+    ) is None
+
+
 def test_vector_index_retire(spark, tmp_path):
     """vector_index_retire publishes a tombstone delta as its own
     version: retired ids vanish from queries and the resolved state
@@ -1682,3 +1748,242 @@ def test_vector_index_retire(spark, tmp_path):
     ids = sorted(r.id for r in base.collect())
     assert 7 not in ids and 3 in ids  # purged vs resurrected
     assert not [r for r in base.collect() if r.tomb]
+
+
+def _cellvec(c, i, dim=8):
+    # a vector firmly inside coarse cell c (centroid [100c]*dim), with
+    # a small deterministic per-id jitter
+    return [100.0 * c + ((i * 7 + j * 3) % 5) for j in range(dim)]
+
+
+def _cells_state(spark, tmp_path, name, compact_every=2):
+    """A 3-cell corpus folded as (creation base, delta, delta->compact):
+    centroids 0/1/2 at [0]*8/[100]*8/[200]*8, ids 3-8 spread across the
+    cells, deltas touching ONLY cell 0."""
+    from scholarmind_spark.streaming.pipeline import _vector_ingest_fn
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / name)
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1, 2],
+        codebook_ids=[0, 1, 2, 3], compact_every=compact_every,
+    )
+    b0 = [(0, [0.0] * 8), (1, [100.0] * 8), (2, [200.0] * 8)] + [
+        (3, _cellvec(0, 3)), (4, _cellvec(0, 4)),
+        (5, _cellvec(1, 5)), (6, _cellvec(1, 6)),
+        (7, _cellvec(2, 7)), (8, _cellvec(2, 8)),
+    ]
+    fold(spark.createDataFrame(b0, VS), 0)                     # v-0 base
+    b1 = [(10, _cellvec(0, 10)), (11, _cellvec(0, 11))]
+    fold(spark.createDataFrame(b1, VS), 1)                     # v-1 delta
+    b2 = [(12, _cellvec(0, 12))]
+    fold(spark.createDataFrame(b2, VS), 2)                     # v-2 compact
+    return state, b0, b1, b2
+
+
+def test_partial_compaction_rewrites_only_touched_cells(spark, tmp_path):
+    """Per-cell incremental compaction: the deltas touched only cell 0,
+    so the compaction fragment holds ONLY a cell=0 partition; cells 1-2
+    stay owned by the creation fragment via the cellmap (carried by
+    reference, zero bytes rewritten); the creation fragment survives GC
+    because it is still referenced; and the resolved state + query
+    answers are identical to a full-chain read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.operators.pq import ivfadc_topk
+    from scholarmind_spark.streaming.pipeline import (
+        _manifest_read_mor,
+        _vec_frags,
+        ann_state_query,
+        vector_state_enc,
+    )
+
+    state, b0, b1, b2 = _cells_state(spark, tmp_path, "pc")
+    assert _manifest_read_mor(state, "vector index")[3] == 2  # base moved
+    enc2 = os.path.join(state, "v-2", "enc")
+    assert sorted(
+        d for d in os.listdir(enc2) if d.startswith("cell=")
+    ) == ["cell=0"]
+    cm = {
+        (r["cell"], r["frag"])
+        for r in spark.read.parquet(
+            os.path.join(state, "v-2", "cellmap")
+        ).collect()
+    }
+    assert cm == {(0, 2), (1, 0), (2, 0)}
+    assert _vec_frags(state, 2) == [0, 2]
+    assert os.path.isdir(os.path.join(state, "v-0", "enc"))  # referenced
+
+    enc = vector_state_enc(spark, state)
+    assert enc.count() == enc.select("id").distinct().count() == 12
+    # query parity with the batch operator under the frozen codebooks
+    VS = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(sorted(dict(b0 + b1 + b2).items()), VS)
+    coarse = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1, 2)], "cid long, cvec array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(i, dict(b0)[i]) for i in (0, 1, 2, 3)], VS
+    ).select(
+        F.col("vec_id").cast("long").alias("code"),
+        F.col("embedding").alias("cvec"),
+    )
+    q = full.filter(F.col("vec_id").isin([4, 6])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    expect = sorted(map(tuple, ivfadc_topk(
+        full, q, k=5, m=2, dim=8, nprobe=2, coarse_df=coarse,
+        codebook_df=cb,
+    ).collect()))
+    got = sorted(map(tuple, ann_state_query(
+        spark, state, q, k=5, nprobe=2, m=2, dim=8
+    ).collect()))
+    assert got == expect
+
+
+def test_partial_compaction_keeps_one_location_per_id(spark, tmp_path):
+    """A re-ingest that MOVES an id across cells: the compaction's
+    victim scan rewrites the OLD cell too (not just the insert cell),
+    so the id exists in exactly one owned (fragment, cell) location —
+    a stale copy left behind would be re-stamped with a fresh seq by a
+    later compaction of its cell and resurrect over the current row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.streaming.pipeline import (
+        _vector_ingest_fn,
+        vector_state_enc,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "mig")
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1, 2],
+        codebook_ids=[0, 1, 2, 3], compact_every=2,
+    )
+    b0 = [(0, [0.0] * 8), (1, [100.0] * 8), (2, [200.0] * 8),
+          (5, _cellvec(1, 5)), (7, _cellvec(2, 7))]
+    fold(spark.createDataFrame(b0, VS), 0)
+    # id 5 migrates cell 1 -> cell 0; next fold compacts
+    fold(spark.createDataFrame([(5, _cellvec(0, 5))], VS), 1)
+    fold(spark.createDataFrame([(9, _cellvec(0, 9))], VS), 2)
+    enc2 = os.path.join(state, "v-2", "enc")
+    # victim scan touched cell 1 (id 5's old home) as well as cell 0
+    assert sorted(
+        d for d in os.listdir(enc2) if d.startswith("cell=")
+    ) == ["cell=0", "cell=1"]
+    res = {r["id"]: r["cell"] for r in vector_state_enc(spark, state).collect()}
+    assert res[5] == 0 and res[7] == 2 and len(res) == 6
+    # physically: id 5 appears in exactly one owned partition
+    cm = spark.read.parquet(os.path.join(state, "v-2", "cellmap"))
+    owned = []
+    for r in cm.collect():
+        part = os.path.join(state, f"v-{r['frag']}", "enc", f"cell={r['cell']}")
+        if os.path.isdir(part):
+            owned.append(
+                spark.read.parquet(part).withColumn(
+                    "cell", F.lit(int(r["cell"]))
+                )
+            )
+    allrows = owned[0]
+    for o in owned[1:]:
+        allrows = allrows.unionByName(o)
+    assert allrows.filter("id = 5").count() == 1
+    # a LATER compaction touching only cell 1 must not resurrect id 5
+    fold(spark.createDataFrame([(6, _cellvec(1, 6))], VS), 3)
+    fold(spark.createDataFrame([(16, _cellvec(1, 16))], VS), 4)  # compacts
+    res2 = {r["id"]: r["cell"] for r in vector_state_enc(spark, state).collect()}
+    assert res2[5] == 0 and len(res2) == 8
+
+
+def test_retire_triggers_compaction_at_bound(spark, tmp_path):
+    """Repeated retires on a quiescent stream must not grow the delta
+    chain past compact_every (the ADVICE-flagged unbounded-read path):
+    the transaction reads the fold's recorded cadence and compacts in
+    place of publishing another delta — tombstones purge physically,
+    survivors in untouched cells stay referenced, and the documented
+    'deltas <= compact_every versions' bound holds after every call."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholarmind_spark.streaming.pipeline import (
+        _manifest_read_mor,
+        _vector_ingest_fn,
+        vector_index_retire,
+        vector_state_enc,
+    )
+
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "ret")
+    fold = _vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1, 2],
+        codebook_ids=[0, 1, 2, 3], compact_every=2,
+    )
+    b0 = [(0, [0.0] * 8), (1, [100.0] * 8), (2, [200.0] * 8),
+          (3, _cellvec(0, 3)), (4, _cellvec(0, 4)),
+          (5, _cellvec(1, 5)), (7, _cellvec(2, 7))]
+    fold(spark.createDataFrame(b0, VS), 0)                 # v-0 base
+    one = lambda i: spark.createDataFrame([(i,)], "id long")  # noqa: E731
+    vector_index_retire(spark, state, one(3))              # v-1 delta
+    v, _, upto, base = _manifest_read_mor(state, "vector index")
+    assert (v, base) == (1, 0)
+    vector_index_retire(spark, state, one(4))              # v-2 COMPACTS
+    v, _, upto, base = _manifest_read_mor(state, "vector index")
+    assert (v, base) == (2, 2)  # chain reset: deltas <= compact_every
+    # tombstones purged physically from the touched cell partition
+    enc2 = os.path.join(state, "v-2", "enc")
+    assert sorted(
+        d for d in os.listdir(enc2) if d.startswith("cell=")
+    ) == ["cell=0"]
+    ids0 = {
+        r["id"]
+        for r in spark.read.parquet(
+            os.path.join(enc2, "cell=0")
+        ).collect()
+    }
+    assert ids0 == {0}
+    res = {r["id"] for r in vector_state_enc(spark, state).collect()}
+    assert res == {0, 1, 2, 5, 7}
+    # stream resumes: the high-water mark survived both transactions
+    fold(spark.createDataFrame([(9, _cellvec(0, 9))], VS), 1)
+    res = {r["id"] for r in vector_state_enc(spark, state).collect()}
+    assert res == {0, 1, 2, 5, 7, 9}
+
+
+def test_fragment_cap_forces_full_rewrite(spark, tmp_path, monkeypatch):
+    """Fragment fan-in is bounded: when a compaction would leave more
+    than _VEC_MAX_FRAGS live fragments, it falls back to a FULL rewrite
+    — one fragment owns every cell again and GC reclaims the rest a
+    cycle later."""
+    import os
+
+    import scholarmind_spark.streaming.pipeline as pl
+
+    monkeypatch.setattr(pl, "_VEC_MAX_FRAGS", 2)
+    VS = "vec_id long, embedding array<double>"
+    state = str(tmp_path / "cap")
+    fold = pl._vector_ingest_fn(
+        state, "feedbeef", m=2, dim=8, coarse_ids=[0, 1, 2],
+        codebook_ids=[0, 1, 2, 3], compact_every=1,
+    )
+    b0 = [(0, [0.0] * 8), (1, [100.0] * 8), (2, [200.0] * 8)]
+    fold(spark.createDataFrame(b0, VS), 0)                 # v-0: all cells
+    # compact_every=1: every fold compacts; touch one cell per fold
+    fold(spark.createDataFrame([(3, _cellvec(0, 3))], VS), 1)  # frags {0,1}
+    assert pl._vec_frags(state, 1) == [0, 1]
+    # touching cell 1 would make frags {0,1,2} > cap -> full rewrite
+    fold(spark.createDataFrame([(5, _cellvec(1, 5))], VS), 2)
+    assert pl._vec_frags(state, 2) == [2]
+    cm = spark.read.parquet(os.path.join(state, "v-2", "cellmap"))
+    assert {int(r["frag"]) for r in cm.collect()} == {2}
+    res = {r["id"] for r in pl.vector_state_enc(spark, state).collect()}
+    assert res == {0, 1, 2, 3, 5}
+    # one more fold: GC reclaims the no-longer-referenced fragments
+    fold(spark.createDataFrame([(7, _cellvec(2, 7))], VS), 3)
+    assert not os.path.isdir(os.path.join(state, "v-0"))
+    assert not os.path.isdir(os.path.join(state, "v-1"))

@@ -66,6 +66,13 @@ every k — the CoW fold rewrote the whole enc table) and a fixed 5-query
 nprobe=2 read is measured pruned (probed cells + delta stack) vs the
 full chain, with pruned == full resolve asserted within probed cells.
 
+Round 15 extends ``vector`` with the PER-CELL COMPACTION row: the
+fixed batches are single-cell (fresh ids, copies of centroid 0's
+embedding), so the compaction they trigger must rewrite only that
+cell's standing rows — written-rows slope ≈ one cell's share of the
+corpus vs the full-rewrite baseline's corpus slope, with the other
+~31 cells carried forward by cellmap reference (asserted in-probe).
+
 Usage: python tools/fold_probe.py [sf_dir]
 [probe|simulate|ledger_probe|ledger_sim|ledger_sim_mor|mor_read|vector]
 ... (default: probe+simulate, sf0.1).  Prints markdown rows to paste
@@ -856,6 +863,9 @@ def main() -> None:
         qrows_f: dict[int, float] = {}
         qwall_p: dict[int, float] = {}
         qwall_f: dict[int, float] = {}
+        crows: dict[int, float] = {}   # compaction rows written (r15)
+        crows_full: dict[int, float] = {}  # full-rewrite baseline
+        cwall: dict[int, float] = {}
         for k in KS:
             root = tempfile.mkdtemp(prefix=f"vecidx{k}_")
             state = os.path.join(root, "state")
@@ -865,12 +875,22 @@ def main() -> None:
                 "embedding",
             )
             fold = _vector_ingest_fn(
-                state, "cafef00d", compact_every=64,
+                state, "cafef00d", compact_every=2,
                 coarse_ids=list(range(32)),
             )
             fold(corpus, 0)  # creation: cell-partitioned base (O(state), amortized)
+            # the fixed delta: 50 FRESH ids (900M+ — far above any
+            # replicated corpus id, which caps at ~190M+n_emb), all
+            # copies of centroid 0's embedding so they route to ONE cell — keeps the later
+            # compaction's touched set single-cell (the per-cell claim
+            # needs a batch that does not spray the whole cell space)
+            cvec0 = emb.where(F.col("vec_id") == 0).first()["embedding"]
+            one_cell = lambda lo: spark.createDataFrame(  # noqa: E731
+                [(lo + i, list(cvec0)) for i in range(batch_n)],
+                "vec_id long, embedding array<double>",
+            )
             t0 = time.time()
-            fold(emb.where(F.col("vec_id") < batch_n), 1)  # the fixed delta
+            fold(one_cell(900_000_000), 1)  # the fixed delta
             dwall[k] = time.time() - t0
             dw[k] = float(
                 spark.read.parquet(os.path.join(state, "v-1", "denc")).count()
@@ -935,11 +955,34 @@ def main() -> None:
             qrows_p[k], qrows_f[k] = float(n_p), float(n_f)
             qwall_p[k] = per_p[len(per_p) // 2]
             qwall_f[k] = per_f[len(per_f) // 2]
+            # (c) PER-CELL COMPACTION write volume (r15): a second
+            # one-cell batch crosses compact_every=2 — the compaction
+            # must rewrite only the touched cell (its standing rows +
+            # both batches), carrying the other ~31 cells forward by
+            # cellmap reference; the old path rewrote the whole corpus
+            t0 = time.time()
+            fold(one_cell(910_000_000), 2)
+            cwall[k] = time.time() - t0
+            v2, _, _, b2 = _manifest_read_mor(state)
+            assert b2 == v2, "fold 2 did not compact"
+            crows[k] = float(
+                spark.read.parquet(
+                    os.path.join(state, f"v-{v2}", "enc")
+                ).count()
+            )
+            crows_full[k] = float(k * n_emb + 2 * batch_n)
+            cm = spark.read.parquet(
+                os.path.join(state, f"v-{v2}", "cellmap")
+            )
+            n_carried = cm.where(F.col("frag") != v2).count()
             print(
                 f"# k={k} ({k * n_emb} standing vectors): delta wrote "
                 f"{int(dw[k])} rows in {dwall[k]:.2f}s | query read pruned "
                 f"{n_p} rows {qwall_p[k]:.2f}s | full {n_f} rows "
-                f"{qwall_f[k]:.2f}s | probed-cell resolve mismatch 0",
+                f"{qwall_f[k]:.2f}s | probed-cell resolve mismatch 0 | "
+                f"compaction wrote {int(crows[k])} rows "
+                f"(corpus {int(crows_full[k])}) in {cwall[k]:.2f}s, "
+                f"{n_carried} cells carried by reference",
                 file=sys.stderr,
             )
             shutil.rmtree(root, ignore_errors=True)
@@ -955,6 +998,14 @@ def main() -> None:
         print(_fit_row("vec query rows FULL (old path)", qrows_f, unit=" rows"))
         print(_fit_row("vec query wall PRUNED (s)", qwall_p))
         print(_fit_row("vec query wall FULL (s)", qwall_f))
+        print(_fit_row(
+            "vec compaction rows WRITTEN (touched cell)", crows, unit=" rows"
+        ))
+        print(_fit_row(
+            "vec compaction rows full-rewrite baseline", crows_full,
+            unit=" rows",
+        ))
+        print(_fit_row("vec compaction wall (s)", cwall))
 
 
 if __name__ == "__main__":
