@@ -76,8 +76,30 @@ LOAD_START_SUSPECT = 2.0  # 1-min loadavg before Spark starts; idle host <1
 #   new            — no anchor recorded yet
 # The summary carries the counts + the elevated_clean names; per-query
 # ratios go to stdout as #t lines (short-line discipline).
+#
+# Round 15 basis fix: anchors compare LIKE WITH LIKE.  The r14 file
+# pinned the per-query MIN of clean reps (post-JIT best case), which a
+# colder full run can never match — BENCH_r14 carried ~17 false
+# elevated_clean tags whose plan sections were byte-identical modulo
+# expression IDs.  Anchors now store {"med", "min"} per query (float
+# values from older files read as med), triage compares the clean-rep
+# MEDIAN against the anchor MEDIAN, and every full-protocol run writes
+# bench_last_run.json so tools/seed_anchors.py can promote a clean run
+# into bench_anchors.json mechanically (policy: clean runs only).
 ANCHOR_TOL_RATIO = 1.30  # >= 30% over anchor → elevated
 ANCHOR_TOL_ABS = 0.40    # ...but never flag sub-half-second jitter
+
+# Gates whose rep 1 pays state-fold/build costs later reps don't (the
+# manifest high-water mark turns re-folds into no-ops): their rep-1 is
+# recorded separately (#r1 stdout lines + bench_last_run.json) so the
+# build cost and the standing-state read cost stay distinguishable.
+FOLD_PAYING = [
+    "ann_index_rerank",
+    "ann_index_residual",
+    "ann_index_retire",
+    "ann_index_stream",
+    "dedup_ledger_roundtrip",
+]
 
 _HZ = os.sysconf("SC_CLK_TCK") or 100
 
@@ -295,21 +317,26 @@ BENCH_QUERIES = [
 ]
 
 # The top-10 by median — run first, fresh-session (module docstring).
-# Re-pinned round 13 (the pin rule: re-pin when the top-10 SET changes):
-# the three new span queries anchor at 8.6-10.4 s (SCALE.md round-13
-# anchors), displacing dedup_embedding_cosine / decontam_overlap /
-# link_multipass back to family order.
+# Re-pinned round 15 from the r14 medians (the pin rule: re-pin when
+# the top-10 SET changes; the r14 run deferred it to avoid invalidating
+# same-round anchors): ann_index_retire (12.2 — fold+retire+query per
+# rep by design), link_multipass (8.6) and dedup_semantic (8.2) enter;
+# dedup_minhash_lsh / dedup_ngram_jaccard / dedup_incremental return to
+# family order.  The r15 anchor re-seed happens in this order, so the
+# in-context values stay comparable.  dedup_cluster_sizes stays ahead
+# of link_multipass: sizes resets and pays the shared CC memo,
+# multipass measures the memoized path (the long-standing semantics).
 EXPENSIVE_FIRST = [
     "dedup_ledger_roundtrip",
+    "ann_index_retire",
+    "text_gopher_repetition",
     "text_duplicate_spans",
     "decontam_spans",
-    "text_scrub_dupspans",
     "dedup_cluster_sizes",
-    "text_gopher_repetition",
+    "link_multipass",
+    "text_scrub_dupspans",
+    "dedup_semantic",
     "dedup_containment",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
 ]
 assert set(EXPENSIVE_FIRST) <= set(BENCH_QUERIES)
 BENCH_QUERIES = EXPENSIVE_FIRST + [
@@ -350,6 +377,7 @@ def main() -> None:
             raise SystemExit(f"unknown bench queries: {unknown}")
         bench_queries = wanted
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     ext_cores: dict[str, float] = {}
     clean_counts: dict[str, int] = {}
@@ -399,6 +427,7 @@ def main() -> None:
         basis = sorted(clean) if clean else sorted(per_rep)
         timings[name] = basis[len(basis) // 2]
         clean_counts[name] = len(clean)
+        mins[name] = basis[0]
         ext_cores[name] = min(per_ext) if clean else round(
             sum(per_ext) / len(per_ext), 2
         )
@@ -444,7 +473,14 @@ def main() -> None:
         # on a 1-rep smoke vs its 3.2s in-context anchor — all warmup).
         # Off-protocol runs triage as "new".
         if str(_a.get("sf")) == sf and not only and n_reps >= 2:
-            anchors = _a.get("anchors", {})
+            raw_anchors = _a.get("anchors", {})
+            # r15 format: {"med": x, "min": y}; older files stored a
+            # bare float (the min basis) — read it as the med and let
+            # re-seeding replace it
+            anchors = {
+                k: (v["med"] if isinstance(v, dict) else v)
+                for k, v in raw_anchors.items()
+            }
     triage: dict[str, str] = {}
     for name, med in timings.items():
         a = anchors.get(name)
@@ -474,6 +510,15 @@ def main() -> None:
         "new": sum(v == "new" for v in triage.values()),
         "elev_clean": elevated_clean[:5],
     }
+    # rep-1 vs rest for the fold-paying gates: rep 1 pays the state
+    # build, later reps time the standing-state read path
+    r1 = {
+        k: [reps[k][0], timings[k]]
+        for k in FOLD_PAYING
+        if k in reps and len(reps[k]) >= 2
+    }
+    if r1:
+        print("#r1 " + json.dumps(r1, separators=(",", ":")))
 
     suspects = sorted(
         (k for k, v in ext_cores.items() if v > EXT_CORES_SUSPECT),
@@ -488,6 +533,32 @@ def main() -> None:
         "suspect": bool(suspects) or meter.load_start > LOAD_START_SUSPECT,
     }
     print("# load: " + json.dumps(load), file=sys.stderr)
+    # full-protocol runs leave a machine-readable record so
+    # tools/seed_anchors.py can promote a CLEAN run into
+    # bench_anchors.json without hand-editing (the r15 basis-fix
+    # workflow; off-protocol runs leave no record on purpose)
+    if not only and n_reps >= 2:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_last_run.json",
+            ),
+            "w",
+        ) as f:
+            json.dump(
+                {
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "n_reps": n_reps,
+                    "load": load,
+                    "clean_counts": clean_counts,
+                    "med": {k: round(v, 3) for k, v in timings.items()},
+                    "min": {k: round(v, 3) for k, v in mins.items()},
+                    "rep1": r1,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     slowest = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     summary = {
         "metric": "headline-query wall-clock total",

@@ -25,14 +25,14 @@ from tools.rotation import (  # noqa: E402
 
 def _fixture():
     from scholarmind_spark.queries import (
-        _ROUND14_FRONT,
+        _ROUND15_FRONT,
         _WINDOW_BASIS_ROUND,
         SPARK_QUERIES,
     )
 
     registered = list(SPARK_QUERIES)
     seen = last_seen_rounds(upto=_WINDOW_BASIS_ROUND)
-    return registered, seen, _WINDOW_BASIS_ROUND + 1, _ROUND14_FRONT
+    return registered, seen, _WINDOW_BASIS_ROUND + 1, _ROUND15_FRONT
 
 
 def test_committed_window_is_tool_generated():
@@ -72,3 +72,14 @@ def test_new_gates_lead_the_window():
     registered, seen, target, committed = _fixture()
     new = sorted(g for g in registered if g not in seen)
     assert committed[: len(new)] == new
+
+
+def test_staleness4_allowance_names_registered_gates():
+    """Every STALENESS4_OK entry must name a registered gate — the
+    allowance is a semantic-redundancy claim about a real gate, and a
+    renamed/removed gate must not leave a stale allowance behind."""
+    from scholarmind_spark.queries import SPARK_QUERIES
+
+    assert set(STALENESS4_OK) <= set(SPARK_QUERIES)
+    # allowance stays deliberate: entries are unique and sorted-stable
+    assert len(STALENESS4_OK) == len(set(STALENESS4_OK))

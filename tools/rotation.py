@@ -47,9 +47,30 @@ import sys
 
 WINDOW = 50
 MAX_STALENESS = 3
-# named staleness-4 allowance — EMPTY until the registry crosses 200
-# (see module docstring for the eligibility rule)
-STALENESS4_OK: list[str] = []
+# Named staleness-4 allowance, populated round 15 — BEFORE the
+# registry (195) crosses the 200 pigeonhole bound, so the policy is
+# exercised by eligibility review rather than under overflow pressure.
+# Criterion (module docstring): the gate's operator is ALSO pinned by
+# a sibling gate sharing its oracle or by an equality pytest, so a
+# one-round-longer driver gap never leaves the operator unpinned.
+# Evidence per entry; a pytest asserts membership in the registry.
+STALENESS4_OK: list[str] = [
+    # stream==batch twins (tests/test_streaming.py)
+    "events_tumbling_stream",       # ::test_tumbling_stream_equals_batch + batch sibling gate events_tumbling
+    "events_sliding_stream",        # ::test_sliding_stream_equals_batch + batch sibling gate events_sliding
+    "events_stream_interval_join",  # ::test_stream_interval_join_equals_batch + batch sibling events_range_join
+    "events_stream_anomaly",        # ::test_stateful_anomaly_equals_batch + batch sibling events_rolling_anomaly
+    "events_stateful_user_stats",   # ::test_stateful_user_stats_equals_batch
+    # fold==direct sketch pairs (tests/test_sketchledger.py,
+    # test_sketch.py) — each ledger gate's operator is double-pinned
+    # by the direct-build sibling gate and the fold==direct pytest
+    "sketch_ledger_distinct",    # ::test_kmv_state_fold_equals_direct_and_exact_below_k + sibling sketch_distinct_kmv
+    "sketch_ledger_membership",  # ::test_bloom_state_fold_equals_direct_never_false_negative + sibling sketch_bloom_membership
+    "sketch_ledger_drift",       # ::test_hdr_state_drift_matches_duckdb_twin + ::test_hdr_state_fold_equals_direct
+    "sketch_ledger_rollup",      # ::test_hdr_state_rekey_equals_direct_coarse_build
+    "sketch_ledger_compact",     # ::test_sketch_state_compact_equals_direct_mixed_grain
+    "sketch_merge_incremental",  # test_sketch.py::test_kmv_merge_equals_direct + ::test_cms_merge_equals_direct
+]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
