@@ -27,6 +27,14 @@ SKIP = {
     # is covered by the gate and tools/fold_probe.py vector
     "ann_index_stream",
     "ann_index_retire",
+    # round-15: same device — ann_index_rerank folds the shared gate
+    # state via _ann_index_state, ann_index_residual folds its own
+    # residual-mode state inline; the query-side plans (pruned base +
+    # delta resolve + broadcast probes, and the rerank's broadcast-hash
+    # candidate join) are covered by the gates and fold_probe, and the
+    # probe BNLJ is the ann_ivfadc_topk coarse-attach shape
+    "ann_index_rerank",
+    "ann_index_residual",
 }
 
 # deliberate broadcast nested-loop joins: the all-pairs exact baselines, the
