@@ -38,15 +38,24 @@ from pyspark.sql import functions as F
 
 
 def _spans(text_col: str, span_words: int):
-    """List of consecutive non-overlapping ``span_words``-word spans."""
+    """List of consecutive non-overlapping ``span_words``-word spans.
+
+    The word array is LET-BOUND (single-element ``transform``) before
+    the per-span lambda: an interpreted higher-order lambda re-evaluates
+    captured expressions per element, so closing over the raw ``split``
+    re-splits the document once per span (see neardup.shingles)."""
     words = F.split(F.col(text_col), " +")
-    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_spans - F.lit(1)),
-        lambda i: F.array_join(
-            F.slice(words, i * span_words + F.lit(1), span_words), " "
-        ),
-    )
+
+    def spans(w):
+        n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_spans - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(w, i * span_words + F.lit(1), span_words), " "
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(words), spans), 1)
 
 
 def repeated_span_stats(
