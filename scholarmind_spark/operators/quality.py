@@ -238,14 +238,23 @@ def gopher_repetition_stats(
     doc computes all nine gram identities as ROLLING POLYNOMIAL HASHES
     of the next n token hashes (``Σ th_j · W^j mod M`` over ``lead()``
     columns — pure codegen integer math; both engines run the identical
-    formula, so grams align bit-for-bit).  ``stack`` unpivots the nine
-    (n, hash, len) triples, one count shuffle on 8-byte keys, one tiny
-    window per (doc, n), two aggregates back to a row per doc.  Gram
-    identity is the 31-bit rolling hash: two distinct grams colliding
-    within one (doc, n) group would merge (p ≈ grams²/2³² per doc —
-    negligible, and identical on both engines).  Docs shorter than n
-    tokens (or empty) rejoin from the spine with zero metrics and
-    ``keep`` true.
+    formula, so grams align bit-for-bit).  The nine hash/length prefix
+    sums are materialized as columns in ONE Project before the
+    ``stack`` unpivot, so each stack arm is a 2-term expression instead
+    of re-deriving up to 10 multiply-mods (r15: the arm-local expansion
+    made the Generate stage the query's hotspot — 54 modular products
+    per input row and a codegen body big enough to hurt JIT; isolated
+    sf0.1 median 7.0 s → 4.0 s with identical results).  Then one count
+    shuffle on 8-byte keys and ONE aggregate straight back to a row per
+    doc: the per-(doc, n) top gram is ``max(struct(c, glen, h))`` — the
+    lexicographic struct max IS the old ``row_number`` winner under
+    ``(c, glen, h) DESC`` — so the rank window (a full Sort of the gram
+    counts) and the intermediate per-(doc, n) aggregate both disappear.
+    Gram identity is the 31-bit rolling hash: two distinct grams
+    colliding within one (doc, n) group would merge (p ≈ grams²/2³²
+    per doc — negligible, and identical on both engines).  Docs shorter
+    than n tokens (or empty) rejoin from the spine with zero metrics
+    and ``keep`` true.
     """
     from pyspark.sql.window import Window
 
@@ -274,15 +283,26 @@ def gopher_repetition_stats(
         lead_cols.append(F.lead("th", j).over(w).alias(f"__th{j}"))
         lead_cols.append(F.lead("tl", j).over(w).alias(f"__tl{j}"))
     led = t.select("id", "n_chars", *lead_cols)
-    stack_args = []
-    for n in range(2, 11):
-        h = " + ".join(
-            f"((__th{j} * {GOPHER_W_POW[j]}) % {GOPHER_HASH_M})"
-            for j in range(n)
-        )
-        glen = " + ".join(f"__tl{j}" for j in range(n))
-        stack_args.append(f"{n}, (({h}) % {GOPHER_HASH_M}), ({glen} + {n - 1})")
-    stacked = led.selectExpr(
+    # one Project of the 9 hash/length prefix sums: each weighted product
+    # ((th_j · W^j) mod M) appears once and the arms reuse the sums —
+    # the stack arms below collapse to (n, hs % M, ls + n−1)
+    prods = [
+        f"((__th{j} * {GOPHER_W_POW[j]}) % {GOPHER_HASH_M})" for j in range(10)
+    ]
+    sums = led.selectExpr(
+        "id",
+        "n_chars",
+        *[f"({' + '.join(prods[:n])}) AS __hs{n}" for n in range(2, 11)],
+        *[
+            f"({' + '.join(f'__tl{j}' for j in range(n))}) AS __ls{n}"
+            for n in range(2, 11)
+        ],
+    )
+    stack_args = [
+        f"{n}, (__hs{n} % {GOPHER_HASH_M}), (__ls{n} + {n - 1})"
+        for n in range(2, 11)
+    ]
+    stacked = sums.selectExpr(
         "id",
         "n_chars",
         f"stack(9, {', '.join(stack_args)}) AS (n, h, glen)",
@@ -290,45 +310,37 @@ def gopher_repetition_stats(
     counted = stacked.groupBy("id", "n_chars", "n", "glen", "h").agg(
         F.count("*").alias("c")
     )
-    wr = Window.partitionBy("id", "n").orderBy(
-        F.desc("c"), F.desc("glen"), F.desc("h")
-    )
-    per_n = (
-        counted.withColumn("rn", F.row_number().over(wr))
-        .groupBy("id", "n")
-        .agg(
-            F.max("n_chars").alias("n_chars"),
-            F.max(
-                F.when(F.col("rn") == 1, F.col("c") * F.col("glen"))
-            ).alias("top_chars"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("c") > 1, F.col("c") * F.col("glen"))
-                ),
-                F.lit(0),
-            ).alias("dup_chars"),
-        )
-    )
-    aggs = []
+    # single aggregate to a row per doc; the per-(doc, n) top gram is the
+    # lexicographic max of struct(c, glen, h) — exactly the rn = 1 row of
+    # the former row_number() OVER (ORDER BY c DESC, glen DESC, h DESC)
+    aggs = [F.max("n_chars").alias("__nc")]
     for n in GOPHER_TOP_THR:
         aggs.append(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0)
-            ).alias(f"__t{n}")
+            F.max(
+                F.when(F.col("n") == n, F.struct("c", "glen", "h"))
+            ).alias(f"__top{n}")
         )
     for n in GOPHER_DUP_THR:
         aggs.append(
             F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0)
+                F.sum(
+                    F.when(
+                        (F.col("n") == n) & (F.col("c") > 1),
+                        F.col("c") * F.col("glen"),
+                    )
+                ),
+                F.lit(0),
             ).alias(f"__d{n}")
         )
-    collapsed = per_n.groupBy("id").agg(F.max("n_chars").alias("__nc"), *aggs)
+    collapsed = counted.groupBy("id").agg(*aggs)
     joined = spine.join(collapsed, "id", "left")
     nc = F.coalesce(F.col("__nc"), F.col("n_chars"))
     out_cols = [F.col("id").alias(id_col)]
     keep = F.lit(True)
     for n, thr in GOPHER_TOP_THR.items():
-        chars = F.coalesce(F.col(f"__t{n}"), F.lit(0))
+        chars = F.coalesce(
+            F.col(f"__top{n}.c") * F.col(f"__top{n}.glen"), F.lit(0)
+        )
         out_cols.append((chars * 1_000_000).cast("long").alias(f"__m_t{n}"))
         keep = keep & (chars * 100 <= F.lit(thr) * nc)
     for n, thr in GOPHER_DUP_THR.items():
