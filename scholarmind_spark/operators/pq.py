@@ -104,42 +104,41 @@ def _resolve_sub_rows(
 
 
 def _build_sub_lits(sub_rows):
-    """Per-subspace literal codeword tables: sub s → array of
-    struct(code, cw[w]) — codes rows by contract, plan-inlined.
-    ``code`` is the POSITION in the value-sorted table, not the
-    caller's code value: the ADC decode is an element_at by position,
+    """Per-subspace literal codeword tables: sub s → ONE
+    ``array<array<double>>`` Literal of the codes codewords, value-
+    sorted.  A codeword's CODE is its POSITION in the table (not the
+    caller's code id), so the ADC decode is an element_at by position —
     which must hold for ARBITRARY code ids (a trained codebook's cids,
-    a corpus subset's sparse vec_ids).  Rows are sorted by code value,
-    so the positional (d, pos) argmin breaks ties exactly like the SQL
-    twin's ORDER BY d, code-value."""
+    a corpus subset's sparse vec_ids) — and the positional (d, pos)
+    argmin breaks ties exactly like the SQL twin's ORDER BY d,
+    code-value.  r15: one nested Literal node per subspace instead of
+    codes × (1 + w) ``F.lit``/CreateArray/CreateStruct nodes — the old
+    tree put >1k expression nodes per subspace through every analyzer/
+    optimizer pass, and per-call PLANNING (re-paid on every query
+    construction) dominated the ANN family's measured cost."""
     return [
-        F.array(
-            *[
-                F.struct(
-                    F.lit(pos).cast("int").alias("code"),
-                    F.array(*[F.lit(float(x)) for x in cw]).alias("cw"),
-                )
-                for pos, (_code, cw) in enumerate(rows_s)
-            ]
-        )
+        F.lit([[float(x) for x in cw] for _code, cw in rows_s])
         for rows_s in sub_rows
     ]
 
 
 def _argmin_code(sub_lits, vec, s, w):
-    # a SEPARATE function per subspace binds s by scope — a default-
-    # arg lambda (`lambda c, _s=s`) would be a TWO-argument HOF,
-    # which F.transform calls as (element, index): _s silently
-    # becomes the codeword index and every row encodes garbage
-    return F.array_min(
-        F.transform(
-            sub_lits[s],
-            lambda c: F.struct(
-                _sq(F.slice(vec, s * w + 1, w), c["cw"]).alias("d"),
-                c["code"].alias("code"),
-            ),
-        )
-    )["code"]
+    # outer 1-element transform LET-BINDS the subvector slice: a lambda
+    # closing over F.slice(vec, ...) re-evaluates the slice once per
+    # CODEWORD (the higher-order-function capture cost measured on the
+    # shingle family); binding it through `sub` slices once per row.
+    # The inner two-arg lambda's index IS the positional code.
+    return F.transform(
+        F.array(F.slice(vec, s * w + 1, w)),
+        lambda sub: F.array_min(
+            F.transform(
+                sub_lits[s],
+                lambda c, i: F.struct(
+                    _sq(sub, c).alias("d"), i.alias("code")
+                ),
+            )
+        )["code"],
+    )[0]
 
 
 def _encode_expr(sub_lits, vec, m, w):
@@ -153,10 +152,7 @@ def _adc_expr(sub_lits, qvec, pq, m, w):
     over subspaces (fixed order → engine-exact float parity)."""
     adc = None
     for s in range(m):
-        cw = F.element_at(
-            F.transform(sub_lits[s], lambda c: c["cw"]),
-            F.element_at(pq, s + 1) + 1,
-        )
+        cw = F.element_at(sub_lits[s], F.element_at(pq, s + 1) + 1)
         term = _sq(F.slice(qvec, s * w + 1, w), cw)
         adc = term if adc is None else adc + term
     return adc
