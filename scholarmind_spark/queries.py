@@ -13,6 +13,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -63,6 +64,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+# sessions already tuned by _tune (weak: a stopped session's entry must
+# not pin the JVM gateway objects alive)
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def _tune(spark: SparkSession) -> None:
     """Defensive runtime confs so a CALLER-SUPPLIED vanilla session (the
     driver's correctness harness) behaves like the factory session the
@@ -75,6 +81,10 @@ def _tune(spark: SparkSession) -> None:
       with this setting).
     - UTC session timezone, matching the factory pin and DuckDB's naive
       timestamp arithmetic."""
+    # once per session: each conf.set is a py4j round-trip, and _t runs
+    # on every table load of every query construction
+    if spark in _TUNED:
+        return
     # independent settings, independent try blocks: if the ICU conf is
     # immutable on a deployment, the UTC pin must still land (a shared
     # block silently skipped it and every timestamp gate shifted by the
@@ -87,11 +97,32 @@ def _tune(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # factory session already pins UTC
+    _TUNED.add(spark)
+
+
+# Loader memo (r15): `spark.read.parquet` builds a fresh file index and
+# re-reads footers on EVERY call — pure driver-side plan-construction
+# cost, re-paid per query construction (fk_audit alone loads 14 tables;
+# the bench constructs every query per rep).  Reusing the DataFrame
+# object reuses its resolved relation/file listing — the Spark-native
+# listing-cache behavior — while every EXECUTION still scans parquet:
+# no row is cached (the memoized frame is never persisted), so bench and
+# oracle runs keep computing from the files.  Keyed on the live session
+# (the _CC_MEMO pattern); stale-session entries are dropped on miss.
+_T_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark, sf_dir, name)
+    df = _T_MEMO.get(key)
+    if df is None:
+        for k in list(_T_MEMO):
+            if k[0] is not spark:
+                del _T_MEMO[k]
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_MEMO[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2999,7 +3030,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the word co-occurrence graph (operators/graph):
     TextRank keyword authority in integer micro fixed point — the
     iterative-graph shape (domain-authority scoring at crawl scale)
-    with per-round lineage truncation."""
+    with periodic (every-2-round) lineage truncation."""
     from scholarmind_spark.operators.graph import cooccurrence_edges, pagerank
 
     edges = cooccurrence_edges(_t(spark, sf_dir, "documents"))

@@ -17,6 +17,7 @@ the horizon so state stays bounded on an unbounded stream.
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Iterator
 from typing import Any
 
@@ -178,25 +179,32 @@ def _anomaly_update_factory(
             state.remove()
             return
         (recent,) = state.get if state.exists else ([],)
-        recent = list(recent)
+        recent = deque(int(r) for r in recent)
+        # running Σx / Σx² over the trailing window, updated on append/
+        # evict (Python ints — exact): the old per-row re-sum was
+        # O(window) per event, 10× the arithmetic for the same numbers
+        s = sum(recent)
+        q = sum(r * r for r in recent)
         last_us = 0
         out: dict[str, list] = {c: [] for c in
                                 ("key", "event_id", "x_milli", "n",
                                  "mean_milli", "anomaly")}
+        z2 = z * z
         for pdf in pdfs:
             last_us = max(last_us, _ts_max_us(pdf["ts"]))
             # event-time order within the batch: state semantics must not
             # depend on Arrow chunk arrival order
             pdf = pdf.sort_values(["ts", "event_id"])
-            for v, eid in zip(pdf["value"], pdf["event_id"]):
+            # numpy scalars iterate ~3× faster than pandas Series items
+            for v, eid in zip(
+                pdf["value"].to_numpy(), pdf["event_id"].to_numpy()
+            ):
                 x = float(v) * 1000.0
                 # HALF_UP like both engines' round(); Python round() is
                 # banker's and would diverge on exact halves
                 xi = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
                 n = len(recent)
                 if n >= min_n:
-                    s = sum(recent)
-                    q = sum(r * r for r in recent)
                     dev = n * xi - s
                     out["key"].append(key[0])
                     out["event_id"].append(int(eid))
@@ -204,12 +212,16 @@ def _anomaly_update_factory(
                     out["n"].append(n)
                     out["mean_milli"].append(_trunc_div(s, n))
                     out["anomaly"].append(
-                        n * dev * dev > z * z * (n * q - s * s)
+                        n * dev * dev > z2 * (n * q - s * s)
                     )
                 recent.append(xi)
+                s += xi
+                q += xi * xi
                 if len(recent) > window:
-                    recent.pop(0)
-        state.update((recent,))
+                    e = recent.popleft()
+                    s -= e
+                    q -= e * e
+        state.update((list(recent),))
         if timeout_ms is not None:
             # last-event + horizon, clamped above the watermark — see
             # _user_stats_update_factory on why NOT watermark + horizon
