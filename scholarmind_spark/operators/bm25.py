@@ -55,11 +55,12 @@ def bm25_topk(
     # persisted: the tokenized corpus feeds BOTH the stats aggregate and
     # the hits explode — without the cache the split/lower of every
     # document runs twice per action (the lm.py collocations pattern)
+    # tokenize once per row (two sibling uses of `words` would each
+    # re-run the transform), then take the length from the bound array
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(words).alias("dl"),
         words.alias("__w"),
-    ).persist()
+    ).select("id", F.size("__w").alias("dl"), "__w").persist()
     # corpus scalars: one row, broadcast into the scoring join
     stats = base.agg(
         F.count("*").alias("n_docs"),

@@ -61,14 +61,21 @@ def _features(df: DataFrame, id_col: str, text_col: str, m: int) -> DataFrame:
     """(id, b) — one row per unigram/bigram occurrence, hashed to
     [0, m).  Bigrams join adjacent lowercased tokens with one space."""
     toks = F.transform(tokens(F.col(text_col)), F.lower)
-    grams = F.concat(
-        toks,
-        F.when(F.size(toks) >= 2,
-               F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
-                          F.slice(toks, 2, F.size(toks) - 1),
-                          lambda a, b: F.concat(a, F.lit(" "), b))
-               ).otherwise(F.array().cast("array<string>")),
-    )
+
+    # let-bind the tokenized array (the neardup.shingles idiom): the
+    # expression appears 5× below, and without binding each occurrence
+    # re-tokenizes the document per row
+    def _grams(t):
+        return F.concat(
+            t,
+            F.when(F.size(t) >= 2,
+                   F.zip_with(F.slice(t, 1, F.size(t) - 1),
+                              F.slice(t, 2, F.size(t) - 1),
+                              lambda a, b: F.concat(a, F.lit(" "), b))
+                   ).otherwise(F.array().cast("array<string>")),
+        )
+
+    grams = F.element_at(F.transform(F.array(toks), _grams), 1)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .filter(F.col("g") != "")

@@ -47,11 +47,17 @@ from scholarmind_spark.operators.textstats import tokens, tokens_sql
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     words = F.transform(tokens(F.col(text_col)), F.lower)
-    n = F.size(words)
-    pairs = F.arrays_zip(
-        F.slice(words, 1, F.greatest(n - 1, F.lit(0))).alias("u"),
-        F.slice(words, 2, F.greatest(n - 1, F.lit(0))).alias("v"),
-    )
+
+    # let-bind the tokenized array (the neardup.shingles idiom): four
+    # occurrences below would each re-tokenize the document per row
+    def _pairs(w):
+        n = F.size(w)
+        return F.arrays_zip(
+            F.slice(w, 1, F.greatest(n - 1, F.lit(0))).alias("u"),
+            F.slice(w, 2, F.greatest(n - 1, F.lit(0))).alias("v"),
+        )
+
+    pairs = F.element_at(F.transform(F.array(words), _pairs), 1)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
         .select("id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))

@@ -97,6 +97,13 @@ def _tune(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # factory session already pins UTC
+    try:
+        # nanos-as-long BEFORE any events load: with _t memoizing the
+        # first analyzed frame per session, the events schema must not
+        # depend on whether _events (which used to set this) ran first
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # factory session already sets it
     _TUNED.add(spark)
 
 
@@ -133,11 +140,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with integer division — going through a DOUBLE would lose precision at
     2^63-scale nanos.
 
-    The conf is set HERE at runtime (it is runtime-settable) rather than
-    relying on the session factory, so the read works on any caller-supplied
-    vanilla SparkSession (e.g. the driver's correctness harness).
+    The conf is applied by ``_tune`` (once per session, before ANY table
+    load) so the read works on a caller-supplied vanilla SparkSession
+    regardless of which events consumer runs first — load-order matters
+    now that ``_t`` memoizes the first analyzed frame.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = _t(spark, sf_dir, "events")
     if dict(e.dtypes).get("ts") == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
