@@ -71,24 +71,31 @@ def ledger_fingerprints(
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """``id, n, hs`` — per-doc UNCAPPED sorted shingle hashes; the
-    content-pure ledger row (never stale, append-only)."""
+    content-pure ledger row (never stale, append-only).
+
+    Pure PROJECTION (round 15): ``sort_array(transform(shs, md5-hash))``
+    per row is value-identical to the old explode → groupBy(id) →
+    ``sort_array(collect_list(...))`` round-trip — the shingle array is
+    already per-doc, so regrouping it shuffled every shingle hash of the
+    corpus only to reassemble the row it came from.  Zero exchanges now;
+    at 100 TB this removes a corpus-sized shuffle from every ledger
+    ingest fold.  NULL-hash elements (the NULL-text doc, whose shingle
+    array is ``[NULL]``) are dropped inside the array and the then-empty
+    doc row is filtered — the same "a NULL-text doc has no ledger row"
+    semantics the DuckDB twin's ``unnest(NULL list)`` produces."""
     base = _spread(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shs")
     )
-    expl = (
-        base.select(
-            "id", F.size("shs").alias("n"), F.explode("shs").alias("s")
-        )
-        .select("id", "n", minhash_base(F.col("s")).alias("sh"))
-        # NULL-text docs produce a NULL hash row here; the DuckDB twin's
-        # unnest(NULL list) yields ZERO rows for the same doc, so drop
-        # the row explicitly — semantics on BOTH engines: a NULL-text
-        # doc has no ledger row (nothing to fingerprint)
-        .where(F.col("sh").isNotNull())
-    )
-    return expl.groupBy("id", "n").agg(
-        F.sort_array(F.collect_list("sh")).alias("hs")
-    )
+    return base.select(
+        "id",
+        F.size("shs").alias("n"),
+        F.sort_array(
+            F.filter(
+                F.transform("shs", lambda s: minhash_base(s)),
+                lambda h: h.isNotNull(),
+            )
+        ).alias("hs"),
+    ).where(F.size("hs") > 0)
 
 
 def ledger_shingle_counts(fp: DataFrame) -> DataFrame:

@@ -10,6 +10,9 @@ changed keep their exact semantics.
   and every-2-rounds produce identical integer fixed points.
 - PQ codeword tables are single nested-array literals — pin encode and
   ADC against the brute-force Python computation.
+- ledger_fingerprints is a pure projection (sort_array over the hashed
+  shingle array) — pin it against the old explode → groupBy →
+  collect_list reference, including the NULL-text-doc drop semantics.
 """
 
 from __future__ import annotations
@@ -134,3 +137,40 @@ def test_pq_literal_tables_match_bruteforce(spark):
     scored.sort()
     want = [(0, nid, rk + 1) for rk, (_d, nid) in enumerate(scored[:k])]
     assert got == want
+
+
+def test_ledger_fingerprints_projection_matches_regroup_reference(spark):
+    from scholarmind_spark.operators.ledger import ledger_fingerprints
+    from scholarmind_spark.operators.neardup import minhash_base, shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b c d e"),  # exactly k tokens -> one shingle
+            (3, "short"),  # < k tokens -> whole-text shingle
+            (4, None),  # NULL text: must have NO ledger row
+            (5, ""),  # empty text: one empty-string shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n, list(r.hs)) for r in ledger_fingerprints(df).collect()
+    }
+
+    # reference: the pre-r15 explode -> groupBy -> sorted collect_list
+    ref_rows = (
+        df.select(
+            F.col("doc_id").alias("id"),
+            shingles(F.col("text")).alias("shs"),
+        )
+        .select("id", F.size("shs").alias("n"), F.explode("shs").alias("s"))
+        .select("id", "n", minhash_base(F.col("s")).alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .groupBy("id", "n")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hs"))
+        .collect()
+    )
+    ref = {r.id: (r.n, list(r.hs)) for r in ref_rows}
+    assert got == ref
+    assert 4 not in got  # NULL-text doc dropped on both paths
+    assert got[3][0] == 1 and len(got[3][1]) == 1
