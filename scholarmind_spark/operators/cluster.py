@@ -72,10 +72,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # SEEDED initial labels (round 15): label₀ = min(node, min neighbor)
+    # — the same one-shuffle aggregation the old `distinct` paid, but it
+    # absorbs the first neighbor-propagation round outright (a star
+    # cluster, the common dedup shape, is already at its fixpoint and
+    # pays only the confirming round).  The fixpoint is unchanged: any
+    # initial labeling with label ≤ node and label within the node's
+    # component converges to the per-component min under the same
+    # monotone update.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
         .persist()
     )
     def _label_digest(lbl: DataFrame):

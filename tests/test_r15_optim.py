@@ -174,3 +174,30 @@ def test_ledger_fingerprints_projection_matches_regroup_reference(spark):
     assert got == ref
     assert 4 not in got  # NULL-text doc dropped on both paths
     assert got[3][0] == 1 and len(got[3][1]) == 1
+
+
+def test_cc_seeded_init_matches_reference_on_chain_star_cycle(spark):
+    """connected_components seeds labels with min(node, min neighbor);
+    the fixpoint must equal the identity-init reference on shapes that
+    exercise multi-round convergence: a 6-chain (diameter forces
+    pointer jumping), a star, a cycle, and an isolated pair."""
+    from scholarmind_spark.operators.cluster import connected_components
+
+    pairs = [
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),  # chain
+        (20, 21), (20, 22), (20, 23),                      # star
+        (30, 31), (31, 32), (32, 30),                      # cycle
+        (40, 41),                                          # pair
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+    want = set()
+    comp = {ch: 10 for ch in range(10, 16)}
+    comp.update({s: 20 for s in range(20, 24)})
+    comp.update({c: 30 for c in range(30, 33)})
+    comp.update({p: 40 for p in (40, 41)})
+    want = set(comp.items())
+    assert got == want
