@@ -96,22 +96,45 @@ def _features_sql(table: str, id_col: str, text_col: str, m: int) -> str:
  ) WHERE g <> '')"""
 
 
+def dsir_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Public handle on the hashed ``(id, b)`` feature relation, so a
+    caller scoring the same corpus the ratios were fit on can compute
+    (and persist) the raw-side pass ONCE and share it between
+    :func:`dsir_bucket_logratio` and :func:`dsir_score` — the relation
+    is one (8+8)-byte row per gram occurrence, the natural
+    materialization point (far smaller than the text it derives from)."""
+    return _features(df, id_col, text_col, m)
+
+
 def dsir_bucket_logratio(
     raw: DataFrame,
     target: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     m: int = DSIR_BUCKETS,
+    raw_feats: DataFrame | None = None,
 ) -> DataFrame:
     """``(b, lr_micro)`` — per-bucket integer micro-nat log importance
     ratio ``ln p_target(b) − ln p_raw(b)`` (add-one smoothed over m
-    buckets), the full-outer merge of the two m-bounded histograms."""
+    buckets), the full-outer merge of the two m-bounded histograms.
+
+    ``raw_feats``: optional precomputed :func:`dsir_features` relation
+    for ``raw`` (value-identical by construction); pass the caller's
+    persisted copy to fold the raw tokenization pass into one."""
     th = _features(target, id_col, text_col, m).groupBy("b").agg(
         F.count("*").alias("ct")
     )
-    rh = _features(raw, id_col, text_col, m).groupBy("b").agg(
-        F.count("*").alias("cr")
+    rf = (
+        raw_feats
+        if raw_feats is not None
+        else _features(raw, id_col, text_col, m)
     )
+    rh = rf.groupBy("b").agg(F.count("*").alias("cr"))
     tt = th.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("T"))
     rt = rh.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("R"))
     return (
@@ -141,6 +164,7 @@ def dsir_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     m: int = DSIR_BUCKETS,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """``id_col, n_feats, dsir_micro`` — per-document summed log
     importance weight in micro-nats.  Features absent from BOTH
@@ -149,8 +173,11 @@ def dsir_score(
     smoothed ratio of two never-seen counts is ≈ ln((R+m)/(T+m)) ≠ 0 in
     general, but an unseen bucket carries no evidence either way — 0 is
     the standard OOV neutrality choice and keeps the gate math exact).
-    Documents with zero features are omitted (no weight is defined)."""
-    feats = _features(df, id_col, text_col, m)
+    Documents with zero features are omitted (no weight is defined).
+
+    ``feats``: optional precomputed :func:`dsir_features` relation for
+    ``df`` (value-identical by construction); see dsir_bucket_logratio."""
+    feats = feats if feats is not None else _features(df, id_col, text_col, m)
     return (
         feats.join(ratios, "b", "left")
         .select("id", F.coalesce(F.col("lr_micro"), F.lit(0)).alias("__t"))

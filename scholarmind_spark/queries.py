@@ -3853,16 +3853,23 @@ def dataset_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio join, one TakeOrderedAndProject."""
     from scholarmind_spark.operators.dsir import (
         dsir_bucket_logratio,
+        dsir_features,
         dsir_score,
         dsir_select,
     )
+    from scholarmind_spark.util import attach_caches
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     target = d.filter(F.col("lang") == "en")
-    ratios = dsir_bucket_logratio(d, target)
-    return dsir_select(dsir_score(d, ratios), 100).orderBy(
+    # persist(): the raw-corpus feature pass feeds BOTH the raw histogram
+    # and the scoring join — one tokenize+hash pass instead of two (the
+    # relation is (id, bucket) pairs, far smaller than the text)
+    feats = dsir_features(d).persist()
+    ratios = dsir_bucket_logratio(d, target, raw_feats=feats)
+    out = dsir_select(dsir_score(d, ratios, feats=feats), 100).orderBy(
         F.desc("gkey"), "doc_id"
     )
+    return attach_caches(out, [feats])
 
 
 def _dataset_dsir_select_sql() -> str:

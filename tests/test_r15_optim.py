@@ -201,3 +201,38 @@ def test_cc_seeded_init_matches_reference_on_chain_star_cycle(spark):
     comp.update({p: 40 for p in (40, 41)})
     want = set(comp.items())
     assert got == want
+
+
+def test_dsir_shared_features_matches_unshared(spark):
+    """dataset_dsir_select now computes the raw feature pass once and
+    shares it between the histogram and scoring stages; sharing must
+    not change a single score or the selection."""
+    from scholarmind_spark.operators.dsir import (
+        dsir_bucket_logratio,
+        dsir_features,
+        dsir_score,
+        dsir_select,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps"),
+            (2, "en", "the lazy dog sleeps"),
+            (3, "de", "der schnelle braune fuchs"),
+            (4, "de", "the quick brown fox naps"),
+            (5, "en", "wholly different content here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    target = d.filter(F.col("lang") == "en")
+
+    ratios_u = dsir_bucket_logratio(d, target)
+    sel_u = dsir_select(dsir_score(d, ratios_u), 3).collect()
+
+    feats = dsir_features(d).persist()
+    ratios_s = dsir_bucket_logratio(d, target, raw_feats=feats)
+    sel_s = dsir_select(dsir_score(d, ratios_s, feats=feats), 3).collect()
+    feats.unpersist()
+
+    key = lambda rows: sorted((r.doc_id, r.n_feats, r.dsir_micro, r.gkey) for r in rows)
+    assert key(sel_u) == key(sel_s)
