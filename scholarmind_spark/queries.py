@@ -3062,7 +3062,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one smoothing, model self-trained on the corpus in one pass."""
     from scholarmind_spark.operators.lm import bigram_lm_score
 
-    return bigram_lm_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    from scholarmind_spark.util import attach_caches
+
+    out = bigram_lm_score(_t(spark, sf_dir, "documents"))
+    # re-attach past the .orderBy (a new DataFrame drops the cache tag)
+    return attach_caches(
+        out.orderBy("doc_id"), list(getattr(out, "_sm_caches", ()))
+    )
 
 
 def _text_lm_score_sql() -> str:
@@ -4825,8 +4831,12 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys: tf desc, df asc) — vocabulary-sized df table broadcasts."""
     from scholarmind_spark.operators.textstats import doc_top_terms
 
-    return doc_top_terms(_t(spark, sf_dir, "documents"), k=3).orderBy(
-        "id", "rank"
+    from scholarmind_spark.util import attach_caches
+
+    out = doc_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    # re-attach past the .orderBy (a new DataFrame drops the cache tag)
+    return attach_caches(
+        out.orderBy("id", "rank"), list(getattr(out, "_sm_caches", ()))
     )
 
 
@@ -5169,7 +5179,12 @@ def sketch_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("exact_jaccard")
     )
-    return rep.crossJoin(exact)
+    from scholarmind_spark.util import attach_caches
+
+    # re-attach past the .crossJoin (a new DataFrame drops the cache tag)
+    return attach_caches(
+        rep.crossJoin(exact), list(getattr(rep, "_sm_caches", ()))
+    )
 
 
 def _sketch_overlap_kmv_sql() -> str:

@@ -236,3 +236,46 @@ def test_dsir_shared_features_matches_unshared(spark):
 
     key = lambda rows: sorted((r.doc_id, r.n_feats, r.dsir_micro, r.gkey) for r in rows)
     assert key(sel_u) == key(sel_s)
+
+
+def test_text_top_terms_releases_its_persist(spark):
+    """r14 verdict ask #7 (closed r15): gates must release what they
+    persist.  text_top_terms wraps doc_top_terms in an .orderBy, which
+    drops the _sm_caches tag unless re-attached — the one leaker the
+    harness cache sweep caught.  Pin: the gate's output carries the tag,
+    and release_caches + GC leaves zero persistent RDDs."""
+    import gc
+    import time
+
+    from scholarmind_spark.operators.textstats import doc_top_terms
+    from scholarmind_spark.util import release_caches
+
+    def settled_count() -> int:
+        for attempt in range(6):
+            n = spark.sparkContext._jsc.getPersistentRDDs().size()
+            if n == 0:
+                break
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.2 * (attempt + 1))
+        return n
+
+    # relative to the session baseline: another test file sharing this
+    # session may legitimately hold a referenced persisted frame
+    n0 = settled_count()
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma gamma gamma")],
+        "doc_id long, text string",
+    )
+    out = doc_top_terms(d, k=2)
+    tagged = out.orderBy("id", "rank")
+    # the raw orderBy drops the tag — the exact leak shape
+    assert getattr(tagged, "_sm_caches", []) == []
+    from scholarmind_spark.util import attach_caches
+
+    fixed = attach_caches(tagged, list(getattr(out, "_sm_caches", ())))
+    assert len(fixed._sm_caches) == 1
+    fixed.collect()
+    release_caches(fixed)
+    assert settled_count() <= n0

@@ -169,6 +169,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        sdf = None
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -177,6 +178,17 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # r14 verdict ask #7: gates must release what they persist.
+            # Operators tag their persisted intermediates via attach_caches;
+            # rows are already collected, so freeing here changes nothing.
+            if sdf is not None:
+                try:
+                    from scholarmind_spark.util import release_caches
+
+                    release_caches(sdf)
+                except Exception:
+                    pass
         spark_t = time.time() - t0
         if name not in oracles:
             n_rows_only += 1
@@ -240,6 +252,46 @@ def main() -> int:
             print(
                 f"PASS {name}: {len(srows)} rows (spark {spark_t:.1f}s, duckdb {duck_t:.2f}s)"
             )
+    # r14 verdict ask #7, second half: after a FULL battery nothing may stay
+    # persisted.  Per-gate release_caches above frees tagged intermediates;
+    # the one deliberate cross-gate share (the CC label memo) frees through
+    # its own reset.  Partial runs (explicit query names) skip the sweep —
+    # they may leave shared memos warm on purpose.
+    if not only:
+        try:
+            from scholarmind_spark.queries import reset_shared_components
+
+            reset_shared_components()
+        except Exception:
+            pass
+        n_left = -1
+        jmap = None
+        for attempt in range(6):
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            n_left = jmap.size()
+            if n_left == 0:
+                break
+            # the ContextCleaner unpersists GC'd handles asynchronously —
+            # nudge both collectors before concluding anything leaked
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5 * (attempt + 1))
+        if n_left != 0:
+            names = []
+            it = jmap.entrySet().iterator()
+            while it.hasNext() and len(names) < 10:
+                ent = it.next()
+                rdd = ent.getValue()
+                names.append(f"id={ent.getKey()} {rdd.name() or rdd.toString()}")
+            print(
+                f"FAIL cache-sweep: {n_left} persistent RDD(s) survive the "
+                "battery: " + "; ".join(names)
+            )
+            failures += 1
+        else:
+            print("cache sweep: 0 persistent RDDs after the battery")
     spark.stop()
     if failures == 0:
         # rows-only entries ran but verified NOTHING beyond "it executes";
