@@ -381,6 +381,16 @@ def main() -> None:
     reps: dict[str, list[float]] = {}
     ext_cores: dict[str, float] = {}
     clean_counts: dict[str, int] = {}
+    # Round 16 (verdict ask #1): split CONSTRUCTION (fn(spark, sf_dir) —
+    # driver-side plan building + analysis, a per-query constant that does
+    # NOT shrink with data volume) from EXECUTION (the noop-sink write —
+    # the part that scales with data).  ADDITIVE fields only: the timed
+    # window and the recorded per-query median are unchanged (construct +
+    # execute == the same wall-clock total as before); the split is
+    # recorded per rep and reported for the rep whose total IS the
+    # recorded median, so construct+execute always sums to the median.
+    construct: dict[str, float] = {}
+    execute: dict[str, float] = {}
     meter = _LoadMeter()
     from scholarmind_spark.queries import reset_shared_components
 
@@ -388,6 +398,7 @@ def main() -> None:
         fn = SPARK_QUERIES[name]
         per_rep: list[float] = []
         per_ext: list[float] = []
+        per_con: list[float] = []
         n = 0
         for _ in range(n_reps):
             if name == "dedup_cluster_sizes":
@@ -399,6 +410,7 @@ def main() -> None:
             meter.begin()
             t0 = time.time()
             df = fn(spark, sf_dir)
+            per_con.append(round(time.time() - t0, 3))
             # Timed action is a NOOP SINK, not count(): under count() the
             # optimizer prunes every computed column (and EliminateSorts
             # drops orderBys), so projection-shaped queries (text_clean,
@@ -426,6 +438,11 @@ def main() -> None:
         clean = [t for t, x in zip(per_rep, per_ext) if x <= EXT_CORES_SUSPECT]
         basis = sorted(clean) if clean else sorted(per_rep)
         timings[name] = basis[len(basis) // 2]
+        # the construct/execute split of the rep whose total is the
+        # recorded median (so construct + execute == the median exactly)
+        med_i = per_rep.index(timings[name])
+        construct[name] = per_con[med_i]
+        execute[name] = round(per_rep[med_i] - per_con[med_i], 3)
         clean_counts[name] = len(clean)
         mins[name] = basis[0]
         ext_cores[name] = min(per_ext) if clean else round(
@@ -519,6 +536,15 @@ def main() -> None:
     }
     if r1:
         print("#r1 " + json.dumps(r1, separators=(",", ":")))
+    # construct/execute split (#c lines, short-line discipline): the
+    # slowest queries' [construct, execute] pairs — printed LAST among
+    # the detail lines so the driver's tail-biased stdout capture keeps
+    # them.  Full per-query maps go to bench_last_run.json below.
+    cit = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    cmap = {k: [construct[k], execute[k]] for k, _ in cit}
+    cl = sorted(cmap.items())
+    for i in range(0, len(cl), 4):
+        print("#c " + json.dumps(dict(cl[i : i + 4]), separators=(",", ":")))
 
     suspects = sorted(
         (k for k, v in ext_cores.items() if v > EXT_CORES_SUSPECT),
@@ -554,6 +580,8 @@ def main() -> None:
                     "med": {k: round(v, 3) for k, v in timings.items()},
                     "min": {k: round(v, 3) for k, v in mins.items()},
                     "rep1": r1,
+                    "construct": construct,
+                    "execute": execute,
                 },
                 f,
                 indent=1,
@@ -566,6 +594,10 @@ def main() -> None:
         "unit": "sec",
         "queries": dict(slowest),
         "n_queries": len(full),
+        "split": {
+            "construct": round(sum(construct.values()), 3),
+            "execute": round(sum(execute.values()), 3),
+        },
         "load": load,
         "triage": triage_summary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

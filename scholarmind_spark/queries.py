@@ -4059,11 +4059,13 @@ def events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME batch SQL as the batch gate: stream == batch, verified."""
     from scholarmind_spark.streaming import read_events_stream, run_to_memory
     from scholarmind_spark.streaming.stateful import stateful_anomaly
+    from scholarmind_spark.util import carry_caches
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    return run_to_memory(stateful_anomaly(stream), mode="update").orderBy(
-        "event_id"
-    )
+    drained = run_to_memory(stateful_anomaly(stream), mode="update")
+    # carry the drain's checkpoint-block tag past the orderBy wrapper so
+    # release_caches on the returned frame frees it (the r15 leak class)
+    return carry_caches(drained, drained.orderBy("event_id"))
 
 
 def _events_stream_anomaly_sql() -> str:

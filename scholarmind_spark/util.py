@@ -90,3 +90,19 @@ def release_caches(df: DataFrame) -> None:
     for c in getattr(df, "_sm_caches", ()):
         unpersist_any(c)
     df._sm_caches = []  # type: ignore[attr-defined]
+
+
+def carry_caches(src: DataFrame, wrapped: DataFrame) -> DataFrame:
+    """Re-attach ``src``'s cache tags to a DataFrame that WRAPS it.
+
+    Any plain DataFrame method (``orderBy``, ``select``, ``crossJoin``,
+    ...) returns a NEW object without the ``_sm_caches`` tag, so a
+    consumer releasing the wrapper silently strands the persists the
+    operator attached — the exact leak class the r15 cache audit fixed
+    at three call sites by hand.  This helper is that re-attach idiom in
+    one place:
+
+        out = some_operator(df)           # tagged
+        return carry_caches(out, out.orderBy("id"))
+    """
+    return attach_caches(wrapped, list(getattr(src, "_sm_caches", ())))
