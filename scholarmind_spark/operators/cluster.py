@@ -129,12 +129,18 @@ def connected_components(
                     F.coalesce("ref_label", "l.label").alias("label"),
                 )
             )
+            # LAZY localCheckpoint (round 16): the plan is truncated to a
+            # LogicalRDD leaf at call time either way, but eager=True ran a
+            # dedicated materialization job and the digest below then ran a
+            # SECOND job over the blocks.  With eager=False the digest
+            # action itself computes AND checkpoints the round — one job
+            # per fixpoint round instead of two, identical labels.
             new_labels = (
                 labels.unionByName(neighbor)
                 .unionByName(jump)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)  # materialize + truncate lineage
+                .localCheckpoint(eager=False)
             )
             new_sum = _label_digest(new_labels)
             _unpersist_any(labels)

@@ -71,7 +71,12 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scholarmind_spark.operators.similarity import _dot, _norm, _plane_signs
+from scholarmind_spark.operators.similarity import (
+    _dot,
+    _dot_pairs_arrow,
+    _norm,
+    _plane_signs,
+)
 from scholarmind_spark.util import attach_caches
 
 
@@ -115,6 +120,13 @@ def semdedup(
     cent_rows = centroids.select("cid", "cvec").limit(inline_max + 1).collect()
     if not cent_rows:
         raise ValueError("semdedup: empty codebook (no centroid rows)")
+    # NOTE (r16, measured): pre-casting the float embedding to
+    # array<double> here — the similarity-family cast elimination — was
+    # A/B'd bit-identical but SLOWER in combination with the Arrow pair
+    # dot below (interleaved medians: base 2.01 s, precast 1.99, arrow
+    # 1.79, precast+arrow 1.94): the persisted ``assigned`` relation
+    # doubles in bytes while only the tiny 16-centroid literal
+    # assignment saves casts.  Arrow-only is the measured best.
     if len(cent_rows) <= inline_max:
         cent = F.array(
             *[
@@ -187,7 +199,10 @@ def semdedup(
         )
         .filter(F.abs(F.col("l.th") - F.col("r.th")) <= band)
         .filter(
-            _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+            # per-PAIR dot through the Arrow batch path — bit-identical
+            # to _dot (see similarity._dot_pairs_arrow)
+            _dot_pairs_arrow(F.col("l.v"), F.col("r.v"))
+            / (F.col("l.nrm") * F.col("r.nrm"))
             >= threshold
         )
         .select(F.col("l.id").alias(id_col))
