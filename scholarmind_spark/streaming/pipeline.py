@@ -309,11 +309,32 @@ def stream_interval_join(
     )
 
 
+def _scratch_ck_base() -> str | None:
+    """Base dir for the drain harness' THROWAWAY checkpoints: RAM-backed
+    when the host offers it (``/dev/shm``), overridable via
+    ``$SPARK_GRAFT_STREAM_CK_DIR``.  The checkpoint of a
+    :func:`run_to_memory` drain is deleted the moment the drain returns —
+    durability buys nothing, while the state-store commit of a single
+    microbatch writes ~4 delta files per join-side per partition
+    (measured 31-50 s of summed commitTimeMs on the sf0.1 interval join
+    at 32 partitions).  Production sinks (``stream_merge_to_snapshot``,
+    ``stream_fold_sketch_state``, ``stream_vector_ingest``) are NOT
+    routed through this — their checkpoints carry exactly-once lineage
+    across runs and stay wherever the caller puts them."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_CK_DIR")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def run_to_memory(
     stream_df: DataFrame,
     mode: str = "complete",
     name: str | None = None,
     shuffle_partitions: int = 32,
+    final_no_data_batch: bool = False,
 ) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table and return
     it as a batch DataFrame (test/verification harness).
@@ -324,6 +345,20 @@ def run_to_memory(
     microbatch regardless of data size.  The conf is pinned for the start
     and restored after the drain.
 
+    ``final_no_data_batch``: availableNow appends one NO-DATA microbatch
+    after the last data batch when watermarks advanced, whose only jobs
+    are eager state cleanup and append-mode window finalization.  For
+    every shape this harness drains — complete-mode aggregations (emit
+    everything each batch), append-mode joins/dedup/enrich (emit matches
+    in the data batch itself) and update-mode stateful ops — that batch
+    changes NOTHING about the result while paying a full state-store
+    commit cycle (measured 2.4 s of the sf0.1 interval join's 6.6 s
+    drain), so it is skipped by default.  Pass ``True`` when draining an
+    APPEND-MODE WATERMARKED AGGREGATION: there a window is only emitted
+    once the watermark passes it, which for a finite drain happens in
+    exactly that final batch — without it the last windows are silently
+    missing.
+
     NOT concurrency-safe: the pin/restore mutates the SHARED session conf
     non-atomically, so two concurrent drains (or a batch query started
     inside the window) would race it.  This is a sequential
@@ -332,8 +367,15 @@ def run_to_memory(
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    ck = tempfile.mkdtemp(prefix="smck_")
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if final_no_data_batch else "false",
+    )
+    ck = tempfile.mkdtemp(prefix="smck_", dir=_scratch_ck_base())
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -346,6 +388,9 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
     # Copy the drained rows OUT of the memory sink, then drop the sink's
     # temp view and the checkpoint dir: each drain previously leaked the
     # full result in the driver's MemorySink (every battery/bench rep
