@@ -74,13 +74,20 @@ def fuzzy_link(
 
 
 def _passjoin_candidates(
-    df: DataFrame, key_col: str, max_dist: int
+    df: DataFrame, key_col: str, max_dist: int, dedup: bool = True
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The PassJoin blocking stage alone: distinct ``(a, b)`` candidate
     pairs (``a < b``, superset of all true ≤ max_dist pairs), plus the
     persist()-ed relations the plan holds — so multi-pass composition
     (:func:`link_candidates`) can union candidates across blockers and
-    verify ONCE."""
+    verify ONCE.
+
+    ``dedup=False`` skips the trailing ``.distinct()`` — a full exchange
+    of the candidate set — for callers that deduplicate downstream
+    anyway (:func:`link_candidates` groupBys on the pair to merge
+    provenance flags, making the inner distinct a second shuffle of the
+    same keys; guide §2.4).  Direct verifiers (:func:`fuzzy_link`) must
+    keep it or they would emit duplicate verified rows."""
     d = max_dist
     # persist(): four consumers (idx, probes, tiny, small) — uncached,
     # each re-runs the input scan AND the distinct shuffle.  Two narrow
@@ -171,8 +178,9 @@ def _passjoin_candidates(
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
-        .distinct()
     )
+    if dedup:
+        cand = cand.distinct()
     inner = list(getattr(df, "_sm_caches", ()))
     return cand, [keys, *inner]
 
@@ -395,7 +403,10 @@ def link_candidates(
     branches: list[DataFrame] = []
     caches: list[DataFrame] = []
     if "passjoin" in passes:
-        cand, cc = _passjoin_candidates(df, key_col, max_dist)
+        # dedup=False: the merged groupBy(a, b) below already collapses
+        # duplicates (same branch-constant flags), so the blocker's own
+        # distinct would shuffle the identical keys twice
+        cand, cc = _passjoin_candidates(df, key_col, max_dist, dedup=False)
         branches.append(
             cand.select(
                 "a",
