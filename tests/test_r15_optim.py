@@ -251,13 +251,17 @@ def test_text_top_terms_releases_its_persist(spark):
     from scholarmind_spark.util import release_caches
 
     def settled_count() -> int:
+        # nudge FIRST, then measure (r15 ADVICE): the ContextCleaner is
+        # asynchronous, so measuring before the gc/sleep left the last
+        # nudge dead and the returned count one settle-window stale
+        n = spark.sparkContext._jsc.getPersistentRDDs().size()
         for attempt in range(6):
-            n = spark.sparkContext._jsc.getPersistentRDDs().size()
             if n == 0:
                 break
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.2 * (attempt + 1))
+            n = spark.sparkContext._jsc.getPersistentRDDs().size()
         return n
 
     # relative to the session baseline: another test file sharing this

@@ -187,8 +187,11 @@ def main() -> int:
                     from scholarmind_spark.util import release_caches
 
                     release_caches(sdf)
-                except Exception:
-                    pass
+                except Exception as rexc:
+                    # don't fail the gate, but DO attribute the broken
+                    # release to it — the end-of-battery sweep can only
+                    # say "something leaked", not who (r15 ADVICE)
+                    print(f"WARN {name}: release_caches raised: {rexc}")
         spark_t = time.time() - t0
         if name not in oracles:
             n_rows_only += 1
@@ -264,20 +267,22 @@ def main() -> int:
             reset_shared_components()
         except Exception:
             pass
+        # nudge FIRST, then measure: the ContextCleaner unpersists GC'd
+        # handles asynchronously, and measuring at the top of the loop
+        # left the final iteration's gc+sleep dead work — the FAIL
+        # verdict could read a count one settle-window stale (r15 ADVICE)
+        import gc
+
         n_left = -1
         jmap = None
         for attempt in range(6):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5 * (attempt + 1))
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             n_left = jmap.size()
             if n_left == 0:
                 break
-            # the ContextCleaner unpersists GC'd handles asynchronously —
-            # nudge both collectors before concluding anything leaked
-            import gc
-
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(0.5 * (attempt + 1))
         if n_left != 0:
             names = []
             it = jmap.entrySet().iterator()
